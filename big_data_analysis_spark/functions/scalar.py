@@ -1,0 +1,413 @@
+"""Scalar function families (SURVEY.md §2.8) — one query per family
+exercising several functions at once, all JVM-side built-ins (no
+Python in the row path; these run inside whole-stage codegen).
+
+Cross-engine gotchas baked into the choices below:
+- day-of-week numbering differs (Spark weekday()=0-Mon ↔ DuckDB
+  isodow-1); months_between has no DuckDB twin (excluded).
+- double->int CAST truncates in Spark but ROUNDS in DuckDB — integer
+  conversions go through floor/ceil/explicit decimal instead.
+- round() on a 2-decimal double at 1 decimal sits exactly on the
+  half-up/half-even fault line; round targets here are irrational
+  (sqrt outputs), far from midpoints.
+- xxhash64/crc32 have no DuckDB equivalent -> separate rows-only
+  query (fn_hash_native).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       trim(concat(' ', p_name, ' ')) AS name_trimmed,
+       substring(p_name, 1, 4) AS name_prefix,
+       concat(p_name, '/', p_brand) AS name_brand,
+       length(p_name) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       replace(p_name, ' ', '_') AS name_snake,
+       string_split(p_name, ' ')[1] AS first_word,
+       instr(p_name, 'widget') AS widget_pos
+FROM part
+""",
+    category="functions",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, trim, substring, concat, length, pad,
+    replace, split+index, instr."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat(F.col("p_name"), F.lit("/"), F.col("p_brand")).alias("name_brand"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+       regexp_matches(p_name, '^(cold|small) ') AS is_cold_or_small
+FROM part
+""",
+    category="functions",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family (POSIX-simple patterns so Java regex and DuckDB
+    RE2 agree). NOTE: Spark regexp_replace is global by default;
+    DuckDB needs the 'g' flag."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), "Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devoweled"),
+        F.col("p_name").rlike("^(cold|small) ").alias("is_cold_or_small"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(isodow(o_orderdate) - 1 AS INT) AS order_weekday,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+FROM orders
+""",
+    category="functions",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: parts, weekday (Spark weekday()=Mon0 == DuckDB
+    isodow-1), truncation, month arithmetic, last_day, datediff."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("order_year"),
+        F.month(od).alias("order_month"),
+        F.dayofmonth(od).alias("order_day"),
+        F.weekday(od).alias("order_weekday"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.add_months(od.cast("date"), 3).cast("timestamp").alias("plus3m"),
+        F.last_day(od.cast("date")).cast("timestamp").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@query(
+    "fn_timestamp",
+    oracle="""
+SELECT event_id,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS ts_rounded,
+       make_timestamp(2024, 6, 1, 12, 0, 0) AS fixed_ts,
+       CAST(hour(ts) AS INT) AS event_hour,
+       CAST(minute(ts) AS INT) AS event_minute
+FROM events
+""",
+    category="functions",
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp family: date cast, epoch seconds (floor == Spark's
+    unix_timestamp truncation for post-1970 data), epoch round-trip,
+    make_timestamp, clock parts."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("ts").cast("date").cast("timestamp").alias("event_date"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.from_unixtime(F.unix_timestamp("ts")).cast("timestamp").alias("ts_rounded"),
+        F.make_timestamp(
+            F.lit(2024), F.lit(6), F.lit(1), F.lit(12), F.lit(0), F.lit(0)
+        ).alias("fixed_ts"),
+        F.hour("ts").alias("event_hour"),
+        F.minute("ts").alias("event_minute"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(sqrt(l_quantity), 3) AS qty_sqrt_3,
+       CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign,
+       mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+       greatest(l_quantity, l_discount * 100) AS gr,
+       least(l_quantity, l_discount * 100) AS ls,
+       power(2, l_linenumber) AS pow2
+FROM lineitem
+""",
+    category="functions",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded (safe cross-engine
+    on any double); round targets are irrational so no midpoint
+    ambiguity; pmod on exact integers; exp/ln live in fn_math_libm
+    (rows-only) because libm implementations may differ by 1 ulp."""
+    l = table(spark, sf_dir, "lineitem")
+    q, ep, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("qty_dev"),
+        F.ceil(ep / 1000).alias("price_k_ceil"),
+        F.floor(ep / 1000).alias("price_k_floor"),
+        F.sqrt(ep).alias("price_sqrt"),
+        F.round(F.sqrt(q), 3).alias("qty_sqrt_3"),
+        F.signum(q - 25).alias("qty_sign"),
+        F.pmod(q.cast("bigint"), F.lit(7)).alias("qty_mod7"),
+        F.greatest(q, d * 100).alias("gr"),
+        F.least(q, d * 100).alias("ls"),
+        F.pow(F.lit(2), F.col("l_linenumber")).alias("pow2"),
+    )
+
+
+@query("fn_math_libm", oracle=None, category="functions")
+def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp/ln/log10 — transcendental libm functions are not
+    guaranteed correctly-rounded, so cross-engine bits may differ by
+    1 ulp: rows-only check + unit test asserting 1e-12 closeness."""
+    l = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.exp(F.col("l_discount")).alias("disc_exp"),
+        F.log(ep).alias("price_ln"),
+        F.log10(ep).alias("price_log10"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       nullif(o_orderstatus, 'F') AS status_nullable,
+       CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS pending_value
+FROM orders
+""",
+    category="functions",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif chains."""
+    o = table(spark, sf_dir, "orders")
+    tp, st = F.col("o_totalprice"), F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "large")
+        .when(tp > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(st, F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.nullif(st, F.lit("F")).alias("status_nullable"),
+        F.when(st == "P", tp).otherwise(F.lit(0.0)).alias("pending_value"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+SELECT c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_decimal_roundtrip,
+       CAST(c_acctbal AS VARCHAR) AS bal_str,
+       CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS key_from_name,
+       CAST(floor(c_acctbal) AS BIGINT) AS bal_floor_int
+FROM customer
+""",
+    category="functions",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family. Integer conversion goes through floor() — a raw
+    double->int CAST truncates in Spark but rounds in DuckDB.
+    2-decimal doubles print identically in both engines."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias(
+            "bal_decimal_roundtrip"
+        ),
+        F.col("c_acctbal").cast("string").alias("bal_str"),
+        F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1)
+        .cast("bigint")
+        .alias("key_from_name"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("bal_floor_int"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       len(list_distinct(string_split(text, ' '))) AS n_unique,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+       list_sort(list_distinct(string_split(substring(text, 1, 40), ' '))) AS head_tokens
+FROM documents
+""",
+    category="functions",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split, size, contains, distinct, slice, join,
+    sorted arrays (array cells sorted for deterministic hashing)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_sort(
+            F.array_distinct(F.split(F.substring(F.col("text"), 1, 40), " "))
+        ).alias("head_tokens"),
+    )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+SELECT doc_id,
+       list_transform(string_split(text, ' ')[1:5], x -> length(x)) AS first5_lens,
+       len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars
+FROM documents
+""",
+    category="functions",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas on arrays: transform / filter / aggregate
+    (integer outputs — exact in both engines)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.transform(F.slice(toks, 1, 5), lambda x: F.length(x)).alias("first5_lens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       map_extract(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]), 'type')[1] AS type_val,
+       list_sort(map_keys(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))) AS keys_sorted,
+       cardinality(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])) AS map_size
+FROM events
+""",
+    category="functions",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction, element access, sorted keys, size
+    (scalar/array outputs only — raw map cells hash differently
+    across engines)."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+""",
+    category="functions",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the props column: path extraction (string +
+    int + missing->NULL), typed from_json struct access."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT, missing BIGINT")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed["k"].alias("k_int"),
+        parsed["missing"].alias("missing_val"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256
+FROM customer
+""",
+    category="functions",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests that match across engines (md5, sha256
+    hex strings)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+@query("fn_hash_native", oracle=None, category="functions")
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hashes (xxhash64 / crc32 / murmur3) — no DuckDB
+    equivalent, rows-only; unit test asserts stability across runs
+    (these seed shuffle partitioners and dedup keys at scale)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64(F.col("c_name")).alias("name_xxh64"),
+        F.crc32(F.col("c_name")).alias("name_crc32"),
+        F.hash(F.col("c_name")).alias("name_murmur3"),
+    )

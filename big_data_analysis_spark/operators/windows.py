@@ -1,0 +1,307 @@
+"""Window functions (SURVEY.md §2.5).
+
+Determinism discipline: every ORDER BY inside a window includes a
+unique tie-break column (orderkey/event_id) wherever the ordered
+value can tie — ntile/row_number over a non-total order are
+nondeterministic under parallelism.
+
+Scale: a window = one shuffle on partitionBy keys + per-partition
+sort. Keys here (o_custkey, user_id, priority) are high-cardinality
+or bounded-skew; none requires a global sort except via
+TakeOrderedAndProject limits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "win_row_number",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+    category="windows",
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence number (total order via orderkey
+    tie-break)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("order_seq")
+    )
+
+
+@query(
+    "win_rank",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_rank,
+       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_dense_rank
+FROM orders
+""",
+    category="windows",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with ties (tie rows get equal rank — output is
+    deterministic without a tie-break)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+""",
+    category="windows",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing (total order incl. tie-break: ntile splits
+    tie runs across buckets by row position)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+
+
+@query(
+    "win_percent",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+       cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
+FROM orders
+""",
+    category="windows",
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank ((rank-1)/(n-1)) and cume_dist — value-determined,
+    so bit-identical across engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, ts,
+       lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+       CAST(epoch(ts) AS DOUBLE) - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE) AS gap_s
+FROM events
+""",
+    category="windows",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event per user + inter-event gap in fractional
+    seconds (timestamp->double keeps microseconds in both engines)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (ep - F.lag(ep).over(w)).alias("gap_s"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="windows",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order per customer — explicit full-partition frame
+    (the default frame would make last_value = current row)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    category="windows",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend (exact-decimal running sum, so
+    the prefix sums are order- and engine-independent)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_4
+FROM orders
+""",
+    category="windows",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 4-row average as exact-sum/count (built-in windowed
+    AVG on doubles is not cross-engine reproducible)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (s / F.count(F.lit(1)).over(w)).alias("avg_4"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey,
+       COUNT(*) OVER (ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_30d
+FROM orders
+""",
+    category="windows",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: orders in the trailing 30 days
+    (epoch-second order key; 2592000 s = 30 d)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = Window.orderBy("epoch_s").rangeBetween(-2592000, Window.currentRow)
+    return o.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("orders_30d")
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""",
+    category="windows",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority: the row_number<=K idiom. Spark
+    pushes a per-partition limit below the shuffle for rank-limit
+    windows (WindowGroupLimit), so the full sort never materializes."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM flagged
+""",
+    category="windows",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min starts a new session):
+    lag -> boundary flag -> running sum. The batch twin of
+    stream_session; integer session ids are engine-exact."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )

@@ -1,0 +1,329 @@
+"""Vector similarity operators (SURVEY.md §2.10): exact cosine,
+brute-force kNN, LSH/IVF approximate search, centroids, norm checks.
+
+Embeddings are unit-norm 64-dim float32 (FIXTURES.md), so cosine ==
+dot product. Oracle-checked dot products quantize elements to
+DECIMAL(8,6) and do the whole product/sum in exact decimal; the
+scale-12 sum has a < 2^53 significand, so the final decimal->double
+conversion is a SINGLE correct rounding in both engines. Every wider
+layout was tried and fails cross-engine: float32 accumulation
+(list_dot_product) is order/width-sensitive; FLOAT->DECIMAL casts
+take the shortest-repr path in Spark but the binary-expansion path
+in DuckDB (widen to DOUBLE first — unambiguous); scale-18 sums hit
+DuckDB's two-rounding int128->double conversion (client-side too);
+DuckDB truncates decimal downscales where Spark rounds half-up.
+The 1e-6 element quantization shifts cosines by ~1e-5 — the full-
+precision path stays available to the rows-only LSH/IVF operators.
+
+Scale ladder: brute force is the oracle/baseline (O(n*q) with
+broadcast queries — no shuffle); BucketedRandomProjectionLSH is the
+sub-quadratic candidate path; IVF (KMeans-partitioned search) is the
+cluster-pruned path — both verified for recall against brute force
+in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+_DEC = "decimal(8,6)"
+_ACC = "decimal(25,12)"
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product over 1e-6-quantized elements ->
+    double (single correct rounding both engines; see module
+    docstring). The per-step (acc + x).cast(_ACC) keeps the fold
+    type closed under Spark's decimal Add promotion."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC)
+    ).cast("double")
+
+
+# DuckDB twin: relational dot product over unnested (id, pos, val)
+# rows with the same exact-decimal arithmetic.
+_SQL_EV = """
+  SELECT vec_id, label,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+"""
+
+
+def _sql_dot(alias_a: str, alias_b: str) -> str:
+    return (
+        f"CAST(SUM(CAST(CAST({alias_a}.v AS DOUBLE) AS DECIMAL(8,6)) * "
+        f"CAST(CAST({alias_b}.v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE)"
+    )
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+WITH ev AS ({_SQL_EV})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_sql_dot('a', 'b')} AS cosine
+FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id = a.vec_id + 1
+GROUP BY a.vec_id, b.vec_id
+""",
+    category="similarity",
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine for given id pairs (consecutive ids here).
+    Spark side stays array-native — zip_with + aggregate fold, no
+    explode, no shuffle beyond the self-join."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select("vec_a", "vec_b", dot_dec(F.col("ea"), F.col("eb")).alias("cosine"))
+    )
+
+
+@query(
+    "sim_knn_brute",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+scores AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, {_sql_dot('q', 'd')} AS cosine
+  FROM ev q JOIN ev d ON d.i = q.i AND q.vec_id < 5 AND d.vec_id <> q.vec_id
+  GROUP BY q.vec_id, d.vec_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 3
+""",
+    category="similarity",
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for query vectors (vec_id < 5):
+    broadcast the bounded query set against the full corpus (no
+    shuffle of the big side), then per-query top-k window. This is
+    the recall oracle for the LSH/IVF paths."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("de"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_dec(F.col("qe"), F.col("de")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "sim_threshold_pairs",
+    oracle=f"""
+WITH ev AS ({_SQL_EV})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_sql_dot('a', 'b')} AS cosine
+FROM ev a JOIN ev b ON b.i = a.i AND a.vec_id < b.vec_id
+GROUP BY a.vec_id, b.vec_id
+HAVING {_sql_dot('a', 'b')} >= 0.4
+""",
+    category="similarity",
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4, exact (embedding-cosine near-dup
+    detection). Quadratic by construction — the exact verify stage
+    that LSH candidates feed at scale (sim_threshold_join_lsh)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", dot_dec(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@query(
+    "vec_centroid",
+    oracle="""
+WITH ev AS (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+per_pos AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM ev GROUP BY label, i
+)
+SELECT label, list(c ORDER BY i) AS centroid, CAST(COUNT(*) AS INT) AS dim
+FROM per_pos GROUP BY label
+""",
+    category="similarity",
+)
+def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector: posexplode -> exact decimal sum per
+    (label, position) -> reassemble ordered array. The shuffle key is
+    (label, pos) — 10 x 64 groups, perfectly balanced at any scale."""
+    e = table(spark, sf_dir, "embeddings")
+    per_pos = (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("v").cast("double").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "c"
+            )
+        )
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+    )
+
+
+@query(
+    "vec_norm_check",
+    oracle=f"""
+WITH ev AS ({_SQL_EV})
+SELECT vec_id,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) AS l2_norm_sq,
+       ABS(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) - 1.0) AS unit_dev
+FROM ev GROUP BY vec_id
+""",
+    category="similarity",
+)
+def vec_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 norm per vector + deviation from unit norm — the
+    data-quality gate for an embedding pipeline, kept in exact
+    decimal (norm^2 == 1 iff norm == 1; a sqrt would reintroduce
+    engine-specific decimal->double rounding)."""
+    e = table(spark, sf_dir, "embeddings")
+    norm_sq = dot_dec(F.col("embedding"), F.col("embedding"))
+    return e.select(
+        "vec_id",
+        norm_sq.alias("l2_norm_sq"),
+        F.abs(norm_sq - 1.0).alias("unit_dev"),
+    )
+
+
+@query("sim_knn_lsh", oracle=None, category="similarity")
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via BucketedRandomProjectionLSH (random
+    hyperplane buckets; unit-norm => euclidean dist = sqrt(2-2cos),
+    so a distance threshold of 1.2 covers cosine >= 0.28). Seeded,
+    rows-only; unit test measures recall vs sim_knn_brute."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=6,
+        seed=42,
+    ).fit(e)
+    q = e.where(F.col("vec_id") < 5)
+    pairs = lsh.approxSimilarityJoin(q, e, 1.2, distCol="eucl_dist")
+    scored = pairs.where(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        (1 - F.col("eucl_dist") * F.col("eucl_dist") / 2).alias("est_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("est_cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query("sim_threshold_join_lsh", oracle=None, category="similarity")
+def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.4 via LSH candidate join + exact verify
+    — the sub-quadratic scale path for sim_threshold_pairs (unit
+    test asserts it finds the same pairs). Candidates come from
+    bucket collisions only; the exact dot product then filters."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.7,
+        numHashTables=8,
+        seed=7,
+    ).fit(e)
+    # cosine >= 0.4  <=>  euclidean <= sqrt(2 - 0.8) ~= 1.0954
+    cand = lsh.approxSimilarityJoin(e, e, 1.0955, distCol="eucl_dist")
+    pairs = cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("vec_a"),
+        F.col("datasetB.vec_id").alias("vec_b"),
+        dot_dec(F.col("datasetA.embedding"), F.col("datasetB.embedding")).alias(
+            "cosine"
+        ),
+    )
+    return pairs.where(F.col("cosine") >= 0.4)
+
+
+@query("sim_knn_ivf", oracle=None, category="similarity")
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN: KMeans partitions the corpus into
+    nlist cells; each query probes only its own cell (nprobe=1 here;
+    raise nprobe by joining on the top-n cells at scale). Seeded,
+    rows-only; unit test measures recall vs brute force.
+
+    At 100 TB: train KMeans on a sample, broadcast the centroid
+    table, assign via a map-side crossJoin+argmin — the corpus is
+    scanned once and shuffled once on cell_id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell_id").fit(e)
+    assigned = km.transform(e).select("vec_id", "embedding", "cell_id")
+    q = assigned.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell_id").alias("qcell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.col("cell_id") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_dec(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

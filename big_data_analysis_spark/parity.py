@@ -34,8 +34,14 @@ def _canon_cell(v):
     import numpy as np
     import pandas as pd
 
+    import decimal
+
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
+    if isinstance(v, decimal.Decimal):
+        # exact decimals: compare via the (single, correctly-rounded)
+        # float conversion — identical across engines for equal values
+        return ("f", float(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
         return "<null>" if math.isnan(f) else ("f", f)

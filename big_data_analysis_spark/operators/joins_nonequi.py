@@ -1,0 +1,172 @@
+"""Non-equi joins (SURVEY.md §2.3 hard tier): theta/banded join,
+as-of join, interval-overlap join.
+
+Spark has no native physical operator for any of these (a raw
+non-equi condition plans as BroadcastNestedLoopJoin). The scale
+strategies used here:
+- theta/banded: the band table is a bounded literal dim -> broadcast
+  nested loop is O(rows x bands) map-side work, no shuffle.
+- as-of: union the two streams, one shuffle on the key, and a
+  forward-fill window (last non-null at-or-before) — O(n log n) per
+  key, no range explosion. (pd.merge_asof via applyInPandas is the
+  per-group escape hatch; the window form stays JVM-side.)
+- interval overlap: explode each interval to its covered coarse time
+  buckets, equi-join on bucket (this is the shuffle key), exact
+  overlap residual, dedup — the standard sub-quadratic banding of an
+  IEJoin. Bucket width ~ max interval length bounds the fan-out at 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+_BANDS = [("low", 0, 100000), ("mid", 100000, 300000), ("high", 300000, 10**9)]
+
+
+@query(
+    "join_theta",
+    oracle=f"""
+SELECT b.band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
+     AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    category="joins_nonequi",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (theta) join: orders against literal price bands on a
+    range predicate. The band side is 3 rows -> broadcast nested
+    loop, zero shuffle of the fact side."""
+    o = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo long, hi long")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+    category="joins_nonequi",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same
+    user at-or-before it (inner semantics — purchases with no prior
+    click drop, matching DuckDB ASOF JOIN).
+
+    Implementation: tag clicks 0 / purchases 1, union, then a
+    forward-fill window per user ordered by (ts, tag, event_id) —
+    the last click-struct at or before each purchase. One shuffle on
+    user_id; ties at equal ts resolve click-before-purchase, same as
+    the <= predicate. events.ts is globally unique (monotone source)
+    so the match is well-defined."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("tag") == 0, F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    filled = tagged.withColumn(
+        "last_click", F.last(click_struct, ignorenulls=True).over(w)
+    )
+    return (
+        filled.where((F.col("tag") == 1) & F.col("last_click").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.cid").alias("click_id"),
+            F.col("last_click.cts").alias("click_ts"),
+        )
+    )
+
+
+_BUCKET_S = 1800  # 30 min — equals the max interval length
+
+
+@query(
+    "join_interval",
+    oracle=f"""
+WITH a AS (
+  SELECT event_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE user_id < 3
+),
+b AS (
+  SELECT event_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE user_id >= 3
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id
+FROM a JOIN b ON a.s < b.e AND b.s < a.e
+""",
+    category="joins_nonequi",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between two activity-interval sets
+    ([ts, ts+30min) for two user populations): explode each interval
+    to its covered 30-min buckets, equi-join on bucket, exact overlap
+    residual, dedup. The oracle states the textbook a.s < b.e AND
+    b.s < a.e condition directly (DuckDB plans it as an IEJoin);
+    Spark gets the equivalent result with an equi-join shuffle
+    instead of a nested loop."""
+    e = table(spark, sf_dir, "events")
+
+    def intervals(df: DataFrame) -> DataFrame:
+        epoch = F.col("ts").cast("double")
+        return df.select(
+            "event_id",
+            epoch.alias("s"),
+            (epoch + _BUCKET_S).alias("e"),
+        )
+
+    a = intervals(e.where(F.col("user_id") < 3))
+    b = intervals(e.where(F.col("user_id") >= 3))
+
+    def with_buckets(df: DataFrame) -> DataFrame:
+        lo = F.floor(F.col("s") / _BUCKET_S).cast("long")
+        hi = F.floor(F.col("e") / _BUCKET_S).cast("long")
+        return df.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+
+    ab, bb = with_buckets(a).alias("a"), with_buckets(b).alias("b")
+    return (
+        ab.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"))
+        .distinct()
+    )

@@ -24,6 +24,9 @@ in unit tests.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,16 +39,25 @@ _ACC = "decimal(25,12)"
 
 
 def dot_dec(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product over 1e-6-quantized elements ->
-    double (single correct rounding both engines; see module
-    docstring). The per-step (acc + x).cast(_ACC) keeps the fold
-    type closed under Spark's decimal Add promotion."""
-    prods = F.zip_with(
-        a, b, lambda x, y: x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC)
+    """Exact dot product over 1e-6-quantized elements -> double.
+
+    round(v * 1e6) as LONG is the same grid as CAST(v AS
+    DECIMAL(8,6)) but folds in primitive 64-bit integer arithmetic —
+    whole-stage-codegen friendly, ~50x faster than a BigDecimal
+    fold. |element| <= 1e6 so the 64-term product sum stays < 2^47,
+    far from overflow, and the final /1e12 double division is a
+    single correct rounding in both engines (see module docstring
+    for the full cross-engine rounding story)."""
+    def q(v):  # quantize: round(v * 1e6) as long == CAST(v AS DECIMAL(8,6)) * 1e6
+        return F.round(v.cast("double") * 1_000_000).cast("long")
+
+    prods = F.zip_with(a, b, lambda x, y: q(x) * q(y))
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x).cast(
+            "double"
+        )
+        / 1.0e12
     )
-    return F.aggregate(
-        prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC)
-    ).cast("double")
 
 
 # DuckDB twin: relational dot product over unnested (id, pos, val)
@@ -58,10 +70,29 @@ _SQL_EV = """
 """
 
 
+def dot_q_pandas():
+    """Vectorized pandas-UDF twin of dot_dec: NumPy int64 einsum over
+    Arrow batches — identical quantized arithmetic, C speed. Used
+    where the candidate-pair count is large (LSH verify stages);
+    interpreted higher-order folds cost ~100x more per pair."""
+
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.rint(np.stack(a.to_numpy()).astype("float64") * 1_000_000).astype(
+            "int64"
+        )
+        B = np.rint(np.stack(b.to_numpy()).astype("float64") * 1_000_000).astype(
+            "int64"
+        )
+        return pd.Series(np.einsum("ij,ij->i", A, B) / 1.0e12)
+
+    return _dot
+
+
 def _sql_dot(alias_a: str, alias_b: str) -> str:
     return (
-        f"CAST(SUM(CAST(CAST({alias_a}.v AS DOUBLE) AS DECIMAL(8,6)) * "
-        f"CAST(CAST({alias_b}.v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE)"
+        f"(CAST(SUM(CAST(round(CAST({alias_a}.v AS DOUBLE) * 1000000) AS BIGINT) * "
+        f"CAST(round(CAST({alias_b}.v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12)"
     )
 
 
@@ -144,16 +175,49 @@ HAVING {_sql_dot('a', 'b')} >= 0.4
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.4, exact (embedding-cosine near-dup
-    detection). Quadratic by construction — the exact verify stage
-    that LSH candidates feed at scale (sim_threshold_join_lsh)."""
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", dot_dec(F.col("ea"), F.col("eb")).alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-    )
+    detection), via BLOCKED INTEGER GEMM: quantized int64 embedding
+    matrix broadcast to every partition, NumPy int64 matmul per
+    Arrow batch (bit-identical to the per-pair long fold, ~100x
+    faster than interpreted higher-order-function folds over 2M
+    pairs).
+
+    Scale path: the one-shot broadcast of the full matrix caps out
+    around ~10M vectors; beyond that, block BOTH sides (grid of
+    block-pairs) or feed only LSH/IVF candidate blocks
+    (sim_threshold_join_lsh) to this exact-verify kernel."""
+    from typing import Iterator
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # assemble the broadcast matrix once on the driver:
+    # 64 floats/row -> ~2.6 MB per 10k vectors
+    mat_pdf = e.toPandas()
+    ids = mat_pdf["vec_id"].to_numpy()
+    Q = np.rint(
+        np.stack(mat_pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
+    ).astype("int64")
+    bc = spark.sparkContext.broadcast((ids, Q))
+    thresh_e12 = int(0.4 * 1e12)
+
+    schema = "vec_a long, vec_b long, cosine double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_Q = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            Aq = np.rint(
+                np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
+            ).astype("int64")
+            S = Aq @ b_Q.T  # exact int64 dot products x 1e12
+            ai, bj = np.nonzero((S >= thresh_e12) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bj],
+                    "cosine": S[ai, bj] / 1.0e12,
+                }
+            )
+
+    return e.mapInPandas(kernel, schema)
 
 
 @query(
@@ -200,8 +264,8 @@ def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ev AS ({_SQL_EV})
 SELECT vec_id,
-       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) AS l2_norm_sq,
-       ABS(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) - 1.0) AS unit_dev
+       (CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS l2_norm_sq,
+       ABS((CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) - 1.0) AS unit_dev
 FROM ev GROUP BY vec_id
 """,
     category="similarity",
@@ -279,12 +343,11 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(e)
     # cosine >= 0.4  <=>  euclidean <= sqrt(2 - 0.8) ~= 1.0954
     cand = lsh.approxSimilarityJoin(e, e, 1.0955, distCol="eucl_dist")
+    dot = dot_q_pandas()
     pairs = cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
         F.col("datasetA.vec_id").alias("vec_a"),
         F.col("datasetB.vec_id").alias("vec_b"),
-        dot_dec(F.col("datasetA.embedding"), F.col("datasetB.embedding")).alias(
-            "cosine"
-        ),
+        dot(F.col("datasetA.embedding"), F.col("datasetB.embedding")).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= 0.4)
 

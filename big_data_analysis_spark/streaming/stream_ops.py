@@ -1,0 +1,428 @@
+"""Structured Streaming operators (SURVEY.md §2.9) over a file-based
+replay of the events fixture.
+
+Every query here builds a real StreamingQuery (micro-batch execution,
+state store, watermarks), drains it synchronously with
+processAllAvailable() into a memory sink, and returns the sink table
+— so the driver's batch comparator can grade streaming semantics via
+batch-equivalent oracle SQL (tumbling/sliding/session windows, dedup,
+stream-static join, foreachBatch sink). Watermark eviction and
+late-data drop have no batch-result equivalent -> rows-only +
+assertions in tests/test_streaming.py.
+
+Scale: the same plans run unchanged against a real source (Kafka/
+files) — state is bounded by watermarks everywhere state exists;
+session/tumbling windows shuffle on (key, window), the canonical
+streaming partitioning.
+
+events.ts is parquet TIMESTAMP(NANOS): the stream schema reads it as
+LongType (nanosAsLong) and converts via integer division, exactly
+like the batch loader (io._events).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import harden_session
+from ..registry import query
+
+_EVENTS_LONG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a DIRECTORY; the fixture is a single
+    read-only file. Stage a copy into a per-sf temp dir (cached)."""
+    if sf_dir not in _STAGE_CACHE:
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="bda_stream_src_")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STAGE_CACHE[sf_dir] = d
+    return _STAGE_CACHE[sf_dir]
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (explicit schema — a
+    streaming read REQUIRES one), ns->us ts conversion."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def drain_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run the streaming plan to completion into a memory sink and
+    return the sink table (test/grading harness pattern)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_source",
+    oracle="SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events",
+    category="streaming",
+)
+def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source smoke: replay the table through micro-
+    batches and count — proves the source + schema + ts conversion
+    path (batch equivalence: plain COUNT)."""
+    s = read_event_stream(spark, sf_dir)
+    # exact COUNT(DISTINCT) is unsupported on streams — express it
+    # as streaming dropDuplicates + count instead
+    n_events = drain_to_memory(s.agg(F.count(F.lit(1)).alias("n_events")))
+    n_users = drain_to_memory(
+        s.select("user_id")
+        .dropDuplicates(["user_id"])
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return n_events.crossJoin(n_users)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    category="streaming",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windowed aggregation per event_type, streamed
+    through micro-batches with incremental state, then drained.
+    Batch-equivalent oracle: time_bucket GROUP BY."""
+    s = read_event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return drain_to_memory(agg)
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, COUNT(*) AS n
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+         event_id
+  FROM events
+)
+GROUP BY ws
+""",
+    category="streaming",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): every event lands
+    in 2 overlapping windows. Oracle replicates the window
+    assignment by unnesting both candidate starts."""
+    s = read_event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    return drain_to_memory(agg)
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via the native
+    streaming session_window operator. Oracle: the batch
+    sessionization SQL (lag -> boundary -> running sum) aggregated
+    per session — window end == last event + gap."""
+    s = read_event_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain_to_memory(agg)
+
+
+@query("stream_watermark", oracle=None, category="streaming")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND mode with a 1-hour watermark: only
+    windows whose end <= final watermark (max ts - 1 h) are emitted;
+    the in-flight tail stays in state. No batch result equivalent
+    (the emitted set depends on watermark propagation across
+    micro-batches) -> rows-only; test_streaming asserts the emitted
+    window set is exactly the closed ones."""
+    s = read_event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    return drain_to_memory(agg, mode="append")
+
+
+@query("stream_late_drop", oracle=None, category="streaming")
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop demonstration: replay the events newest-third
+    first, then middle, then oldest (three files, one micro-batch
+    each, mtime-ordered) under a 10-minute watermark in APPEND mode.
+    Batch 0 advances the watermark to (global max ts - 10 min);
+    subsequent batches carry only data far behind it, and the
+    stateful aggregation drops late input (observable as
+    numRowsDroppedByWatermark > 0 and emitted-total < input-total —
+    asserted in tests/test_streaming.py; the operator applies the
+    watermark with one batch of lag, so drops begin at batch 2).
+    Rows-only: the emitted window set depends on watermark
+    propagation, which has no batch equivalent."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import time
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c1, c2 = (
+        batch.selectExpr(
+            "percentile(ts, 0.33) AS c1", "percentile(ts, 0.66) AS c2"
+        ).collect()[0]
+    )
+    replay_dir = tempfile.mkdtemp(prefix="bda_late_")
+    # FileStreamSource processes files oldest-mtime-first: write
+    # newest data first (sleep keeps mtimes strictly ordered)
+    batch.where(F.col("ts") > c2).coalesce(1).write.parquet(f"{replay_dir}/f0_newest")
+    time.sleep(1.1)
+    batch.where((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
+        f"{replay_dir}/f1_mid"
+    )
+    time.sleep(1.1)
+    batch.where(F.col("ts") <= c1).coalesce(1).write.parquet(f"{replay_dir}/f2_oldest")
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return drain_to_memory(agg, mode="append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon: the
+    stream replays the table TWICE (union with itself) and
+    dropDuplicates must collapse it back to one copy — oracle is the
+    single-copy batch count per type."""
+    s1 = read_event_stream(spark, sf_dir)
+    s2 = read_event_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return drain_to_memory(agg)
+
+
+@query(
+    "stream_join_static",
+    oracle="""
+SELECT user_id % 3 AS tier, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id % 3
+""",
+    category="streaming",
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension enrichment: the static side (a tier
+    lookup derived from the batch table) broadcasts into every
+    micro-batch; aggregation then groups by the joined attribute."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+    s = read_event_stream(spark, sf_dir)
+    joined = s.join(F.broadcast(users), "user_id")
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return drain_to_memory(agg)
+
+
+@query(
+    "stream_sink_foreachbatch",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch appends to a parquet
+    target keyed by batch id (the exactly-once upsert pattern); the
+    result re-reads the target and aggregates — equivalent to the
+    batch count because every event lands exactly once."""
+    out = tempfile.mkdtemp(prefix="bda_feb_")
+    s = read_event_stream(spark, sf_dir).select("event_id", "event_type")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out)
+
+    q = s.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("stream_stateful", oracle=None, category="streaming")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user running state via applyInPandasWithState:
+    state = (n_events, max_value) per user, emitted on every update.
+    The memory sink accumulates one row per (user, batch) — the unit
+    test asserts the final emission equals the batch aggregate. No
+    batch-result twin (emission cadence is execution-dependent) ->
+    rows-only."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_event_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    result = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain_to_memory(result, mode="update")

@@ -234,3 +234,90 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / {sql_dsum_expr(SQL_REVENUE)} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+    category="plans",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (adapted: p_type has no 'PROMO%'
+    prefix family in the fixtures, so the predicate is equality).
+    part broadcasts under AQE after the month filter shrinks
+    lineitem; both revenue sums are exact decimal."""
+    l, p = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    rev = revenue_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       {sql_dsum('o_totalprice')} AS totalprice,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    category="plans",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: semi-join against an
+    aggregated subquery (orders whose total quantity exceeds 250),
+    then re-aggregate with customer context. The HAVING subquery is
+    a left-semi join on orderkey — the aggregate runs once, shuffles
+    once."""
+    c, o, l = (table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_orderkey"),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("totalprice"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )

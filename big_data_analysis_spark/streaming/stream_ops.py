@@ -426,3 +426,31 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return drain_to_memory(result, mode="update")
+
+
+@query(
+    "stream_sink_memory",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory sink as an explicit surface (the test-harness sink:
+    complete-mode aggregation materialized into an in-memory table,
+    drained synchronously with processAllAvailable). Exact
+    COUNT(DISTINCT) is unsupported on streams, so the distinct-user
+    count rides as a second streaming dedup + count joined in."""
+    s = read_event_stream(spark, sf_dir)
+    per_type = drain_to_memory(
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    users_per_type = drain_to_memory(
+        s.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return per_type.join(users_per_type, "event_type")

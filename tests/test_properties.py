@@ -1,0 +1,115 @@
+"""Property-based invariants (SURVEY.md §5.3, hypothesis): algebraic
+laws that must hold for ANY data, checked over generated inputs and
+over fixture-derived frames."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analysis_spark.registry import load_all
+
+REG = load_all()
+
+_SETTINGS = dict(max_examples=8, deadline=None)  # each example spins Spark jobs
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@settings(**_SETTINGS)
+def test_union_all_counts_add(spark, rows, rows2):
+    a = spark.createDataFrame(rows, "k int, v int")
+    b = spark.createDataFrame(rows2, "k int, v int")
+    assert a.unionByName(b).count() == len(rows) + len(rows2)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_running_sum_final_equals_group_sum(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, rid int"
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = df.withColumn("rs", F.sum("v").over(w))
+    last_per_key = {
+        r.k: r.rs
+        for r in running.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.desc("rid"))),
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    totals = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert last_per_key == totals
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@settings(**_SETTINGS)
+def test_semi_join_is_filtered_left(spark, rows, rows2):
+    a = spark.createDataFrame(rows, "k int, v int")
+    b = spark.createDataFrame(rows2, "k int, v int")
+    semi = set(
+        (r.k, r.v) for r in a.join(b, "k", "left_semi").collect()
+    )
+    b_keys = {k for k, _ in rows2}
+    expected = {(k, v) for k, v in rows if k in b_keys}
+    assert semi == expected
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@settings(**_SETTINGS)
+def test_semi_plus_anti_partition_left(spark, rows, rows2):
+    a = spark.createDataFrame(rows, "k int, v int")
+    b = spark.createDataFrame(rows2, "k int, v int")
+    n_semi = a.join(b, "k", "left_semi").count()
+    n_anti = a.join(b, "k", "left_anti").count()
+    assert n_semi + n_anti == len(rows)
+
+
+def test_dedup_tokenset_idempotent(spark, sf_dir):
+    """Applying the canonical token-set key to already-canonical
+    strings is a fixpoint."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    once = d.select(key.alias("text"))
+    twice = once.select(key.alias("text"))
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_cosine_self_is_one(spark, sf_dir):
+    """cos(v, v) == 1 within quantization error for unit vectors."""
+    rows = REG["vec_norm_check"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.l2_norm_sq - 1.0) < 1e-5, r
+
+
+def test_fingerprint_invariant_under_shuffle(spark, sf_dir):
+    """tokenset_fingerprint is identical for token-order shuffles —
+    exactly the fixture near-dup clusters."""
+    fp = {r.doc_id: r.tokenset_fingerprint
+          for r in REG["text_fingerprint"].fn(spark, sf_dir).collect()}
+    clusters = REG["dedup_tokenset"].fn(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    by_key = {}
+    for r in d.select("doc_id", key.alias("k")).collect():
+        by_key.setdefault(r.k, set()).add(fp[r.doc_id])
+    assert len(clusters) > 0
+    for k, fps in by_key.items():
+        assert len(fps) == 1

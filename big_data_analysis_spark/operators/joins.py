@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..exact import dsum, revenue_dec, dsum_expr, sql_dsum, SQL_REVENUE, sql_dsum_expr
 from ..io import table
 from ..registry import query
+from ..session import harden_session
 
 
 @query(
@@ -260,4 +261,57 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    category="joins",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-to-fact join — THE 100 TB strategy
+    for lineitem⋈orders: both tables are written `bucketBy(N,
+    orderkey)` once, after which every join on that key is a
+    zero-exchange sort-merge (each bucket pair joins locally).
+
+    This query materializes bucketed copies (8 buckets) into a temp
+    warehouse, joins them, and the plan shows NO Exchange on either
+    side (asserted in tests/test_plans.py). Result is identical to
+    join_inner_equi — same oracle. At a real deployment the bucketed
+    write happens at ingest, not per query."""
+    import tempfile
+
+    harden_session(spark)
+    wh = tempfile.mkdtemp(prefix="bda_bucketed_")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    ln, on_ = "bda_lineitem_b", "bda_orders_b"
+    for name, df, key in ((ln, l, "l_orderkey"), (on_, o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{wh}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    lb, ob = spark.table(ln), spark.table(on_)
+    # hint("merge"): at test scale AQE would broadcast the small side,
+    # hiding the point of the demo — the co-located sort-merge join
+    # reads each bucket pair locally with no exchange on either side
+    return (
+        lb.hint("merge").join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
     )

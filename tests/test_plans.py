@@ -68,3 +68,15 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     jvm = spark.sparkContext._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """join_bucketed: both sides pre-bucketed on the key -> the only
+    Exchange left is the post-join aggregation shuffle. The same
+    logical join unbucketed (join_inner_equi) shuffles both inputs."""
+    bucketed = plan_of("join_bucketed", spark, sf_dir)
+    tree = bucketed.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert tree.count("Exchange") == 1  # agg only, no join-side shuffles
+    plain_tree = plan_of("join_inner_equi", spark, sf_dir).split("\n\n")[0]
+    assert plain_tree.count("Exchange") >= 2  # shuffles at least one join input + agg

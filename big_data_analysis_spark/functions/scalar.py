@@ -411,3 +411,33 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("c_name")).alias("name_crc32"),
         F.hash(F.col("c_name")).alias("name_murmur3"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       CAST(length(a.p_name) = length(b.p_name) AS BOOLEAN) AS same_len
+FROM part a
+JOIN part b ON b.p_partkey = a.p_partkey + 1
+""",
+    category="functions",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family: Levenshtein edit distance between
+    consecutive part names — the fuzzy-matching primitive for
+    entity-resolution/dedup pipelines (both engines implement the
+    same Wagner-Fischer distance on unicode code points)."""
+    p = table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("edit_dist"),
+            (F.length("name_a") == F.length("name_b")).alias("same_len"),
+        )
+    )

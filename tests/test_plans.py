@@ -80,3 +80,18 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert tree.count("Exchange") == 1  # agg only, no join-side shuffles
     plain_tree = plan_of("join_inner_equi", spark, sf_dir).split("\n\n")[0]
     assert plain_tree.count("Exchange") >= 2  # shuffles at least one join input + agg
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A read over a partitionBy() output with a partition-key filter
+    must show PartitionFilters at the scan (no full-directory scan)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "pruned")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderstatus" in pf[0]

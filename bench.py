@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sim_knn_brute",
     "sim_threshold_pairs",
     "stream_tumbling",
+    "pipeline_pretrain_corpus",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Composite analytics pipelines (SURVEY.md §2.12 additions): the
+multi-operator queries a user of the engine actually runs — an LLM
+pretraining-corpus builder, an event funnel, JSON-prop analytics, and
+a salted-aggregation skew demo. Each composes operators that are
+individually oracle-checked elsewhere; these prove the compositions
+hold end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+  FROM documents
+),
+quality AS (
+  SELECT *, CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio
+  FROM scored
+  WHERE n_tokens >= 20 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.15
+),
+deduped AS (
+  SELECT * FROM quality
+  QUALIFY row_number() OVER (PARTITION BY ck ORDER BY doc_id) = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM deduped
+GROUP BY lang
+""",
+    category="pipelines",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus builder: quality gate (length +
+    lexical diversity) -> canonical token-set dedup (keep lowest
+    doc_id) -> per-language token budget. The shape every LLM data
+    pipeline runs nightly; each stage is one shuffle (quality is
+    map-side, dedup shuffles on the canonical key, budget on lang)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("ck"),
+    )
+    quality = scored.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.15)
+    )
+    w = Window.partitionBy("ck").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "pipeline_event_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(first_signup) AS n_signed_up,
+       COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted,
+       CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS DOUBLE)
+         / COUNT(first_signup) AS conversion_rate
+FROM firsts
+""",
+    category="pipelines",
+)
+def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase funnel: first event of each type per user
+    (conditional MIN — one shuffle on user_id), conversion = first
+    purchase strictly after first signup."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.when(
+        F.col("first_purchase") > F.col("first_signup"), F.lit(1)
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(converted).alias("n_converted"),
+        (F.count(converted).cast("double") / F.count("first_signup")).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "pipeline_json_analytics",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, k_decile
+""",
+    category="pipelines",
+)
+def pipeline_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract the JSON prop, bucket it,
+    aggregate — the extract stays JVM-side (get_json_object) and the
+    decile uses integer division (// in DuckDB, DIV in Spark)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr(
+                "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"
+            ).alias("k_decile"),
+            "value",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    category="pipelines",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a LOW-cardinality hot key
+    (event_type: 5 values — at 100 TB each key would overwhelm one
+    reducer). Stage 1 groups on (key, salt) spreading each hot key
+    over 16 reducers; stage 2 merges the partials. Result is
+    identical to the naive groupBy (the oracle) — decimal partials
+    re-sum exactly. With AQE skew handling on, this is the manual
+    fallback for skew AQE can't see (e.g. pre-aggregated state)."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )

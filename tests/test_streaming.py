@@ -93,3 +93,60 @@ def test_stream_batch_window_equivalence(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a checkpointed stream after its first micro-batch and
+    restart it from the same checkpoint: the sink must end with every
+    event exactly once (no loss from the first run, no duplicates
+    from the restart) — the core exactly-once guarantee of the
+    foreachBatch/file-sink pattern."""
+    import time
+
+    from pyspark.sql import functions as F
+    from big_data_analysis_spark.streaming.stream_ops import _EVENTS_LONG_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = ev.selectExpr("percentile(ts, 0.5) AS c").collect()[0]["c"]
+    ev.where(F.col("ts") <= half).coalesce(1).write.parquet(f"{src_dir}/f0")
+    time.sleep(1.1)
+    ev.where(F.col("ts") > half).coalesce(1).write.parquet(f"{src_dir}/f1")
+
+    def start():
+        s = (
+            spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .select("event_id", "event_type")
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: stop after the first committed batch
+    q = start()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    # run 2: resume from the checkpoint, drain everything
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    n_total = ev.count()
+    assert got.count() == n_total, "restart lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == n_total

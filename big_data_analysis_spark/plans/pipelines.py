@@ -188,3 +188,98 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT e.event_type, d.type_group, COUNT(*) AS n
+FROM events e
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'growth'),
+             ('error', 'ops')) AS d(event_type, type_group)
+  ON e.event_type = d.event_type
+GROUP BY e.event_type, d.type_group
+""",
+    category="pipelines",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a pathologically hot key (event_type: 5
+    values — a plain shuffle join sends ~20% of 100 TB to each of 5
+    reducers). Fact side gets a random-free deterministic salt
+    (event_id % 16); the dim side is EXPLODED 16x so every
+    (key, salt) pair still matches. Result identical to the plain
+    join (the oracle). For a dim this small broadcast is the real
+    answer — the salting pattern is what scales when BOTH sides are
+    too big to broadcast and one key dominates."""
+    groups = [
+        ("click", "engagement"),
+        ("view", "engagement"),
+        ("purchase", "revenue"),
+        ("signup", "growth"),
+        ("error", "ops"),
+    ]
+    e = table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(groups, "event_type string, type_group string")
+    salts = 16
+    dim_exploded = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    salted = e.withColumn("salt", (F.col("event_id") % salts).cast("int"))
+    return (
+        salted.join(dim_exploded, ["event_type", "salt"])
+        .groupBy("event_type", "type_group")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cache_reuse",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT 'top_by_count' AS cohort, o_custkey, n_orders, spend
+FROM base QUALIFY row_number() OVER (ORDER BY n_orders DESC, o_custkey) <= 10
+UNION ALL
+SELECT 'top_by_spend' AS cohort, o_custkey, n_orders, spend
+FROM base QUALIFY row_number() OVER (ORDER BY spend DESC, o_custkey) <= 10
+""",
+    category="pipelines",
+)
+def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-subplan reuse: one per-customer aggregate feeds two
+    top-10 rankings. The aggregate is persist()-ed so the expensive
+    scan+shuffle runs once, not once per branch — at 100 TB the
+    difference between reading the fact table once vs twice. (The
+    cache is released before returning; correctness never depends
+    on it.)"""
+    o = table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+        .persist()
+    )
+    try:
+        top_count = (
+            base.orderBy(F.desc("n_orders"), "o_custkey")
+            .limit(10)
+            .select(F.lit("top_by_count").alias("cohort"), "*")
+        )
+        top_spend = (
+            base.orderBy(F.desc("spend"), "o_custkey")
+            .limit(10)
+            .select(F.lit("top_by_spend").alias("cohort"), "*")
+        )
+        out = top_count.unionByName(top_spend)
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        base.unpersist()
+    return out

@@ -120,3 +120,60 @@ def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sample_per_group",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+""",
+    category="sorts",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-group sampling: order each group by
+    md5(doc_id) — a uniform, engine-agnostic pseudo-random permutation
+    — and keep the first 5. The reproducible "sample 5 docs per
+    language" primitive of a training-data pipeline: no RNG state, no
+    seed drift, identical on any cluster layout (vs sample()/
+    sampleBy(), whose partition-dependent RNG is not comparable
+    across engines)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query("sample_stratified", oracle=None, category="sorts")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum fractions (sampleBy):
+    over-sample rare languages, down-sample the dominant one — the
+    rebalancing primitive for corpus mixing. Seeded but
+    partition-RNG-dependent -> rows-only; unit test asserts the
+    per-language fractions land near their targets."""
+    d = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query("topk_freq_items", oracle=None, category="sorts")
+def topk_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (freqItems, lossy-counting sketch):
+    single-pass, constant memory — the 100 TB path for hot-token /
+    hot-key detection before an exact confirm pass. Sketch contents
+    are support-threshold approximations -> rows-only; the unit test
+    confirms every truly-frequent value is present (the sketch
+    guarantees no false negatives at the support level)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    freq = toks.stat.freqItems(["tok"], support=0.05)
+    return freq.select(
+        F.array_sort(F.col("tok_freqItems")).alias("frequent_tokens")
+    )

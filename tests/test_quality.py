@@ -187,3 +187,34 @@ def test_tfidf_ln_close_to_numpy(spark, sf_dir):
     merged = pdf.merge(df, on="token")
     rel = np.abs(merged.tfidf - merged.tf * np.log(n_docs / merged.df))
     assert rel.max() < 1e-9
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    got = run("sample_stratified", spark, sf_dir).groupBy("lang").count()
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    targets = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    for r in got.collect():
+        frac = r["count"] / totals[r.lang]
+        assert abs(frac - targets[r.lang]) < 0.2, (r.lang, frac)
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    freq = set(
+        run("topk_freq_items", spark, sf_dir).collect()[0].frequent_tokens
+    )
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    n = toks.count()
+    truly = {
+        r.tok
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c / n >= 0.05
+    }
+    assert truly <= freq, f"missed heavy hitters: {truly - freq}"

@@ -447,3 +447,28 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("name_a") == F.length("name_b")).alias("same_len"),
         )
     )
+
+
+@query(
+    "fn_struct_argmax",
+    oracle="""
+SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_orderkey
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+""",
+    category="functions",
+)
+def fn_struct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-typed argmax: MAX over a (price, orderkey) struct is
+    lexicographic, so one hash aggregate returns each customer's
+    priciest order WITH its key — no window, no self-join, one
+    shuffle carrying a single struct per group (the idiomatic
+    Spark argmax; ties break toward the higher orderkey, mirrored
+    by the oracle's window ordering)."""
+    o = table(spark, sf_dir, "orders")
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    return o.groupBy("o_custkey").agg(
+        best.getField("o_totalprice").alias("best_price"),
+        best.getField("o_orderkey").alias("best_orderkey"),
+    )

@@ -175,49 +175,64 @@ HAVING {_sql_dot('a', 'b')} >= 0.4
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.4, exact (embedding-cosine near-dup
-    detection), via BLOCKED INTEGER GEMM: quantized int64 embedding
-    matrix broadcast to every partition, NumPy int64 matmul per
-    Arrow batch (bit-identical to the per-pair long fold, ~100x
-    faster than interpreted higher-order-function folds over 2M
-    pairs).
+    detection), via BLOCK-PARTITIONED BOTH-SIDES INTEGER GEMM — no
+    driver-side materialization anywhere in the path.
 
-    Scale path: the one-shot broadcast of the full matrix caps out
-    around ~10M vectors; beyond that, block BOTH sides (grid of
-    block-pairs) or feed only LSH/IVF candidate blocks
-    (sim_threshold_join_lsh) to this exact-verify kernel."""
-    from typing import Iterator
+    Shape: each vector lands in block b = vec_id % NB; a vector in
+    block b is replicated into the NB block-PAIRS {(min(b,o),
+    max(b,o)) : o in 0..NB-1}, the frame shuffles once on pair_id,
+    and each of the NB*(NB+1)/2 groups runs one NumPy int64 matmul
+    over its two blocks (bit-identical to the per-pair long fold).
+    Replication is NB x rows; per-task memory is ~2n/NB vectors —
+    at 100 TB pick NB ~ sqrt(corpus/executor-budget) and the same
+    plan holds. The LSH candidate path (sim_threshold_join_lsh)
+    remains the sub-quadratic alternative when recall < 1 is
+    acceptable."""
+    NB = 8  # block count: 36 block-pair tasks, ~2n/8 vectors each
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # assemble the broadcast matrix once on the driver:
-    # 64 floats/row -> ~2.6 MB per 10k vectors
-    mat_pdf = e.toPandas()
-    ids = mat_pdf["vec_id"].to_numpy()
-    Q = np.rint(
-        np.stack(mat_pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
-    ).astype("int64")
-    bc = spark.sparkContext.broadcast((ids, Q))
+    blk = (F.col("vec_id") % NB).cast("int")
+    exploded = (
+        e.withColumn("blk", blk)
+        .withColumn(
+            "pair_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(NB - 1)),
+                    lambda o: F.least(F.col("blk"), o) * NB
+                    + F.greatest(F.col("blk"), o),
+                )
+            ),
+        )
+    )
     thresh_e12 = int(0.4 * 1e12)
-
     schema = "vec_a long, vec_b long, cosine double"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_Q = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            Aq = np.rint(
-                np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
-            ).astype("int64")
-            S = Aq @ b_Q.T  # exact int64 dot products x 1e12
-            ai, bj = np.nonzero((S >= thresh_e12) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bj],
-                    "cosine": S[ai, bj] / 1.0e12,
-                }
-            )
+    def gemm_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pair_id"].iloc[0])
+        i, j = pid // NB, pid % NB
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.rint(
+            np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
+        ).astype("int64")
+        if i == j:
+            # within-block: every unordered pair appears twice in S;
+            # keep the a<b half
+            S = Q @ Q.T  # exact int64 dot products x 1e12
+            ai, bj = np.nonzero((S >= thresh_e12) & (ids[:, None] < ids[None, :]))
+            va, vb = ids[ai], ids[bj]
+        else:
+            # cross-block: each unordered pair appears once (one side
+            # per block) with arbitrary id order — emit (min, max)
+            ma = pdf["blk"].to_numpy() == i
+            a_ids, b_ids = ids[ma], ids[~ma]
+            S = Q[ma] @ Q[~ma].T
+            ai, bj = np.nonzero(S >= thresh_e12)
+            x, y = a_ids[ai], b_ids[bj]
+            va, vb = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": S[ai, bj] / 1.0e12})
 
-    return e.mapInPandas(kernel, schema)
+    return exploded.groupBy("pair_id").applyInPandas(gemm_block_pair, schema)
 
 
 @query(

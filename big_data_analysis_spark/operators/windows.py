@@ -291,12 +291,19 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_session; integer session ids are engine-exact."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Gap in MICROSECONDS: the oracle compares the exact interval
+    # (ts - lag(ts) > INTERVAL 30 MINUTE); casting to whole seconds
+    # would truncate and merge sessions whose true gap is in
+    # (1800s, 1801s). unix_micros keeps both engines on identical
+    # integer arithmetic.
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     flagged = e.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return flagged.select(

@@ -65,12 +65,42 @@ _OPERATOR_MODULES = [
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (idempotent) and return REGISTRY."""
+    """Import every operator module (idempotent) and return REGISTRY.
+
+    All listed modules must import cleanly: a missing module would
+    silently drop its whole query family from the driver contract,
+    so we fail loudly instead of tolerating it.
+    """
     for mod in _OPERATOR_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # tolerate not-yet-written modules during incremental build
-            if mod not in str(e):
-                raise
+        importlib.import_module(mod)
     return REGISTRY
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY re-ordered so any prefix is family-diverse.
+
+    The driver's correctness harness may evaluate only the first N
+    registered queries (round 1 recorded exactly the first 50, in
+    registration order, leaving 9 of 11 SURVEY §2 families with zero
+    driver rows).  To make every prefix representative we interleave
+    round-robin across categories — flagship ``plans`` first within
+    each round — so a 50-entry window sees 2-3 queries from every
+    family rather than 50 from the first three modules.
+    """
+    load_all()
+    by_cat: dict[str, list[QuerySpec]] = {}
+    for spec in REGISTRY.values():
+        by_cat.setdefault(spec.category, []).append(spec)
+    # Flagships lead each round; otherwise module registration order.
+    cat_order = sorted(
+        by_cat, key=lambda c: (c not in ("plans", "pipelines"), list(by_cat).index(c))
+    )
+    out: dict[str, QuerySpec] = {}
+    round_idx = 0
+    while len(out) < len(REGISTRY):
+        for cat in cat_order:
+            specs = by_cat[cat]
+            if round_idx < len(specs):
+                out[specs[round_idx].name] = specs[round_idx]
+        round_idx += 1
+    return out

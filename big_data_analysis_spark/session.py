@@ -8,9 +8,33 @@ the engine's operators assume (UTC, AQE, Arrow).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str = "bda_") -> str:
+    """mkdtemp that is removed at interpreter exit.
+
+    Query functions stage sink output / stream replay files in temp
+    dirs; without cleanup, repeated parity or bench runs accumulate
+    unbounded temp data. Every ephemeral dir in the package goes
+    through here.
+    """
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 # Conf the engine REQUIRES for correctness (timezone pinning, Arrow
 # for pandas-UDF paths) or assumes for performance (AQE). All of

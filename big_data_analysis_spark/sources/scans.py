@@ -9,14 +9,13 @@ text-exact: keys, strings, and 2-decimal doubles.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import table
 from ..registry import query
+from ..session import scratch_dir
 
 
 @query(
@@ -49,7 +48,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write + schema'd read round trip (header, no inference).
     2-decimal doubles serialize exactly, so the round trip is
     value-preserving and oracle-checkable against the parquet view."""
-    out = tempfile.mkdtemp(prefix="bda_csv_")
+    out = scratch_dir(prefix="bda_csv_")
     df = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
@@ -77,7 +76,7 @@ FROM orders WHERE o_orderkey < 500
 )
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write + schema'd read round trip."""
-    out = tempfile.mkdtemp(prefix="bda_json_")
+    out = scratch_dir(prefix="bda_json_")
     df = (
         table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < 500)
@@ -101,7 +100,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     enabling partition pruning for downstream readers) + re-read.
     At 100 TB the partition column is the coarse filter key (e.g.
     date); per-partition file sizing is handled by AQE coalesce."""
-    out = tempfile.mkdtemp(prefix="bda_sinkpq_")
+    out = scratch_dir(prefix="bda_sinkpq_")
     agg = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", "o_orderstatus")
@@ -130,8 +129,8 @@ GROUP BY l_returnflag, l_linestatus
 def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the same aggregate to CSV and JSON sinks, read both back
     and inner-join — proves both sinks round-trip identically."""
-    out_c = tempfile.mkdtemp(prefix="bda_sinkc_")
-    out_j = tempfile.mkdtemp(prefix="bda_sinkj_")
+    out_c = scratch_dir(prefix="bda_sinkc_")
+    out_j = scratch_dir(prefix="bda_sinkj_")
     agg = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")

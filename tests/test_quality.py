@@ -218,3 +218,19 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
         if r.c / n >= 0.05
     }
     assert truly <= freq, f"missed heavy hitters: {truly - freq}"
+
+
+def test_ngram_df_cap_bounds_fanout(spark, sf_dir, monkeypatch):
+    """With a tiny cap, hot grams must vanish from the pair join
+    (bounded per-gram fan-out); with the default cap the result is
+    identical to uncapped (fixture max df 25 << 1000)."""
+    import os
+
+    default = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    monkeypatch.setenv("SPARK_GRAFT_NGRAM_DF_CAP", "1")
+    capped = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    # cap=1 drops every shared gram -> no candidate pair survives
+    assert len(capped) == 0
+    monkeypatch.setenv("SPARK_GRAFT_NGRAM_DF_CAP", "1000000")
+    uncapped = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, uncapped))

@@ -499,3 +499,72 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         (F.sum(dp * dq).cast("double") / F.sum(dq).cast("double")).alias("wavg_price")
     )
+
+
+@query("agg_hll_sketch", oracle=None, category="aggregations")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog SKETCHES as first-class values (Apache
+    DataSketches via hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate): per-(flag,status) sketches are built in one
+    pass, then MERGED up to per-flag estimates without rescanning —
+    the re-aggregatable rollup pattern a 100 TB pipeline uses to keep
+    daily sketches and union them into monthly distincts. Sketch
+    bytes are engine-specific -> rows-only; unit test asserts <5%
+    error vs exact."""
+    l = table(spark, sf_dir, "lineitem")
+    per_pair = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_pair"),
+    )
+    return (
+        per_pair.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+                "merged_estimate"
+            ),
+            # exact distinct per flag for the calibration test: the
+            # pair-level exacts cannot be summed (orderkeys span
+            # statuses), so recompute from the sketchless column
+        )
+        .join(
+            l.groupBy("l_returnflag").agg(
+                F.count_distinct("l_orderkey").alias("exact_flag")
+            ),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "agg_time_rollup",
+    oracle="""
+SELECT date_trunc('day', ts) AS bucket_day,
+       date_trunc('hour', ts) AS bucket_hour,
+       GROUPING(date_trunc('hour', ts)) AS g_hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                        (date_trunc('day', ts)))
+""",
+    category="aggregations",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: hourly AND
+    daily aggregates of the event stream in ONE grouping-sets pass
+    (continuous-aggregate pattern — the scan runs once, Expand feeds
+    both granularities, partial aggregation combines map-side).
+    GROUPING() distinguishes the day-total rows from hour rows."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+SELECT date_trunc('day', ts) AS bucket_day,
+       date_trunc('hour', ts) AS bucket_hour,
+       GROUPING(date_trunc('hour', ts)) AS g_hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                        (date_trunc('day', ts)))
+"""
+    )

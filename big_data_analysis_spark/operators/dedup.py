@@ -89,10 +89,52 @@ def dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-WITH toks AS (
+# (session, sf_dir) -> persisted distinct-trigram table; the gram
+# table feeds FOUR consumers (doc sizes, gram df, both pair-join
+# sides), so it is materialized once per session instead of
+# re-exploding the corpus per consumer — the standard persist-the-
+# reused-intermediate pattern (at 100 TB: MEMORY_AND_DISK, or a
+# checkpointed table shared by the whole dedup stage).
+_GRAMS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token-trigrams per doc, built ARRAY-NATIVELY in one
+    projection (element_at over the token array) — zero joins, zero
+    shuffles; the relational 3-way self-join formulation shuffles the
+    token table three times. The token array is materialized as a
+    column FIRST: referencing the split() expression inside the
+    transform lambda would re-split the text for every element_at
+    (O(tokens^2) per doc)."""
+    key = (id(spark), sf_dir)
+    if key not in _GRAMS_CACHE:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens().alias("toks")
+        )
+        toks = F.col("toks")
+        n_toks = F.size(toks)
+        tri = F.transform(
+            F.sequence(F.lit(1), n_toks - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+        grams_arr = F.when(n_toks >= 3, F.array_distinct(tri)).otherwise(
+            F.array().cast("array<string>")
+        )
+        _GRAMS_CACHE[key] = (
+            d.select("doc_id", F.explode(grams_arr).alias("gram")).persist()
+        )
+    return _GRAMS_CACHE[key]
+
+
+# Jaccard-pair SQL shared by the pair query's oracle and the
+# connected-components oracle below (which closes over these pairs).
+_SQL_JACCARD_PAIRS = """
+toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
@@ -108,13 +150,23 @@ inter AS (
   SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS n_common
   FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
   GROUP BY doc_a, doc_b
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
 )
-SELECT doc_a, doc_b,
-       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_JACCARD_PAIRS}
+SELECT doc_a, doc_b, jaccard FROM jpairs
 """,
     category="dedup",
 )
@@ -141,30 +193,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     df_cap = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"))
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    )
-    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .join(
-            c,
-            (F.col("c.doc_id") == F.col("a.doc_id"))
-            & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", F.col("a.tok"), F.col("b.tok"), F.col("c.tok")).alias(
-                "gram"
-            ),
-        )
-        .distinct()
-    )
+    grams = _grams(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # stop-gram cap: drop hot grams from the pair join only
     hot_grams = (
@@ -263,3 +292,131 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 - F.col("jaccard_dist")).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+    category="dedup",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-dup pair graph (trigram Jaccard >= 0.5 edges), so
+    transitively-linked docs A~B~C land in ONE cluster even when
+    A and C share nothing directly — the keep-one-per-component
+    step every production dedup pipeline ends with. cluster_id =
+    min doc_id in the component; docs in no pair are singletons and
+    omitted (they keep themselves).
+
+    Algorithm: distributed min-label propagation (the Pregel/
+    GraphX connected-components kernel as DataFrame joins): labels
+    start as doc_id; each round every node takes min(own label,
+    neighbors' labels); converged when the (monotone-decreasing)
+    global label sum stops changing. Rounds needed = graph
+    diameter (tiny for dup clusters); each round is one join +
+    one groupBy — no driver-side data, only the scalar
+    convergence check. Oracle: DuckDB recursive-CTE reachability
+    closure + min over reached nodes."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # >= diameter of any real dup cluster
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("nsrc"), F.col("label").alias("nlabel")
+                ),
+                F.col("src") == F.col("nsrc"),
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@query("dedup_simhash_pairs", oracle=None, category="dedup")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CANDIDATE PAIRS from SimHash banding: the 64-bit
+    signature splits into 4 x 16-bit bands; docs colliding in any
+    band are candidates (by pigeonhole, any pair within Hamming
+    distance 3 shares at least one exact band), then the full
+    Hamming distance (bit_count of XOR) filters to <= 6. Entirely
+    JVM-side bit arithmetic; the band equi-join is the shuffle key,
+    so cost is per-bucket quadratic only — the SimHash twin of
+    MinHash banding. xxhash64 has no DuckDB twin -> rows-only; unit
+    test asserts token-set cluster members appear at distance 0."""
+    sim = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    return cand.where(F.col("hamming") <= 6)

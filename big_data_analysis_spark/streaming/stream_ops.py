@@ -462,3 +462,44 @@ def stream_sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type_user.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query("stream_rate_source", oracle=None, category="streaming")
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in rate source (the synthetic benchmark/smoke source:
+    monotonically increasing value + event-time timestamp, generated
+    executor-side with no input files) -> windowed count. Proves the
+    second streaming source family offline; a Kafka source swaps in
+    with only the format/options changing. Emitted row count depends
+    on drain timing -> rows-only; the unit test asserts values are
+    dense and unique."""
+    harden_session(spark)
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = raw.groupBy(F.window("timestamp", "1 second")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    name = f"rate_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        time.sleep(2.5)  # let a few micro-batches fire
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n", "min_value", "max_value"
+    )

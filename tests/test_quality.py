@@ -84,9 +84,9 @@ def test_knn_ivf_recall_and_determinism(spark, sf_dir):
     assert ivf1 == ivf2, "IVF result not deterministic across runs"
     hits = sum(len(brute[q] & ivf1.get(q, set())) for q in brute)
     total = sum(len(v) for v in brute.values())
-    # nprobe=1 probes a single KMeans cell — recall is partial by
-    # design; the bound documents the floor observed with seed=42
-    assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
+    # nprobe=2 probes the two nearest KMeans cells — near-complete
+    # recall on the fixture (seeded)
+    assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
 
 
 def test_threshold_lsh_matches_exact(spark, sf_dir):
@@ -234,3 +234,40 @@ def test_ngram_df_cap_bounds_fanout(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NGRAM_DF_CAP", "1000000")
     uncapped = run("dedup_ngram_jaccard", spark, sf_dir).collect()
     assert sorted(map(tuple, default)) == sorted(map(tuple, uncapped))
+
+
+def test_hll_sketch_merge_close(spark, sf_dir):
+    """Merged per-status HLL sketches must estimate the per-flag
+    distinct count within 5% — proves sketches are mergeable, not
+    just per-group scalars."""
+    for r in run("agg_hll_sketch", spark, sf_dir).collect():
+        assert abs(r.merged_estimate - r.exact_flag) / r.exact_flag < 0.05
+
+
+def test_simhash_pairs_find_tokenset_clusters(spark, sf_dir):
+    """Token-set cluster members have identical token sets, hence
+    identical simhashes -> banding must surface them at distance 0."""
+    clusters = run("dedup_tokenset", spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in run("dedup_simhash_pairs", spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+
+    checked = 0
+    for c in clusters[:5]:
+        members = sorted(
+            r.doc_id
+            for r in docs.where(
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.split("text", " "))), " "
+                )
+                == c.cluster_key
+            ).collect()
+        )
+        for i in range(len(members) - 1):
+            p = (members[i], members[i + 1])
+            assert p in pairs and pairs[p] == 0, f"missing cluster pair {p}"
+            checked += 1
+    assert checked > 0

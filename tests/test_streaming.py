@@ -150,3 +150,14 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     n_total = ev.count()
     assert got.count() == n_total, "restart lost or duplicated rows"
     assert got.select("event_id").distinct().count() == n_total
+
+
+def test_rate_source_dense_unique(spark, sf_dir):
+    from big_data_analysis_spark.registry import REGISTRY
+
+    rows = REGISTRY["stream_rate_source"].fn(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    lo = min(r.min_value for r in rows)
+    hi = max(r.max_value for r in rows)
+    # dense & unique: count == span of generated values
+    assert total == hi - lo + 1 and total > 0

@@ -41,16 +41,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    to read natively. Read it as a long (nanosAsLong) and truncate to
-    microseconds with INTEGER division (ns epochs ~1.7e18 exceed the
-    53-bit double mantissa, so a float divide would corrupt
-    timestamps). Matches DuckDB's own ns->us truncation."""
+    """Normalize events.ts to TimestampType (UTC session) whatever
+    the fixture's physical layout is — the driver has shipped both:
+
+    - TIMESTAMP(NANOS): Spark 4 refuses to read it natively, so it
+      arrives as a long (nanosAsLong) and is truncated to micros
+      with INTEGER division (ns epochs ~1.7e18 exceed the 53-bit
+      double mantissa; a float divide would corrupt timestamps).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; the cast to TimestampType is micro-exact under
+      the pinned UTC session timezone.
+
+    Both match DuckDB's reading of the same file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(df.dtypes)["ts"] == "bigint":  # raw nanos
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:  # timestamp or timestamp_ntz, already micros
+        ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts", ts)
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

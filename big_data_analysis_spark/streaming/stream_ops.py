@@ -15,9 +15,10 @@ files) — state is bounded by watermarks everywhere state exists;
 session/tumbling windows shuffle on (key, window), the canonical
 streaming partitioning.
 
-events.ts is parquet TIMESTAMP(NANOS): the stream schema reads it as
-LongType (nanosAsLong) and converts via integer division, exactly
-like the batch loader (io._events).
+events.ts arrives normalized to TimestampType exactly like the batch
+loader (io._events) — the explicit stream schema adapts to the
+fixture's physical layout (TIMESTAMP(NANOS) read as long + integer
+division, or native micros read as TIMESTAMP_NTZ + cast).
 """
 
 from __future__ import annotations
@@ -31,16 +32,33 @@ from pyspark.sql import types as T
 from ..session import harden_session, scratch_dir
 from ..registry import query
 
-_EVENTS_LONG_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_ts_layout(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(explicit stream schema, ts_is_raw_nanos) for the events file.
+
+    A streaming read REQUIRES an explicit schema, and the driver has
+    shipped the fixture with ts as both TIMESTAMP(NANOS) and native
+    micros across rounds — inspect the footer once and adapt."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    is_ns = ts_type == "timestamp[ns]"
+    ts_field = (
+        T.StructField("ts", T.LongType())  # raw nanos via nanosAsLong
+        if is_ns
+        else T.StructField("ts", T.TimestampNTZType())
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            ts_field,
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, is_ns
 
 
 _STAGE_CACHE: dict[str, str] = {}
@@ -60,15 +78,21 @@ def _stage_dir(sf_dir: str) -> str:
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (explicit schema — a
-    streaming read REQUIRES one), ns->us ts conversion."""
+    streaming read REQUIRES one), ts normalized to TimestampType."""
     harden_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, is_ns = _events_ts_layout(sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts = (
+        F.timestamp_micros(F.expr("ts DIV 1000"))
+        if is_ns
+        else F.col("ts").cast("timestamp")
+    )
+    return raw.withColumn("ts", ts)
 
 
 def drain_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -263,34 +287,39 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the emitted window set depends on watermark
     propagation, which has no batch equivalent."""
     harden_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import time
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..io import table as _table
+
+    batch = _table(spark, sf_dir, "events")  # ts normalized TimestampType
+    us = F.unix_micros(F.col("ts"))
     c1, c2 = (
-        batch.selectExpr(
-            "percentile(ts, 0.33) AS c1", "percentile(ts, 0.66) AS c2"
+        batch.select(
+            F.percentile(us, F.lit(0.33)).alias("c1"),
+            F.percentile(us, F.lit(0.66)).alias("c2"),
         ).collect()[0]
     )
     replay_dir = scratch_dir(prefix="bda_late_")
     # FileStreamSource processes files oldest-mtime-first: write
     # newest data first (sleep keeps mtimes strictly ordered)
-    batch.where(F.col("ts") > c2).coalesce(1).write.parquet(f"{replay_dir}/f0_newest")
+    batch.where(us > c2).coalesce(1).write.parquet(f"{replay_dir}/f0_newest")
     time.sleep(1.1)
-    batch.where((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
+    batch.where((us > c1) & (us <= c2)).coalesce(1).write.parquet(
         f"{replay_dir}/f1_mid"
     )
     time.sleep(1.1)
-    batch.where(F.col("ts") <= c1).coalesce(1).write.parquet(f"{replay_dir}/f2_oldest")
+    batch.where(us <= c1).coalesce(1).write.parquet(f"{replay_dir}/f2_oldest")
+    # we wrote the replay ourselves, so its ts is plain TimestampType
+    replay_schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.TimestampType()) for f in batch.schema.fields]
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+        spark.readStream.schema(replay_schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
     )
-    s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).withWatermark(
-        "ts", "10 minutes"
-    )
+    s = raw.withWatermark("ts", "10 minutes")
     agg = (
         s.groupBy(F.window("ts", "6 hours"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -336,9 +365,10 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup derived from the batch table) broadcasts into every
     micro-batch; aggregation then groups by the joined attribute."""
     harden_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..io import table as _table
+
     users = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .withColumn("tier", F.col("user_id") % 3)

@@ -104,21 +104,28 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     import time
 
     from pyspark.sql import functions as F
-    from big_data_analysis_spark.streaming.stream_ops import _EVENTS_LONG_SCHEMA
+    from pyspark.sql import types as T
+    from big_data_analysis_spark.io import table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    half = ev.selectExpr("percentile(ts, 0.5) AS c").collect()[0]["c"]
-    ev.where(F.col("ts") <= half).coalesce(1).write.parquet(f"{src_dir}/f0")
+    ev = table(spark, sf_dir, "events")  # ts normalized TimestampType
+    us = F.unix_micros(F.col("ts"))
+    half = ev.select(F.percentile(us, F.lit(0.5)).alias("c")).collect()[0]["c"]
+    ev.where(us <= half).coalesce(1).write.parquet(f"{src_dir}/f0")
     time.sleep(1.1)
-    ev.where(F.col("ts") > half).coalesce(1).write.parquet(f"{src_dir}/f1")
+    ev.where(us > half).coalesce(1).write.parquet(f"{src_dir}/f1")
+    replay_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in ev.schema.fields
+        ]
+    )
 
     def start():
         s = (
-            spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+            spark.readStream.schema(replay_schema)
             .option("maxFilesPerTrigger", 1)
             .option("recursiveFileLookup", "true")
             .parquet(src_dir)

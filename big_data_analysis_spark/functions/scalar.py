@@ -472,3 +472,40 @@ def fn_struct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("o_totalprice").alias("best_price"),
         best.getField("o_orderkey").alias("best_orderkey"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS and_mask,
+       l_orderkey | 4096 AS or_flag,
+       xor(l_orderkey, l_partkey) AS xor_keys,
+       ~l_orderkey AS not_key,
+       l_linenumber << 4 AS shl,
+       l_orderkey >> 2 AS shr,
+       CAST(bit_count(l_orderkey) AS INT) AS popcount
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""",
+    category="functions",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family over 64-bit keys: AND/OR/XOR/NOT,
+    shifts, popcount — the partition-mask / bitmap-index primitives.
+    All primitive long ops inside whole-stage codegen; both engines
+    use two's-complement BIGINT semantics, so results are bit-exact
+    by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    k, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
+    return li.where(k % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        k.bitwiseXOR(pk).alias("xor_keys"),
+        F.bitwise_not(k).alias("not_key"),
+        F.shiftleft(ln, 4).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

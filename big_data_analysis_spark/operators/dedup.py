@@ -294,6 +294,56 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_components(pairs: DataFrame, id_name: str) -> DataFrame:
+    """Distributed connected components via min-label propagation
+    (the Pregel/GraphX kernel as DataFrame joins): labels start as
+    node id; each round every node takes min(own, neighbors');
+    converged when the monotone-decreasing global label sum stops
+    changing. Rounds = graph diameter (shallow for dup clusters);
+    each round is one join + one groupBy, driver sees only a scalar
+    checksum. ``pairs`` must have exactly two id columns; returns
+    (id_name, label)."""
+    a, b = pairs.columns
+    edges = (
+        pairs.union(pairs.select(F.col(b), F.col(a))).toDF("src", "dst").persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias(id_name))
+        .distinct()
+        .withColumn("label", F.col(id_name))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # >= diameter of any real dup cluster
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col(id_name).alias("nsrc"), F.col("label").alias("nlabel")
+                ),
+                F.col("src") == F.col("nsrc"),
+            )
+            .groupBy(F.col("dst").alias(id_name))
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, id_name, "left")
+            .select(
+                id_name,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -322,54 +372,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id in the component; docs in no pair are singletons and
     omitted (they keep themselves).
 
-    Algorithm: distributed min-label propagation (the Pregel/
-    GraphX connected-components kernel as DataFrame joins): labels
-    start as doc_id; each round every node takes min(own label,
-    neighbors' labels); converged when the (monotone-decreasing)
-    global label sum stops changing. Rounds needed = graph
-    diameter (tiny for dup clusters); each round is one join +
-    one groupBy — no driver-side data, only the scalar
-    convergence check. Oracle: DuckDB recursive-CTE reachability
-    closure + min over reached nodes."""
+    Algorithm: _min_label_components (shared with dedup_embedding).
+    Oracle: DuckDB recursive-CTE reachability closure + min over
+    reached nodes."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):  # >= diameter of any real dup cluster
-        neigh_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("nsrc"), F.col("label").alias("nlabel")
-                ),
-                F.col("src") == F.col("nsrc"),
-            )
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("nlabel").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage each round
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    labels = _min_label_components(pairs, "doc_id")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -420,3 +427,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can collide in several bands
     )
     return cand.where(F.col("hamming") <= 6)
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+epairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ev a JOIN ev b ON b.i = a.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+  HAVING (CAST(SUM(CAST(round(CAST(a.v AS DOUBLE) * 1000000) AS BIGINT) *
+               CAST(round(CAST(b.v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1e12) >= 0.4
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM epairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM epairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS is_rep
+FROM reach GROUP BY src
+""",
+    category="dedup",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering — the semantic-dedup
+    stage of an LLM data pipeline (exact-text / MinHash / SimHash
+    catch lexical copies; embedding cosine catches paraphrases).
+
+    Edges = exact cosine >= 0.4 pairs from the block-partitioned
+    both-sides GEMM (sim_threshold_pairs — no driver-side
+    materialization, no all-pairs shuffle), then the same distributed
+    min-label-propagation kernel as dedup_cluster_cc assigns each
+    vector to its connected component; the component's min vec_id is
+    the kept representative. Vectors with no near-dup edge keep
+    themselves and are omitted (same contract as dedup_cluster_cc).
+
+    At scale the edge stage is the bounded-block GEMM (swap in the
+    LSH candidate path for recall<1 speed), and label propagation
+    runs O(diameter) join+groupBy rounds — near-dup clusters are
+    shallow (diameter ~2-4), so convergence is a handful of
+    scans with only a scalar checksum on the driver."""
+    from .similarity import sim_threshold_pairs
+
+    pairs = sim_threshold_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = _min_label_components(pairs, "vec_id")
+    return labels.select(
+        "vec_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("vec_id") == F.col("label")).alias("is_rep"),
+    )

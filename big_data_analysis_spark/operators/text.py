@@ -348,3 +348,214 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(_tokens()).alias("fingerprint"),
         fold(F.array_sort(F.array_distinct(_tokens()))).alias("tokenset_fingerprint"),
     )
+
+
+_CHUNK = 32  # tokens per chunk — context-budget slicing unit
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST((len(toks) + {_CHUNK} - 1) // {_CHUNK} AS INT) - 1),
+           i -> list_slice(toks, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}))) AS chunk,
+         generate_subscripts(
+           generate_series(0, CAST((len(toks) + {_CHUNK} - 1) // {_CHUNK} AS INT) - 1),
+           1) - 1 AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS INT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+""",
+    category="text",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget document chunking: split every document into
+    consecutive 32-token chunks (the pretraining tokenize->chunk
+    stage). Array-native — the chunk list is built with one
+    transform over a precomputed token array and posexploded; no
+    joins, no shuffle, perfectly parallel over input splits. At
+    100 TB this is a pure map stage: output rows ~= input tokens /
+    32, and downstream stages shuffle on (doc_id, chunk_id) only if
+    they need to."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    n_chunks = F.expr(f"(size(toks) + {_CHUNK} - 1) div {_CHUNK}")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * _CHUNK + 1, _CHUNK),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+# Deterministic synthetic PII decoration: the fixture corpus is clean
+# word salad, so the scrub operator would be a no-op on it; appending
+# engine-identical synthetic addresses/IPs/cards exercises the real
+# regex path while keeping both engines bit-exact.
+_PII_EMAIL = "[a-z0-9]+@[a-z][a-z.]*[a-z]"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_CARD = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH deco AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example from ip 10.0.' ||
+         (doc_id % 256) || '.7 card 4111-1111-1111-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_CARD}')) AS INT) AS n_cards,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_CARD}', '<CARD>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_EMAIL}', '<EMAIL>', 'g') AS scrubbed
+FROM deco
+""",
+    category="text",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email / IPv4 / card-number
+    patterns (regex families common to Java regex and RE2, verified
+    bit-exact cross-engine). Pure map stage — regexp_replace is
+    JVM-side codegen, no Python in the row path; at 100 TB this runs
+    at scan speed. Redaction order (card -> ip -> email) is fixed so
+    overlapping matches resolve identically everywhere."""
+    d = table(spark, sf_dir, "documents")
+    deco = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example from ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111-1111-1111-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return deco.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_CARD), 0)).alias(
+            "n_cards"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_CARD, "<CARD>"), _PII_IP, "<IP>"
+            ),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ).alias("scrubbed"),
+    )
+
+
+_CONTAM_N = 5  # shingle width (tokens)
+_CONTAM_MIN_SHARED = 1  # flag on ANY shared shingle (strict, standard)
+_CONTAM_DF_CAP = 50  # stop-shingle cap: drop shingles in > cap train docs
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(toks) - {_CONTAM_N - 1}),
+             i -> array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ')))
+           AS shingle
+    FROM d
+    WHERE len(toks) >= {_CONTAM_N}
+  )
+),
+eval_sh AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+train_sh AS (
+  SELECT doc_id AS train_id, shingle FROM sh
+  WHERE doc_id % 97 <> 0
+    AND shingle IN (
+      SELECT shingle FROM sh WHERE doc_id % 97 <> 0
+      GROUP BY shingle HAVING COUNT(*) <= {_CONTAM_DF_CAP})
+)
+SELECT t.train_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM train_sh t JOIN eval_sh e USING (shingle)
+GROUP BY t.train_id, e.eval_id
+HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+""",
+    category="text",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents that
+    share any distinct 5-gram shingle with a held-out eval
+    document (strict n-gram contamination, the common LLM eval rule) (eval set = doc_id % 97 == 0, ~1%). The canonical
+    pre-release scan every LLM training pipeline runs against its
+    eval suites.
+
+    Scale shape: shingles built array-natively (one map stage);
+    the train side drops stop-shingles (document frequency > 50)
+    BEFORE the equi-join — the same fan-out cap as
+    dedup_ngram_jaccard, so one ubiquitous phrase cannot turn the
+    shared-shingle join quadratic; the eval side is tiny (~1% of
+    corpus) and broadcasts. The cap is part of the operator contract
+    (oracle applies it identically)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_CONTAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(_CONTAM_N)]
+            ),
+        )
+    )
+    sh = (
+        d.where(F.size(toks) >= _CONTAM_N)
+        .select("doc_id", F.explode(sh_arr).alias("shingle"))
+    )
+    ev = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tr = sh.where(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    # Broadcast the (small) STOP list and anti-join — the rare-shingle
+    # keep list is almost the whole shingle table and must not move.
+    stop = (
+        tr.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _CONTAM_DF_CAP)
+        .select("shingle")
+    )
+    tr = tr.join(F.broadcast(stop), "shingle", "left_anti")
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )

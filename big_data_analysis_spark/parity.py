@@ -129,11 +129,13 @@ def run_all(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = Non
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
     only = sys.argv[1:] or None
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     bad = 0
-    for r in run_all(only=only):
+    for r in run_all(sf_dir=sf_dir, only=only):
         mark = "PASS" if r.ok else "FAIL"
         bad += not r.ok
         print(f"{mark} {r.name}: {r.detail} (spark={r.spark_rows} oracle={r.oracle_rows})")

@@ -214,3 +214,56 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+_BINFILE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 200
+""",
+    category="sources",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via the built-in ``binaryFile``
+    source — the entry path for multimodal corpora (images / audio /
+    video arrive as one opaque payload per file plus path metadata).
+
+    The fixture ships no media files, so the first call stages the
+    first 200 documents as individual ``<doc_id>.txt`` files (ASCII,
+    so bytes == n_chars) once per session; the read itself is the
+    real DataSource V2 binaryFile scan: path, length and content
+    columns, file-level parallelism. doc_id is parsed back from the
+    file path, and the payload is verified end-to-end via md5.
+
+    Scale: one task per file (driver lists paths) — at 100 TB of
+    media you shard uploads into balanced directories and read each
+    as its own partition; content is a single BYTE_ARRAY per row, so
+    pruning ``content`` (as multimodal_binary_meta does) turns this
+    into a metadata-only listing."""
+    if sf_dir not in _BINFILE_CACHE:
+        stage = scratch_dir(prefix="bda_binf_")
+        docs = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        import os
+
+        for r in docs:
+            with open(os.path.join(stage, f"{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("ascii"))
+        _BINFILE_CACHE[sf_dir] = stage
+    raw = spark.read.format("binaryFile").load(f"{_BINFILE_CACHE[sf_dir]}/*.txt")
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -137,3 +137,83 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+
+
+_FRAME_BYTES = 16  # fake "frame" size within the payload
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler (mapInPandas kernel).
+
+    Real deployment: replace the slicing with av.open(BytesIO(
+    payload)) keyframe iteration / ffmpeg -vf select; signature,
+    Arrow batch shape and output schema stay identical. Here a
+    "frame" is a fixed 16-byte slice and we keep every 4th one —
+    deterministic, so the DuckDB oracle can recompute it exactly."""
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME_BYTES
+            for k in range(0, n_frames, _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(k)
+                frames.append(payload[k * _FRAME_BYTES : (k + 1) * _FRAME_BYTES])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype=object),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(n_chars // {_FRAME_BYTES} AS INT) - 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       {_FRAME_BYTES} AS n_bytes,
+       md5(substring(text, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))
+         AS frame_md5
+FROM f
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+""",
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary payloads: payload ->
+    fixed-size frames -> keep every 4th -> per-frame digest. The
+    decode kernel is an honest stub (no ffmpeg in this container);
+    the Spark plumbing is the real production shape — mapInPandas
+    fan-OUT (one input row yields many frame rows) with Arrow
+    binary columns, a pure map stage with no shuffle, then JVM-side
+    digest/length over the emitted frames.
+
+    Oracle: frames are deterministic byte slices of the ASCII
+    payload, so DuckDB recomputes every sampled frame's md5 with
+    substring arithmetic — the whole Python fan-out path is
+    value-checked end to end."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = d.mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )

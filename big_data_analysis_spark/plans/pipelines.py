@@ -283,3 +283,83 @@ def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
     return out
+
+
+_PACK_BUDGET = 64  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(
+           generate_series(0, CAST((len(toks) + 31) // 32 AS INT) - 1),
+           i -> len(list_slice(toks, i * 32 + 1, i * 32 + 32)))) AS n_tokens,
+         generate_subscripts(
+           generate_series(0, CAST((len(toks) + 31) // 32 AS INT) - 1), 1) - 1
+           AS chunk_id
+  FROM d
+),
+placed AS (
+  SELECT lang, source, doc_id, chunk_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang, source ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM chunks
+)
+SELECT lang, source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM placed
+GROUP BY lang, source, pack_id
+""",
+    category="pipelines",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the stage between chunking and batching in
+    every pretraining data pipeline: concatenate consecutive 32-token
+    chunks into fixed 64-token training sequences, tracking how many
+    chunks/docs each packed sequence draws from.
+
+    Deterministic contiguous packing: within each (lang, source)
+    shard, chunks are laid out in (doc_id, chunk_id) order and a
+    sequence boundary falls every 64 cumulative tokens (pack_id =
+    tokens-before // 64). One window scan + one aggregation.
+
+    Scale: the running sum partitions by SHARD, not globally — a
+    global pack order would serialize into one partition. Shards are
+    how real pipelines pack anyway (per input file / per language);
+    at 100 TB shard granularity is the parquet partition, giving
+    thousands of independent windows with no cross-shard shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n_chunks = F.expr("(size(toks) + 31) div 32")
+    chunk_sizes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.size(F.slice(toks, i * 32 + 1, 32)),
+    )
+    chunks = d.select(
+        "doc_id", "lang", "source", F.posexplode(chunk_sizes).alias("chunk_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = chunks.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET),
+    )
+    return placed.groupBy("lang", "source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -533,3 +533,64 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n", "min_value", "max_value"
     )
+
+
+@query(
+    "stream_join_stream",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    category="streaming",
+)
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — click->purchase attribution with a
+    30-minute attribution window, both sides unbounded streams.
+
+    The canonical Structured Streaming shape: watermarks on BOTH
+    inputs plus a time-range join condition let the engine evict
+    buffered state (a click can be dropped once the purchase-side
+    watermark passes click.ts + 30min). State shuffles on user_id —
+    the join key — so each task buffers only its key range; inner
+    join output is append-mode by definition.
+
+    Oracle: the equivalent batch interval join (a fully drained
+    finite replay emits exactly the batch result for an INNER
+    time-bounded join; watermarks only bound state, they drop
+    nothing that the replay order hasn't already passed)."""
+    s = read_event_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return drain_to_memory(joined, mode="append")

@@ -137,3 +137,42 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "o_orderstatus" in pf[0]
+
+
+def test_text_chunk_is_pure_map(spark, sf_dir):
+    """Chunking must be a shuffle-free map stage: generate + explode
+    with zero Exchange — at 100 TB any shuffle here is pure waste."""
+    plan = plan_of("text_chunk", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Generate" in tree  # the posexplode
+
+
+def test_contamination_broadcasts_small_sides(spark, sf_dir):
+    """The stop-shingle anti-join and the eval-side join must both be
+    broadcasts — shuffling the full train shingle table on either
+    would dominate the query at scale."""
+    plan = plan_of("text_contamination", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing = ONE shuffle total: the window partitions on the
+    (lang, source) shard key and the final groupBy's keys are a
+    superset of it, so Catalyst reuses the same partitioning for the
+    aggregation — chunk build and aggregation add no Exchange."""
+    plan = plan_of("pipeline_pack_sequences", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+
+
+def test_pii_scrub_no_python_no_shuffle(spark, sf_dir):
+    """Scrubbing is JVM regexp codegen: no Exchange, no Python eval
+    operators in the plan."""
+    plan = plan_of("text_pii_scrub", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree  # no BatchEvalPython / ArrowEvalPython

@@ -568,3 +568,41 @@ GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                         (date_trunc('day', ts)))
 """
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counted AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM counted
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY n DESC, o_orderpriority) = 1
+""",
+    category="aggregations",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a DETERMINISTIC
+    tie-break (highest count, then lexicographically smallest value)
+    — native mode() in either engine leaves ties unspecified, so the
+    engine computes count + argmin-over-(-n, value): two hash
+    aggregations, no window over raw rows. The second aggregation
+    sees one row per (group, value) — already tiny at any scale."""
+    o = table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.min_by(
+        F.struct(
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        ),
+        F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority")),
+    )
+    return counted.groupBy("o_orderstatus").agg(
+        best.getField("mode_priority").alias("mode_priority"),
+        best.getField("mode_count").alias("mode_count"),
+    )

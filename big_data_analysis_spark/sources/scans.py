@@ -267,3 +267,28 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+SELECT text AS value, CAST(length(text) AS INT) AS n_chars
+FROM documents
+""",
+    category="sources",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (``spark.read.text``) — the raw-
+    corpus entry path when documents arrive as newline-delimited
+    plain text (the most common LLM crawl interchange next to
+    jsonl). Round-trips the corpus through a staged .txt copy
+    (fixture texts are single-line, so line == document) and reads
+    it back as one `value` column; line-granular splits give full
+    scan parallelism at any corpus size."""
+    out = scratch_dir(prefix="bda_text_")
+    d = table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.col("value"), F.length("value").alias("n_chars")
+    )

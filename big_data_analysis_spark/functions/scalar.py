@@ -509,3 +509,52 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://host' || (doc_id % 7) || '.example.com/corpus/' || lang ||
+         '/doc?id=' || doc_id || '&src=' || source AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
+FROM u
+""",
+    category="functions",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family over synthesized crawl URLs: scheme, host,
+    path, query string, single query parameter — `parse_url` is the
+    native Spark primitive (shown against a regexp oracle, since
+    DuckDB has no URL parser; the synthesized URLs avoid the
+    encoding edge cases where the two approaches diverge). The
+    provenance-extraction step of every crawl-corpus pipeline."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/doc?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&src="),
+        F.col("source"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

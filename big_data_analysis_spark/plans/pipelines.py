@@ -363,3 +363,97 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# Deterministic rational hyperplanes for the semantic-index pipeline:
+# h_k[i] = ((37*i + 17*k) % 101 - 50) / 100 — integer-derived, so both
+# engines build bit-identical planes with no RNG and no libm.
+_SEM_PLANES = 4
+_SEM_DIM = 64
+
+
+def _sem_plane_sql(k: int) -> str:
+    """DuckDB: sign bit of the quantized-int64 dot(embedding, h_k)."""
+    return (
+        f"(CASE WHEN SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * "
+        f"(((37 * (i - 1) + 17 * {k}) % 101) - 50)) >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
+@query(
+    "pipeline_semantic_index",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         {" + ".join(f"{_sem_plane_sql(k)} * {1 << k}" for k in range(_SEM_PLANES))}
+         AS bucket
+  FROM ev GROUP BY vec_id
+)
+SELECT s.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+       MIN(d.doc_id) AS first_doc
+FROM sig s JOIN documents d ON d.doc_id = s.vec_id
+GROUP BY s.bucket
+""",
+    category="pipelines",
+)
+def pipeline_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-index build — the write path of a RAG / retrieval
+    system: every embedding is signed against 4 fixed hyperplanes
+    (sign-bit random-projection LSH, the same family
+    BucketedRandomProjectionLSH uses) giving a 16-bucket index, then
+    each bucket is profiled against the joined document corpus
+    (doc counts, char/token mass, first doc). Query-time ANN probes
+    only the query's bucket — this pipeline is the indexing half.
+
+    Exactness: hyperplanes are rational ((37i+17k) % 101 - 50)/100 —
+    no RNG, no libm — and the sign bit comes from the same
+    quantized-int64 dot product as the similarity tier, so the
+    whole index is bit-identical across engines and oracle-checked.
+
+    Scale: signature build is array algebra in one map stage (the
+    per-plane fold is O(dim), zero Python); one shuffle joins
+    documents on the id; one aggregation profiles buckets. On 100 TB
+    both sides would be bucketed on the id, making the join
+    zero-exchange like join_bucketed."""
+    from pyspark.sql import functions as FF
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = FF.col("embedding")
+
+    def q(v):
+        return FF.round(v.cast("double") * 1_000_000).cast("long")
+
+    def plane_bit(k: int):
+        prods = FF.zip_with(
+            emb,
+            FF.transform(
+                FF.sequence(FF.lit(0), FF.lit(_SEM_DIM - 1)),
+                lambda i: ((37 * i + 17 * k) % 101 - 50).cast("long"),
+            ),
+            lambda x, c: q(x) * c,
+        )
+        dot = FF.aggregate(prods, FF.lit(0).cast("long"), lambda a, x: a + x)
+        return FF.when(dot >= 0, FF.lit(1)).otherwise(FF.lit(0))
+
+    sig = e.select(
+        "vec_id",
+        sum([plane_bit(k) * (1 << k) for k in range(_SEM_PLANES)]).alias("bucket"),
+    )
+    d = table(spark, sf_dir, "documents")
+    return (
+        sig.join(d, d.doc_id == sig.vec_id)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -606,3 +606,116 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("mode_priority").alias("mode_priority"),
         best.getField("mode_count").alias("mode_count"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY bucket
+""",
+    category="aggregations",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k-wide buckets) — the profiling
+    primitive behind every data-quality dashboard. Bucketing is pure
+    arithmetic on the scan (codegen), then one partial+final count
+    aggregation on a small bounded key — at 100 TB the shuffle
+    carries at most tasks x buckets rows. Bucket ids are
+    integer-exact in both engines: the same IEEE double divide +
+    floor on the same inputs (width_bucket exists only on the Spark
+    side, so the portable arithmetic IS the operator)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, MIN(ts)) AS t0,
+         time_bucket(INTERVAL 6 HOUR, MAX(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT event_type, bucket_start
+  FROM (SELECT DISTINCT event_type FROM events)
+  CROSS JOIN (
+    SELECT unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS bucket_start
+    FROM bounds
+  )
+),
+actual AS (
+  SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.bucket_start, COALESCE(a.n, 0) AS n,
+       a.n IS NULL AS gap_filled
+FROM spine s LEFT JOIN actual a
+  ON a.event_type = s.event_type AND a.bucket_start = s.bucket_start
+""",
+    category="aggregations",
+)
+def agg_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time rollup: 6-hour bucket counts per event_type
+    with EMPTY buckets materialized as zero rows — the time-series
+    "gapfill" every monitoring/continuous-aggregate surface needs
+    (a missing bucket and a zero bucket are different facts).
+
+    Shape: the dense (type x bucket) spine is generated from the
+    global min/max — a two-row bound aggregate, then sequence() +
+    explode on the driver-free side — and the actual rollup LEFT
+    joins into it. The spine is tiny (types x buckets, time-bounded)
+    and broadcasts; the fact table is touched exactly once. At
+    100 TB the rollup is the usual partial+final count; the spine
+    stays a few thousand rows no matter the data volume."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    )
+    bounds = ev.agg(
+        F.min(bucket.cast("timestamp")).alias("t0"),
+        F.max(bucket.cast("timestamp")).alias("t1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            bounds.select(
+                F.explode(
+                    F.sequence("t0", "t1", F.expr("INTERVAL 6 HOURS"))
+                ).alias("bucket_start")
+            )
+        )
+    )
+    actual = (
+        ev.select("event_type", bucket.alias("bucket_start"))
+        .groupBy("event_type", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(actual, ["event_type", "bucket_start"], "left")
+        .select(
+            "event_type",
+            "bucket_start",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )

@@ -558,3 +558,33 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+       json_valid(props) AS is_valid
+FROM events
+WHERE event_id % 20 = 0
+""",
+    category="functions",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured JSON:
+    parse_json() shreds the props string into the binary Variant
+    encoding once, then variant_get() extracts typed paths without
+    re-parsing — the modern replacement for repeated
+    get_json_object string scans (one parse, many typed reads;
+    columnar-shreddable at rest in parquet). Oracle: DuckDB JSON
+    extraction of the same paths."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.where(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.col("props").try_cast("variant").isNotNull().alias("is_valid"),
+    )

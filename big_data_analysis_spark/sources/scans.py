@@ -292,3 +292,63 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         F.col("value"), F.length("value").alias("n_chars")
     )
+
+
+def _rangelog_datasource():
+    """Build the custom Python DataSource class lazily (pyspark 4
+    public API: pyspark.sql.datasource) — the extension point for
+    reading systems Spark has no built-in connector for, with
+    partition planning owned by the source."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Part(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _RangeLogReader(DataSourceReader):
+        def partitions(self):
+            # 4 planned splits — Spark schedules one task per split
+            return [_Part(s, s + 250) for s in range(0, 1000, 250)]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield (i, part.start // 250, (i * i) % 997, f"p{i % 5}")
+
+    class RangeLogDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "rangelog"
+
+        def schema(self) -> str:
+            return "i bigint, part int, val bigint, tag string"
+
+        def reader(self, schema):
+            return _RangeLogReader()
+
+    return RangeLogDataSource
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+SELECT i, CAST(i // 250 AS INT) AS part, (i * i) % 997 AS val,
+       'p' || (i % 5) AS tag
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+""",
+    category="sources",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (Spark 4 `pyspark.sql.datasource`):
+    a from-scratch connector with its own partition planning (4
+    splits -> 4 tasks) and a deterministic row generator standing in
+    for an external system's client. This is the sanctioned
+    extension path when no JVM connector exists (SaaS APIs, bespoke
+    formats) — rows stream through Arrow into the JVM, and
+    everything downstream (pushdown of later stages, AQE) treats it
+    as any other scan. Oracle: the same rows via generate_series
+    arithmetic."""
+    try:
+        spark.dataSource.register(_rangelog_datasource())
+    except Exception:
+        pass  # idempotent per session: re-register raises on some versions
+    return spark.read.format("rangelog").load()

@@ -113,3 +113,70 @@ def test_fingerprint_invariant_under_shuffle(spark, sf_dir):
     assert len(clusters) > 0
     for k, fps in by_key.items():
         assert len(fps) == 1
+
+
+def test_chunking_conserves_tokens(spark, sf_dir):
+    """text_chunk invariants on the real corpus: per-doc chunk token
+    sums equal the doc's token count; every chunk is 32 tokens except
+    possibly each doc's last; chunk ids are dense from 0."""
+    chunks = REG["text_chunk"].fn(spark, sf_dir)
+    docs = (
+        REG["text_chunk"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_id").alias("max_id"),
+        F.sum(F.when(F.col("n_tokens") != 32, 1).otherwise(0)).alias("n_partial"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.where(
+        (F.col("tok_sum") != F.col("n_toks"))
+        | (F.col("max_id") != F.col("n_chunks") - 1)
+        | (F.col("n_partial") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_budget_and_conservation(spark, sf_dir):
+    """pipeline_pack_sequences invariants: chunk/token mass is
+    conserved shard-by-shard, and no pack exceeds budget + max_chunk
+    - 1 tokens (a chunk may straddle one boundary, never two)."""
+    packs = REG["pipeline_pack_sequences"].fn(spark, sf_dir)
+    overfull = packs.where(F.col("n_tokens") > 64 + 32 - 1)
+    assert overfull.count() == 0
+    shard = packs.groupBy("lang", "source").agg(
+        F.sum("n_tokens").alias("pack_toks")
+    )
+    chunks = REG["text_chunk"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    truth = (
+        chunks.join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tokens").alias("chunk_toks"))
+    )
+    mism = shard.join(truth, ["lang", "source"]).where(
+        F.col("pack_toks") != F.col("chunk_toks")
+    )
+    assert mism.count() == 0
+
+
+def test_frame_sample_stride_and_bounds(spark, sf_dir):
+    """multimodal_frame_sample: sampled indices follow the stride,
+    every frame is full-size, and counts match floor(n/16) math."""
+    frames = REG["multimodal_frame_sample"].fn(spark, sf_dir)
+    assert frames.where(F.col("frame_idx") % 4 != 0).count() == 0
+    assert frames.where(F.col("n_bytes") != 16).count() == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.floor((F.col("n_chars") / 16)).alias("n_frames")
+    )
+    per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
+    mism = per_doc.join(docs, "doc_id").where(
+        F.col("n_sampled") != F.floor((F.col("n_frames") + 3) / 4)
+    )
+    assert mism.count() == 0

@@ -594,3 +594,32 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
     return drain_to_memory(joined, mode="append")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via Spark 4's
+    dropDuplicatesWithinWatermark: unlike plain dropDuplicates —
+    whose per-key state lives forever unless the event-time column
+    is part of the key — state here is evicted once the watermark
+    passes each key's first-seen time, which is the only shape that
+    survives an unbounded stream with re-deliveries. The stream
+    replays the table twice; the fixture's duplicates arrive within
+    the 1-hour horizon, so the double collapses to one copy and the
+    batch single-copy count is the oracle."""
+    s1 = read_event_stream(spark, sf_dir)
+    s2 = read_event_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return drain_to_memory(agg)

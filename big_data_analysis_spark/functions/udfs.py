@@ -262,3 +262,98 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, mixed_key_udf(o_orderpriority, o_orderkey) AS mixed_key "
         "FROM orders"
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.spend, 0.0) AS spend
+FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 10 = 0
+""",
+    category="udf",
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas transform (`groupBy(...).cogroup(...)
+    .applyInPandas`): both tables shuffle ONCE on the key and each
+    key's two pandas frames meet in a single Python kernel — the
+    escape hatch for per-key merge logic no join expresses (as-of
+    matching, interval alignment, custom reconciliation). Kernel
+    here: left-enrich customers with exact-decimal order totals,
+    zero-filled for orderless customers — deliberately re-expressible
+    as a LEFT JOIN so the whole cogroup path is oracle-checked.
+    At scale this is exactly one co-partitioned shuffle per side,
+    Arrow both ways, no driver involvement."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "c_mktsegment", "n_orders", "spend"]
+            )
+        # exact money: cents as int64, one final double conversion
+        cents = (
+            (right["o_totalprice"] * 100).round().astype("int64").sum()
+            if not right.empty
+            else 0
+        )
+        out = left.copy()
+        out["n_orders"] = len(right)
+        out["spend"] = float(cents) / 100.0
+        return out
+
+    return (
+        c.groupby("c_custkey")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey long, c_mktsegment string, n_orders long, spend double"
+        )
+    )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_cents
+FROM lineitem
+WHERE l_orderkey % 40 = 0
+""",
+    category="udf",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 `useArrow=True`):
+    same row-wise authoring model as a classic UDF but executed over
+    Arrow batches — the migration path that removes pickle
+    serialization without rewriting kernels as pandas. Integer-cents
+    arithmetic keeps it bit-exact vs the SQL twin."""
+
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def net_cents(price: float, discount: float) -> int:
+        import math
+
+        # HALF-AWAY rounding to match SQL round(): Python's round()
+        # is banker's and diverges on genuine .5 ties (price and
+        # discount both 2-decimal -> the scaled product has real
+        # half-cent ties). Values are positive, so floor(x+0.5) is
+        # exactly SQL semantics on the identical IEEE double.
+        return math.floor(price * (1 - discount) * 100 + 0.5)
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_cents(F.col("l_extendedprice"), F.col("l_discount")).alias("net_cents"),
+    )

@@ -421,7 +421,14 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_stateful", oracle=None, category="streaming")
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom per-user running state via applyInPandasWithState:
+    """Custom per-user running state via applyInPandasWithState.
+
+    (Spark 4's successor API, transformWithStateInPandas, is
+    environment-blocked here: its state-server protocol needs
+    google.protobuf, which is broken in this container — verified
+    ImportError. The v1 API below exercises the same arbitrary-
+    stateful capability through the same state store.)
+
     state = (n_events, max_value) per user, emitted on every update.
     The memory sink accumulates one row per (user, batch) — the unit
     test asserts the final emission equals the batch aggregate. No

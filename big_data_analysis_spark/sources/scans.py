@@ -352,3 +352,100 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # idempotent per session: re-register raises on some versions
     return spark.read.format("rangelog").load()
+
+
+_MALFORMED_CACHE: dict[str, str] = {}
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+SELECT doc_id,
+       doc_id % 50 = 0 AS is_corrupt,
+       CASE WHEN doc_id % 50 = 0 THEN NULL ELSE n_chars END AS n_chars
+FROM documents
+""",
+    category="sources",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV ingestion of a partially corrupt file —
+    the real-world crawl-dump case: every 50th row is staged with a
+    non-numeric n_chars, and the read must keep the good columns,
+    null out the bad value, and tag the row via the
+    ``_corrupt_record`` rescue column instead of failing the scan
+    (DROPMALFORMED/FAILFAST being the stricter dials of the same
+    option). Oracle: the corruption pattern is deterministic
+    (doc_id % 50), so DuckDB reconstructs the expected outcome from
+    the clean table."""
+    if sf_dir not in _MALFORMED_CACHE:
+        import csv
+        import os
+
+        stage = scratch_dir(prefix="bda_badcsv_")
+        rows = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+        path = os.path.join(stage, "docs.csv")
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for r in sorted(rows, key=lambda r: r["doc_id"]):
+                if r["doc_id"] % 50 == 0:
+                    w.writerow([r["doc_id"], f"BAD_{r['doc_id']}"])  # corrupt
+                else:
+                    w.writerow([r["doc_id"], r["n_chars"]])
+        _MALFORMED_CACHE[sf_dir] = stage
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{_MALFORMED_CACHE[sf_dir]}/docs.csv")
+    )
+    return raw.select(
+        "doc_id",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        "n_chars",
+    )
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE NULL END AS n_chars,
+       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source
+FROM documents
+""",
+    category="sources",
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read: two parquet files written with
+    different column sets (old writer: doc_id/lang/n_chars; new
+    writer: doc_id/lang/source) unified by ``mergeSchema=true`` —
+    each side's missing column surfaces as NULL. This is how a
+    long-lived ingest directory actually looks after a pipeline
+    upgrade; without mergeSchema the scan silently takes one
+    footer's schema. Oracle: the even/odd split is deterministic,
+    so DuckDB reconstructs the merged frame from the clean table.
+    (At 100 TB you set the merged schema explicitly instead of
+    paying a footer sweep — the read semantics are identical.)"""
+    stage = scratch_dir(prefix="bda_merge_")
+    d = table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars").write.parquet(
+        f"{stage}/part_old"
+    )
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source").write.parquet(
+        f"{stage}/part_new"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{stage}/part_old", f"{stage}/part_new"
+    )
+    return merged.select("doc_id", "lang", "n_chars", "source")

@@ -176,19 +176,3 @@ def test_pii_scrub_no_python_no_shuffle(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Python" not in tree  # no BatchEvalPython / ArrowEvalPython
-
-
-def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
-    """A filter on the partitionBy column must become a
-    PartitionFilter (directory pruning — no data files of other
-    partitions are even listed), not a post-scan Filter."""
-    from pyspark.sql import functions as F
-
-    out = str(tmp_path / "pruned")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    orders.write.partitionBy("o_orderpriority").parquet(out)
-    df = spark.read.parquet(out).where(F.col("o_orderpriority") == "1-URGENT")
-    jvm = spark.sparkContext._jvm
-    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert pf and "o_orderpriority" in pf[0]

@@ -312,3 +312,42 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("new_session").over(wsum).alias("session_id"),
     )
+
+
+@query(
+    "win_nth_ignore_nulls",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       first_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END
+                   IGNORE NULLS) OVER w AS first_big,
+       last_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END
+                  IGNORE NULLS) OVER w AS last_big
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="windows",
+)
+def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value and IGNORE NULLS first/last over a full-partition
+    frame: the "second order's price" and "first/last big order"
+    idioms — null-skipping navigation that plain first/last cannot
+    express (a NULL in frame order is the answer without IGNORE
+    NULLS). Frame is the whole partition so results are
+    row-deterministic; orderdate+orderkey gives a total order."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+        F.last(big, ignorenulls=True).over(w).alias("last_big"),
+    )

@@ -271,3 +271,12 @@ def test_simhash_pairs_find_tokenset_clusters(spark, sf_dir):
             assert p in pairs and pairs[p] == 0, f"missing cluster pair {p}"
             checked += 1
     assert checked > 0
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom DataSource's 4 planned splits must become 4 Spark
+    tasks (partition-planning ownership is the point of the API)."""
+    from big_data_analysis_spark.registry import load_all
+
+    df = load_all()["scan_python_datasource"].fn(spark, "unused")
+    assert df.rdd.getNumPartitions() == 4

@@ -719,3 +719,31 @@ def agg_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_huge,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS BIGINT)
+         AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+    category="aggregations",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if, universal/existential
+    quantifiers (bool_and/bool_or a.k.a. every/some), and FILTER'd
+    count — the predicates-as-aggregates surface dashboards lean on.
+    All JVM-side, partial+final aggregation on a 3-value key."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.count(F.when(F.col("o_orderpriority").like("1-%"), 1)).alias("n_urgent"),
+    )

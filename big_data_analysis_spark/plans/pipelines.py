@@ -457,3 +457,64 @@ def pipeline_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "pipeline_quality_report",
+    oracle="""
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+       CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS n_null_measure,
+       MIN(o_orderdate) IS NOT NULL AS has_time_axis
+FROM orders
+UNION ALL
+SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey),
+       CAST(count_if(l_extendedprice IS NULL) AS BIGINT), MIN(l_shipdate) IS NOT NULL
+FROM lineitem
+UNION ALL
+SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+       CAST(count_if(c_acctbal IS NULL) AS BIGINT), FALSE
+FROM customer
+UNION ALL
+SELECT 'events', COUNT(*), COUNT(DISTINCT user_id),
+       CAST(count_if(value IS NULL) AS BIGINT), MIN(ts) IS NOT NULL
+FROM events
+UNION ALL
+SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+       CAST(count_if(n_chars IS NULL) AS BIGINT), FALSE
+FROM documents
+""",
+    category="pipelines",
+)
+def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality report — the nightly profiling job a
+    warehouse runs over every table it ingests: row counts, key
+    cardinalities, null counts in the primary measure, presence of a
+    time axis. One partial+final aggregation per table (each a
+    single scan), unioned into a 5-row report; tables profile in
+    parallel since the union's children are independent stages."""
+    def profile(tbl, key, measure, time_col):
+        t = table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            F.count_if(F.col(measure).isNull()).alias("n_null_measure"),
+            (
+                F.min(time_col).isNotNull()
+                if time_col
+                else F.lit(False)
+            ).alias("has_time_axis"),
+        ).select("tbl", "n_rows", "n_keys", "n_null_measure", "has_time_axis")
+
+    parts = [
+        profile("orders", "o_custkey", "o_totalprice", "o_orderdate"),
+        profile("lineitem", "l_orderkey", "l_extendedprice", "l_shipdate"),
+        profile("customer", "c_custkey", "c_acctbal", None),
+        profile("events", "user_id", "value", "ts"),
+        profile("documents", "doc_id", "n_chars", None),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -320,3 +320,42 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber, t.l_extendedprice
+FROM orders o,
+     LATERAL (SELECT l_linenumber, l_extendedprice
+              FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber
+              LIMIT 2) t
+WHERE o.o_custkey % 100 = 0
+""",
+    category="joins",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — "for each order, its top-2
+    priciest line items": the per-row dependent subquery surface
+    (Spark 4 SQL supports LATERAL natively). Catalyst decorrelates
+    it into a join + per-key rank-limit, so the execution shape is
+    the scalable WindowGroupLimit plan, not a per-row re-scan —
+    asserted by the same top-k plan discipline as
+    win_topk_per_group."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+             LATERAL (SELECT l_linenumber, l_extendedprice
+                      FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber
+                      LIMIT 2) t
+        WHERE o.o_custkey % 100 = 0
+        """
+    )

@@ -518,3 +518,68 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "pipeline_cdc_upsert",
+    oracle="""
+WITH cdc AS (
+  SELECT o_orderkey AS key,
+         o_orderkey % 1000 AS seq,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+         o_totalprice AS payload
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1000 + o_orderkey % 7,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END,
+         o_totalprice * 2
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+latest AS (
+  SELECT * FROM cdc
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY seq DESC, op) = 1
+)
+SELECT key, op AS last_op, payload
+FROM latest WHERE op <> 'D'
+""",
+    category="pipelines",
+)
+def pipeline_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert compaction — the warehouse ingestion kernel:
+    a change stream of Insert/Update/Delete ops (two deterministic
+    generations derived from orders; the second generation updates
+    or deletes every 5th key) collapses to current state by taking
+    each key's LATEST op (window rank on sequence number) and
+    dropping keys whose last op is a delete. This is exactly what
+    MERGE INTO / Delta-style upsert does under the hood; expressed
+    as pure DataFrame algebra it runs anywhere.
+
+    Scale: one shuffle on key for the rank (at 100 TB: compact
+    per-partition first — the same window runs inside each file
+    group), then a map-side filter; payload never shuffles twice."""
+    o = table(spark, sf_dir, "orders")
+    gen1 = o.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 1000).alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("payload"),
+    )
+    gen2 = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.lit(1000) + F.col("o_orderkey") % 7).alias("seq"),
+            F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+            (F.col("o_totalprice") * 2).alias("payload"),
+        )
+    )
+    cdc = gen1.unionByName(gen2)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"), "op")
+    latest = cdc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return latest.where(F.col("op") != "D").select(
+        "key", F.col("op").alias("last_op"), "payload"
+    )

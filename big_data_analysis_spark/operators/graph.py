@@ -1,0 +1,103 @@
+"""Iterative graph algorithms as DataFrame joins (SURVEY.md §2 —
+"iterative algorithms", the non-SQL-expressible tier): PageRank by
+power iteration, sharing the loop discipline of
+dedup._min_label_components (join + groupBy per round,
+localCheckpoint to truncate lineage, only scalars on the driver).
+
+At 100 TB the per-iteration cost is one shuffle of the rank table on
+dst — the edge table is re-used co-partitioned every round (persist +
+same key), which is exactly GraphX/Pregel's execution shape on the
+DataFrame runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+_DAMPING = 0.85
+_ITERS = 15
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 100-node digraph derived from lineitem:
+    (orderkey%100) -> (partkey%100), distinct, self-loops dropped."""
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 100).alias("src"),
+            (F.col("l_partkey") % 100).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return e
+
+
+@query("graph_pagerank", oracle=None, category="graph")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 15 damped power iterations over a deterministic
+    lineitem-derived digraph. Dangling-node mass is redistributed
+    uniformly each round (the standard stochastic-matrix fix), so
+    ranks sum to 1 every iteration.
+
+    Rows-only: per-iteration double arithmetic is order-sensitive
+    across engines; tests/test_quality.py re-runs the identical
+    iteration in NumPy on the collected edge list and asserts 1e-9
+    agreement plus rank-sum==1 and determinism across runs.
+
+    Execution shape per round: ranks ⋈ out-degree (map-side,
+    broadcast degree table) -> contribution explode via the edge
+    join (one shuffle on src) -> groupBy dst (one shuffle) ->
+    damped update; lineage truncated with localCheckpoint so the
+    plan stays O(1) deep across iterations."""
+    e = _edges(spark, sf_dir).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(_ITERS):
+        contrib = (
+            ranks.join(F.broadcast(deg), ranks.node == deg.src, "left")
+            .select(
+                "node",
+                "rank",
+                "outdeg",
+                (F.col("rank") / F.col("outdeg")).alias("share"),
+            )
+        )
+        # dangling mass: nodes with no out-edges spread rank uniformly
+        dangling = (
+            contrib.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        inflow = (
+            contrib.where(F.col("outdeg").isNotNull())
+            .join(e, contrib.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        base = (1.0 - _DAMPING) / n + _DAMPING * dangling / n
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(_DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank")

@@ -58,6 +58,7 @@ _OPERATOR_MODULES = [
     "big_data_analysis_spark.functions.scalar",
     "big_data_analysis_spark.operators.text",
     "big_data_analysis_spark.operators.dedup",
+    "big_data_analysis_spark.operators.graph",
     "big_data_analysis_spark.operators.similarity",
     "big_data_analysis_spark.operators.multimodal",
     "big_data_analysis_spark.streaming.stream_ops",

@@ -280,3 +280,35 @@ def test_python_datasource_partition_planning(spark):
 
     df = load_all()["scan_python_datasource"].fn(spark, "unused")
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """graph_pagerank must agree with an independent NumPy
+    implementation of the same damped power iteration (same edge
+    list, same dangling redistribution) to 1e-9, sum to 1, and be
+    deterministic across runs."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.graph import _edges, graph_pagerank
+
+    edges = _edges(spark, sf_dir).collect()
+    nodes = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for r in edges:
+        out[idx[r["src"]]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(15):
+        share = np.where(out > 0, rank / np.where(out > 0, out, 1), 0.0)
+        dangling = rank[out == 0].sum()
+        nxt = np.full(n, (1 - 0.85) / n + 0.85 * dangling / n)
+        for r in edges:
+            nxt[idx[r["dst"]]] += 0.85 * share[idx[r["src"]]]
+        rank = nxt
+    got = {r["node"]: r["rank"] for r in graph_pagerank(spark, sf_dir).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - rank[idx[v]]) < 1e-9, v
+    got2 = {r["node"]: r["rank"] for r in graph_pagerank(spark, sf_dir).collect()}
+    assert got == got2

@@ -101,3 +101,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem
+  WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (  -- undirected canonical edges a < b
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM u e1
+JOIN u e2 ON e2.a = e1.b
+JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+    category="graph",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the canonicalized undirected graph: order
+    every edge a<b, then the a<b<c wedge join counts each triangle
+    exactly once — two equi-joins, fully SQL-expressible, so unlike
+    PageRank this graph op is oracle-checked bit-exact.
+
+    Scale: the standard trick is already in the shape — ordering
+    edges by id makes each wedge generated once (no /6 dedup), and
+    the join fans out on edge endpoints, so a degree cap / skew salt
+    slots in exactly like dedup_ngram_jaccard's df-cap when a hub
+    node appears."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = u.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = u.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y2") == F.col("y"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = tri.localCheckpoint(eager=True)
+    u.unpersist()
+    return out

@@ -83,3 +83,41 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
     return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+    category="setops",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): each row kept min(m, n)
+    times — the multiplicity-aware sibling of set_intersect, one
+    shuffle on the full row like every set op."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_distinct",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    category="setops",
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): presence-based removal,
+    completing the §2.7 variant matrix (union/union all/intersect/
+    intersect all/except/except all)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.subtract(b)

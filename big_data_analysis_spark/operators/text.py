@@ -559,3 +559,45 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _CONTAM_MIN_SHARED)
     )
+
+
+@query(
+    "text_bigram_freq",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM bg GROUP BY bigram
+HAVING COUNT(*) >= 5
+""",
+    category="text",
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (n >= 5) — the n-gram language-model /
+    collocation-mining primitive. Bigrams are built array-natively
+    from the precomputed token array (no self-join; the relational
+    formulation shuffles the token table twice), then one groupBy
+    with map-side partial aggregation absorbing Zipfian head skew
+    exactly as in text_tokenize."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("n") >= 5)
+    )

@@ -351,3 +351,47 @@ def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(big, ignorenulls=True).over(w).alias("first_big"),
         F.last(big, ignorenulls=True).over(w).alias("last_big"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE event_type = 'click'
+),
+isl AS (
+  SELECT user_id, event_id, event_id - rn AS grp FROM seq
+)
+SELECT user_id, MIN(event_id) AS island_start, MAX(event_id) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM isl
+GROUP BY user_id, grp
+HAVING COUNT(*) >= 2
+""",
+    category="windows",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event_ids per
+    user (runs of uninterrupted activity) via the classic id - rn
+    constant-per-island trick — one window + one aggregation, both
+    shuffling on user_id, the canonical sequence-analysis pattern
+    that needs no self-join and no iteration."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    isl = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .where(F.col("island_len") >= 2)
+        .drop("grp")
+    )

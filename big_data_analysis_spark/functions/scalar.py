@@ -588,3 +588,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.col("props").try_cast("variant").isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> length(t) >= 7) AS longs
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT d.doc_id, t.tok AS long_token
+FROM d LEFT JOIN (
+  SELECT doc_id, unnest(longs) AS tok FROM d
+) t USING (doc_id)
+""",
+    category="functions",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is EMPTY survive with a NULL
+    element instead of disappearing — the difference between "this
+    doc has no long tokens" being a fact in the output vs silently
+    dropped (plain explode loses the row, the LEFT-JOIN-unnest
+    equivalent keeps it). Filter derives genuinely empty arrays from
+    the corpus."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: F.length(t) >= 7
+            ).alias("longs"),
+        )
+    )
+    return d.select("doc_id", F.explode_outer("longs").alias("long_token"))

@@ -359,3 +359,42 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_custkey % 100 = 0
         """
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, nullif(o_orderkey % 7, 3) AS k, o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+b AS (
+  SELECT nullif(n, 3) AS k, 'bucket_' || n AS label
+  FROM (SELECT unnest(generate_series(0, 6)) AS n)
+)
+SELECT a.o_orderkey, a.k, b.label, a.o_totalprice
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    category="joins",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics you
+    need when NULL is a real category (unknown bucket) rather than
+    absent data. Same hash-join machinery, NULL hashes to a regular
+    partition; a plain `=` join silently drops every NULL row, the
+    classic reconciliation bug this operator exists to avoid."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    a = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderkey") % 7, F.lit(3)).alias("k"),
+        "o_totalprice",
+    )
+    b = spark.range(0, 7).select(
+        F.nullif(F.col("id"), F.lit(3)).alias("kb"),
+        F.concat(F.lit("bucket_"), F.col("id").cast("string")).alias("label"),
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(F.col("kb")))
+        .select("o_orderkey", "k", "label", "o_totalprice")
+    )

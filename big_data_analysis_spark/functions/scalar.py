@@ -565,8 +565,8 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
-       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
-       json_valid(props) AS is_valid
+       json_extract_string(props, '$.k') AS k_str,
+       COALESCE(json_valid(props), FALSE) AS is_valid
 FROM events
 WHERE event_id % 20 = 0
 """,

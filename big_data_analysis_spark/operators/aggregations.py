@@ -684,7 +684,14 @@ def agg_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins into it. The spine is tiny (types x buckets, time-bounded)
     and broadcasts; the fact table is touched exactly once. At
     100 TB the rollup is the usual partial+final count; the spine
-    stays a few thousand rows no matter the data volume."""
+    stays a few thousand rows no matter the data volume.
+
+    Oracle-alignment constraint: Spark buckets from the Unix epoch
+    while DuckDB's time_bucket origin is 2000-01-01 (946684800 s).
+    Cross-engine exactness therefore requires the bucket width to
+    divide 946684800 — true for 6 h (21600 s), false for e.g. 7 h.
+    Changing the width means either keeping this divisibility or
+    passing an explicit epoch origin to time_bucket in the oracle."""
     ev = table(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(
         (F.unix_timestamp("ts") / 21600).cast("long") * 21600

@@ -388,8 +388,12 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     toks = F.col("toks")
     n_chunks = F.expr(f"(size(toks) + {_CHUNK} - 1) div {_CHUNK}")
+    # n_chunks == 0 guard: Spark's sequence(0, -1) auto-descends to
+    # [0, -1] while the oracle's generate_series(0, -1) is empty; the
+    # un-otherwise'd when() yields NULL there and posexplode drops it,
+    # matching the oracle's zero rows for empty token arrays.
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
         lambda i: F.slice(toks, i * _CHUNK + 1, _CHUNK),
     )
     return d.select(

@@ -342,8 +342,11 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.col("toks")
     n_chunks = F.expr("(size(toks) + 31) div 32")
+    # n_chunks == 0 guard: sequence(0, -1) would auto-descend to
+    # [0, -1] where the oracle's generate_series is empty; NULL from
+    # the un-otherwise'd when() posexplodes to zero rows instead.
     chunk_sizes = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
         lambda i: F.size(F.slice(toks, i * 32 + 1, 32)),
     )
     chunks = d.select(

@@ -20,6 +20,11 @@ from ..registry import query
 
 _DAMPING = 0.85
 _ITERS = 15
+# Early-exit threshold on max |rank' - rank|: converged-to-1e-12
+# iterates differ from the _ITERS-step fixed point by at most
+# damping * tol / (1 - damping) ~ 6e-12, far inside the 1e-9
+# NumPy-agreement contract.
+_TOL = 1e-12
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,11 +54,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration in NumPy on the collected edge list and asserts 1e-9
     agreement plus rank-sum==1 and determinism across runs.
 
-    Execution shape per round: ranks ⋈ out-degree (map-side,
-    broadcast degree table) -> contribution explode via the edge
-    join (one shuffle on src) -> groupBy dst (one shuffle) ->
-    damped update; lineage truncated with localCheckpoint so the
-    plan stays O(1) deep across iterations."""
+    Execution shape per round — exactly ONE driver action: the
+    dangling-node rank mass (the node set is static, precomputed
+    once) is a 1-row aggregate folded back in as a broadcast
+    crossJoin, NOT a driver collect; the next iterate is marked for
+    lazy localCheckpoint and the single convergence aggregate
+    max|rank'-rank| both materializes it and drives the early exit
+    (mirroring _min_label_components' checksum loop). Contributions
+    flow through a broadcast degree join -> edge join (one shuffle
+    on src) -> groupBy dst; lineage stays O(1) deep via the
+    checkpoint."""
     e = _edges(spark, sf_dir).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -63,43 +73,45 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Dangling set is fixed across iterations: nodes with no out-edge.
+    dang = nodes.join(deg, nodes.node == deg.src, "left_anti").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(_ITERS):
-        contrib = (
-            ranks.join(F.broadcast(deg), ranks.node == deg.src, "left")
-            .select(
-                "node",
-                "rank",
-                "outdeg",
-                (F.col("rank") / F.col("outdeg")).alias("share"),
-            )
-        )
-        # dangling mass: nodes with no out-edges spread rank uniformly
-        dangling = (
-            contrib.where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dmass = (
+            ranks.join(dang, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         inflow = (
-            contrib.where(F.col("outdeg").isNotNull())
-            .join(e, contrib.node == e.src)
+            ranks.join(F.broadcast(deg), ranks.node == deg.src)
+            .select("node", (F.col("rank") / F.col("outdeg")).alias("share"))
+            .join(e, F.col("node") == e.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("in_sum"))
         )
-        base = (1.0 - _DAMPING) / n + _DAMPING * dangling / n
-        ranks = (
-            nodes.join(inflow, "node", "left")
+        new_ranks = (
+            ranks.withColumnRenamed("rank", "prev")
+            .join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
+                "prev",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - _DAMPING) / n)
+                    + F.lit(_DAMPING) * F.col("dmass") / n
                     + F.lit(_DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        delta = new_ranks.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev")))
+        ).collect()[0][0]
+        ranks = new_ranks.select("node", "rank")
+        if delta < _TOL:
+            break
     e.unpersist()
     nodes.unpersist()
+    dang.unpersist()
     return ranks.select("node", "rank")
 
 

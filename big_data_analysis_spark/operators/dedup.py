@@ -237,29 +237,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No DuckDB xxhash64 -> rows-only; unit tests assert (a) cluster
     members share a simhash, (b) stability across runs. At scale:
-    one explode + one groupBy(doc_id) shuffle, 64 longs of state per
-    doc."""
+    one explode + one groupBy(doc_id) shuffle.
+
+    Shape notes (this replaced a 64-column +/-1 vote aggregate that
+    benchmarked 5-6x slower — the cost was Catalyst re-optimizing a
+    64-term nested when() projection every run, not execution):
+    - The set-bit COUNTS for 4 bit positions pack into one long as
+      16-bit lanes — 17 aggregate columns (16 lane sums + the
+      distinct-token count n_tok) instead of 64, so the shuffle/agg
+      buffer is 4x narrower too.
+    - Reassembly is ONE higher-order aggregate() over sequence(0,63)
+      reading the lanes array — a single expression node, so the
+      optimizer cost stays flat. shiftleft(1L, 63) lands the sign
+      bit with correct two's-complement semantics.
+    - Majority rule "2*cnt > n_tok" is algebraically identical to
+      the old "sum(+/-1) > 0" (votes = 2*cnt - n): simhash values
+      are bit-identical. Lane arithmetic caps distinct tokens per
+      doc at 32767 (top 16-bit field times n must stay under 2^63)
+      — far beyond any natural-language document."""
     d = table(spark, sf_dir, "documents")
     tok_hash = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
-    # vote for each of the 64 bits: +1 if set, -1 if clear
+    # lane j accumulates set-bit counts for bit positions 4j..4j+3,
+    # one count per 16-bit field of a single long
+    lanes = []
+    for j in range(16):
+        expr = None
+        for k in range(4):
+            fld = F.shiftrightunsigned(F.col("h"), 4 * j + k).bitwiseAND(
+                F.lit(1)
+            ).cast("long") * F.lit(1 << (16 * k)).cast("long")
+            expr = fld if expr is None else expr + fld
+        lanes.append(F.sum(expr).alias(f"lane{j}"))
     votes = tok_hash.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+        F.count(F.lit(1)).alias("n_tok"), *lanes
     )
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.alias("simhash"))
+    packed = votes.select(
+        "doc_id",
+        "n_tok",
+        F.array(*[f"lane{j}" for j in range(16)]).alias("lanes"),
+    )
+    sim = F.expr(
+        """
+aggregate(sequence(0, 63), 0L, (acc, b) -> acc + IF(
+  ((lanes[CAST(b / 4 AS INT)] >> (16 * (b % 4))) & 65535) * 2 > n_tok,
+  shiftleft(1L, b), 0L))
+"""
+    )
+    return packed.select("doc_id", sim.alias("simhash"))
 
 
 @query("dedup_minhash", oracle=None, category="dedup")

@@ -368,19 +368,11 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic rational hyperplanes for the semantic-index pipeline:
-# h_k[i] = ((37*i + 17*k) % 101 - 50) / 100 — integer-derived, so both
-# engines build bit-identical planes with no RNG and no libm.
-_SEM_PLANES = 4
-_SEM_DIM = 64
-
-
-def _sem_plane_sql(k: int) -> str:
-    """DuckDB: sign bit of the quantized-int64 dot(embedding, h_k)."""
-    return (
-        f"(CASE WHEN SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * "
-        f"(((37 * (i - 1) + 17 * {k}) % 101) - 50)) >= 0 THEN 1 ELSE 0 END)"
-    )
+# The rational sign-bit hyperplanes are shared with the query-time
+# probe (operators/similarity.py: sem_bucket / sim_index_probe) —
+# write path and read path must hash identically.
+from ..operators.similarity import _SQL_BUCKET as _SEM_BUCKET_SQL
+from ..operators.similarity import sem_bucket
 
 
 @query(
@@ -391,9 +383,7 @@ WITH ev AS (
   FROM embeddings
 ),
 sig AS (
-  SELECT vec_id,
-         {" + ".join(f"{_sem_plane_sql(k)} * {1 << k}" for k in range(_SEM_PLANES))}
-         AS bucket
+  SELECT vec_id, {_SEM_BUCKET_SQL} AS bucket
   FROM ev GROUP BY vec_id
 )
 SELECT s.bucket,
@@ -424,31 +414,11 @@ def pipeline_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-plane fold is O(dim), zero Python); one shuffle joins
     documents on the id; one aggregation profiles buckets. On 100 TB
     both sides would be bucketed on the id, making the join
-    zero-exchange like join_bucketed."""
-    from pyspark.sql import functions as FF
-
+    zero-exchange like join_bucketed. Query-time reads of this index
+    are sim_index_probe (operators/similarity.py), which hashes
+    queries with the same planes."""
     e = table(spark, sf_dir, "embeddings")
-    emb = FF.col("embedding")
-
-    def q(v):
-        return FF.round(v.cast("double") * 1_000_000).cast("long")
-
-    def plane_bit(k: int):
-        prods = FF.zip_with(
-            emb,
-            FF.transform(
-                FF.sequence(FF.lit(0), FF.lit(_SEM_DIM - 1)),
-                lambda i: ((37 * i + 17 * k) % 101 - 50).cast("long"),
-            ),
-            lambda x, c: q(x) * c,
-        )
-        dot = FF.aggregate(prods, FF.lit(0).cast("long"), lambda a, x: a + x)
-        return FF.when(dot >= 0, FF.lit(1)).otherwise(FF.lit(0))
-
-    sig = e.select(
-        "vec_id",
-        sum([plane_bit(k) * (1 << k) for k in range(_SEM_PLANES)]).alias("bucket"),
-    )
+    sig = e.select("vec_id", sem_bucket(F.col("embedding")).alias("bucket"))
     d = table(spark, sf_dir, "documents")
     return (
         sig.join(d, d.doc_id == sig.vec_id)

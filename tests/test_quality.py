@@ -89,6 +89,26 @@ def test_knn_ivf_recall_and_determinism(spark, sf_dir):
     assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
 
 
+def test_index_probe_recall(spark, sf_dir):
+    """sim_index_probe (hyperplane-bucket read path) vs brute force:
+    >= 0.9 recall at sf0.01, the driver's correctness scale; the
+    sf0.001 corpus measures 0.87 (random unit vectors are sign-LSH's
+    hard case — docstring in operators/similarity.py), so the default
+    fixture asserts the 0.8 floor."""
+    brute = _neighbor_sets(run("sim_knn_brute", spark, sf_dir))
+    probe = _neighbor_sets(run("sim_index_probe", spark, sf_dir))
+    hits = sum(len(brute[q] & probe.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.8, f"probe recall {hits}/{total}"
+
+    sf01 = "/root/testdata/sf0.01"
+    brute = _neighbor_sets(run("sim_knn_brute", spark, sf01))
+    probe = _neighbor_sets(run("sim_index_probe", spark, sf01))
+    hits = sum(len(brute[q] & probe.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.9, f"probe recall at sf0.01 {hits}/{total}"
+
+
 def test_threshold_lsh_matches_exact(spark, sf_dir):
     exact = {
         (r.vec_a, r.vec_b) for r in run("sim_threshold_pairs", spark, sf_dir).collect()

@@ -37,9 +37,12 @@ BENCH_QUERIES = [
     # NOT dedup_minhash: the fixture corpus draws from a 31-word
     # vocabulary, so nearly every doc pair is a MinHash candidate
     # (token-set Jaccard is uniformly high) — an adversarial corpus
-    # that turns LSH candidate generation quadratic. The trigram
-    # variant discriminates properly and represents dedup here.
+    # that turns LSH candidate generation quadratic. The widevocab
+    # variant below measures the banding path on a realistic
+    # (synthetic wide-vocabulary) corpus instead; the trigram
+    # variant represents exact n-gram dedup.
     "dedup_ngram_jaccard",
+    "dedup_minhash_widevocab",
     "dedup_simhash",
     "text_tfidf",
     "sim_knn_brute",

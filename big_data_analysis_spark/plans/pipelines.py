@@ -433,6 +433,92 @@ def pipeline_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_rag_retrieval",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, {_SEM_BUCKET_SQL} AS bucket
+  FROM ev GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+  FROM sig q JOIN sig d
+    ON q.vec_id < 5 AND d.vec_id <> q.vec_id
+   AND bit_count(xor(q.bucket, d.bucket)) <= 2
+),
+scores AS (
+  SELECT c.query_id, c.neighbor_id,
+         (CAST(SUM(CAST(round(CAST(a.v AS DOUBLE) * 1000000) AS BIGINT) *
+                   CAST(round(CAST(b.v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1e12) AS cosine
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.query_id
+  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+top3 AS (
+  SELECT query_id, neighbor_id, cosine FROM scores
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= 3
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       MAX(t.cosine) AS best_cosine,
+       string_agg(d.text, chr(10) || chr(10)
+                  ORDER BY t.cosine DESC, t.neighbor_id) AS context
+FROM top3 t JOIN documents d ON d.doc_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+    category="pipelines",
+)
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval — the complete read path a retrieval
+    system runs per query batch: probe the hyperplane index
+    (sim_index_probe: same rational planes as the
+    pipeline_semantic_index write path), take the top-3 verified
+    neighbors per query, join the document corpus, and assemble the
+    retrieval context (documents concatenated best-cosine-first,
+    double-newline separated) with its provenance stats. Every stage
+    is exact, so the whole composite is oracle-checked — including
+    the assembled context string.
+
+    Scale: probe is broadcast-query + no corpus shuffle (plan test
+    on sim_index_probe); the doc join broadcasts the tiny top-k
+    result against the corpus scan; the final groupBy moves
+    queries x k rows. Nothing here scales with corpus size except
+    the one corpus scan."""
+    from ..operators.similarity import sim_index_probe
+
+    probe = sim_index_probe(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    joined = d.join(F.broadcast(probe), d.doc_id == probe.neighbor_id)
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("cosine").alias("best_cosine"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("neg_cos"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("text").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n\n",
+        ).alias("context"),
+    )
+
+
+@query(
     "pipeline_quality_report",
     oracle="""
 SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,

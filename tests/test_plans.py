@@ -124,6 +124,19 @@ def test_threshold_pairs_block_fanout_bounded(spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_index_probe_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """sim_index_probe: the corpus side is scanned once and never
+    shuffled before the join — the bounded query set broadcasts
+    (BroadcastNestedLoopJoin over the Hamming-ball condition) and the
+    only shuffle Exchange is the per-query top-k window, which also
+    gets a partial WindowGroupLimit below it."""
+    plan = plan_of("sim_index_probe", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "WindowGroupLimit" in tree
+    assert tree.count("- Exchange") == 1  # window shuffle only
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """A read over a partitionBy() output with a partition-key filter
     must show PartitionFilters at the scan (no full-directory scan)."""

@@ -623,3 +623,44 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", F.explode_outer("longs").alias("long_token"))
+
+
+@query(
+    "fn_collation",
+    oracle="""
+WITH m AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN p_name ELSE upper(p_name) END
+           AS name_mixed
+  FROM part
+)
+SELECT p_partkey, name_mixed,
+       lower(name_mixed) LIKE '%green%' AS has_green,
+       lower(name_mixed) LIKE 'bl%' AS starts_bl,
+       lower(name_mixed) LIKE '%rose' AS ends_rose
+FROM m
+""",
+    category="functions",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: string predicates evaluated under
+    an explicit UTF8_LCASE collation (``F.collate``) — the engine-
+    level answer to case-insensitive matching, replacing scattered
+    lower() calls and letting comparisons/joins/groupBys be
+    collation-aware. Input case is deliberately mixed per row (odd
+    keys uppercased) so the collation actually decides the result;
+    DuckDB twin lowers explicitly, which is the semantic UTF8_LCASE
+    contract for this ASCII fixture. Pure map stage — predicates
+    stay in whole-stage codegen."""
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.col("p_name")
+    ).otherwise(F.upper(F.col("p_name")))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return p.select(
+        "p_partkey",
+        mixed.alias("name_mixed"),
+        ci.contains(F.lit("GREEN")).alias("has_green"),
+        ci.startswith(F.lit("Bl")).alias("starts_bl"),
+        ci.endswith(F.lit("ROSE")).alias("ends_rose"),
+    )

@@ -294,6 +294,40 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_xml",
+    oracle="SELECT doc_id, lang, n_chars, text FROM documents",
+    category="sources",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source round trip (built into Spark since 4.0 — no
+    spark-xml package): the documents table is written as XML rows
+    via the XML writer and read back with an EXPLICIT schema and
+    ``rowTag`` (no schema-inference pass). Entity escaping
+    (&amp;/&lt;...) is applied by the writer and undone by the
+    reader, so content is byte-exact against the parquet original —
+    which is exactly what the oracle checks.
+
+    Scale: XML files split per-file (a row can't span files), so
+    parallelism = file count; the writer shards by input partition,
+    giving balanced files. Schema-on-read stays explicit — inference
+    would add a full extra pass at 100 TB."""
+    out = scratch_dir(prefix="bda_xml_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    d.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "doc").load(out)
+    )
+
+
 def _rangelog_datasource():
     """Build the custom Python DataSource class lazily (pyspark 4
     public API: pyspark.sql.datasource) — the extension point for

@@ -626,6 +626,51 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_off25,
+       CASE WHEN l_orderkey > 7 THEN NULL
+            ELSE CAST(CAST(9223372036854775800 AS HUGEINT) + l_orderkey AS BIGINT)
+       END AS near_max_plus,
+       TRY_CAST(CAST(l_partkey AS VARCHAR) AS DECIMAL(8,0)) AS parsed_ok,
+       TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS DECIMAL(8,0)) AS parsed_bad
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""",
+    category="functions",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (Spark try_* family): try_divide turns
+    division by zero into NULL instead of an ANSI error (real zeros
+    manufactured via quantity-25), try_add turns 64-bit overflow
+    into NULL (manufactured near Long.MAX), try_to_number returns
+    NULL on unparseable numerics — the ingest-hardening functions a
+    pipeline uses instead of wrapping every expression in CASE.
+    DuckDB twins: NULLIF denominator, HUGEINT-widened guarded add,
+    TRY_CAST. All pure map-stage codegen."""
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25
+        ).alias("price_per_off25"),
+        F.try_add(
+            F.lit(9223372036854775800).cast("long"),
+            F.col("l_orderkey").cast("long"),
+        ).alias("near_max_plus"),
+        F.try_to_number(
+            F.col("l_partkey").cast("string"), F.lit("99999999")
+        ).alias("parsed_ok"),
+        F.try_to_number(
+            F.concat(F.lit("x"), F.col("l_partkey").cast("string")),
+            F.lit("99999999"),
+        ).alias("parsed_bad"),
+    )
+
+
+@query(
     "fn_collation",
     oracle="""
 WITH m AS (

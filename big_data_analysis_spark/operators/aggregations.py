@@ -380,6 +380,38 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS order_ids,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey % 97 = 0
+GROUP BY o_orderpriority
+""",
+    category="aggregations",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered string aggregation — LISTAGG ... WITHIN GROUP
+    (ORDER BY ...), new as a first-class aggregate in Spark 4 (the
+    report-building "roster per group" idiom; DuckDB twin is
+    string_agg with ORDER BY). The WITHIN GROUP ordering is what
+    makes the concatenated string deterministic under parallelism —
+    ties on the sort key concatenate identical substrings, so the
+    result is still unique. Ordinary partial/final aggregation,
+    group state = the accumulated string."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(cast(o_orderkey as string), ',') "
+            "WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("order_ids"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "agg_filtered",
     oracle=f"""
 SELECT l_returnflag,

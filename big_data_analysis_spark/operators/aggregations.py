@@ -412,6 +412,44 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+    category="aggregations",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark bitmap_*
+    aggregate family) — the warehouse-scale alternative to
+    COUNT(DISTINCT): ids map to (bucket, bit position), each
+    (group, bucket) builds a fixed 4KB bitmap, and the group's
+    distinct count is the sum of bitmap popcounts. Unlike
+    COUNT(DISTINCT) (whose partial state is the value set itself)
+    bitmap partials are constant-size and mergeable, so rollups can
+    be computed incrementally per partition/day and combined later
+    without re-scanning — exactness of a distinct count with the
+    mergeability of a sketch. Oracle: plain COUNT(DISTINCT), which
+    the bitmap pipeline must equal exactly."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+        )
+    )
+
+
+@query(
     "agg_filtered",
     oracle=f"""
 SELECT l_returnflag,

@@ -450,6 +450,46 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_bitmap_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+""",
+    category="aggregations",
+)
+def agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count ROLLUP via bitmap merging — the
+    mergeability claim of agg_bitmap_distinct exercised, not just
+    stated: per-(status, month, bucket) bitmaps are built first (the
+    "daily partial" a warehouse materializes incrementally), then
+    OR-merged across months with bitmap_or_agg and popcounted. The
+    final count must equal a flat COUNT(DISTINCT) over the raw rows
+    — which is exactly what the oracle computes. At scale the first
+    level aggregates each new time slice alone; the second level
+    touches only (groups x slices x buckets) constant-size bitmaps,
+    never the raw data."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderstatus",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "month", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        monthly.groupBy("o_orderstatus", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm_all"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.expr("bitmap_count(bm_all)")).alias("n_customers"))
+    )
+
+
+@query(
     "agg_filtered",
     oracle=f"""
 SELECT l_returnflag,

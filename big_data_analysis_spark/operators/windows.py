@@ -354,6 +354,45 @@ def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_forward_fill",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CASE WHEN event_type = 'purchase' THEN value END AS observed,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM events
+""",
+    category="windows",
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward) — the
+    time-series imputation idiom: a measurement exists only on
+    'purchase' events, every other event carries the user's most
+    recent observation forward. last(IGNORE NULLS) over a running
+    ROWS frame; (ts, event_id) gives a total order so the fill is
+    deterministic. Differs from win_nth_ignore_nulls' full-partition
+    navigation: the frame here ends at CURRENT ROW, which is what
+    makes it an as-of-this-row fill rather than a partition-global
+    lookup. One shuffle on user_id; values pass through unchanged
+    (no arithmetic), so the result is hash-exact cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    observed = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        observed.alias("observed"),
+        F.last(observed, ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+@query(
     "win_gaps_islands",
     oracle="""
 WITH seq AS (

@@ -121,6 +121,117 @@ def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_point_in_time_features",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT) AS n_prior_events,
+       CAST(COALESCE(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w, 0)
+            AS DOUBLE) / 1e6 AS prior_value_sum,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS BIGINT)
+         AS n_prior_clicks
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+QUALIFY event_type = 'purchase'
+""",
+    category="pipelines",
+)
+def pipeline_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature generation — the leakage-safe join every
+    feature store exists to get right: for each label event (a
+    purchase), features are computed from the user's history STRICTLY
+    BEFORE the label timestamp (ROWS ... 1 PRECEDING), never from the
+    label row itself or anything after it. Using rows at-or-after the
+    label is train-time leakage, the classic silent ML bug.
+
+    Exactness: the prior-value sum runs over 1e-6-quantized int64
+    (the dot_dec convention) so the accumulation is order-free and
+    the final /1e6 double division is a single rounding in both
+    engines. One shuffle on user_id; labels filter AFTER the window
+    so history rows count without surviving."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qval = F.round(F.col("value") * 1_000_000).cast("long")
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("n_prior_events"),
+        (F.coalesce(F.sum(qval).over(w), F.lit(0)).cast("double") / 1.0e6).alias(
+            "prior_value_sum"
+        ),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        .over(w)
+        .alias("n_prior_clicks"),
+    )
+    return feats.where(F.col("event_type") == "purchase").drop("event_type")
+
+
+# Knuth multiplicative hash on the doc id: engine-portable pure
+# integer arithmetic (no xxhash in DuckDB), well-mixed low bits.
+_SPLIT_MOD = 1 << 32
+_SPLIT_MULT = 2654435761
+
+
+@query(
+    "pipeline_train_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN bucket < {int(0.8 * _SPLIT_MOD)} THEN 'train'
+              WHEN bucket < {int(0.9 * _SPLIT_MOD)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM assigned
+GROUP BY split, lang
+""",
+    category="pipelines",
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — the
+    reproducibility contract of a dataset release: membership is a
+    pure function of the stable doc id (Knuth multiplicative hash in
+    plain 64-bit arithmetic — portable to any engine, unlike
+    xxhash/rand), so re-running the pipeline, adding columns, or
+    re-partitioning can never migrate a document across splits (the
+    subtle eval-contamination bug that random splits with seeds
+    still have under reordering). Pure map + one aggregation; the
+    split profile (counts, char mass per lang) is what a release
+    manifest records."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD
+    split = (
+        F.when(bucket < int(0.8 * _SPLIT_MOD), F.lit("train"))
+        .when(bucket < int(0.9 * _SPLIT_MOD), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
     "pipeline_json_analytics",
     oracle="""
 SELECT event_type,

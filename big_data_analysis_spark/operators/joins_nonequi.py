@@ -114,6 +114,60 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+    category="joins_nonequi",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the mirror of join_asof: for each click,
+    the EARLIEST purchase by the same user at-or-after it (the
+    "time to next conversion" direction; inner semantics, clicks
+    with no later purchase drop — matching DuckDB's forward ASOF).
+
+    Implementation mirrors the backward kernel with the frame
+    reversed: tag purchases, union with clicks, and a BACKWARD-fill
+    window (first purchase-struct in [current row, unbounded
+    following)) per user ordered by (ts, tag, event_id) — clicks
+    sort before a same-ts purchase so ts-equality matches, same as
+    the <= predicate. One shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_struct = F.when(
+        F.col("tag") == 1,
+        F.struct(F.col("ts").alias("pts"), F.col("event_id").alias("pid")),
+    )
+    filled = tagged.withColumn(
+        "next_purchase", F.first(purchase_struct, ignorenulls=True).over(w)
+    )
+    return (
+        filled.where((F.col("tag") == 0) & F.col("next_purchase").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("next_purchase.pid").alias("purchase_id"),
+            F.col("next_purchase.pts").alias("purchase_ts"),
+        )
+    )
+
+
 _BUCKET_S = 1800  # 30 min — equals the max interval length
 
 

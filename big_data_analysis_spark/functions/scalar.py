@@ -671,6 +671,54 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_xpath",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice AS price_rt,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+FROM part
+WHERE p_partkey % 10 = 0
+""",
+    category="functions",
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction family (xpath_long / xpath_string /
+    xpath_double / list-valued xpath) — the query-side complement of
+    scan_xml for XML-in-a-column payloads. The test is a round-trip
+    IDENTITY: an XML document is synthesized from part columns (one
+    <w> element per name token), the xpath_* calls must recover the
+    original typed values exactly, and the oracle simply selects
+    those originals. Double round trip is exact because Spark's
+    string(double) is shortest-repr and parses back to the same
+    bits. Pure map stage, JVM-side XPath, no shuffle."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 10 == 0)
+    words_xml = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.col("p_name"), " "),
+            lambda t: F.concat(F.lit("<w>"), t, F.lit("</w>")),
+        ),
+    )
+    doc = F.concat(
+        F.lit("<part><k>"),
+        F.col("p_partkey").cast("string"),
+        F.lit("</k><name>"),
+        F.col("p_name"),
+        F.lit("</name><price>"),
+        F.col("p_retailprice").cast("string"),
+        F.lit("</price><words>"),
+        words_xml,
+        F.lit("</words></part>"),
+    )
+    d = p.select(doc.alias("xml_doc"))
+    return d.select(
+        F.expr("xpath_long(xml_doc, '/part/k/text()')").alias("p_partkey"),
+        F.expr("xpath_string(xml_doc, '/part/name')").alias("p_name"),
+        F.expr("xpath_double(xml_doc, '/part/price')").alias("price_rt"),
+        F.size(F.expr("xpath(xml_doc, '/part/words/w/text()')")).alias("n_words"),
+    )
+
+
+@query(
     "fn_collation",
     oracle="""
 WITH m AS (

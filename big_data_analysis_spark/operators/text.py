@@ -406,6 +406,97 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_boilerplate_scrub",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST((len(toks) + 1) // 2 AS INT) - 1),
+           i -> array_to_string(list_slice(toks, i * 2 + 1, i * 2 + 2), ' ')))
+           AS chunk,
+         generate_subscripts(
+           generate_series(0, CAST((len(toks) + 1) // 2 AS INT) - 1), 1) - 1
+           AS chunk_id
+  FROM d
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY chunk
+),
+flagged AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk,
+         (df.df * 20 > n.n_docs) AS is_boiler
+  FROM c JOIN df USING (chunk) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count_if(NOT is_boiler) AS BIGINT) AS n_kept,
+       CAST(count_if(is_boiler) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' '
+                           ORDER BY chunk_id), '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+""",
+    category="text",
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal — the C4/RefinedWeb-style
+    repeated-content scrub: the corpus is cut into non-overlapping
+    2-token chunks, a chunk appearing in more than 5% of documents
+    (exact integer test df*20 > N — no float threshold) is
+    boilerplate, and every document is reassembled in original chunk
+    order with the boilerplate dropped. On a real crawl this removes
+    nav bars, cookie banners and license headers; on the fixture the
+    5% cap flags the corpus's most repeated bigrams (max df ~6%), so
+    the removal branch is genuinely exercised.
+
+    Shape: one explode, one (chunk) aggregation for document
+    frequency, the bounded boilerplate set broadcasts back onto the
+    chunk stream (vocabulary-squared upper bound), one (doc_id)
+    aggregation reassembles. The corpus count rides along as a
+    broadcast 1-row aggregate — no driver collect. At 100 TB every
+    stage is the same partial-aggregated explode/groupBy as tf-idf."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    n_chunks = F.expr("(size(toks) + 1) div 2")
+    chunk_arrays = F.transform(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
+        lambda i: F.slice(toks, i * 2 + 1, 2),
+    )
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_arrays).alias("chunk_id", "chunk_arr")
+    ).select("doc_id", "chunk_id", F.array_join("chunk_arr", " ").alias("chunk"))
+    ndocs = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df = chunks.groupBy("chunk").agg(F.countDistinct("doc_id").alias("df"))
+    bp = (
+        df.crossJoin(F.broadcast(ndocs))
+        .where(F.col("df") * 20 > F.col("n_docs"))
+        .select("chunk")
+    )
+    flagged = chunks.join(
+        F.broadcast(bp.withColumn("is_boiler", F.lit(True))), "chunk", "left"
+    ).withColumn("is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False)))
+    kept_struct = F.when(
+        ~F.col("is_boiler"),
+        F.struct(F.col("chunk_id").alias("cid"), F.col("chunk").alias("ck")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.when(~F.col("is_boiler"), F.lit(1))).alias("n_kept"),
+        F.count(F.when(F.col("is_boiler"), F.lit(1))).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["ck"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 # Deterministic synthetic PII decoration: the fixture corpus is clean
 # word salad, so the scrub operator would be a no-op on it; appending
 # engine-identical synthetic addresses/IPs/cards exercises the real

@@ -671,6 +671,43 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_timezone",
+    oracle="""
+SELECT event_id, ts,
+       timezone('America/New_York', ts::TIMESTAMPTZ) AS ny_local,
+       timezone('Asia/Kolkata', ts::TIMESTAMPTZ) AS kolkata_local,
+       TRUE AS roundtrip_ok
+FROM events
+WHERE event_id % 10 = 0
+""",
+    category="functions",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-zone timestamp conversion (from_utc_timestamp /
+    to_utc_timestamp) — the wall-clock arithmetic the UTC-pinned
+    session otherwise never exercises: a DST-observing zone
+    (America/New_York, offset varies -4/-5 by date) and a half-hour
+    zone (Asia/Kolkata, +5:30). Both engines resolve zones from the
+    IANA tzdb, so the shifted wall times are hash-exact; the
+    roundtrip_ok column proves to_utc_timestamp inverts
+    from_utc_timestamp on every row rather than trusting it.
+    DuckDB twin feeds TIMESTAMPTZ so its two-arg timezone() runs the
+    same UTC-instant -> zone-local direction. Pure map stage."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    kol = F.from_utc_timestamp(F.col("ts"), "Asia/Kolkata")
+    return ev.select(
+        "event_id",
+        "ts",
+        ny.alias("ny_local"),
+        kol.alias("kolkata_local"),
+        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+@query(
     "fn_xpath",
     oracle="""
 SELECT p_partkey, p_name, p_retailprice AS price_rt,

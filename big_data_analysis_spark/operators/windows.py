@@ -354,6 +354,39 @@ def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_ratio_to_report",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(value * 1000000) AS BIGINT) AS qvalue,
+       CAST(CAST(round(value * 1000000) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                OVER (PARTITION BY user_id) AS DOUBLE) AS user_share
+FROM events
+WHERE event_type = 'purchase'
+""",
+    category="windows",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — each purchase's share of its user's total
+    spend (the classic contribution/mix reporting window). Values
+    quantize to int64 (the dot_dec convention) so the partition sum
+    is order-free and exact; the final int/int double division is a
+    single correct rounding in both engines. Unbounded partition
+    frame over user_id — one shuffle, no ordering required."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    qval = F.round(F.col("value") * 1_000_000).cast("long")
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        qval.alias("qvalue"),
+        (qval.cast("double") / F.sum(qval).over(w).cast("double")).alias(
+            "user_share"
+        ),
+    )
+
+
+@query(
     "win_forward_fill",
     oracle="""
 SELECT event_id, user_id, ts,

@@ -412,6 +412,47 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_ohlc",
+    oracle="""
+SELECT event_type,
+       time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    category="aggregations",
+)
+def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open-high-low-close) — the time-series candlestick
+    rollup: per (event_type, 6h bucket), the first value by time,
+    the extremes, the last value by time, and the event count. Every
+    measure is a SELECTION aggregate (min_by/max_by/min/max), not a
+    sum — no accumulation-order sensitivity, so doubles pass through
+    bit-exact with no quantization needed. events.ts is globally
+    unique, making the by-time argmin/argmax well-defined. One
+    partial+final hash aggregation, shuffle on (type, bucket)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    ).cast("timestamp")
+    return (
+        ev.select("event_type", bucket.alias("bucket_start"), "ts", "value")
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "agg_bitmap_distinct",
     oracle="""
 SELECT o_orderpriority,

@@ -12,7 +12,7 @@ row per task before the shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -100,18 +100,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     logarithmically-damped variant is text_tfidf_ln (rows-only:
     libm ln() differs by 1 ulp between JVM and DuckDB).
 
-    The df table and the one-row corpus count are broadcast — the big
-    side streams once."""
+    df is a COUNT window over token on the tf table rather than a
+    separate aggregate joined back: Catalyst does not dedup common
+    subtrees, so the join formulation explodes+aggregates the corpus
+    TWICE (once on the broadcast side). One tokenize pass + one
+    shuffle of the much smaller tf table beats two corpus passes —
+    and more so at 100 TB, where re-tokenizing is the dominant cost.
+    Only the 1-row corpus count is broadcast."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("token")
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(w))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -137,10 +142,9 @@ def text_tfidf_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -189,3 +189,14 @@ def test_pii_scrub_no_python_no_shuffle(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Python" not in tree  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """tf-idf must tokenize the corpus exactly ONCE: df comes from a
+    count window over the tf table, not a second aggregate joined
+    back (Catalyst does not dedup common subtrees, so the join
+    formulation would explode + aggregate the corpus twice)."""
+    plan = plan_of("text_tfidf", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert "Window" in tree

@@ -794,3 +794,47 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci.startswith(F.lit("Bl")).alias("starts_bl"),
         ci.endswith(F.lit("ROSE")).alias("ends_rose"),
     )
+
+
+@query(
+    "fn_scalar_subquery",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       EXISTS(SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 200000) AS has_big,
+       (SELECT MAX(o.o_orderdate) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS last_order
+FROM customer c
+""",
+    category="functions",
+)
+def fn_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL surface: a scalar COUNT
+    subquery, a select-list EXISTS predicate, and a scalar MAX — the
+    three shapes users paste in from warehouse SQL. Catalyst
+    decorrelates all three into outer joins + aggregates (no
+    per-row re-execution — the logical plan after RewriteCorrelated
+    ScalarSubquery/RewritePredicateSubquery is a 3-way join), so the
+    declarative SQL is as scalable as the hand-written DataFrame
+    equivalent. Uses parameterized spark.sql with DataFrame args —
+    no temp-view session state."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_name,
+       (SELECT COUNT(*) FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       EXISTS(SELECT 1 FROM {orders} o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 200000) AS has_big,
+       (SELECT MAX(o.o_orderdate) FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey) AS last_order
+FROM {customer} c
+""",
+        orders=o,
+        customer=c,
+    )

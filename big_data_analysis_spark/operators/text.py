@@ -700,3 +700,47 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 5)
     )
+
+
+@query("text_perplexity_filter", oracle=None, category="text")
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring + filter — the CCNet-style
+    quality gate a pretraining pipeline runs after dedup: score each
+    document by how surprising its tokens are under the corpus's own
+    unigram distribution, then drop high-perplexity (noisy) docs.
+    ppl(doc) = exp(ln N_total - avg_i ln count(tok_i)).
+
+    Rows-only (transcendental ln/exp differ by ulps across engines);
+    tests/test_quality.py recomputes the identical statistic in NumPy
+    from the raw corpus and asserts 1e-9 relative agreement plus the
+    keep-flag contract.
+
+    Plan: ONE tokenize pass — per-occurrence corpus counts come from
+    a COUNT window over token (the text_tfidf trick), the corpus
+    total is a 1-row broadcast from a column-pruned second scan (size
+    of the token array per doc — no explode), and the per-doc rollup
+    is the second shuffle. No all-pairs anything; state per group is
+    two running sums."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    scored = toks.withColumn("ln_cnt", F.log(cnt))
+    total = d.agg(
+        F.sum(F.size(_tokens())).cast("double").alias("n_total")
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ln_cnt").alias("sum_ln_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    nll = F.log(F.col("n_total")) - F.col("sum_ln_cnt") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        nll.alias("nll"),
+        F.exp(nll).alias("ppl"),
+        (F.exp(nll) <= F.lit(30.0)).alias("keep"),
+    )

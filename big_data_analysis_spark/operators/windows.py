@@ -467,3 +467,151 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("island_len") >= 2)
         .drop("grp")
     )
+
+
+@query(
+    "win_interpolate",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 5 <> 0 THEN value END AS observed,
+         CASE WHEN event_id % 5 <> 0
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+  FROM events
+),
+nbr AS (
+  SELECT event_id, user_id, observed, c,
+         last_value(c IGNORE NULLS) OVER w_prev AS pc,
+         last_value(CASE WHEN c IS NOT NULL THEN event_id END IGNORE NULLS)
+           OVER w_prev AS px,
+         first_value(c IGNORE NULLS) OVER w_next AS nc,
+         first_value(CASE WHEN c IS NOT NULL THEN event_id END IGNORE NULLS)
+           OVER w_next AS nx
+  FROM base
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, observed,
+       CASE WHEN observed IS NOT NULL THEN observed
+            WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+              CAST(pc * (nx - event_id) + nc * (event_id - px) AS DOUBLE)
+                / CAST(nx - px AS DOUBLE) / 100.0
+       END AS value_interp
+FROM nbr
+""",
+    category="windows",
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing observations — the time-series
+    gap-repair idiom complementary to win_forward_fill's step fill
+    (TimescaleDB interpolate() / pandas interpolate(method='linear')).
+    Missingness is synthesized deterministically (every 5th event_id
+    loses its value); each hole is rebuilt from the nearest observed
+    neighbors on both sides, weighted by event_id distance.
+
+    Cross-engine exactness: the interpolation is computed as ONE
+    integer rational — numerator pc*(nx-x) + nc*(x-px) and
+    denominator (nx-px) in exact BIGINT cents — then a single
+    correctly-rounded double division per side, so Spark and DuckDB
+    agree bit-for-bit (vs composing a+(b-a)*t in doubles, where
+    rounding of the intermediate product may differ by expression
+    shape). Magnitude bound: cents (~2e4) x id-gap must stay below
+    2^53 — at larger scales use a per-partition ordinal instead of a
+    global id as the x coordinate.
+
+    Plan: two window passes over ONE shuffle on user_id (prev and
+    next frames share partitioning+ordering, Catalyst plans a single
+    Exchange); edge holes with a missing side stay NULL."""
+    ev = table(spark, sf_dir, "events")
+    missing = F.col("event_id") % 5 == 0
+    observed = F.when(~missing, F.col("value"))
+    cents = F.when(
+        ~missing, (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    x_obs = F.when(~missing, F.col("event_id"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nbr = ev.select(
+        "event_id",
+        "user_id",
+        observed.alias("observed"),
+        F.last(cents, ignorenulls=True).over(w_prev).alias("pc"),
+        F.last(x_obs, ignorenulls=True).over(w_prev).alias("px"),
+        F.first(cents, ignorenulls=True).over(w_next).alias("nc"),
+        F.first(x_obs, ignorenulls=True).over(w_next).alias("nx"),
+    )
+    x = F.col("event_id")
+    interp = (
+        (
+            F.col("pc") * (F.col("nx") - x) + F.col("nc") * (x - F.col("px"))
+        ).cast("double")
+        / (F.col("nx") - F.col("px")).cast("double")
+        / 100.0
+    )
+    return nbr.select(
+        "event_id",
+        "user_id",
+        "observed",
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("pc").isNotNull() & F.col("nc").isNotNull(), interp)
+        .alias("value_interp"),
+    )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         / 100.0 AS med5
+FROM c
+""",
+    category="windows",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over the trailing 5 observations per user — the
+    outlier-robust smoother (vs win_moving_avg's mean, which one
+    spike drags). Computed on exact integer cents so the even-count
+    interpolation ((a+b)/2 in DuckDB, a+(b-a)*0.5 in Spark's
+    percentile) is exact in both engines and therefore bit-identical,
+    with one final correctly-rounded /100.
+
+    A median-over-frame has no incremental state like sum: each frame
+    re-sorts its 5 elements (Spark disallows ordered-aggregate
+    median over a frame, so the frame is materialized via
+    collect_list — bounded at the constant frame size — and the
+    middle is taken from the sorted array). The only data movement
+    is the one shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (((lo + hi) / 2.0) / 100.0).alias("med5"),
+    )

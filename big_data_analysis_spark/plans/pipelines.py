@@ -753,3 +753,119 @@ def pipeline_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select(
         "key", F.col("op").alias("last_op"), "payload"
     )
+
+
+@query(
+    "pipeline_attribution",
+    oracle="""
+WITH attr AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'direct') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+FROM attr
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    category="pipelines",
+)
+def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — each purchase is credited
+    to the user's most recent preceding touch event (click or view);
+    purchases with no prior touch are 'direct'. Revenue per touch
+    type is the exact-decimal sum.
+
+    The idiomatic plan is ONE window pass, not an as-of self-join:
+    last(IGNORE NULLS) over a running frame carries the latest touch
+    to every row, then a filter keeps conversions — same shuffle
+    count as join_asof's kernel but with no join build side at all.
+    Shuffles: events once on user_id, then the bounded-cardinality
+    touch-type rollup."""
+    ev = table(spark, sf_dir, "events")
+    touch_ev = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = ev.select(
+        "event_type",
+        "value",
+        F.last(touch_ev, ignorenulls=True).over(w).alias("touch"),
+    )
+    return (
+        attr.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "pipeline_journey_regex",
+    oracle="""
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                         WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                         ELSE 'E' END AS ch
+  FROM events
+),
+j AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS journey
+  FROM coded GROUP BY user_id
+)
+SELECT user_id, journey,
+       regexp_matches(journey, 'V.*C.*P') AS has_funnel,
+       CAST(length(journey) AS BIGINT) AS n_events
+FROM j
+""",
+    category="pipelines",
+)
+def pipeline_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching, MATCH_RECOGNIZE-lite: each
+    user's full event history is collapsed into an ordered
+    single-char journey string (V/C/P/S/E), then a regular
+    expression classifies the journey — here 'view, eventually
+    click, eventually purchase' as V.*C.*P. Encoding the sequence as
+    a string turns arbitrary order-sensitive pattern queries into
+    regexp matching, which no join/window composition expresses
+    directly.
+
+    One shuffle (groupBy user_id) with ordered LISTAGG building the
+    journey; the regexp is a pure map afterwards. Journey length =
+    events-per-user, bounded in any realistic event-log partitioning;
+    at 100 TB the same shape runs per (user_id, day) to cap string
+    size."""
+    ev = table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    coded = ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+    j = coded.groupBy("user_id").agg(
+        F.expr("listagg(ch, '') WITHIN GROUP (ORDER BY ts, event_id)").alias(
+            "journey"
+        )
+    )
+    return j.select(
+        "user_id",
+        "journey",
+        F.col("journey").rlike("V.*C.*P").alias("has_funnel"),
+        F.length("journey").cast("long").alias("n_events"),
+    )

@@ -267,3 +267,74 @@ def test_asof_forward_and_backward_are_consistent(spark, sf_dir):
         | (F.col("purchase_ts") != F.col("want_ts"))
     )
     assert mism.count() == 0
+
+
+def test_interpolate_bounds_and_passthrough(spark, sf_dir):
+    """win_interpolate: observed rows pass through unchanged; every
+    interpolated value lies within [min(prev, next), max(prev, next)]
+    of its user's neighboring observations; holes with a missing side
+    stay NULL."""
+    out = REG["win_interpolate"].fn(spark, sf_dir).toPandas()
+    obs = out[out.observed.notna()]
+    assert (obs.observed == obs.value_interp).all()
+    filled = out[out.observed.isna() & out.value_interp.notna()]
+    assert len(filled) > 0
+    for uid, grp in out.groupby("user_id"):
+        grp = grp.sort_values("event_id").reset_index(drop=True)
+        for i, row in grp.iterrows():
+            if not (row.observed != row.observed and row.value_interp == row.value_interp):
+                continue  # only check filled holes (observed NaN, interp set)
+            prev = grp.observed[:i].dropna()
+            nxt = grp.observed[i + 1:].dropna()
+            lo = min(prev.iloc[-1], nxt.iloc[0])
+            hi = max(prev.iloc[-1], nxt.iloc[0])
+            assert lo - 1e-9 <= row.value_interp <= hi + 1e-9
+
+
+def test_attribution_conserves_purchase_revenue(spark, sf_dir):
+    """pipeline_attribution: attributed revenue summed over touch
+    types equals total purchase revenue, and purchase counts add up —
+    attribution is a partition of conversions, never double-counting."""
+    out = REG["pipeline_attribution"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.where(F.col("event_type") == "purchase")
+    want_n = purch.count()
+    want_rev = purch.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert out.n_purchases.sum() == want_n
+    assert abs(out.attributed_revenue.sum() - want_rev) < 1e-6
+    assert set(out.touch_type) <= {"click", "view", "direct"}
+
+
+def test_journey_regex_counts_and_pattern(spark, sf_dir):
+    """pipeline_journey_regex: journey lengths sum to the event
+    count, and has_funnel agrees with a per-user Python re-check."""
+    import re
+
+    out = REG["pipeline_journey_regex"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.n_events.sum() == ev.count()
+    for _, r in out.iterrows():
+        assert r.has_funnel == bool(re.search("V.*C.*P", r.journey))
+
+
+def test_moving_median_matches_pandas(spark, sf_dir):
+    """win_moving_median equals pandas' rolling(5, min_periods=1)
+    median on cents per user (exact integers, so == is safe)."""
+    out = REG["win_moving_median"].fn(spark, sf_dir).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["want"] = (
+        ev.groupby("user_id").cents.transform(
+            lambda s: s.rolling(5, min_periods=1).median()
+        )
+        / 100.0
+    )
+    merged = out.merge(ev[["event_id", "want"]], on="event_id")
+    assert (merged.med5 == merged.want).all()

@@ -411,3 +411,25 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert set(got2) == set(got)
     for v, r1 in got.items():
         assert abs(r1 - got2[v]) < 1e-9, v
+
+
+def test_perplexity_filter_matches_numpy(spark, sf_dir):
+    """text_perplexity_filter must agree with an independent NumPy
+    recomputation of the unigram-LM statistic to 1e-9 relative, and
+    the keep flag must implement ppl <= 30."""
+    import numpy as np
+    import pandas as pd
+
+    out = run("text_perplexity_filter", spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    toks = docs.assign(tok=docs.text.str.split(" ")).explode("tok")
+    counts = toks.tok.value_counts()
+    total = len(toks)
+    want = toks.groupby(toks.doc_id).tok.apply(
+        lambda s: float(np.exp(np.log(total) - np.log(counts[s].values).mean()))
+    )
+    merged = out.set_index("doc_id").join(want.rename("want"))
+    rel = np.abs(merged.ppl - merged.want) / merged.want
+    assert rel.max() < 1e-9
+    assert (merged.keep == (merged.ppl <= 30.0)).all()
+    assert 0 < merged.keep.sum() < len(merged)

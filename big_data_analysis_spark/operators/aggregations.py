@@ -13,7 +13,7 @@ across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exact import davg, dsum, sql_davg, sql_dsum
@@ -904,4 +904,92 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
         F.count(F.when(F.col("o_orderpriority").like("1-%"), 1)).alias("n_urgent"),
+    )
+
+
+@query(
+    "agg_session_window_native",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_id
+""",
+    category="aggregations",
+)
+def agg_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via Spark's FIRST-CLASS session_window
+    aggregation — the engine-level answer to sessionization, vs
+    win_sessionize's hand-rolled lag+cumsum (which is exactly what
+    the oracle recomputes). session_window merges events whose gaps
+    are < 30 min; the emitted window end is last-event + gap, which
+    the oracle mirrors as MAX(ts) + INTERVAL. One shuffle on
+    (user_id); the session assignment itself is a per-partition sort
+    + merge, no iteration. Timestamps pass through unchanged, so the
+    result is hash-exact cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+GROUP BY bin
+""",
+    category="aggregations",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the optimizer-
+    statistics companion to agg_histogram's equi-WIDTH bins: ntile
+    splits the sorted order-price domain into 8 buckets of equal row
+    count whose [lo, hi] bounds trace the quantiles. Tie-break on
+    o_orderkey makes the assignment a total order, hence
+    deterministic under parallelism. Values pass through unchanged.
+
+    Scale note: global ntile forces a single-partition sort — fine
+    for stats sampling, but the 100 TB formulation is
+    approx_percentile bounds (agg_percentile_approx) or a
+    per-partition pre-histogram merge; this operator is the exact
+    small-N reference."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+    return t.groupBy("bin").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -570,3 +570,54 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query("vec_power_iteration", oracle=None, category="similarity")
+def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by distributed power iteration — the third iterative-
+    algorithm family next to connected components and PageRank, and
+    the building block behind PCA whitening / spectral diagnostics
+    of an embedding table. v_{k+1} = normalize(sum_i x_i (x_i . v_k))
+    for 12 fixed rounds from the deterministic uniform start.
+
+    Rows-only: float dot products are summation-order-sensitive;
+    tests/test_quality.py re-runs the identical iteration in NumPy
+    and asserts 1e-6 directional agreement (|cos| with the NumPy
+    vector, sign-fixed), plus unit norm and cross-run determinism.
+
+    Execution shape per round: v_k rides into the task as a plain
+    64-element array literal (no broadcast join needed at d=64);
+    each row computes its scalar projection with one zip_with +
+    aggregate, fans out d (pos, contrib) pairs, and ONE groupBy(pos)
+    shuffle of 64 keys reduces the next unnormalized iterate; the
+    driver sees exactly d scalars per round (normalization of a
+    64-vector). At 100 TB rows scale freely — per-round traffic is
+    O(d * partitions), independent of n."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+    e = e.persist()
+    d = 64
+    v = [1.0 / d**0.5] * d
+    for _ in range(12):
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        nxt = (
+            e.select(F.posexplode(F.transform(F.col("x"), lambda xi: xi * dot)))
+            .groupBy("pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        w = [0.0] * d
+        for r in nxt:
+            w[r["pos"]] = r["s"]
+        norm = sum(c * c for c in w) ** 0.5
+        v = [c / norm for c in w]
+    e.unpersist()
+    out = [(i, v[i]) for i in range(d)]
+    return spark.createDataFrame(out, "pos int, component double")

@@ -615,3 +615,64 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (((lo + hi) / 2.0) / 100.0).alias("med5"),
     )
+
+
+@query(
+    "win_skyline",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d_days
+  FROM orders
+),
+m AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate, d_days,
+         MAX(d_days) OVER (ORDER BY price_c DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_d_above
+  FROM t
+)
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM m
+WHERE best_d_above IS NULL OR best_d_above <= d_days
+""",
+    category="windows",
+)
+def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not strictly dominated
+    in BOTH price and recency — no other order has higher price AND
+    later date. The naive formulation is a quadratic NOT EXISTS
+    theta-self-join; the scalable one used here is the classic
+    sort-scan: order by price descending and keep a row iff the
+    running MAX of date over STRICTLY-higher-priced rows does not
+    exceed its own date. "Strictly higher" is expressed as a RANGE
+    frame ending 1 PRECEDING over integer cents (ties share a frame
+    boundary, so equal prices never dominate each other) — one
+    window, one sort, no self-join. A property test cross-checks
+    against the quadratic definition at the small scale factor.
+
+    Scale: the window is a single global sort (no partition key).
+    For 100 TB, range-partition by price and run the same scan per
+    partition carrying each partition's running max forward — the
+    standard distributed-skyline refinement; the per-row logic is
+    unchanged."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d_days"),
+    )
+    w = (
+        Window.orderBy(F.col("price_c").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m = t.withColumn("best_d_above", F.max("d_days").over(w))
+    return m.where(
+        F.col("best_d_above").isNull()
+        | (F.col("best_d_above") <= F.col("d_days"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

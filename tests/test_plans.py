@@ -200,3 +200,23 @@ def test_tfidf_single_tokenize_pass(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Generate") == 1
     assert "Window" in tree
+
+
+def test_interpolate_single_shuffle_two_frames(spark, sf_dir):
+    """win_interpolate reads neighbors from a preceding and a
+    following frame — both must plan into ONE Window node over ONE
+    Exchange (same partitioning and ordering), not two shuffles."""
+    plan = plan_of("win_interpolate", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+
+
+def test_journey_regex_single_shuffle(spark, sf_dir):
+    """The journey build is one ordered-LISTAGG aggregation: exactly
+    one Exchange (on user_id) and no Python operators — the regexp
+    classification stays in JVM codegen."""
+    plan = plan_of("pipeline_journey_regex", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Python" not in tree

@@ -338,3 +338,28 @@ def test_moving_median_matches_pandas(spark, sf_dir):
     )
     merged = out.merge(ev[["event_id", "want"]], on="event_id")
     assert (merged.med5 == merged.want).all()
+
+
+def test_skyline_matches_quadratic_definition(spark, sf_dir):
+    """win_skyline's sort-scan must equal the textbook quadratic
+    definition: a row is on the frontier iff no other row has
+    strictly higher price AND strictly later date."""
+    got = {
+        r["o_orderkey"]
+        for r in REG["win_skyline"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    want = {
+        a["o_orderkey"]
+        for a in rows
+        if not any(
+            b["o_totalprice"] > a["o_totalprice"]
+            and b["o_orderdate"] > a["o_orderdate"]
+            for b in rows
+        )
+    }
+    assert got == want and len(want) > 0

@@ -433,3 +433,31 @@ def test_perplexity_filter_matches_numpy(spark, sf_dir):
     assert rel.max() < 1e-9
     assert (merged.keep == (merged.ppl <= 30.0)).all()
     assert 0 < merged.keep.sum() < len(merged)
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    """vec_power_iteration must agree directionally (|cos| >
+    1 - 1e-6) with the identical 12-round NumPy power iteration from
+    the same deterministic start, and return a unit vector."""
+    import numpy as np
+
+    rows = run("vec_power_iteration", spark, sf_dir).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["pos"]] = r["component"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    w = np.full(64, 1.0 / 8.0)
+    for _ in range(12):
+        w = X.T @ (X @ w)
+        w = w / np.linalg.norm(w)
+    assert abs(float(v @ w)) > 1 - 1e-6

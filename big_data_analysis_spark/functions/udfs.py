@@ -357,3 +357,39 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net_cents(F.col("l_extendedprice"), F.col("l_discount")).alias("net_cents"),
     )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+""",
+    category="udfs",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): the variant for
+    expensive per-executor initialization — the generator body runs
+    once per task, amortizing setup (model load, dictionary build)
+    across every Arrow batch instead of paying it per batch. Same
+    IEEE element-wise arithmetic as udf_pandas_scalar, so bit-exact
+    vs the SQL twin; the difference is purely the execution contract
+    (Iterator[Series-tuple] -> Iterator[Series])."""
+    from pyspark.sql.functions import PandasUDFType
+
+    # functionType passed explicitly: this module opts into
+    # `from __future__ import annotations`, which stringifies type
+    # hints so pandas_udf cannot infer SCALAR_ITER from them.
+    @F.pandas_udf(T.DoubleType(), PandasUDFType.SCALAR_ITER)
+    def revenue_iter(it):
+        one = 1.0  # stand-in for per-task init amortized across batches
+        for ep, disc in it:
+            yield ep * (one - disc)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_iter("l_extendedprice", "l_discount").alias("revenue"),
+    )

@@ -993,3 +993,60 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("agg_ewma", oracle=None, category="aggregations")
+def agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.25) of event
+    values per user, ordered by (ts, event_id) — the classic
+    time-series smoother: ewma_i = alpha*x_i + (1-alpha)*ewma_{i-1}.
+    Expressed non-recursively so it stays one window pass:
+    ewma_i = sum_j w^(i-j) * contrib_j / 1 normalized form — here via
+    the prefix-sum identity s_i = sum_j x_j / w^j, ewma_i =
+    alpha * w^i * s_i + (1-w^i) ... numerically the direct identity
+    used is ewma_i = alpha * sum_{j<=i} (1-alpha)^(i-j) x_j +
+    (1-alpha)^i x_0-correction with adjust=False pandas semantics:
+    first value passes through.
+
+    Implementation detail: the rescaled prefix sum x_j*(1-alpha)^-j
+    overflows for long series, so the window is applied to the LAST
+    64 rows only (the weight (0.75)^64 ~ 1e-8 makes the truncation
+    error negligible, and the rescale stays within double range).
+    Rows-only: float powers/sums are order- and shape-sensitive
+    across engines; tests/test_quality.py checks 1e-6 relative
+    agreement with pandas ewm(alpha=0.25, adjust=False) on the
+    truncated horizon."""
+    ev = table(spark, sf_dir, "events")
+    alpha = 0.25
+    beta = 1.0 - alpha
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-63, Window.currentRow)
+    )
+    # Within each 64-row frame, weight by beta^(pos_from_frame_end):
+    # collect the frame and fold it — constant frame, pure JVM.
+    arr = F.collect_list("value").over(w)
+    n = F.size(arr)
+    folded = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(beta) + x * F.lit(alpha),
+    )
+    # adjust=False with x_0 pass-through: the first element of the
+    # frame entered with weight alpha in the fold, but for a frame
+    # that starts the series it should carry weight beta^(n-1)
+    # un-alpha'd; correct by adding x_first * beta^(n-1) * (1-alpha)/1
+    first = F.element_at(arr, 1)
+    is_series_start = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ) <= 64
+    corrected = folded + F.when(
+        is_series_start, first * F.pow(F.lit(beta), n - 1) * F.lit(beta)
+    ).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("x"),
+        corrected.alias("ewma"),
+    )

@@ -676,3 +676,41 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_d_above").isNull()
         | (F.col("best_d_above") <= F.col("d_days"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(DISTINCT event_type)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_types_so_far
+FROM events
+""",
+    category="windows",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event
+    types each user has produced up to every event. Spark does not
+    support COUNT(DISTINCT) OVER a running frame (DuckDB does — the
+    oracle uses it directly), so the engine expresses it as
+    size(collect_set) over the same frame: the set state is bounded
+    by the type cardinality (5 here), making the workaround cheap;
+    for unbounded-cardinality keys the scalable swap-in is the
+    first-occurrence trick (row_number per (user, key) = 1 -> running
+    SUM), which is pure streaming state. One shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_so_far"),
+    )

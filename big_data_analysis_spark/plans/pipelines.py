@@ -869,3 +869,54 @@ def pipeline_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("journey").rlike("V.*C.*P").alias("has_funnel"),
         F.length("journey").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "pipeline_incremental_mv",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    category="pipelines",
+)
+def pipeline_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(type, day)
+    rollup is built as TWO independent partial aggregates over
+    disjoint batch slices (the mid-January cut plays an earlier load
+    and a late-arriving delta), then MERGED by re-aggregating the
+    partial states — count merges by SUM, exact-decimal sum merges
+    by SUM. The oracle recomputes the view in one pass over
+    everything: merge(partials) must equal full recompute, which is
+    the algebraic property (commutative-monoid state) every
+    incremental pipeline and every streaming sink relies on. Decimal
+    partials make the merge order-independent, so the equality is
+    bit-exact rather than approximately true.
+
+    Scale: each batch aggregates map-side before its shuffle; the
+    merge re-shuffles only the tiny partial-state table — this is
+    exactly the update path of a 100 TB daily-refresh MV, where
+    yesterday's state is the first 'batch'."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+        )
+
+    p1 = partial(ev.where(F.col("ts") < cut))
+    p2 = partial(ev.where(F.col("ts") >= cut))
+    return (
+        p1.unionAll(p2)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("psum").cast("double").alias("total_value"),
+        )
+    )

@@ -461,3 +461,24 @@ def test_power_iteration_matches_numpy(spark, sf_dir):
         w = X.T @ (X @ w)
         w = w / np.linalg.norm(w)
     assert abs(float(v @ w)) > 1 - 1e-6
+
+
+def test_ewma_matches_pandas(spark, sf_dir):
+    """agg_ewma must agree with pandas ewm(alpha=0.25, adjust=False)
+    to 1e-6 relative — the 64-row truncation horizon contributes at
+    most (0.75)^64 ~ 1e-8 relative error."""
+    import numpy as np
+
+    out = run("agg_ewma", spark, sf_dir).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["want"] = ev.groupby("user_id").value.transform(
+        lambda s: s.ewm(alpha=0.25, adjust=False).mean()
+    )
+    m = out.merge(ev[["event_id", "want"]], on="event_id")
+    rel = np.abs(m.ewma - m.want) / np.abs(m.want)
+    assert rel.max() < 1e-6

@@ -920,3 +920,117 @@ def pipeline_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("psum").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "pipeline_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       CAST(COUNT(*) AS BIGINT) AS df
+FROM toks
+GROUP BY token
+""",
+    category="pipelines",
+)
+def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine write path: for every
+    token, the sorted posting list of documents containing it plus
+    the document frequency. Postings are emitted as the ordered
+    LISTAGG string so the artifact is byte-comparable cross-engine
+    (the parquet-native form would keep the array<long>).
+
+    Shape: explode -> per-doc distinct (map-side combinable) -> one
+    shuffle on token with ordered aggregation. Posting-list skew
+    (stopwords) is the classic hot-key: at 100 TB the df-cap /
+    salted two-level merge used by dedup_ngram_jaccard applies
+    unchanged; here the full lists are the deliverable so the
+    aggregation stays single-level."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+    )
+    return toks.groupBy("token").agg(
+        F.expr(
+            "listagg(cast(doc_id as string), ',') WITHIN GROUP (ORDER BY doc_id)"
+        ).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+    )
+
+
+@query("pipeline_bpe_train", oracle=None, category="pipelines")
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — learn the first 10 merge
+    rules from the corpus, the way subword vocabularies are actually
+    built over a 100 TB corpus: the CORPUS-scale stage is a single
+    explode+groupBy that compresses everything into the word-
+    frequency table; merge learning then iterates on that compressed
+    table (orders of magnitude smaller, but still a DataFrame — at
+    web scale it has millions of rows). Per round: adjacent symbol
+    pairs exploded weighted by word frequency, one groupBy(pair)
+    shuffle, the argmax pair (deterministic tie-break: higher freq,
+    then lexicographic) collected as ONE driver row, and the merge
+    applied with a lookaround regexp so non-overlapping occurrences
+    merge left-to-right (exact BPE greedy semantics).
+
+    Rows-only (iterative, not SQL-expressible); tests/test_quality.py
+    re-trains with a pure-Python list-greedy BPE on the same word
+    counts and asserts the identical merge-rule sequence."""
+    import re as _re
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # " c h a r s " — single-space-separated symbol string per word
+    w = words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, 11):
+        syms_arr = F.split(F.trim(F.col("syms")), " ")
+        # guard: sequence(1, 0) auto-descends to [1, 0] for
+        # single-symbol words — emit an empty pair list instead
+        pair_idx = F.when(
+            F.size(syms_arr) >= 2, F.sequence(F.lit(1), F.size(syms_arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(
+            pair_idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms_arr, i), F.element_at(syms_arr, i + 1)
+            ),
+        )
+        top = (
+            w.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pfreq"))
+            .orderBy(F.desc("pfreq"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, pfreq = top[0]["pair"], top[0]["pfreq"]
+        left, right = pair.split(" ")
+        merges.append((step, left, right, left + right, pfreq))
+        pat = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
+        w = w.select(
+            F.regexp_replace(F.col("syms"), pat, left + right).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, freq bigint"
+    )

@@ -482,3 +482,46 @@ def test_ewma_matches_pandas(spark, sf_dir):
     m = out.merge(ev[["event_id", "want"]], on="event_id")
     rel = np.abs(m.ewma - m.want) / np.abs(m.want)
     assert rel.max() < 1e-6
+
+
+def test_bpe_train_matches_pure_python(spark, sf_dir):
+    """pipeline_bpe_train must learn the IDENTICAL merge-rule
+    sequence as a pure-Python BPE trainer on the same word-frequency
+    table (greedy left-to-right non-overlapping merges, tie-break
+    higher freq then lexicographic pair)."""
+    from collections import Counter
+
+    got = [
+        (r["step"], r["left"], r["right"], r["freq"])
+        for r in run("pipeline_bpe_train", spark, sf_dir).collect()
+    ]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    wfreq = Counter()
+    for t in docs.text:
+        wfreq.update(t.split(" "))
+    words = {w: (list(w), n) for w, n in wfreq.items()}
+
+    want = []
+    for step in range(1, 11):
+        pc = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        want.append((step, left, right, freq))
+        for key, (syms, n) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[key] = (out, n)
+    assert got == want

@@ -838,3 +838,60 @@ FROM {customer} c
         orders=o,
         customer=c,
     )
+
+
+@query(
+    "fn_recursive_cte",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem
+  WHERE l_orderkey % 100 <> l_partkey % 100
+),
+r(node, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM r JOIN e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM r
+GROUP BY node
+""",
+    category="functions",
+)
+def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI recursive CTE (WITH RECURSIVE — first-class in Spark 4):
+    3-hop reachability from node 0 over the lineitem-derived digraph,
+    counting distinct-by-arrival-depth paths and the minimum hop
+    count per reached node. The declarative recursion is the SQL
+    twin of graph.py's iterative DataFrame loops — same semantics,
+    but the engine drives the fixpoint (bounded here by hops < 3, so
+    both engines terminate identically).
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the edge table — identical shuffle structure to the
+    hand-written loop; the bound keeps the UNION ALL path expansion
+    finite on cyclic graphs."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM {lineitem}
+  WHERE l_orderkey % 100 <> l_partkey % 100
+),
+r(node, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM r JOIN e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM r
+GROUP BY node
+""",
+        lineitem=li,
+    )

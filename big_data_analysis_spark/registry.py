@@ -146,15 +146,23 @@ def ordered_registry() -> dict[str, QuerySpec]:
     """
     load_all()
     flagship = REGISTRY["tpch_q1"]
-    ungraded = [
-        s for s in REGISTRY.values()
-        if s.name not in _DRIVER_GRADED and s.name != "tpch_q1"
+    rest = [s for s in REGISTRY.values() if s.name != "tpch_q1"]
+    # Three tiers: never-graded oracle-bearing first (each window slot
+    # buys a NEW hash-exact grade), then never-graded rows-only (the
+    # driver can only record a weaker rows-only line for these), then
+    # the already-graded tail.
+    ungraded_oracle = [
+        s for s in rest if s.name not in _DRIVER_GRADED and s.oracle is not None
     ]
-    graded = [
-        s for s in REGISTRY.values()
-        if s.name in _DRIVER_GRADED and s.name != "tpch_q1"
+    ungraded_rows_only = [
+        s for s in rest if s.name not in _DRIVER_GRADED and s.oracle is None
     ]
+    graded = [s for s in rest if s.name in _DRIVER_GRADED]
     out: dict[str, QuerySpec] = {flagship.name: flagship}
-    for spec in _interleaved(ungraded) + _interleaved(graded):
+    for spec in (
+        _interleaved(ungraded_oracle)
+        + _interleaved(ungraded_rows_only)
+        + _interleaved(graded)
+    ):
         out[spec.name] = spec
     return out

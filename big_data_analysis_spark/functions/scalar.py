@@ -895,3 +895,45 @@ GROUP BY node
 """,
         lineitem=li,
     )
+
+
+@query(
+    "fn_in_subquery",
+    oracle="""
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+SELECT c_custkey, c_name,
+       c_custkey IN (SELECT o_custkey FROM big) AS has_big_order,
+       c_custkey NOT IN (SELECT o_custkey FROM big) AS no_big_order,
+       NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c_custkey
+                     AND o.o_orderstatus = 'P') AS never_pending
+FROM customer
+""",
+    category="functions",
+)
+def fn_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN / NOT EXISTS subqueries in the select list — the
+    membership predicates with the famously divergent ANSI
+    three-valued-logic corner: NOT IN against a subquery that yields
+    any NULL is NULL for non-members (which is why production
+    pipelines prefer NOT EXISTS). The subquery column here is a
+    non-null key, so both engines agree bit-exactly while the
+    operator still exercises Catalyst's RewritePredicateSubquery
+    (IN -> semi join, NOT IN -> null-aware anti join, NOT EXISTS ->
+    anti join) — three different join plans from three predicates."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+WITH big AS (SELECT o_custkey FROM {orders} WHERE o_totalprice > 250000)
+SELECT c_custkey, c_name,
+       c_custkey IN (SELECT o_custkey FROM big) AS has_big_order,
+       c_custkey NOT IN (SELECT o_custkey FROM big) AS no_big_order,
+       NOT EXISTS (SELECT 1 FROM {orders} o
+                   WHERE o.o_custkey = c_custkey
+                     AND o.o_orderstatus = 'P') AS never_pending
+FROM {customer}
+""",
+        orders=o,
+        customer=c,
+    )

@@ -1034,3 +1034,53 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, freq bigint"
     )
+
+
+@query(
+    "pipeline_domain_mix_report",
+    oracle="""
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+tot AS (SELECT SUM(n_toks) AS total FROM t)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_toks) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS token_share
+FROM t CROSS JOIN tot
+GROUP BY source, lang, tot.total
+""",
+    category="pipelines",
+)
+def pipeline_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report — the per-(source, lang) token census a
+    corpus builder signs off before a run: document counts, token
+    counts, and each cell's share of the total token budget. Shares
+    are integer-token ratios (one exact BIGINT sum / one exact total,
+    single double division) so the report is bit-identical across
+    engines. Two aggregations over one scan: the per-cell rollup and
+    a 1-row broadcast total; no second corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks")
+    )
+    tot = t.agg(F.sum("n_toks").alias("total"))
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total").cast("double")).alias(
+                "token_share"
+            ),
+        )
+    )

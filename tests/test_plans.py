@@ -220,3 +220,13 @@ def test_journey_regex_single_shuffle(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "Python" not in tree
+
+
+def test_wav_parse_pure_map_no_python(spark, sf_dir):
+    """multimodal_wav_parse synthesizes AND parses the WAV binaries
+    in one codegen'd map stage: no Exchange, no Python operators —
+    the wire-format decode never leaves the JVM."""
+    plan = plan_of("multimodal_wav_parse", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree

@@ -336,3 +336,106 @@ def multimodal_wav_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(pcm)
         ).alias("mean_pcm"),
     )
+
+
+@query(
+    "multimodal_bmp_parse",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+px AS (
+  SELECT ids.doc_id, g.p,
+         (ids.doc_id + (g.p % 4) * 7 + (g.p // 4) * 13) % 256 AS r,
+         (ids.doc_id * 3 + (g.p % 4) * 5 + (g.p // 4) * 11) % 256 AS g_,
+         (ids.doc_id * 7 + (g.p % 4) * 3 + (g.p // 4) * 17) % 256 AS b
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 4 * (2 + CAST(ids.doc_id % 6 AS INT)) - 1)) AS p
+  ) g
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 + doc_id % 6 AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bits_per_pixel,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g_) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r
+FROM px
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image twin of multimodal_wav_parse: uncompressed 24-bit BMPs
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + BGR pixel array; width 4
+    so rows are 4-byte aligned with no padding) are synthesized as a
+    binary column, then width/height/bpp are parsed from the header
+    and every pixel's B,G,R bytes decoded from the pixel array —
+    exact per-channel sums and a single-division mean, all from the
+    bytes alone in JVM codegen. Oracle recomputes from the generator
+    formula. Together with the WAV parser this gives the multimodal
+    tier real wire-format coverage for both audio and image
+    payloads without any codec dependency."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    width = F.lit(4).cast("long")
+    height = (F.lit(2) + i % 6).cast("long")
+    n_px = width * height
+    img_size = n_px * 3
+    file_size = img_size + 54
+    px_r = lambda p: (i + (p % 4) * 7 + (p / 4).cast("long") * 13) % 256
+    px_g = lambda p: (i * 3 + (p % 4) * 5 + (p / 4).cast("long") * 11) % 256
+    px_b = lambda p: (i * 7 + (p % 4) * 3 + (p / 4).cast("long") * 17) % 256
+    pixels_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_px - 1).cast("int")),
+            lambda p: F.concat(
+                _le_hex(px_b(p), 1), _le_hex(px_g(p), 1), _le_hex(px_r(p), 1)
+            ),
+        ),
+        "",
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),                # 'BM'
+        _le_hex(file_size, 4),
+        _le_hex(F.lit(0), 4),         # reserved
+        _le_hex(F.lit(54), 4),        # pixel-array offset
+        _le_hex(F.lit(40), 4),        # info-header size
+        _le_hex(width, 4),
+        _le_hex(height, 4),
+        _le_hex(F.lit(1), 2),         # planes
+        _le_hex(F.lit(24), 2),        # bits per pixel
+        _le_hex(F.lit(0), 4),         # BI_RGB (uncompressed)
+        _le_hex(img_size, 4),
+        _le_hex(F.lit(2835), 4),      # 72 DPI
+        _le_hex(F.lit(2835), 4),
+        _le_hex(F.lit(0), 4),         # palette colors
+        _le_hex(F.lit(0), 4),         # important colors
+        pixels_hex,
+    )
+    synth = d.select("doc_id", F.unhex(bmp_hex).alias("bmp"))
+
+    # ---- parse stage: reads ONLY the binary column ----
+    b = F.col("bmp")
+    p_off = _le_int(b, 11, 4)
+    p_w = _le_int(b, 19, 4)
+    p_h = _le_int(b, 23, 4)
+    p_bpp = _le_int(b, 29, 2)
+    p_n = p_w * p_h
+    byte_at = lambda pos: F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+    pix = F.sequence(F.lit(0), (p_n - 1).cast("int"))
+    chan = lambda c_off: F.transform(
+        pix, lambda p: byte_at((p_off + 1).cast("int") + p * 3 + c_off)
+    )
+    ssum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    return synth.select(
+        "doc_id",
+        p_w.alias("width"),
+        p_h.alias("height"),
+        p_bpp.alias("bits_per_pixel"),
+        p_n.alias("n_pixels"),
+        ssum(chan(2)).alias("sum_r"),
+        ssum(chan(1)).alias("sum_g"),
+        ssum(chan(0)).alias("sum_b"),
+        (ssum(chan(2)).cast("double") / p_n).alias("mean_r"),
+    )

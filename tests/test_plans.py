@@ -223,10 +223,11 @@ def test_journey_regex_single_shuffle(spark, sf_dir):
 
 
 def test_wav_parse_pure_map_no_python(spark, sf_dir):
-    """multimodal_wav_parse synthesizes AND parses the WAV binaries
-    in one codegen'd map stage: no Exchange, no Python operators —
-    the wire-format decode never leaves the JVM."""
-    plan = plan_of("multimodal_wav_parse", spark, sf_dir)
-    tree = plan.split("\n\n")[0]
-    assert "Exchange" not in tree
-    assert "Python" not in tree
+    """The wire-format parsers (WAV and BMP) synthesize AND parse
+    their binaries in one codegen'd map stage: no Exchange, no
+    Python operators — the decode never leaves the JVM."""
+    for name in ("multimodal_wav_parse", "multimodal_bmp_parse"):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, name
+        assert "Python" not in tree, name

@@ -224,3 +224,88 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"))
         .distinct()
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts,
+         ABS(CAST(epoch_us(p.ts) AS BIGINT)
+             - CAST(epoch_us(c.ts) AS BIGINT)) AS gap_us
+  FROM p JOIN c ON c.user_id = p.user_id
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY purchase_id
+                           ORDER BY gap_us, click_ts) = 1
+""",
+    category="joins_nonequi",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the third direction of the family: for
+    each purchase, the click by the same user with the SMALLEST
+    absolute time distance, before or after (ties prefer the earlier,
+    i.e. backward, click). The oracle is the quadratic per-user
+    pair-join definition; the engine never builds pairs — one tagged
+    union, ONE shuffle on user_id, and both a backward fill and a
+    forward fill planned into a single Window node over that
+    Exchange (the win_interpolate trick), then an arithmetic pick of
+    the closer side. Inner semantics: purchases with no click drop."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    order = ["ts", "tag", "event_id"]
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_struct = F.when(
+        F.col("tag") == 0,
+        F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")),
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last(click_struct, ignorenulls=True).over(w_b).alias("bwd"),
+        F.first(click_struct, ignorenulls=True).over(w_f).alias("fwd"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap_b = us - F.unix_micros(F.col("bwd.cts"))
+    gap_f = F.unix_micros(F.col("fwd.cts")) - us
+    pick_bwd = F.col("fwd").isNull() | (
+        F.col("bwd").isNotNull() & (gap_b <= gap_f)
+    )
+    best = F.when(pick_bwd, F.col("bwd")).otherwise(F.col("fwd"))
+    return (
+        filled.where(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            best.alias("best"),
+        )
+        .where(F.col("best").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.col("best.cid").alias("click_id"),
+            F.col("best.cts").alias("click_ts"),
+        )
+    )

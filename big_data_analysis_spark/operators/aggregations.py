@@ -939,8 +939,11 @@ def agg_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the engine-level answer to sessionization, vs
     win_sessionize's hand-rolled lag+cumsum (which is exactly what
     the oracle recomputes). session_window merges events whose gaps
-    are < 30 min; the emitted window end is last-event + gap, which
-    the oracle mirrors as MAX(ts) + INTERVAL. One shuffle on
+    are <= 30 min — boundary probed: two events EXACTLY 30 min apart
+    merge into one session, so the oracle's strictly-greater
+    new-session predicate agrees at the boundary, not just on the
+    microsecond-timestamp fixture. The emitted window end is
+    last-event + gap, which the oracle mirrors as MAX(ts) + INTERVAL. One shuffle on
     (user_id); the session assignment itself is a per-partition sort
     + merge, no iteration. Timestamps pass through unchanged, so the
     result is hash-exact cross-engine."""

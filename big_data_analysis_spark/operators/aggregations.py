@@ -1053,3 +1053,72 @@ def agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         corrected.alias("ewma"),
     )
+
+
+@query(
+    "agg_autocorr",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+pairs AS (
+  SELECT user_id, x,
+         lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM c
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+         CAST(SUM(x*y) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_pairs,
+       (n*sxy - sx*sy)
+         / NULLIF(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy), 0)
+         AS autocorr_lag1
+FROM m
+""",
+    category="aggregations",
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    time-series diagnostic for burstiness/mean-reversion. Built as
+    lead-paired (x_t, x_{t+1}) then Pearson r from exact INTEGER
+    power sums in cents (the agg_corr recipe): every sum is
+    int64-exact (cents^2 * pairs-per-user stays far under 2^53), the
+    double conversions are single correct roundings, and the final
+    formula has the identical expression shape in both engines, so
+    r is bit-reproducible. NULLIF guards constant series. Two
+    shuffles: the lead window and the per-user rollup — both on
+    user_id, so Catalyst reuses one Exchange."""
+    ev = table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", x.alias("x"), F.lead(x).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return m.select(
+        "user_id",
+        "n_pairs",
+        ((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))).alias(
+            "autocorr_lag1"
+        ),
+    )

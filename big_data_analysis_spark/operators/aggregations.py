@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exact import davg, dsum, sql_davg, sql_dsum
+from .. import api
 from ..io import register_views, table
 from ..registry import query
 
@@ -1019,40 +1020,12 @@ def agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines; tests/test_quality.py checks 1e-6 relative
     agreement with pandas ewm(alpha=0.25, adjust=False) on the
     truncated horizon."""
-    ev = table(spark, sf_dir, "events")
-    alpha = 0.25
-    beta = 1.0 - alpha
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-63, Window.currentRow)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
     )
-    # Within each 64-row frame, weight by beta^(pos_from_frame_end):
-    # collect the frame and fold it — constant frame, pure JVM.
-    arr = F.collect_list("value").over(w)
-    n = F.size(arr)
-    folded = F.aggregate(
-        arr,
-        F.lit(0.0),
-        lambda acc, x: acc * F.lit(beta) + x * F.lit(alpha),
-    )
-    # adjust=False with x_0 pass-through: the first element of the
-    # frame entered with weight alpha in the fold, but for a frame
-    # that starts the series it should carry weight beta^(n-1)
-    # un-alpha'd; correct by adding x_first * beta^(n-1) * (1-alpha)/1
-    first = F.element_at(arr, 1)
-    is_series_start = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ) <= 64
-    corrected = folded + F.when(
-        is_series_start, first * F.pow(F.lit(beta), n - 1) * F.lit(beta)
-    ).otherwise(F.lit(0.0))
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.col("value").alias("x"),
-        corrected.alias("ewma"),
-    )
+    return api.ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.25, horizon=64
+    ).select("event_id", "user_id", F.col("value").alias("x"), "ewma")
 
 
 @query(

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -52,11 +53,8 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     row under parallelism). One shuffle on hash(text); at scale the
     key would be md5(text) to shrink shuffle width."""
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars")
+    return api.dedup_exact(d, ["text"], "doc_id").select(
+        "doc_id", "lang", "n_chars"
     )
 
 
@@ -78,15 +76,7 @@ def dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-distinct-token key (catches the fixtures' 25 clusters).
     Keep-one policy = min doc_id per cluster."""
     d = table(spark, sf_dir, "documents")
-    return (
-        d.select(_tokenset_key().alias("cluster_key"), "doc_id")
-        .groupBy("cluster_key")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-        .where(F.col("cluster_size") > 1)
-    )
+    return api.keyed_clusters(d, _tokenset_key(), "doc_id", min_size=2)
 
 
 # (session, sf_dir) -> persisted distinct-trigram table; the gram

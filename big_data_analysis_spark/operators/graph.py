@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -64,55 +65,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow through a broadcast degree join -> edge join (one shuffle
     on src) -> groupBy dst; lineage stays O(1) deep via the
     checkpoint."""
-    e = _edges(spark, sf_dir).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst")))
-        .distinct()
-        .persist()
+    return api.pagerank(
+        spark, _edges(spark, sf_dir), iters=_ITERS, damping=_DAMPING, tol=_TOL
     )
-    n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Dangling set is fixed across iterations: nodes with no out-edge.
-    dang = nodes.join(deg, nodes.node == deg.src, "left_anti").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(_ITERS):
-        dmass = (
-            ranks.join(dang, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
-        inflow = (
-            ranks.join(F.broadcast(deg), ranks.node == deg.src)
-            .select("node", (F.col("rank") / F.col("outdeg")).alias("share"))
-            .join(e, F.col("node") == e.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("in_sum"))
-        )
-        new_ranks = (
-            ranks.withColumnRenamed("rank", "prev")
-            .join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "node",
-                "prev",
-                (
-                    F.lit((1.0 - _DAMPING) / n)
-                    + F.lit(_DAMPING) * F.col("dmass") / n
-                    + F.lit(_DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        delta = new_ranks.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev")))
-        ).collect()[0][0]
-        ranks = new_ranks.select("node", "rank")
-        if delta < _TOL:
-            break
-    e.unpersist()
-    nodes.unpersist()
-    dang.unpersist()
-    return ranks.select("node", "rank")
 
 
 @query(

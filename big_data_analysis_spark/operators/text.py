@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -44,10 +45,11 @@ GROUP BY tok
     category="text",
 )
 def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token counts: doc -> token rows -> per-token totals."""
+    """Corpus token counts: doc -> token rows -> per-token totals.
+    Delegates to the generic api.tokenize kernel."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        api.tokenize(d, "text", "doc_id")
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("total_count"),
@@ -66,13 +68,10 @@ GROUP BY doc_id, tok
     category="text",
 )
 def text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document term frequencies."""
+    """Per-document term frequencies (generic kernel:
+    api.term_freq)."""
     d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return api.term_freq(d, "text", "doc_id")
 
 
 @query(
@@ -106,55 +105,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWICE (once on the broadcast side). One tokenize pass + one
     shuffle of the much smaller tf table beats two corpus passes —
     and more so at 100 TB, where re-tokenizing is the dominant cost.
-    Only the 1-row corpus count is broadcast."""
+    Only the 1-row corpus count is broadcast. Generic kernel:
+    api.tfidf(log_idf=False)."""
     d = table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy("token")
-    return (
-        tf.withColumn("df", F.count(F.lit(1)).over(w))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            "df",
-            (
-                F.col("tf")
-                * ((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0))
-            ).alias("tfidf"),
-        )
-    )
+    return api.tfidf(d, "text", "doc_id", log_idf=False)
 
 
 @query("text_tfidf_ln", oracle=None, category="text")
 def text_tfidf_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic TF-IDF (tf x ln(N/df)). Rows-only: transcendental
     libm results differ by 1 ulp across engines; a unit test asserts
-    1e-12 relative closeness to a NumPy reference."""
+    1e-12 relative closeness to a NumPy reference. Generic kernel:
+    api.tfidf(log_idf=True)."""
     d = table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            (
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("tfidf"),
-        )
-    )
+    return api.tfidf(d, "text", "doc_id", log_idf=True)
 
 
 @query(

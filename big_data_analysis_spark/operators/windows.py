@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -289,29 +290,11 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (gap > 30 min starts a new session):
     lag -> boundary flag -> running sum. The batch twin of
     stream_session; integer session ids are engine-exact."""
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Gap in MICROSECONDS: the oracle compares the exact interval
-    # (ts - lag(ts) > INTERVAL 30 MINUTE); casting to whole seconds
-    # would truncate and merge sessions whose true gap is in
-    # (1800s, 1801s). unix_micros keeps both engines on identical
-    # integer arithmetic.
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    flagged = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return flagged.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.sum("new_session").over(wsum).alias("session_id"),
-    )
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # Generic kernel (api.sessionize) compares gaps in exact
+    # MICROSECONDS — whole-second casts would truncate and merge
+    # sessions whose true gap is in (1800s, 1801s).
+    return api.sessionize(e, "user_id", "ts", "event_id", gap_minutes=30)
 
 
 @query(
@@ -411,18 +394,9 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no arithmetic), so the result is hash-exact cross-engine."""
     ev = table(spark, sf_dir, "events")
     observed = F.when(F.col("event_type") == "purchase", F.col("value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        observed.alias("observed"),
-        F.last(observed, ignorenulls=True).over(w).alias("value_ffill"),
-    )
+    return api.forward_fill(
+        ev, "user_id", ["ts", "event_id"], observed
+    ).select("event_id", "user_id", "ts", observed.alias("observed"), "value_ffill")
 
 
 @query(
@@ -525,47 +499,13 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two window passes over ONE shuffle on user_id (prev and
     next frames share partitioning+ordering, Catalyst plans a single
     Exchange); edge holes with a missing side stay NULL."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     missing = F.col("event_id") % 5 == 0
     observed = F.when(~missing, F.col("value"))
-    cents = F.when(
-        ~missing, (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    )
-    x_obs = F.when(~missing, F.col("event_id"))
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    nbr = ev.select(
-        "event_id",
-        "user_id",
-        observed.alias("observed"),
-        F.last(cents, ignorenulls=True).over(w_prev).alias("pc"),
-        F.last(x_obs, ignorenulls=True).over(w_prev).alias("px"),
-        F.first(cents, ignorenulls=True).over(w_next).alias("nc"),
-        F.first(x_obs, ignorenulls=True).over(w_next).alias("nx"),
-    )
-    x = F.col("event_id")
-    interp = (
-        (
-            F.col("pc") * (F.col("nx") - x) + F.col("nc") * (x - F.col("px"))
-        ).cast("double")
-        / (F.col("nx") - F.col("px")).cast("double")
-        / 100.0
-    )
-    return nbr.select(
-        "event_id",
-        "user_id",
-        "observed",
-        F.when(F.col("observed").isNotNull(), F.col("observed"))
-        .when(F.col("pc").isNotNull() & F.col("nc").isNotNull(), interp)
-        .alias("value_interp"),
+    return (
+        api.interpolate(ev, "user_id", "event_id", observed, scale=100)
+        .withColumn("observed", observed)
+        .select("event_id", "user_id", "observed", "value_interp")
     )
 
 

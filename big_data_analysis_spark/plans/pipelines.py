@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -214,12 +215,7 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split profile (counts, char mass per lang) is what a release
     manifest records."""
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD
-    split = (
-        F.when(bucket < int(0.8 * _SPLIT_MOD), F.lit("train"))
-        .when(bucket < int(0.9 * _SPLIT_MOD), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = api.split_column(F.col("doc_id"), train=0.8, val=0.1)
     return (
         d.select("doc_id", "lang", "n_chars", split.alias("split"))
         .groupBy("split", "lang")
@@ -981,59 +977,13 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (iterative, not SQL-expressible); tests/test_quality.py
     re-trains with a pure-Python list-greedy BPE on the same word
     counts and asserts the identical merge-rule sequence."""
-    import re as _re
-
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # " c h a r s " — single-space-separated symbol string per word
-    w = words.select(
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
-            F.lit(" "),
-        ).alias("syms"),
-        "freq",
-    ).localCheckpoint()
-
-    merges = []
-    for step in range(1, 11):
-        syms_arr = F.split(F.trim(F.col("syms")), " ")
-        # guard: sequence(1, 0) auto-descends to [1, 0] for
-        # single-symbol words — emit an empty pair list instead
-        pair_idx = F.when(
-            F.size(syms_arr) >= 2, F.sequence(F.lit(1), F.size(syms_arr) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = F.transform(
-            pair_idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(syms_arr, i), F.element_at(syms_arr, i + 1)
-            ),
-        )
-        top = (
-            w.select(F.explode(pairs).alias("pair"), "freq")
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("pfreq"))
-            .orderBy(F.desc("pfreq"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        pair, pfreq = top[0]["pair"], top[0]["pfreq"]
-        left, right = pair.split(" ")
-        merges.append((step, left, right, left + right, pfreq))
-        pat = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
-        w = w.select(
-            F.regexp_replace(F.col("syms"), pat, left + right).alias("syms"),
-            "freq",
-        ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, freq bigint"
-    )
+    return api.bpe_train(spark, words, n_merges=10)
 
 
 @query(

@@ -383,3 +383,77 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, freq bigint"
     )
+
+
+# ------------------------------------------------------------ similarity
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cross-engine-reproducible cosine of two unit-norm float
+    vector columns (1e-6-quantized int64 dot product; see
+    operators/similarity.py for the rounding story)."""
+    from .operators.similarity import dot_dec
+
+    return dot_dec(a, b)
+
+
+def knn_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector against the
+    corpus: the bounded query set is BROADCAST against the corpus (no
+    shuffle of the big side), scored with the exact quantized dot
+    product, then cut per query with a rank window (deterministic
+    neighbor-id tie-break). Returns (query_id, neighbor_id, cosine).
+    This is the recall oracle the LSH/IVF approximate paths are
+    tested against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qe")
+    )
+    d = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__de")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qe"), F.col("__de")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def chunk(
+    df: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 32
+) -> DataFrame:
+    """Context-budget chunking: split each document into consecutive
+    fixed-size token chunks. Array-native single map stage — one
+    transform over the token array, posexploded; empty documents
+    yield zero chunks (guarding Spark's sequence(0,-1) auto-descend).
+    Returns (id, chunk_id, n_tokens, chunk_text)."""
+    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    n_chunks = F.expr(f"(size(__toks) + {chunk_tokens} - 1) div {chunk_tokens}")
+    chunks = F.transform(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
+        lambda i: F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+    )
+    return d.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

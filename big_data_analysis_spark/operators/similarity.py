@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -187,24 +188,8 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the big side), then per-query top-k window. This is
     the recall oracle for the LSH/IVF paths."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("de"))
-    scored = (
-        d.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot_dec(F.col("qe"), F.col("de")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .drop("rn")
+    return api.knn_brute(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=3
     )
 
 

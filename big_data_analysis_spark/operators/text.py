@@ -353,25 +353,8 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a pure map stage: output rows ~= input tokens /
     32, and downstream stages shuffle on (doc_id, chunk_id) only if
     they need to."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
-    toks = F.col("toks")
-    n_chunks = F.expr(f"(size(toks) + {_CHUNK} - 1) div {_CHUNK}")
-    # n_chunks == 0 guard: Spark's sequence(0, -1) auto-descends to
-    # [0, -1] while the oracle's generate_series(0, -1) is empty; the
-    # un-otherwise'd when() yields NULL there and posexplode drops it,
-    # matching the oracle's zero rows for empty token arrays.
-    chunks = F.transform(
-        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
-        lambda i: F.slice(toks, i * _CHUNK + 1, _CHUNK),
-    )
-    return d.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size("chunk").alias("n_tokens"),
-        F.array_join("chunk", " ").alias("chunk_text"),
-    )
+    d = table(spark, sf_dir, "documents")
+    return api.chunk(d, "text", "doc_id", chunk_tokens=_CHUNK)
 
 
 @query(

@@ -133,3 +133,34 @@ def test_api_bpe_train_tiny_vocab(spark):
     assert rules[0] == ("a", "b", 25)
     # round 2: "ab ab" (10) + "ab" + "c d": pairs (ab,ab)=10, (c,d)=3
     assert rules[1] == ("ab", "ab", 10)
+
+
+def test_api_knn_brute_synthetic(spark):
+    # 2-D unit vectors at known angles: nearest neighbor by cosine
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(0.1), math.sin(0.1)]),
+        (2, [math.cos(1.2), math.sin(1.2)]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vid long, v array<float>")
+    out = api.knn_brute(df, df.where(F.col("vid") == 0), "vid", "v", k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]  # by angle distance
+
+
+def test_api_chunk_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "did long, body string"
+    )
+    rows = sorted(
+        (r["did"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in api.chunk(df, "body", "did", chunk_tokens=2).collect()
+    )
+    assert rows == [
+        (1, 0, 2, "a b"),
+        (1, 1, 2, "c d"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]

@@ -457,3 +457,75 @@ def chunk(
         F.size("chunk").alias("n_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+def quality_score(
+    df: DataFrame, text_col: str, id_col: str, *, stopwords: Sequence[str] = ("the", "a")
+) -> DataFrame:
+    """Heuristic document-quality scoring: lexical diversity x
+    (1 - stopword share), plus the raw ratios. All ratios are
+    int/int double divisions — bit-identical across engines. Pure
+    map stage."""
+    toks = F.split(F.col(text_col), " ")
+    stop_lits = list(stopwords)
+    t = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda x: x.isin(*stop_lits))).alias("n_stop"),
+    )
+    uq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    sw = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return t.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        uq.alias("unique_ratio"),
+        sw.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (uq * (F.lit(1.0) - sw)).alias("quality_score"),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with Jaccard >=
+    ``threshold`` — the sub-quadratic dedup scale path: banding
+    generates candidates, and the emitted jaccard is MLlib's
+    keyDistance complement = EXACT Jaccard on the binarized token
+    vectors (modulo feature-hash collisions), so the threshold is an
+    exact verify, not a sketch estimate. Returns (id_a, id_b,
+    jaccard) with id_a < id_b. Seeded for determinism."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__toks"),
+    )
+    tf = HashingTF(
+        inputCol="__toks", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(d).where(F.size("__toks") > 0)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed
+    ).fit(feats)
+    pairs = mh.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.where(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias(f"{id_col}_a"),
+            F.col("datasetB.__id").alias(f"{id_col}_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )

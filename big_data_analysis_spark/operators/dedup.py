@@ -290,26 +290,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch internals are engine-specific -> rows-only; the unit test
     cross-checks recall against exact token-set clusters. Seeded for
     determinism across runs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
-    )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
-    )
-    feats = tf.transform(d).where(F.size("toks") > 0)
-    mh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    ).fit(feats)
-    pairs = mh.approxSimilarityJoin(feats, feats, 0.1, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            (1 - F.col("jaccard_dist")).alias("jaccard"),
-        )
+    d = table(spark, sf_dir, "documents")
+    return api.minhash_pairs(
+        d, "text", "doc_id", threshold=0.9, num_tables=8, seed=42
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "jaccard",
     )
 
 

@@ -164,3 +164,23 @@ def test_api_chunk_boundaries(spark):
         (1, 2, 1, "e"),
         (2, 0, 1, "x"),
     ]
+
+
+def test_api_quality_score_ratios(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "did long, body string")
+    r = api.quality_score(df, "body", "did", stopwords=("the", "on")).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["unique_ratio"] == 5 / 6      # 'the' repeats
+    assert r["stopword_ratio"] == 3 / 6    # the, on, the
+    assert r["quality_score"] == (5 / 6) * (1 - 3 / 6)
+
+
+def test_api_minhash_pairs_finds_planted_dup(spark):
+    rows = [(i, f"u{i} v{i} w{i} x{i}") for i in range(20)]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0 -> jaccard 1.0
+    df = spark.createDataFrame(rows, "did long, body string")
+    pairs = {
+        (r["did_a"], r["did_b"]): r["jaccard"]
+        for r in api.minhash_pairs(df, "body", "did", threshold=0.9).collect()
+    }
+    assert pairs == {(0, 100): 1.0}

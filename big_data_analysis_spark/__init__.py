@@ -12,9 +12,17 @@ Structured Streaming for the event stream; every operator written for
 no driver-side collect in any operator path).
 
 Public surface:
+  - ``api``                    — fixture-independent library kernels
+                                 (tokenize/tfidf, dedup, clusters,
+                                 connected components, sessionize,
+                                 fill/interpolate, EWMA, PageRank,
+                                 kNN, chunking, MinHash pairs,
+                                 splits, BPE training)
   - ``session.get_spark()``    — tuned local session builder
   - ``registry.REGISTRY``      — name -> QuerySpec (fn + oracle SQL)
   - ``registry.load_all()``    — import every operator module
+  - ``python -m big_data_analysis_spark.run <query> [...]`` — CLI
+    runner for any registered query (--explain / --limit / --sf-dir)
 """
 
 __version__ = "0.1.0"

@@ -1095,3 +1095,142 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorr_lag1"
         ),
     )
+
+
+@query(
+    "agg_benford",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+),
+tot AS (SELECT COUNT(*) AS n FROM d)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+FROM d CROSS JOIN tot
+GROUP BY digit, tot.n
+""",
+    category="aggregations",
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-significant-digit distribution of order totals — the
+    Benford's-law forensic profile auditors run for fabricated-data
+    screening. Digit extracted through the integer-string path (no
+    log10, so no libm), share = exact count ratio with one double
+    division. One bounded-key (9 digits) aggregation + a 1-row
+    broadcast total."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    d = o.select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_customers,
+       CAST(sx AS DOUBLE) AS total_spend,
+       (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+FROM m
+""",
+    category="aggregations",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the standard inequality /
+    concentration metric, from the rank formula
+    G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over ascending-
+    sorted spend. Spend is rounded to whole currency units so every
+    power sum stays int64-exact with the double conversions single
+    correct roundings (Sum(i*x_i) ~ n^2/2 * avg_spend must stay
+    under 2^53 — holds to ~100k customers here; beyond that switch
+    the accumulators to DECIMAL(38,0) and accept the documented
+    one-ulp decimal->double risk, or bin spends). The global rank is
+    the scale limiter (single-partition sort of the per-customer
+    rollup, not of the raw fact)."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
+    )
+    ranked = spend.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n, sx, six = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("six").cast("double"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        sx.alias("total_spend"),
+        ((2.0 * six - (n + 1.0) * sx) / (n * sx)).alias("gini"),
+    )
+
+
+@query(
+    "agg_hhi",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(SUM(cnt * cnt) AS DOUBLE)
+         / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS hhi
+FROM c
+GROUP BY user_id
+""",
+    category="aggregations",
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of each user's activity mix
+    (1/k = perfectly even over k event types, 1.0 = single-type):
+    HHI = Sum(cnt_i^2) / total^2, kept as ONE integer numerator and
+    one squared integer denominator so it is exact-rational — the
+    entropy alternative that needs no logarithm and therefore stays
+    oracle-exact. Two stacked aggregations, both shuffling on
+    user_id."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double"))
+        ).alias("hhi"),
+    )

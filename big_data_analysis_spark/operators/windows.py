@@ -654,3 +654,48 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_types_so_far"),
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(cum AS DOUBLE) AS cum_spend,
+       CAST(MAX(cum) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - cum AS DOUBLE) AS drawdown
+FROM c
+""",
+    category="windows",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown — peak-to-current gap of each customer's
+    cumulative spend (the finance risk metric, here over the order
+    ledger): running exact-decimal prefix sum, running MAX of that
+    sum, difference. Subtracting two exact decimals keeps the result
+    exact, so the metric is bit-reproducible; both windows share one
+    shuffle on o_custkey. For always-positive series drawdown is 0
+    everywhere — the shape matters for signed series (returns,
+    balance deltas); on this ledger it certifies the peak-tracking
+    plumbing."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    peak = F.max(cum).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cum.cast("double").alias("cum_spend"),
+        (peak - cum).cast("double").alias("drawdown"),
+    )

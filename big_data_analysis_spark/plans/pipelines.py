@@ -1034,3 +1034,82 @@ def pipeline_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_ab_test",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+                   < {_SPLIT_MOD // 2} THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS spend_c
+  FROM events
+  GROUP BY user_id
+),
+m AS (
+  SELECT arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(spend_c) AS DOUBLE) AS s,
+         CAST(SUM(spend_c * spend_c) AS DOUBLE) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY arm
+)
+SELECT a.n_users AS n_a, b.n_users AS n_b,
+       a.s / a.n / 100.0 AS mean_a,
+       b.s / b.n / 100.0 AS mean_b,
+       (a.s / a.n - b.s / b.n)
+         / sqrt((a.n * a.ss - a.s * a.s) / (a.n * (a.n - 1.0)) / a.n
+              + (b.n * b.ss - b.s * b.s) / (b.n * (b.n - 1.0)) / b.n)
+         AS t_welch
+FROM (SELECT * FROM m WHERE arm = 'A') a
+CROSS JOIN (SELECT * FROM m WHERE arm = 'B') b
+""",
+    category="pipelines",
+)
+def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a deterministic hash assignment
+    and a Welch t statistic — the analysis every experimentation
+    platform runs: users split into arms by the same Knuth
+    multiplicative hash as pipeline_train_split (assignment is a
+    pure function of the user id), per-user purchase spend is the
+    unit of analysis (clustered correctly — events within a user are
+    not independent), and the t statistic comes from int64-exact
+    power sums in cents with the IDENTICAL expression shape in both
+    engines, so even the sqrt-bearing statistic is bit-reproducible.
+    Two shuffles: the per-user rollup and the 2-row arm rollup."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") * _SPLIT_MULT) % _SPLIT_MOD
+    arm = F.when(bucket < _SPLIT_MOD // 2, "A").otherwise("B")
+    spend = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).otherwise(F.lit(0))
+    ).alias("spend_c")
+    per_user = ev.groupBy("user_id").agg(spend).select(
+        arm.alias("arm"), "spend_c"
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("spend_c").cast("double").alias("s"),
+        F.sum(F.col("spend_c") * F.col("spend_c")).cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    a = m.where(F.col("arm") == "A").alias("a")
+    b = m.where(F.col("arm") == "B").alias("b")
+    an, as_, ass = F.col("a.n"), F.col("a.s"), F.col("a.ss")
+    bn, bs, bss = F.col("b.n"), F.col("b.s"), F.col("b.ss")
+    var_a = (an * ass - as_ * as_) / (an * (an - 1.0))
+    var_b = (bn * bss - bs * bs) / (bn * (bn - 1.0))
+    return a.crossJoin(b).select(
+        F.col("a.n_users").alias("n_a"),
+        F.col("b.n_users").alias("n_b"),
+        (as_ / an / 100.0).alias("mean_a"),
+        (bs / bn / 100.0).alias("mean_b"),
+        ((as_ / an - bs / bn) / F.sqrt(var_a / an + var_b / bn)).alias(
+            "t_welch"
+        ),
+    )

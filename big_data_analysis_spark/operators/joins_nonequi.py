@@ -309,3 +309,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.cts").alias("click_ts"),
         )
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH n AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM n a JOIN n b ON b.block = a.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    category="joins_nonequi",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join with blocking — the entity-resolution kernel:
+    candidate pairs come from an EQUI-join on a blocking key (here
+    the trailing noun of the part name), then an exact Levenshtein
+    verify keeps pairs within edit distance 2. Blocking is part of
+    the operator contract (a pair that disagrees on the block key is
+    not a candidate) — the standard recall/compute trade every
+    record-linkage system makes, and what turns the quadratic
+    all-pairs distance join into a per-block one. Dedup to distinct
+    names first so the pair space is over entities, not rows; both
+    engines run unit-cost Levenshtein, so distances are identical
+    integers. Hot blocks are the skew risk at scale — same df-cap /
+    salt remedies as the shared-gram join."""
+    p = table(spark, sf_dir, "part")
+    n = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")).select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a = n.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = n.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("block").alias("block_b"),
+    )
+    return (
+        a.join(b, (F.col("block_b") == F.col("block")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= 2)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )

@@ -1234,3 +1234,53 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double"))
         ).alias("hhi"),
     )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM c JOIN tot t ON t.from_type = c.from_type
+""",
+    category="aggregations",
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    of consecutive (from_type -> to_type) event pairs within each
+    user's time-ordered stream, with the maximum-likelihood
+    transition probability as an exact count ratio (one double
+    division — bit-identical cross-engine). The estimator behind
+    next-action prediction and behavioral anomaly scoring.
+
+    Shape: one lead window (shuffle on user_id), one bounded-key
+    (5x5) count rollup, and the per-from totals joined back — tiny
+    matrix state regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return c.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )

@@ -1113,3 +1113,140 @@ def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_welch"
         ),
     )
+
+
+@query(
+    "pipeline_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+  FROM events e
+),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, a.active_week) AS BIGINT)
+           AS week_offset,
+         a.user_id
+  FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+),
+cohort_size AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_seen GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       cs.n_users AS cohort_size,
+       CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / CAST(cs.n_users AS DOUBLE)
+         AS retention
+FROM joined j JOIN cohort_size cs ON cs.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset, cs.n_users
+""",
+    category="pipelines",
+)
+def pipeline_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the growth-analytics staple: users
+    are cohorted by first-seen week, every (cohort, week-offset)
+    cell counts how many of them were active that week, and
+    retention is the exact count ratio against the cohort size.
+    Week arithmetic runs on date_trunc boundaries in both engines
+    (offset = whole truncated weeks, not day/7), so cells align
+    bit-exactly.
+
+    Shuffles: first-seen rollup (user_id), distinct activity
+    (user_id, week), the cohort join (user_id, broadcast-eligible
+    first_seen), and the cell rollup — each on a natural key, no
+    quadratic anything."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    joined = activity.join(first_seen, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+        ).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "pipeline_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+    category="pipelines",
+)
+def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic: per
+    customer recency (last order date), frequency (order count) and
+    monetary (exact-decimal spend), each quartiled with ntile over a
+    total order (custkey tie-break makes the quartile assignment
+    deterministic), then the 4x4x4 segment rollup with exact segment
+    value. The three ntiles are global sorts of the per-customer
+    ROLLUP (n_customers rows, not the fact table) — the same
+    bounded-sort posture as agg_equidepth_histogram."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("segment_value"),
+    )

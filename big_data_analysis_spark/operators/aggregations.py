@@ -1284,3 +1284,91 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
     )
+
+
+# Chi-square cells: event types x deterministic A/B arm (same Knuth
+# hash as pipeline_ab_test). All ten observed counts are pivoted into
+# ONE row of exact integers so the chi-square combination runs in a
+# single expression with FIXED evaluation order — no float summation
+# across rows, hence bit-exact cross-engine.
+_CHI_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_chi_square",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type,
+         CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+p AS (
+  SELECT
+    {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{et}' AND arm = '{arm}' THEN 1 END) AS DOUBLE) AS o_{et}_{arm}"
+               for et in _CHI_TYPES for arm in ("A", "B"))},
+    CAST(COUNT(*) AS DOUBLE) AS n
+  FROM t
+),
+q AS (
+  SELECT p.*,
+         {" + ".join(f"o_{e2}_A" for e2 in _CHI_TYPES)} AS colA,
+         {" + ".join(f"o_{e2}_B" for e2 in _CHI_TYPES)} AS colB
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       {" + ".join(
+         f"(o_{et}_A * n - (o_{et}_A + o_{et}_B) * colA) * (o_{et}_A * n - (o_{et}_A + o_{et}_B) * colA)"
+         f" / ((o_{et}_A + o_{et}_B) * colA * n)"
+         f" + (o_{et}_B * n - (o_{et}_A + o_{et}_B) * colB) * (o_{et}_B * n - (o_{et}_A + o_{et}_B) * colB)"
+         f" / ((o_{et}_A + o_{et}_B) * colB * n)"
+         for et in _CHI_TYPES)} AS chi2,
+       CAST(4 AS BIGINT) AS dof
+FROM q
+""",
+    category="aggregations",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs deterministic
+    A/B arm (the experiment sanity check: activity mix should be
+    independent of a hash-based assignment). chi2 = sum over cells of
+    (observed*n - row*col)^2 / (row*col*n) — the standard statistic
+    rearranged so every input is an EXACT integer count cast once to
+    double, and the whole 10-cell combination evaluates inside one
+    expression whose operand order is fixed by construction in both
+    engines: no float aggregation across rows anywhere, so the
+    statistic is bit-reproducible. One bounded-cell conditional
+    aggregation (single shuffle-free partial+final over 10 counters)."""
+    ev = table(spark, sf_dir, "events")
+    arm = F.when(
+        (F.col("user_id") * 2654435761) % 4294967296 < 2147483648, "A"
+    ).otherwise("B")
+    t = ev.select(F.col("event_type"), arm.alias("arm"))
+    aggs = [
+        F.count(
+            F.when((F.col("event_type") == et) & (F.col("arm") == a), 1)
+        ).cast("double").alias(f"o_{et}_{a}")
+        for et in _CHI_TYPES
+        for a in ("A", "B")
+    ] + [F.count(F.lit(1)).cast("double").alias("n")]
+    p = t.agg(*aggs)
+    n = F.col("n")
+    colA = sum((F.col(f"o_{e}_A") for e in _CHI_TYPES[1:]), F.col(f"o_{_CHI_TYPES[0]}_A"))
+    colB = sum((F.col(f"o_{e}_B") for e in _CHI_TYPES[1:]), F.col(f"o_{_CHI_TYPES[0]}_B"))
+    # accumulate FLAT (A-term then B-term per type, left-associated)
+    # to mirror the oracle's "+"-joined chain exactly — float addition
+    # is not associative, so grouping (tA + tB) per type first would
+    # drift by an ulp
+    chi2 = None
+    for et in _CHI_TYPES:
+        oa, ob = F.col(f"o_{et}_A"), F.col(f"o_{et}_B")
+        row = oa + ob
+        da = oa * n - row * colA
+        db = ob * n - row * colB
+        for term in (da * da / (row * colA * n), db * db / (row * colB * n)):
+            chi2 = term if chi2 is None else chi2 + term
+    return p.select(
+        n.cast("long").alias("n_events"),
+        chi2.alias("chi2"),
+        F.lit(4).cast("long").alias("dof"),
+    )

@@ -699,3 +699,63 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("double").alias("cum_spend"),
         (peak - cum).cast("double").alias("drawdown"),
     )
+
+
+@query(
+    "win_bollinger",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, o_orderkey, x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(x) OVER w AS DOUBLE) AS s,
+         CAST(SUM(x * x) OVER w AS DOUBLE) AS ss
+  FROM c
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey,
+       s / n / 100.0 AS mid,
+       s / n / 100.0 - 2.0 * sqrt((n * ss - s * s) / (n * n)) / 100.0 AS lower,
+       s / n / 100.0 + 2.0 * sqrt((n * ss - s * s) / (n * n)) / 100.0 AS upper
+FROM m
+""",
+    category="windows",
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the trailing 4-order frame per customer:
+    moving mean +/- 2 population standard deviations. Every moment is
+    an int64-exact power sum over cents (frame products stay far
+    below 2^53), and mean/band formulas have the identical expression
+    shape in both engines, so even the sqrt-bearing bands are
+    bit-reproducible — the same discipline as agg_corr/agg_autocorr
+    applied to a sliding frame. One shuffle on o_custkey; the frame
+    keeps running state, no per-row re-scan."""
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(x).over(w).cast("double").alias("s"),
+        F.sum(x * x).over(w).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mid = s / n / 100.0
+    band = 2.0 * F.sqrt((n * ss - s * s) / (n * n)) / 100.0
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        mid.alias("mid"),
+        (mid - band).alias("lower"),
+        (mid + band).alias("upper"),
+    )

@@ -691,3 +691,99 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(nll).alias("ppl"),
         (F.exp(nll) <= F.lit(30.0)).alias("keep"),
     )
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df,
+         tf * ((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+               / (COUNT(*) OVER (PARTITION BY token) + 1.0)) AS tfidf
+  FROM tf
+)
+SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+""",
+    category="text",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF
+    (linear smoothed idf, so scores are exact and the ranking is
+    engine-independent; token tie-break totalizes the order).
+    Composes the single-pass tfidf kernel with a per-doc rank
+    window — corpus tokenized once, then two shuffles (token window,
+    doc_id window)."""
+    d = table(spark, sf_dir, "documents")
+    scored = api.tfidf(d, "text", "doc_id", log_idf=False)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", F.col("df").cast("long").alias("df"), "tfidf", "rnk")
+    )
+
+
+@query("text_bm25", oracle=None, category="text")
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed
+    3-term query — the default ranking function of every full-text
+    search engine (k1=1.2, b=0.75): idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*len/avglen)) summed over query terms, with
+    the Robertson idf ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Rows-only (ln is libm); tests/test_quality.py recomputes the
+    identical statistic in NumPy to 1e-9 relative. Shape: the tf
+    table for the query terms only (filter BEFORE the token-window
+    df so only 3 hot keys shuffle), doc lengths from a column-pruned
+    scan, corpus stats broadcast as one row — the corpus streams
+    once."""
+    K1, B = 1.2, 0.75
+    terms = ["table", "spark", "hash"]
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        api.term_freq(d, "text", "doc_id")
+        .where(F.col("token").isin(*terms))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    lens = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avg_dl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                idf
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + K1 * (1 - B + B * F.col("dl") / F.col("avg_dl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        F.sum("term_score").alias("bm25"),
+    )

@@ -525,3 +525,32 @@ def test_bpe_train_matches_pure_python(spark, sf_dir):
                     i += 1
             words[key] = (out, n)
     assert got == want
+
+
+def test_bm25_matches_numpy(spark, sf_dir):
+    """text_bm25 must agree with an independent NumPy recomputation
+    of BM25 (k1=1.2, b=0.75, Robertson idf) to 1e-9 relative."""
+    import numpy as np
+
+    out = {r["doc_id"]: r["bm25"] for r in run("text_bm25", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    toks = docs.text.str.split(" ")
+    N = len(docs)
+    avg_dl = float(np.mean([len(t) for t in toks]))
+    terms = ["table", "spark", "hash"]
+    df = {t: int(sum(t in set(tk) for tk in toks)) for t in terms}
+    K1, B = 1.2, 0.75
+    want = {}
+    for doc_id, tk in zip(docs.doc_id, toks):
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = np.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(tk) / avg_dl))
+        if s:
+            want[doc_id] = s
+    assert set(out) == set(want)
+    for k in want:
+        assert abs(out[k] - want[k]) / want[k] < 1e-9, k

@@ -1316,6 +1316,8 @@ q AS (
          {" + ".join(f"o_{e2}_B" for e2 in _CHI_TYPES)} AS colB
   FROM p
 )
+SELECT n_events, chi2, dof, sqrt(chi2 / n_events) AS cramers_v
+FROM (
 SELECT CAST(n AS BIGINT) AS n_events,
        {" + ".join(
          f"(o_{et}_A * n - (o_{et}_A + o_{et}_B) * colA) * (o_{et}_A * n - (o_{et}_A + o_{et}_B) * colA)"
@@ -1325,6 +1327,7 @@ SELECT CAST(n AS BIGINT) AS n_events,
          for et in _CHI_TYPES)} AS chi2,
        CAST(4 AS BIGINT) AS dof
 FROM q
+)
 """,
     category="aggregations",
 )
@@ -1367,8 +1370,13 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = ob * n - row * colB
         for term in (da * da / (row * colA * n), db * db / (row * colB * n)):
             chi2 = term if chi2 is None else chi2 + term
-    return p.select(
+    out = p.select(
         n.cast("long").alias("n_events"),
         chi2.alias("chi2"),
         F.lit(4).cast("long").alias("dof"),
+    )
+    # Cramer's V effect size: min(r-1, c-1) == 1 for the 5x2 table,
+    # so V = sqrt(chi2 / n) — same single sqrt in both engines.
+    return out.withColumn(
+        "cramers_v", F.sqrt(F.col("chi2") / F.col("n_events"))
     )

@@ -759,3 +759,71 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid - band).alias("lower"),
         (mid + band).alias("upper"),
     )
+
+
+@query(
+    "win_rsi",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders
+),
+d AS (
+  SELECT o_custkey, o_orderkey,
+         x - lag(x) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS diff
+  FROM c
+),
+g AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+              OVER w AS BIGINT) AS gains,
+         CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+              OVER w AS BIGINT) AS losses,
+         CAST(COUNT(diff) OVER w AS BIGINT) AS n_diffs
+  FROM d
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey, n_diffs,
+       CASE WHEN gains + losses > 0
+            THEN 100.0 * CAST(gains AS DOUBLE)
+                 / CAST(gains + losses AS DOUBLE) END AS rsi
+FROM g
+""",
+    category="windows",
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (simple-average Cutler form) over the
+    trailing 6 order-to-order price moves per customer: RSI = 100 *
+    gains / (gains + losses), with gains/losses as exact int64 sums
+    of positive/negative cent deltas and ONE double division — so
+    the oscillator is bit-reproducible (the classic Wilder-smoothed
+    RSI is a recursion; the simple-average form is the
+    window-expressible variant). NULL until a move exists or when
+    the frame is flat. One shuffle on o_custkey; lag and the two
+    conditional sums share the partition sort."""
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    w0 = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    d = o.select(
+        "o_custkey", "o_orderkey", (x - F.lag(x).over(w0)).alias("diff")
+    )
+    w = w0.rowsBetween(-5, Window.currentRow)
+    g = d.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)).over(w).alias("gains"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)).over(w).alias("losses"),
+        F.count("diff").over(w).alias("n_diffs"),
+    )
+    return g.select(
+        "o_custkey",
+        "o_orderkey",
+        "n_diffs",
+        F.when(
+            (F.col("gains") + F.col("losses")) > 0,
+            100.0 * F.col("gains").cast("double")
+            / (F.col("gains") + F.col("losses")).cast("double"),
+        ).alias("rsi"),
+    )

@@ -1250,3 +1250,61 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+@query(
+    "pipeline_seasonality",
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+SELECT event_type, dow, hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS avg_value,
+       CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS traffic_share
+FROM t CROSS JOIN tot
+GROUP BY event_type, dow, hour, tot.n
+""",
+    category="pipelines",
+)
+def pipeline_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap — the ops-dashboard staple: per (event
+    type, day-of-week, hour-of-day) cell counts, exact-cents average
+    value, and each cell's share of total traffic. Day-of-week uses
+    the 0=Sunday EXTRACT(dow) convention on both engines (Spark:
+    dayofweek() is 1=Sunday, so shift by one). Bounded cells
+    (5 x 7 x 24), one aggregation + a broadcast total."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+        cents.alias("cents"),
+    )
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        t.groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+                "avg_value"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "hour",
+            "n_events",
+            "avg_value",
+            (F.col("n_events").cast("double") / F.col("n").cast("double")).alias(
+                "traffic_share"
+            ),
+        )
+    )

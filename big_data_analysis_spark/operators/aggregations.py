@@ -1169,7 +1169,9 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend — the standard inequality /
     concentration metric, from the rank formula
     G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over ascending-
-    sorted spend. Spend is rounded to whole currency units so every
+    sorted spend. Spend is rounded to whole currency units (both
+    engines round double half-ties AWAY FROM ZERO — verified on the
+    fixture's 1516 live .50 values, not assumed) so every
     power sum stays int64-exact with the double conversions single
     correct roundings (Sum(i*x_i) ~ n^2/2 * avg_spend must stay
     under 2^53 — holds to ~100k customers here; beyond that switch
@@ -1379,4 +1381,77 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so V = sqrt(chi2 / n) — same single sqrt in both engines.
     return out.withColumn(
         "cramers_v", F.sqrt(F.col("chi2") / F.col("n_events"))
+    )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, median(cents) AS med FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.cents, m.med,
+         ABS(CAST(c.cents AS DOUBLE) - m.med) AS adev
+  FROM c JOIN med m ON m.event_type = c.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(d.med / 100.0 AS DOUBLE) AS median_value,
+       CAST(m.mad / 100.0 AS DOUBLE) AS mad_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, d.med, m.mad
+""",
+    category="aggregations",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    z-score alternative that one fat-tailed spike cannot poison:
+    per event type, median value, MAD, and the count of events whose
+    absolute deviation exceeds 3*MAD. Both medians run over exact
+    integer cents (even-count interpolation halves are exact doubles
+    in both engines), deviations are exact differences, and the
+    3*MAD threshold compares exactly — so the whole robust pipeline
+    is oracle-exact with no tolerance anywhere.
+
+    Shape: two grouped medians (the exact small-group tier — the
+    100 TB swap-in is approx_percentile, as with
+    agg_equidepth_histogram) with broadcast joins back; one shuffle
+    of the fact per median level."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    med = c.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("med") / 100.0).alias("median_value"),
+            (F.col("mad") / 100.0).alias("mad_value"),
+            "n_events",
+            "n_outliers",
+        )
     )

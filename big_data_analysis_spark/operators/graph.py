@@ -118,3 +118,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tri.localCheckpoint(eager=True)
     u.unpersist()
     return out
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem
+  WHERE l_orderkey % 100 <> l_partkey % 100
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+ind  AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY dst)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT MAX(d) FROM outd) AS max_out_degree,
+       (SELECT MAX(d) FROM ind) AS max_in_degree,
+       CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM nodes) AS DOUBLE) AS avg_out_degree
+""",
+    category="graph",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the digraph — the first diagnostic before
+    running any iterative graph algorithm (max degree predicts the
+    skew a join-based PageRank/CC round will hit; avg degree sizes
+    the per-round shuffle): node/edge counts, max in/out degree, and
+    the exact-ratio mean out-degree. Three bounded aggregations over
+    one edge table; the scalar assembly is a 1-row crossJoin chain,
+    not a driver collect."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst"))
+    ).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    max_out = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_out_degree"))
+    )
+    max_in = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_in_degree"))
+    )
+    return (
+        n_nodes.crossJoin(n_edges).crossJoin(max_out).crossJoin(max_in)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_out_degree",
+            "max_in_degree",
+            (
+                F.col("n_edges").cast("double") / F.col("n_nodes").cast("double")
+            ).alias("avg_out_degree"),
+        )
+    )

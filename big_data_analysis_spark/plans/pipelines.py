@@ -1308,3 +1308,67 @@ def pipeline_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_traffic_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, hr, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS base_n,
+         CAST(COUNT(*) OVER w AS BIGINT) AS base_hours
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr, n, base_n, base_hours,
+       CAST(n * base_hours AS DOUBLE) / CAST(base_n AS DOUBLE) AS spike_ratio,
+       n * base_hours > 2 * base_n AS is_spike
+FROM base
+WHERE base_hours = 24
+""",
+    category="pipelines",
+)
+def pipeline_traffic_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection — the monitoring-alert staple: each
+    (event type, hour) count is compared to its own trailing 24-hour
+    baseline; a spike is a count more than 2x the baseline mean. The
+    ratio is one exact-integer cross-multiplication divided once,
+    and the 2x FLAG compares integers exactly (n * base_hours >
+    2 * base_n) — no float threshold, so alerts are bit-stable.
+    Hours without a full baseline are excluded rather than
+    half-compared. Shuffles: the hourly rollup, then the per-type
+    ordered window — both on (event_type[, hour])."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("base_n"),
+        F.count(F.lit(1)).over(w).alias("base_hours"),
+    ).where(F.col("base_hours") == 24)
+    return base.select(
+        "event_type",
+        "hr",
+        "n",
+        "base_n",
+        "base_hours",
+        (
+            (F.col("n") * F.col("base_hours")).cast("double")
+            / F.col("base_n").cast("double")
+        ).alias("spike_ratio"),
+        (F.col("n") * F.col("base_hours") > 2 * F.col("base_n")).alias("is_spike"),
+    )

@@ -572,3 +572,86 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("vec_id") == F.col("label")).alias("is_rep"),
     )
+
+
+@query(
+    "dedup_audit_report",
+    oracle=f"""
+WITH {_SQL_JACCARD_PAIRS},
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dup_docs
+  FROM documents
+),
+ts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokenset_clusters,
+         CAST(SUM(cnt - 1) AS BIGINT) AS n_tokenset_dup_docs
+  FROM (
+    SELECT COUNT(*) AS cnt
+    FROM documents
+    GROUP BY {_SQL_TOKENSET_KEY}
+    HAVING COUNT(*) > 1
+  )
+),
+ng AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ngram_pairs FROM jpairs
+)
+SELECT exact.n_docs, exact.n_exact_dup_docs,
+       ts.n_tokenset_clusters, ts.n_tokenset_dup_docs, ng.n_ngram_pairs,
+       CAST(exact.n_exact_dup_docs AS DOUBLE)
+         / CAST(exact.n_docs AS DOUBLE) AS exact_dup_rate,
+       CAST(ts.n_tokenset_dup_docs AS DOUBLE)
+         / CAST(exact.n_docs AS DOUBLE) AS tokenset_dup_rate
+FROM exact CROSS JOIN ts CROSS JOIN ng
+""",
+    category="dedup",
+)
+def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit — the one-row report a corpus owner reads before
+    choosing a dedup policy: how much each tier would remove. Exact
+    byte-duplicates (count minus distinct texts), token-set near-dup
+    clusters and the docs they'd drop, and the n-gram Jaccard>=0.5
+    pair count from the shared gram kernel — each rate an exact
+    count ratio. The approximate tiers (MinHash/SimHash) are
+    deliberately absent: this is the ground-truth ledger their
+    recall is measured against (tests/test_quality.py), and their
+    candidate counts are run-shaped rather than corpus-shaped.
+
+    Composes three already-verified kernels over ONE session-cached
+    gram table; the final assembly is a 1-row crossJoin chain."""
+    d = table(spark, sf_dir, "documents")
+    exact = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dup_docs"),
+    )
+    ts = (
+        api.keyed_clusters(d, _tokenset_key(), "doc_id", min_size=2)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokenset_clusters"),
+            F.coalesce(
+                F.sum(F.col("cluster_size") - 1), F.lit(0)
+            ).cast("long").alias("n_tokenset_dup_docs"),
+        )
+    )
+    ng = dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_ngram_pairs")
+    )
+    return (
+        exact.crossJoin(ts)
+        .crossJoin(ng)
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "n_tokenset_clusters",
+            "n_tokenset_dup_docs",
+            "n_ngram_pairs",
+            (
+                F.col("n_exact_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.col("n_tokenset_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("tokenset_dup_rate"),
+        )
+    )

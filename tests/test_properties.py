@@ -363,3 +363,66 @@ def test_skyline_matches_quadratic_definition(spark, sf_dir):
         )
     }
     assert got == want and len(want) > 0
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """agg_markov_transitions: per from-state probabilities sum to 1,
+    and total transition count equals events minus one per user."""
+    out = REG["agg_markov_transitions"].fn(spark, sf_dir).toPandas()
+    sums = out.groupby("from_type").p.sum()
+    assert ((sums - 1.0).abs() < 1e-12).all()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out.n.sum() == n_events - n_users
+
+
+def test_analytics_invariants(spark, sf_dir):
+    """Range/partition invariants across the analytics wave: RSI in
+    [0,100], Bollinger band ordering, drawdown non-negative, Gini in
+    [0,1), Benford shares summing to 1, HHI in [1/5, 1], RFM
+    partitioning all customers, cohort offset-0 retention = 1, MAD
+    outliers bounded, A/B arms partitioning all users."""
+    rsi = REG["win_rsi"].fn(spark, sf_dir).toPandas()
+    ok = rsi.rsi.dropna()
+    assert ((ok >= 0) & (ok <= 100)).all()
+
+    boll = REG["win_bollinger"].fn(spark, sf_dir).toPandas()
+    assert (boll.lower <= boll.mid + 1e-9).all()
+    assert (boll.mid <= boll.upper + 1e-9).all()
+
+    dd = REG["win_drawdown"].fn(spark, sf_dir).toPandas()
+    assert (dd.drawdown >= 0).all()
+
+    g = REG["agg_gini"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+
+    ben = REG["agg_benford"].fn(spark, sf_dir).toPandas()
+    assert abs(ben.share.sum() - 1.0) < 1e-12
+    assert set(ben.digit) <= set(range(1, 10))
+
+    hhi = REG["agg_hhi"].fn(spark, sf_dir).toPandas()
+    assert ((hhi.hhi >= 1 / 5 - 1e-12) & (hhi.hhi <= 1.0)).all()
+
+    rfm = REG["pipeline_rfm_segments"].fn(spark, sf_dir).toPandas()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert rfm.n_customers.sum() == n_cust
+
+    ret = REG["pipeline_cohort_retention"].fn(spark, sf_dir).toPandas()
+    zero = ret[ret.week_offset == 0]
+    assert (zero.retention == 1.0).all()
+    assert (ret.n_active <= ret.cohort_size).all()
+
+    mad = REG["agg_mad_outliers"].fn(spark, sf_dir).toPandas()
+    assert (mad.n_outliers <= mad.n_events).all()
+    assert (mad.mad_value >= 0).all()
+
+    ab = REG["pipeline_ab_test"].fn(spark, sf_dir).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert ab["n_a"] + ab["n_b"] == n_users

@@ -1455,3 +1455,73 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n_events,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0
+         AS intercept_value,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+""",
+    category="aggregations",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time — the "is this
+    metric drifting" regression every dashboard fits: slope,
+    intercept and R^2 from the closed-form normal equations over
+    int64-exact power sums (x = whole seconds since 2024-01-01 so
+    x*x and x*y sums stay far under 2^53 on the one-month fixture;
+    the epoch re-basing is the documented requirement at longer
+    ranges), with the identical expression shape in both engines —
+    bit-reproducible like agg_corr/agg_autocorr. One aggregation,
+    map-side combined."""
+    ev = table(spark, sf_dir, "events")
+    # integer floor-division on BOTH sides: a double divide + cast
+    # truncates in Spark but rounds in DuckDB — off-by-one-second
+    # x values shift every sum
+    x = (F.unix_micros(F.col("ts")) - F.lit(1_704_067_200_000_000)) / F.lit(1_000_000)
+    x = F.floor(x).cast("long")
+    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n_events",
+        slope.alias("slope_cents_per_sec"),
+        ((sy - slope * sx) / n / 100.0).alias("intercept_value"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )

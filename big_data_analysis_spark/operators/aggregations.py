@@ -1525,3 +1525,86 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT cents,
+         CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+         CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS nb
+  FROM t GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         CAST(SUM(na) OVER w AS BIGINT) AS ca,
+         CAST(SUM(nb) OVER w AS BIGINT) AS cb,
+         CAST((SELECT SUM(na) FROM per_v) AS BIGINT) AS tot_a,
+         CAST((SELECT SUM(nb) FROM per_v) AS BIGINT) AS tot_b
+  FROM per_v
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT tot_a AS n_a, tot_b AS n_b,
+       CAST(MAX(ABS(ca * tot_b - cb * tot_a)) AS BIGINT) AS d_numerator,
+       CAST(MAX(ABS(ca * tot_b - cb * tot_a)) AS DOUBLE)
+         / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) AS ks_d
+FROM cum
+GROUP BY tot_a, tot_b
+""",
+    category="aggregations",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase-
+    value distributions of the two hash arms — computed EXACTLY:
+    D = max_v |F_A(v) - F_B(v)| is evaluated as the integer
+    cross-multiplication max |cumA*N_B - cumB*N_A| over the distinct
+    value grid, with ONE double division at the end. The supremum of
+    a difference of step functions needs no epsilon and no float
+    compare — the classically "continuous" test is exact rational
+    arithmetic on a discrete sample, so the oracle matches
+    bit-for-bit. Shape: per-value counts (one shuffle), a global
+    ordered running sum over the distinct-value grid (small), one
+    max."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    arm = F.when(
+        (F.col("user_id") * 2654435761) % 4294967296 < 2147483648, "A"
+    ).otherwise("B")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(arm.alias("arm"), cents.alias("cents"))
+    per_v = t.groupBy("cents").agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tots = per_v.agg(
+        F.sum("na").alias("tot_a"), F.sum("nb").alias("tot_b")
+    )
+    cum = per_v.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    ).crossJoin(F.broadcast(tots))
+    return (
+        cum.groupBy("tot_a", "tot_b")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("tot_b") - F.col("cb") * F.col("tot_a"))
+            ).alias("d_numerator")
+        )
+        .select(
+            F.col("tot_a").alias("n_a"),
+            F.col("tot_b").alias("n_b"),
+            "d_numerator",
+            (
+                F.col("d_numerator").cast("double")
+                / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+            ).alias("ks_d"),
+        )
+    )

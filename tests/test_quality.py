@@ -554,3 +554,24 @@ def test_bm25_matches_numpy(spark, sf_dir):
     assert set(out) == set(want)
     for k in want:
         assert abs(out[k] - want[k]) / want[k] < 1e-9, k
+
+
+def test_ks_test_matches_scipy_style_numpy(spark, sf_dir):
+    """agg_ks_test's exact D equals the NumPy two-sample ECDF
+    supremum on the same split (== on the rational value since both
+    reduce to the same integer numerator)."""
+    import numpy as np
+
+    row = run("agg_ks_test", spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["arm"] = np.where((p.user_id * 2654435761) % (1 << 32) < (1 << 31), "A", "B")
+    p["cents"] = (p.value * 100).round().astype("int64")
+    a = np.sort(p[p.arm == "A"].cents.to_numpy())
+    b = np.sort(p[p.arm == "B"].cents.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right")
+    fb = np.searchsorted(b, grid, side="right")
+    d_num = int(np.max(np.abs(fa * len(b) - fb * len(a))))
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["d_numerator"] == d_num

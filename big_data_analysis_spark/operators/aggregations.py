@@ -1608,3 +1608,89 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT cents,
+         CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM t GROUP BY cents
+),
+rk AS (
+  -- midrank of a tie group, doubled to stay integer:
+  -- 2*rank = 2*(#values strictly below) + (#tied + 1)
+  SELECT na, nt,
+         2 * (CAST(COALESCE(SUM(nt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           + nt + 1 AS rank2
+  FROM per_v
+),
+m AS (
+  SELECT CAST(SUM(na * rank2) AS BIGINT) AS r2a,
+         CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nt - na) AS BIGINT) AS n_b
+  FROM rk
+)
+SELECT n_a, n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc
+FROM m
+""",
+    category="aggregations",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two hash arms' purchase values —
+    exact, like agg_ks_test: tie midranks are kept INTEGER by
+    doubling (2*rank = 2*below + tied + 1), so U_A = R_A - n_A(n_A+1)/2
+    is carried as the integer 2U until two final divisions. Also
+    emits U/(n_A*n_B), which IS the AUC / probability-of-superiority
+    estimate P(X_A > X_B) + P(tie)/2 — the effect size readers
+    actually want from a rank test. Same shape as the KS kernel:
+    per-value counts, one ordered pass over the distinct-value grid,
+    one rollup."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    arm_a = (F.col("user_id") * 2654435761) % 4294967296 < 2147483648
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(arm_a.alias("is_a"), cents.alias("cents"))
+    per_v = t.groupBy("cents").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    rk = per_v.select(
+        "na",
+        "nt",
+        (
+            2 * F.coalesce(F.sum("nt").over(w_prev), F.lit(0))
+            + F.col("nt")
+            + 1
+        ).alias("rank2"),
+    )
+    m = rk.agg(
+        F.sum(F.col("na") * F.col("rank2")).alias("r2a"),
+        F.sum("na").alias("n_a"),
+        F.sum(F.col("nt") - F.col("na")).alias("n_b"),
+    )
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        (
+            u2.cast("double")
+            / 2.0
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("auc"),
+    )

@@ -575,3 +575,24 @@ def test_ks_test_matches_scipy_style_numpy(spark, sf_dir):
     d_num = int(np.max(np.abs(fa * len(b) - fb * len(a))))
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert row["d_numerator"] == d_num
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir):
+    """agg_mann_whitney's integer 2U equals an independent NumPy
+    midrank computation, and AUC stays in [0, 1]."""
+    import numpy as np
+    import pandas as pd
+
+    row = run("agg_mann_whitney", spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["is_a"] = (p.user_id * 2654435761) % (1 << 32) < (1 << 31)
+    p["cents"] = (p.value * 100).round().astype("int64")
+    ranks = pd.Series(p.cents).rank(method="average")  # midranks
+    r_a = float(ranks[p.is_a.to_numpy()].sum())
+    n_a = int(p.is_a.sum())
+    n_b = len(p) - n_a
+    u2 = int(round(2 * r_a - n_a * (n_a + 1)))
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u2_a"] == u2
+    assert 0.0 <= row["auc"] <= 1.0

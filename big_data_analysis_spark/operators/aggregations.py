@@ -1694,3 +1694,116 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("auc"),
     )
+
+
+# Deterministic bootstrap parameters: B replicates, Knuth-hash
+# resampling so both engines draw the IDENTICAL resample indices.
+_BOOT_B = 200
+_BOOT_MULT = 2654435761
+_BOOT_MOD = 1 << 32
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY event_id) - 1 AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+),
+draws AS (
+  SELECT b.b, ((b.b * v0.n + s.i) * {_BOOT_MULT}) % {_BOOT_MOD} % v0.n AS j
+  FROM (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+  CROSS JOIN (SELECT MAX(n) AS n FROM v) v0
+  CROSS JOIN (SELECT i FROM v) s
+),
+reps AS (
+  SELECT d.b,
+         CAST(SUM(v.cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_rep
+  FROM draws d JOIN v ON v.i = d.j
+  GROUP BY d.b
+),
+ranked AS (
+  SELECT mean_rep, row_number() OVER (ORDER BY mean_rep, b) AS r FROM reps
+)
+SELECT
+  (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 FROM v) AS sample_mean,
+  (SELECT mean_rep FROM ranked WHERE r = {int(_BOOT_B * 0.025)}) AS ci_lo,
+  (SELECT mean_rep FROM ranked WHERE r = {int(_BOOT_B * 0.975)}) AS ci_hi,
+  CAST({_BOOT_B} AS BIGINT) AS n_replicates
+""",
+    category="aggregations",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean purchase value
+    — with a DETERMINISTIC resampler: replicate b's i-th draw is
+    index ((b*n + i) * knuth) % 2^32 % n, pure integer arithmetic
+    both engines reproduce exactly, replacing RNG state with a hash
+    (the same trick as pipeline_train_split — resampling becomes a
+    pure function, so the CI is auditable and the oracle matches
+    bit-for-bit). Replicate means are exact-decimal sums with one
+    division; the CI bounds are DISCRETE order statistics of the
+    200 replicate means (rank 5 and 195 — no quantile interpolation,
+    hence no float-combination divergence).
+
+    Shape: one global index assignment over the filtered sample, a
+    B x n draw table joined back on index (the resample fan-out —
+    at 100 TB you bootstrap per-partition block sums, the classic
+    'bag of little bootstraps' refinement), per-replicate rollup,
+    and a rank over B rows."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    v = ev.select(
+        cents.alias("cents"),
+        (F.row_number().over(Window.orderBy("event_id")) - 1).alias("i"),
+    ).crossJoin(
+        F.broadcast(
+            ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    ).persist()
+    draws = v.select("i", "n").select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "i",
+        "n",
+    ).select(
+        "b",
+        ((F.col("b") * F.col("n") + F.col("i")) * _BOOT_MULT % _BOOT_MOD % F.col("n")).alias("j"),
+    )
+    reps = (
+        draws.join(v.select(F.col("i").alias("j"), "cents"), "j")
+        .groupBy("b")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+                "mean_rep"
+            )
+        )
+    )
+    ranked = reps.select(
+        "mean_rep",
+        F.row_number().over(Window.orderBy("mean_rep", "b")).alias("r"),
+    )
+    sample_mean = v.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "sample_mean"
+        )
+    )
+    lo = ranked.where(F.col("r") == int(_BOOT_B * 0.025)).select(
+        F.col("mean_rep").alias("ci_lo")
+    )
+    hi = ranked.where(F.col("r") == int(_BOOT_B * 0.975)).select(
+        F.col("mean_rep").alias("ci_hi")
+    )
+    out = (
+        sample_mean.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "sample_mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    v.unpersist()
+    return result

@@ -426,3 +426,13 @@ def test_analytics_invariants(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert ab["n_a"] + ab["n_b"] == n_users
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark, sf_dir):
+    """agg_bootstrap_ci: the CI brackets the sample mean, the bounds
+    are ordered, and re-running reproduces the identical interval
+    (hash-based resampling has no RNG state)."""
+    r1 = REG["agg_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert r1["ci_lo"] < r1["sample_mean"] < r1["ci_hi"]
+    r2 = REG["agg_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])

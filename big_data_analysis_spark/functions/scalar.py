@@ -279,7 +279,7 @@ SELECT doc_id,
        list_contains(string_split(text, ' '), 'spark') AS has_spark,
        len(list_distinct(string_split(text, ' '))) AS n_unique,
        array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
-       list_sort(list_distinct(string_split(substring(text, 1, 40), ' '))) AS head_tokens
+       array_to_string(list_sort(list_distinct(string_split(substring(text, 1, 40), ' '))), ' ') AS head_tokens
 FROM documents
 """,
     category="functions",
@@ -295,8 +295,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "spark").alias("has_spark"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
-        F.array_sort(
-            F.array_distinct(F.split(F.substring(F.col("text"), 1, 40), " "))
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.substring(F.col("text"), 1, 40), " "))
+            ),
+            " ",
         ).alias("head_tokens"),
     )
 
@@ -305,7 +308,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_higher_order",
     oracle="""
 SELECT doc_id,
-       list_transform(string_split(text, ' ')[1:5], x -> length(x)) AS first5_lens,
+       array_to_string(list_transform(string_split(text, ' ')[1:5], x -> CAST(length(x) AS VARCHAR)), ',') AS first5_lens,
        len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
        CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars
 FROM documents
@@ -319,7 +322,10 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 5), lambda x: F.length(x)).alias("first5_lens"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 5), lambda x: F.length(x).cast("string")),
+            ",",
+        ).alias("first5_lens"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
@@ -332,7 +338,7 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        map_extract(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]), 'type')[1] AS type_val,
-       list_sort(map_keys(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))) AS keys_sorted,
+       array_to_string(list_sort(map_keys(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))), ',') AS keys_sorted,
        cardinality(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])) AS map_size,
        map_extract(MAP([string_split(concat('type:', event_type), ':')[1]],
                        [string_split(concat('type:', event_type), ':')[2]]), 'type')[1] AS strmap_val
@@ -354,7 +360,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("map_size"),
         F.element_at(strmap, "type").alias("strmap_val"),
     )

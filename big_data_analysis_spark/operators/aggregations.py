@@ -363,7 +363,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_orderpriority
@@ -372,10 +372,14 @@ GROUP BY o_orderpriority
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collected set, sorted for determinism (unsorted
-    collect_list is order-nondeterministic under parallelism)."""
+    collect_list is order-nondeterministic under parallelism) and
+    joined to one string — the driver's comparator hashes scalar
+    cells only, so graded outputs never expose raw array columns."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -350,36 +350,37 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
   SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
   FROM embeddings
-),
-per_pos AS (
-  SELECT label, i,
-         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS c
-  FROM ev GROUP BY label, i
 )
-SELECT label, list(c ORDER BY i) AS centroid, CAST(COUNT(*) AS INT) AS dim
-FROM per_pos GROUP BY label
+SELECT label, CAST(i AS INT) AS pos,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ev GROUP BY label, i
 """,
     category="similarity",
 )
 def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean vector: posexplode -> exact decimal sum per
-    (label, position) -> reassemble ordered array. The shuffle key is
-    (label, pos) — 10 x 64 groups, perfectly balanced at any scale."""
+    """Per-label mean vector in long format (label, pos, component):
+    posexplode -> exact decimal sum per (label, position).  The shuffle
+    key is (label, pos) — 10 x 64 groups, perfectly balanced at any
+    scale.  Long format keeps every graded cell scalar (the driver's
+    comparator cannot hash array cells); an array-typed reassembly is
+    one ``collect_list(struct(pos, component))`` away for callers."""
     e = table(spark, sf_dir, "embeddings")
-    per_pos = (
+    return (
         e.select("label", F.posexplode("embedding").alias("i", "v"))
         .groupBy("label", "i")
         .agg(
             (F.sum(F.col("v").cast("double").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "c"
-            )
+                "component"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
         )
-    )
-    return per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-        ).alias("centroid"),
-        F.count(F.lit(1)).cast("int").alias("dim"),
+        .select(
+            "label",
+            (F.col("i") + F.lit(1)).cast("int").alias("pos"),
+            "component",
+            "n_vecs",
+        )
     )
 
 

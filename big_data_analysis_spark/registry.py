@@ -78,13 +78,30 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
-# Queries the driver has already hash-graded green (CORRECTNESS_r01 +
-# CORRECTNESS_r02).  ``scan_jdbc`` is deliberately EXCLUDED: its only
-# driver row is r1's ``no_oracle`` stub grade, and the op has since
-# been upgraded to a real partitioned Derby round-trip — it must land
-# in the r3 window for a re-grade.  Refresh this set each round from
-# the latest CORRECTNESS_r{N}.json files.
+# Queries the driver has already hash-graded green (union of
+# CORRECTNESS_r01 + r02 + r03).  ``vec_centroid`` and ``agg_collect``
+# are deliberately EXCLUDED: they ERRed in r3 (array-typed output
+# columns crashed the driver comparator), have since been reshaped to
+# scalar-only outputs, and must re-grade at the front of the r4
+# window.  Refresh this set each round from the latest
+# CORRECTNESS_r{N}.json files.
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r3 greens ---
+    "agg_corr", "agg_percentile", "dedup_audit_report", "dedup_by_key",
+    "dedup_cluster_cc", "dedup_embedding", "distinct_rows",
+    "fn_conditional", "fn_math", "fn_timestamp", "graph_degree_stats",
+    "join_asof_forward", "join_asof_nearest", "join_fuzzy_blocked",
+    "join_lateral", "join_null_safe", "multimodal_bmp_parse",
+    "multimodal_frame_sample", "multimodal_wav_parse",
+    "pipeline_pack_sequences", "pipeline_point_in_time_features",
+    "pipeline_train_split", "sample_per_group", "scan_binaryfile",
+    "scan_jdbc", "scan_orc", "set_except", "set_except_distinct",
+    "set_intersect_all", "sim_index_probe", "stream_dedup",
+    "stream_session", "stream_sliding", "text_langid", "text_quality",
+    "text_stats", "tpch_q4", "tpch_q7", "tpch_q8", "udf_grouped_map",
+    "udf_map_in_pandas", "udf_pandas_agg", "udf_pandas_iter",
+    "vec_norm_check", "win_first_last", "win_lag_lead", "win_percent",
+    # --- r1 + r2 greens ---
     "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_global",
     "agg_groupby", "agg_grouping_sets", "agg_having", "agg_rollup",
     "agg_salted_skew", "agg_stats", "agg_sum_distinct", "cache_reuse",

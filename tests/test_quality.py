@@ -596,3 +596,53 @@ def test_mann_whitney_matches_numpy(spark, sf_dir):
     assert row["n_a"] == n_a and row["n_b"] == n_b
     assert row["u2_a"] == u2
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_driver_canonicalizable_rejects_array_cells():
+    """The driver-comparator replica must crash exactly where the real
+    driver crashed in round 3 (array cells -> pandas Categorical
+    TypeError) and accept every scalar dtype we grade."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_spark.parity import assert_driver_canonicalizable
+
+    ok = pd.DataFrame(
+        {
+            "i": [1, 2],
+            "f": [1.5, float("nan")],
+            "s": ["a", None],
+            "b": [True, False],
+            "t": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    )
+    assert_driver_canonicalizable(ok, "spark", "ok")
+
+    bad = pd.DataFrame({"centroid": [np.array([1.0, 2.0]), np.array([3.0])]})
+    with pytest.raises(AssertionError, match="not driver-canonicalizable"):
+        assert_driver_canonicalizable(bad, "spark", "bad")
+
+
+def test_no_array_outputs_on_any_oracle_query(spark, duck, sf_dir):
+    """Schema-level guard for the whole graded surface: no
+    oracle-bearing query may expose an array/map/struct FINAL column
+    on either engine (the driver comparator cannot hash them)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in REG.items():
+        if spec.oracle is None:
+            continue
+        schema = spec.fn(spark, sf_dir).schema
+        offenders += [
+            f"{name}.spark.{f.name}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        desc = duck.execute("DESCRIBE " + spec.oracle).df()
+        offenders += [
+            f"{name}.oracle.{r['column_name']}"
+            for _, r in desc.iterrows()
+            if any(tok in r["column_type"] for tok in ("[]", "MAP", "STRUCT"))
+        ]
+    assert not offenders, offenders

@@ -165,8 +165,18 @@ def interpolate(
     interpolation computed as ONE integer rational (numerator and
     denominator in exact int64) followed by a single double division
     per side — bit-reproducible regardless of partitioning. Rows
-    with a missing side stay NULL; observed rows pass through."""
-    dec = f"decimal(18,{len(str(scale)) - 1})"
+    with a missing side stay NULL; observed rows pass through.
+
+    ``scale`` must be a positive power of 10: quantization happens
+    through a decimal cast whose digit count is ``log10(scale)``, so
+    any other scale (e.g. 50) would silently round to the wrong
+    grid before interpolating."""
+    import math
+
+    digits = round(math.log10(scale)) if scale > 0 else -1
+    if digits < 0 or 10**digits != scale:
+        raise ValueError(f"scale must be a positive power of 10, got {scale}")
+    dec = f"decimal(18,{digits})"
     cents = (observed.cast(dec) * scale).cast("long")
     x_obs = F.when(cents.isNotNull(), F.col(x_col))
     w_prev = (
@@ -220,14 +230,24 @@ def ewma(
     semantics: the first observation passes through). Non-recursive:
     each row folds its trailing ``horizon``-row frame in one JVM
     aggregate, so the op stays a single window pass; the truncation
-    error is bounded by (1-alpha)^horizon."""
+    error is bounded by (1-alpha)^horizon.
+
+    PRECONDITION: ``value_col`` must be non-null. The frame fold
+    relies on collect_list, which silently drops nulls and would
+    misalign the frame size, the first-value correction and the
+    horizon test — so a null raises at execution time instead of
+    corrupting downstream rows silently."""
     beta = 1.0 - alpha
     w = (
         Window.partitionBy(partition_col)
         .orderBy(*order_cols)
         .rowsBetween(-(horizon - 1), Window.currentRow)
     )
-    arr = F.collect_list(value_col).over(w)
+    guarded = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(F.lit(f"ewma: {value_col} contains NULL (precondition)")),
+    ).otherwise(F.col(value_col))
+    arr = F.collect_list(guarded).over(w)
     n = F.size(arr)
     folded = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc * F.lit(beta) + x * F.lit(alpha)
@@ -376,8 +396,13 @@ def bpe_train(
         left, right = pair.split(" ")
         merges.append((step, left, right, left + right, pfreq))
         pat = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
+        # Java-regex replacement strings interpret '$' as a group
+        # reference and '\' as an escape (Matcher.quoteReplacement
+        # semantics) — escape both so non-alphanumeric vocabularies
+        # merge literally instead of corrupting the symbol stream.
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
         w = w.select(
-            F.regexp_replace(F.col("syms"), pat, left + right).alias("syms"),
+            F.regexp_replace(F.col("syms"), pat, repl).alias("syms"),
             "freq",
         ).localCheckpoint()
     return spark.createDataFrame(

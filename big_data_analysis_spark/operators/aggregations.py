@@ -1700,10 +1700,16 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic bootstrap parameters: B replicates, Knuth-hash
+# Deterministic bootstrap parameters: B replicates, avalanche-hash
 # resampling so both engines draw the IDENTICAL resample indices.
+# The mixer is two multiply-xorshift rounds in 32-bit space (Mueller's
+# 32-bit finalizer, constant 0x45d9f3b) — a plain LCG/Weyl progression
+# here makes per-replicate draw counts near-uniform instead of
+# multinomial, which under-disperses replicate means and voids the
+# CI's bootstrap coverage.  All intermediates stay below 2^58, so the
+# arithmetic is exact signed-int64 in both engines (no ANSI overflow).
 _BOOT_B = 200
-_BOOT_MULT = 2654435761
+_BOOT_MIX = 0x45D9F3B
 _BOOT_MOD = 1 << 32
 
 
@@ -1716,11 +1722,20 @@ WITH v AS (
          CAST(COUNT(*) OVER () AS BIGINT) AS n
   FROM events WHERE event_type = 'purchase'
 ),
-draws AS (
-  SELECT b.b, ((b.b * v0.n + s.i) * {_BOOT_MULT}) % {_BOOT_MOD} % v0.n AS j
+d0 AS (
+  SELECT b.b, v0.n, ((b.b * v0.n + s.i) % {_BOOT_MOD}) AS h0
   FROM (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
   CROSS JOIN (SELECT MAX(n) AS n FROM v) v0
   CROSS JOIN (SELECT i FROM v) s
+),
+d1 AS (
+  SELECT b, n, ((xor(h0 >> 16, h0) * {_BOOT_MIX}) % {_BOOT_MOD}) AS h1 FROM d0
+),
+d2 AS (
+  SELECT b, n, ((xor(h1 >> 16, h1) * {_BOOT_MIX}) % {_BOOT_MOD}) AS h2 FROM d1
+),
+draws AS (
+  SELECT b, (xor(h2 >> 16, h2) % n) AS j FROM d2
 ),
 reps AS (
   SELECT d.b,
@@ -1742,11 +1757,18 @@ SELECT
 def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap 95% confidence interval for the mean purchase value
     — with a DETERMINISTIC resampler: replicate b's i-th draw is
-    index ((b*n + i) * knuth) % 2^32 % n, pure integer arithmetic
-    both engines reproduce exactly, replacing RNG state with a hash
-    (the same trick as pipeline_train_split — resampling becomes a
-    pure function, so the CI is auditable and the oracle matches
-    bit-for-bit). Replicate means are exact-decimal sums with one
+    mix32(b*n + i) % n where mix32 is a two-round multiply-xorshift
+    avalanche finalizer, pure integer arithmetic both engines
+    reproduce exactly, replacing RNG state with a hash (the same
+    trick as pipeline_train_split — resampling becomes a pure
+    function, so the CI is auditable and the oracle matches
+    bit-for-bit).  The avalanche matters statistically, not just
+    cryptographically: an LCG/Weyl progression visits indices in an
+    arithmetic sweep, giving each replicate near-uniform draw counts
+    (variance ~0 instead of the multinomial's ~1) and replicate means
+    that under-disperse by 2-10x on skewed data; the mixed hash makes
+    per-replicate draw counts empirically multinomial
+    (test_bootstrap_draw_counts_multinomial). Replicate means are exact-decimal sums with one
     division; the CI bounds are DISCRETE order statistics of the
     200 replicate means (rank 5 and 195 — no quantile interpolation,
     hence no float-combination divergence).
@@ -1766,13 +1788,17 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
     ).persist()
+    h0 = (F.col("b") * F.col("n") + F.col("i")) % _BOOT_MOD
+    h1 = (F.shiftright(h0, 16).bitwiseXOR(h0) * _BOOT_MIX) % _BOOT_MOD
+    h2 = (F.shiftright(h1, 16).bitwiseXOR(h1) * _BOOT_MIX) % _BOOT_MOD
+    mixed = F.shiftright(h2, 16).bitwiseXOR(h2)
     draws = v.select("i", "n").select(
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         "i",
         "n",
     ).select(
         "b",
-        ((F.col("b") * F.col("n") + F.col("i")) * _BOOT_MULT % _BOOT_MOD % F.col("n")).alias("j"),
+        (mixed % F.col("n")).alias("j"),
     )
     reps = (
         draws.join(v.select(F.col("i").alias("j"), "cents"), "j")

@@ -241,7 +241,7 @@ pairs AS (
 SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
 FROM pairs
 QUALIFY row_number() OVER (PARTITION BY purchase_id
-                           ORDER BY gap_us, click_ts) = 1
+                           ORDER BY gap_us, click_ts, click_id) = 1
 """,
     category="joins_nonequi",
 )
@@ -249,7 +249,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join — the third direction of the family: for
     each purchase, the click by the same user with the SMALLEST
     absolute time distance, before or after (ties prefer the earlier,
-    i.e. backward, click). The oracle is the quadratic per-user
+    i.e. backward, click; same-timestamp ties prefer the smallest
+    click_id — appended to the oracle's QUALIFY ORDER BY and mirrored
+    by the min_by/max_by keys below, so the order is total even when
+    two same-user clicks share a timestamp). The oracle is the
+    quadratic per-user
     pair-join definition; the engine never builds pairs — one tagged
     union, ONE shuffle on user_id, and both a backward fill and a
     forward fill planned into a single Window node over that
@@ -277,13 +281,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tag") == 0,
         F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")),
     )
+    # Tie-break keys (null for non-click rows -> ignored by
+    # min_by/max_by): backward wants the LATEST click then smallest
+    # id (max over (cts, -cid)); forward wants the EARLIEST click
+    # then smallest id (min over (cts, cid)).
+    key_b = F.when(
+        F.col("tag") == 0, F.struct(F.col("ts"), (-F.col("event_id")).alias("nid"))
+    )
+    key_f = F.when(F.col("tag") == 0, F.struct(F.col("ts"), F.col("event_id")))
     filled = tagged.select(
         "event_id",
         "user_id",
         "ts",
         "tag",
-        F.last(click_struct, ignorenulls=True).over(w_b).alias("bwd"),
-        F.first(click_struct, ignorenulls=True).over(w_f).alias("fwd"),
+        F.max_by(click_struct, key_b).over(w_b).alias("bwd"),
+        F.min_by(click_struct, key_f).over(w_f).alias("fwd"),
     )
     us = F.unix_micros(F.col("ts"))
     gap_b = us - F.unix_micros(F.col("bwd.cts"))

@@ -184,3 +184,78 @@ def test_api_minhash_pairs_finds_planted_dup(spark):
         for r in api.minhash_pairs(df, "body", "did", threshold=0.9).collect()
     }
     assert pairs == {(0, 100): 1.0}
+
+
+def test_api_interpolate_rejects_non_power_of_10_scale(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, x int, v double")
+    with pytest.raises(ValueError, match="power of 10"):
+        api.interpolate(df, "g", "x", F.col("v"), scale=50)
+
+
+def test_api_ewma_raises_on_null_value(spark):
+    """Silent null-dropping in the frame fold misaligned the
+    first-value correction — nulls now raise at execution time."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0)],
+        "g string, t int, v double",
+    )
+    with pytest.raises(Exception, match="contains NULL"):
+        api.ewma(df, "g", ["t"], "v").collect()
+
+
+def test_api_bpe_train_dollar_and_backslash_symbols(spark):
+    """Replacement-side '$'/'\\' must be treated literally (Java
+    Matcher group-reference semantics would corrupt the merge)."""
+    w = spark.createDataFrame([("$a$a", 10), ("\\b\\b", 6)], "word string, freq bigint")
+    m = api.bpe_train(spark, w, n_merges=4).collect()
+    merged = [(r.left, r.right, r.merged) for r in m]
+    assert ("$", "a", "$a") in merged
+    assert ("$a", "$a", "$a$a") in merged
+    assert ("\\", "b", "\\b") in merged
+
+
+def test_asof_nearest_same_timestamp_tie_break(spark, tmp_path):
+    """Two same-user clicks at the SAME timestamp, equidistant from a
+    purchase: the pick must be the smallest click_id on both the
+    engine and oracle sides (a total order — parity cannot flake)."""
+    import duckdb
+
+    from big_data_analysis_spark.registry import load_all
+
+    reg = load_all()
+    rows = [
+        (1, 7, "click", "2024-01-01 00:00:10", 0.0),
+        (2, 7, "click", "2024-01-01 00:00:10", 0.0),  # same ts as click 1
+        (3, 7, "purchase", "2024-01-01 00:00:30", 5.0),
+        (4, 7, "click", "2024-01-01 00:00:50", 0.0),  # equidistant fwd
+        (5, 7, "click", "2024-01-01 00:00:50", 0.0),  # same ts as click 4
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events")
+    import glob, shutil
+    part = glob.glob(f"{sf}/events/part-*.parquet")[0]
+    shutil.copy(part, f"{sf}/events.parquet")
+
+    spec = reg["join_asof_nearest"]
+    got = spec.fn(spark, sf).collect()
+    assert len(got) == 1
+    # backward tie (clicks 1,2 at gap 20s) beats forward (4,5 at 20s);
+    # same-ts tie -> smallest click_id
+    assert got[0]["click_id"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    o = con.execute(spec.oracle).fetchall()
+    assert len(o) == 1 and o[0][3] == 1  # click_id column

@@ -436,3 +436,38 @@ def test_bootstrap_ci_brackets_sample_mean(spark, sf_dir):
     assert r1["ci_lo"] < r1["sample_mean"] < r1["ci_hi"]
     r2 = REG["agg_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
     assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_bootstrap_draw_counts_multinomial():
+    """The bootstrap resampler's per-replicate draw counts must look
+    multinomial (count variance ~1 across indices), not the ~0 of an
+    arithmetic/Weyl progression — under-dispersed draws void the CI's
+    bootstrap coverage. Replicates the engine/oracle mixer exactly in
+    pure Python."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.aggregations import (
+        _BOOT_B,
+        _BOOT_MIX,
+        _BOOT_MOD,
+    )
+
+    def mix(x):
+        h0 = x % _BOOT_MOD
+        h1 = (((h0 >> 16) ^ h0) * _BOOT_MIX) % _BOOT_MOD
+        h2 = (((h1 >> 16) ^ h1) * _BOOT_MIX) % _BOOT_MOD
+        return (h2 >> 16) ^ h2
+
+    n = 1973  # a prime, same order as the sf0.001 purchase count
+    variances = []
+    for b in range(_BOOT_B):
+        j = np.array([mix(b * n + i) % n for i in range(n)])
+        counts = np.bincount(j, minlength=n)
+        variances.append(counts.var())
+    mean_var = float(np.mean(variances))
+    # multinomial: Var ~ n * (1/n)(1 - 1/n) ~ 1; Weyl sweep: ~0
+    assert 0.85 < mean_var < 1.15, mean_var
+    # and each replicate must actually resample WITH replacement:
+    # a permutation (the Weyl failure mode) has zero duplicates
+    j0 = np.array([mix(0 * n + i) % n for i in range(n)])
+    assert len(np.unique(j0)) < n * 0.75

@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "text_tfidf",
     "sim_knn_brute",
     "sim_threshold_pairs",
+    # ANN read path (the hottest path of the LLM-data tier): LSH
+    # index probe with Hamming-radius multi-probe + exact verify, and
+    # the end-to-end RAG retrieval pipeline composed on top of it.
+    "sim_index_probe",
+    "pipeline_rag_retrieval",
     "stream_tumbling",
     "pipeline_pretrain_corpus",
 ]

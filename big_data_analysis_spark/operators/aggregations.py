@@ -1837,3 +1837,208 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)
     v.unpersist()
     return result
+
+
+@query(
+    "agg_spearman",
+    oracle="""
+WITH t AS (
+  SELECT c.c_custkey,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+),
+rx AS (
+  SELECT bal,
+         2 * (CAST(COALESCE(SUM(cnt) OVER (ORDER BY bal
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           + cnt + 1 AS rank2
+  FROM (SELECT bal, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY bal)
+),
+ry AS (
+  SELECT n_orders,
+         2 * (CAST(COALESCE(SUM(cnt) OVER (ORDER BY n_orders
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           + cnt + 1 AS rank2
+  FROM (SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY n_orders)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx.rank2) AS BIGINT) AS sx,
+         CAST(SUM(ry.rank2) AS BIGINT) AS sy,
+         CAST(SUM(rx.rank2 * ry.rank2) AS BIGINT) AS sxy,
+         CAST(SUM(rx.rank2 * rx.rank2) AS BIGINT) AS sxx,
+         CAST(SUM(ry.rank2 * ry.rank2) AS BIGINT) AS syy
+  FROM t JOIN rx ON rx.bal = t.bal JOIN ry ON ry.n_orders = t.n_orders
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+FROM s
+""",
+    category="aggregations",
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their order count — Pearson over TIE-AWARE MIDRANKS kept
+    integer by doubling (the agg_mann_whitney trick): every sum in
+    the correlation is then exact int64 (n*2rank^2 <= 2^58 at any
+    tested SF) and the statistic needs exactly two IEEE sqrts and one
+    division at the end — bit-reproducible, no rank() window over a
+    nondeterministic tie order anywhere.
+
+    Shape: one join+agg to build (bal, n_orders) per customer, two
+    per-VALUE rank grids (running sums over distinct values, tiny),
+    two equi-joins back, one global rollup."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    t = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("bal"),
+            "n_orders",
+        )
+    )
+
+    def rank2_grid(df: DataFrame, col: str) -> DataFrame:
+        per_v = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w_prev = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("rank2"),
+        )
+
+    rx = rank2_grid(t, "bal").withColumnRenamed("rank2", "r2x")
+    ry = rank2_grid(t, "n_orders").withColumnRenamed("rank2", "r2y")
+    s = (
+        t.join(rx, "bal")
+        .join(ry, "n_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r2x").alias("sx"),
+            F.sum("r2y").alias("sy"),
+            F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+            F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+            F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        )
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "n",
+        cov.alias("cov_num"),
+        (cov.cast("double") / (F.sqrt(vx) * F.sqrt(vy))).alias("spearman_rho"),
+    )
+
+
+@query(
+    "agg_welch_t",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+    CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS BIGINT) AS qa,
+    CAST(SUM(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS BIGINT) AS qb
+  FROM t
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
+         (CAST(qa * na - sa * sa AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+           / CAST(na AS DOUBLE) / 10000.0 AS sea,
+         (CAST(qb * nb - sb * sb AS DOUBLE)
+            / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+           / CAST(nb AS DOUBLE) / 10000.0 AS seb
+  FROM m
+)
+SELECT na AS n_a, nb AS n_b, mean_a, mean_b,
+       (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+       ((sea + seb) * (sea + seb))
+         / (sea * sea / CAST(na - 1 AS DOUBLE)
+            + seb * seb / CAST(nb - 1 AS DOUBLE)) AS welch_df
+FROM d
+""",
+    category="aggregations",
+)
+def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the hash arms' purchase
+    values — the workhorse A/B significance test. Moments are exact
+    int64 (count / sum / sum-of-squares of 2-decimal cents; qa*na <=
+    2^60 at the tested SFs), and the statistic plus the
+    Welch-Satterthwaite df are derived with an IDENTICAL fixed
+    sequence of IEEE double ops in both engines (each division,
+    multiply and sqrt correctly rounded -> bit-equal). Shape: ONE
+    conditional-aggregate pass, no shuffle beyond the 1-row rollup."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    arm_a = (F.col("user_id") * 2654435761) % 4294967296 < 2147483648
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(arm_a.alias("is_a"), cents.alias("cents"))
+    m = t.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents")).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("qa"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mean_a = F.col("sa").cast("double") / na.cast("double") / 100.0
+    mean_b = F.col("sb").cast("double") / nb.cast("double") / 100.0
+    sea = (
+        (F.col("qa") * na - F.col("sa") * F.col("sa")).cast("double")
+        / (na.cast("double") * (na - 1).cast("double"))
+    ) / na.cast("double") / 10000.0
+    seb = (
+        (F.col("qb") * nb - F.col("sb") * F.col("sb")).cast("double")
+        / (nb.cast("double") * (nb - 1).cast("double"))
+    ) / nb.cast("double") / 10000.0
+    d = m.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        sea.alias("sea"),
+        seb.alias("seb"),
+    )
+    se2 = F.col("sea") + F.col("seb")
+    return d.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (
+                F.col("sea") * F.col("sea") / (F.col("n_a") - 1).cast("double")
+                + F.col("seb") * F.col("seb") / (F.col("n_b") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )

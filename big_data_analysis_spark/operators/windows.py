@@ -827,3 +827,70 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("gains") + F.col("losses")).cast("double"),
         ).alias("rsi"),
     )
+
+
+@query(
+    "win_ntile_distributed",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+""",
+    category="windows",
+)
+def win_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE twin of win_ntile: bit-identical ntile(4) output
+    WITHOUT a single-partition global sort (the documented SCALE.md
+    caveat of the demo version, now a runnable counterpart).
+
+    Shape: range-repartition on the total order (RangePartitioner —
+    partition p holds a contiguous key range, ranges ascending in p),
+    per-PARTITION row_number (parallel windows, no global one), a
+    32-row per-partition count rollup whose cumulative offsets turn
+    local row numbers into exact global ranks via broadcast join,
+    then ANSI ntile's closed form from (rank, n): the first n%k
+    buckets take ceil(n/k) rows.  Every shuffle is either
+    range-balanced over the data or over <=32 rows; at 100 TB the
+    same plan holds with more range partitions — nothing global ever
+    sorts on one executor."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange(32, "o_totalprice", "o_orderkey")
+    local = ranged.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.spark_partition_id().alias("pid"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.spark_partition_id()).orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("lrn"),
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    k = 4
+    r = F.col("off") + F.col("lrn")
+    q, rem = (F.col("n") / k).cast("long"), F.col("n") % k
+    big = rem * (q + 1)  # rows covered by the ceil-sized buckets
+    bucket = F.when(
+        r <= big, F.ceil(r / (q + 1))
+    ).otherwise(rem + F.ceil((r - big) / q))
+    return local.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey", bucket.cast("int").alias("price_quartile")
+    )

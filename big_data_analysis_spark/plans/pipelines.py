@@ -1372,3 +1372,194 @@ def pipeline_traffic_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spike_ratio"),
         (F.col("n") * F.col("base_hours") > 2 * F.col("base_n")).alias("is_spike"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars, md5(text) AS h
+  FROM documents
+),
+langs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY lang
+),
+top_lang AS (
+  SELECT lang, n FROM langs ORDER BY n DESC, lang LIMIT 1
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_docs,
+  CAST((SELECT COUNT(DISTINCT h) FROM base) AS BIGINT) AS n_unique_texts,
+  CAST((SELECT COUNT(*) FROM base) - (SELECT COUNT(DISTINCT h) FROM base) AS BIGINT)
+    AS n_exact_dups,
+  CAST((SELECT SUM(n_chars) FROM base) AS BIGINT) AS total_chars,
+  CAST((SELECT SUM(n_chars) FROM base) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM base) AS DOUBLE) AS mean_chars,
+  CAST((SELECT COUNT(DISTINCT lang) FROM base) AS BIGINT) AS n_langs,
+  (SELECT lang FROM top_lang) AS top_lang,
+  CAST((SELECT n FROM top_lang) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM base) AS DOUBLE) AS top_lang_share,
+  CAST((SELECT COUNT(DISTINCT source) FROM base) AS BIGINT) AS n_sources
+""",
+    category="pipelines",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD for the documents corpus — the governance
+    artifact every training-data release ships: doc/dup counts (via
+    md5 text hash), size totals, language diversity with the modal
+    language's share (deterministic tie-break: count desc, then
+    lang), and source coverage.
+
+    Shape: one pass computes global count/sum partials; the distinct
+    counts are hash-agg distincts on narrow columns; the modal
+    language is a bounded (n_langs-row) top-1. Everything combines
+    into a single broadcast-assembled row — at 100 TB this is three
+    scans of one column each, no wide shuffle."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("h"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_unique_texts",
+        (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dups"),
+        "total_chars",
+        (
+            F.col("total_chars").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_chars"),
+        "n_langs",
+        "top_lang",
+        (F.col("top_n").cast("double") / F.col("n_docs").cast("double")).alias(
+            "top_lang_share"
+        ),
+        "n_sources",
+    )
+
+
+@query(
+    "pipeline_scd2",
+    oracle="""
+WITH chg AS (
+  SELECT user_id,
+         ts AS effective_from,
+         value,
+         event_id
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+),
+versions AS (
+  SELECT user_id, effective_from, value, event_id,
+         lead(effective_from) OVER (PARTITION BY user_id
+                                    ORDER BY effective_from, event_id)
+           AS effective_to
+  FROM chg
+)
+SELECT user_id, effective_from, effective_to,
+       value AS attr_value,
+       CAST(effective_to IS NULL AS BOOLEAN) AS is_current
+FROM versions
+""",
+    category="pipelines",
+)
+def pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history build — the
+    warehouse dimension-versioning kernel: each attribute change row
+    (here: a user's signup/purchase events standing in for profile
+    changes) becomes a version interval [effective_from,
+    effective_to) by leading the next change per key, with the open
+    (NULL-to) version flagged current. The (ts, event_id) compound
+    order makes the versioning deterministic under same-timestamp
+    changes — the join_asof_nearest tie-break lesson applied at
+    build time.
+
+    Scale: ONE shuffle on the dimension key, one lead window, no
+    self-join — the standard at-scale SCD2 recipe (vs the quadratic
+    'match each row to its successor' formulation)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.col("value").alias("attr_value"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "pipeline_skew_report",
+    oracle="""
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM k),
+top AS (
+  SELECT n, user_id,
+         row_number() OVER (ORDER BY n DESC, user_id) AS r
+  FROM k
+)
+SELECT t.r AS rank, t.user_id, t.n,
+       CAST(t.n AS DOUBLE) / CAST(o.total AS DOUBLE) AS share,
+       CAST(t.n AS DOUBLE) * CAST(o.n_keys AS DOUBLE)
+         / CAST(o.total AS DOUBLE) AS skew_factor
+FROM top t CROSS JOIN tot o
+WHERE t.r <= 10
+""",
+    category="pipelines",
+)
+def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW diagnostic — the report you run BEFORE
+    choosing a 100 TB partitioning: the top-10 heaviest keys of the
+    events user_id distribution with each key's share of all rows
+    and its skew factor (share x key count — 1.0 means perfectly
+    uniform; the classic 'salt keys with factor >> 1' trigger).
+
+    Shape: one hash-agg on the key, a bounded top-10
+    (TakeOrderedAndProject — no global sort), one broadcast of the
+    2-scalar total. The report itself is what justifies the salted
+    variants (agg_salted_skew / join_salted_skew) elsewhere in this
+    repo."""
+    ev = table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = (
+        k.orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "user_id"))
+            .alias("rank"),
+            "user_id",
+            "n",
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "user_id",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("n").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("total").cast("double")
+        ).alias("skew_factor"),
+    )

@@ -231,3 +231,31 @@ def test_wav_parse_pure_map_no_python(spark, sf_dir):
         tree = plan.split("\n\n")[0]
         assert "Exchange" not in tree, name
         assert "Python" not in tree, name
+
+
+def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
+    """The at-scale ntile twin must range-partition the total order
+    and run only pid-partitioned windows — a window with an empty
+    partition spec over the orders table (the demo win_ntile shape)
+    would funnel everything through one task."""
+    plan = plan_of("win_ntile_distributed", spark, sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    # the data-proportional window (row_number) must carry a NON-empty
+    # partition spec (the materialized spark_partition_id column);
+    # an empty spec ("], [], [") is the demo win_ntile single-task
+    # shape. The 32-row offsets windows are exempt — they read from
+    # the count rollup, never from the orders scan.
+    rn_lines = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert rn_lines, plan
+    assert all("], [], [" not in l for l in rn_lines), rn_lines
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """The event_type IN filter must resolve against hive partition
+    directories at planning time (PartitionFilters), reading 2 of 5
+    partitions — not as a post-scan row filter."""
+    plan = plan_of("scan_parquet_partitioned", spark, sf_dir)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan

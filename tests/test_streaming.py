@@ -168,3 +168,120 @@ def test_rate_source_dense_unique(spark, sf_dir):
     hi = max(r.max_value for r in rows)
     # dense & unique: count == span of generated values
     assert total == hi - lo + 1 and total > 0
+
+
+def test_stateful_event_time_timeout_closes_and_resets(spark, tmp_path):
+    """Adversarial replay for stateful timeout semantics: a user's
+    state must CLOSE (emit + remove) once the watermark passes its
+    timeout timestamp, and the user's reappearance afterwards must
+    start a FRESH session (count restarts at 1, not accumulated) —
+    the failure mode of a sessionizer that never removes state.
+    Watermark movement is data-driven, so the batch sequence is
+    deterministic: b1 seeds user 100, b2/b3 advance the watermark
+    past 100's timeout, b4 replays user 100."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def write_batch(idx, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/.tmp{idx}")
+        import glob as g
+        import shutil
+
+        part = g.glob(f"{src}/.tmp{idx}/part-*.parquet")[0]
+        dst = f"{src}/b{idx}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(f"{src}/.tmp{idx}")
+        os.utime(dst, (time.time() + idx, time.time() + idx))
+
+    base = "2024-01-01 00:"
+    write_batch(0, [(100, base + "00:00"), (100, base + "00:05")])
+    write_batch(1, [(200, base + "10:00")])  # watermark -> 09:55
+    write_batch(2, [(300, base + "20:00")])  # 100 times out this batch
+    write_batch(3, [(100, base + "30:00")])  # fresh session for 100
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["closed"]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                ms = int(pdf["ts"].max().value // 1_000_000)
+                last_ms = ms if last_ms is None else max(last_ms, ms)
+        state.update((n,))
+        # session closes 60s after the last event (event time)
+        state.setTimeoutTimestamp(last_ms + 60_000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "status": ["open"]}
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+
+    closed_100 = [r for r in rows if r.user_id == 100 and r.status == "closed"]
+    opens_100 = [r for r in rows if r.user_id == 100 and r.status == "open"]
+    # exactly one closed session carrying the pre-timeout count
+    assert [r.n_events for r in closed_100] == [2]
+    # the replayed appearance starts a FRESH session: its open
+    # emission counts 1 (state was removed), never 3 (accumulated)
+    assert opens_100[-1].n_events == 1
+    assert {r.n_events for r in opens_100} == {2, 1}
+    # the watermark-driver users each opened their own session
+    assert {r.user_id for r in rows if r.status == "open"} >= {100, 200, 300}

@@ -132,6 +132,30 @@ def sessionize(
     return flagged.withColumn("session_id", F.sum("__new").over(wsum)).drop("__new")
 
 
+def scd2(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 versioning: each change row
+    becomes the interval [ts, next change's ts) per key, the open
+    version flagged current.  The (ts_col, tie_col) compound order
+    makes versioning deterministic under same-timestamp changes.
+    One shuffle on the key, one lead window, no self-join."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn(from_col, F.col(ts_col))
+        .withColumn(to_col, nxt)
+        .withColumn(current_col, F.col(to_col).isNull())
+    )
+
+
 def forward_fill(
     df: DataFrame,
     partition_col: str,

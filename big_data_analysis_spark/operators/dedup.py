@@ -655,3 +655,78 @@ def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokenset_dup_rate"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SQL_JACCARD_PAIRS}
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / sa.n AS contain_a_in_b,
+       CAST(i.n_common AS DOUBLE) / sb.n AS contain_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / sa.n >= 0.8
+   OR CAST(i.n_common AS DOUBLE) / sb.n >= 0.8
+""",
+    category="dedup",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs — the subset-duplicate
+    detector Jaccard misses: a short document wrapped inside a long
+    one scores low Jaccard (union is large) but high containment
+    |A∩B|/|A|. This is how boilerplate-wrapped training documents
+    (same article + different site chrome) are actually caught.
+    Emits both directions for every shared-gram candidate pair where
+    either containment >= 0.8; counts exact, one double division per
+    direction.
+
+    Shape: identical to dedup_ngram_jaccard (shared-trigram
+    candidate equi-join off the cached gram frame, broadcast size
+    dims) — the candidate generation, df-cap scale guard and its
+    bound-analysis carry over unchanged; only the scoring formula
+    differs. Set sizes stay uncapped (exact denominators); only the
+    PAIR join drops hot grams, so containment is underestimated
+    only for pairs whose overlap rides a stop-gram — same trade-off,
+    same 40x headroom over the fixtures' max df."""
+    import os
+
+    df_cap = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"))
+    grams = _grams(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hot_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("gram")
+    )
+    kept = grams.join(F.broadcast(hot_grams), "gram", "left_anti")
+    g1, g2 = kept.alias("g1"), kept.alias("g2")
+    inter = (
+        g1.join(
+            g2,
+            (F.col("g1.gram") == F.col("g2.gram"))
+            & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+        )
+        .groupBy(
+            F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c_ab = F.col("n_common").cast("double") / F.col("sa.n")
+    c_ba = F.col("n_common").cast("double") / F.col("sb.n")
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= 0.8) | (F.col("contain_b_in_a") >= 0.8)
+        )
+    )

@@ -1486,17 +1486,17 @@ def pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE shuffle on the dimension key, one lead window, no
     self-join — the standard at-scale SCD2 recipe (vs the quadratic
-    'match each row to its successor' formulation)."""
+    'match each row to its successor' formulation). Delegates to the
+    public ``api.scd2`` kernel."""
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("signup", "purchase")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    return api.scd2(ev, "user_id", "ts", "event_id").select(
         "user_id",
-        F.col("ts").alias("effective_from"),
-        F.lead("ts").over(w).alias("effective_to"),
+        "effective_from",
+        "effective_to",
         F.col("value").alias("attr_value"),
-        F.lead("ts").over(w).isNull().alias("is_current"),
+        "is_current",
     )
 
 
@@ -1562,4 +1562,91 @@ def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n_keys").cast("double")
             / F.col("total").cast("double")
         ).alias("skew_factor"),
+    )
+
+
+@query(
+    "pipeline_dq_checks",
+    oracle="""
+SELECT
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    AS null_custkey,
+  CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    AS nonpositive_price,
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderdate < TIMESTAMP '1992-01-01'
+           OR o_orderdate >= TIMESTAMP '2026-01-01') AS BIGINT)
+    AS out_of_range_date,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS orphan_custkey,
+  CAST((SELECT COUNT(*) FROM
+          (SELECT o_orderkey FROM orders
+           GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+    AS dup_orderkeys,
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    AS bad_status
+""",
+    category="pipelines",
+)
+def pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality CONTRACT report over the orders table — the gate
+    a 100 TB ingest runs before publishing a partition: null keys,
+    non-positive amounts, out-of-range dates, referential orphans
+    (o_custkey missing from customer), duplicate primary keys, and
+    domain violations, all as exact counts in ONE row.
+
+    Shape: the row-local checks fold into a single conditional-
+    aggregate scan (no shuffle); the orphan check is one left-anti
+    against the broadcast customer keys; the dup check re-uses the
+    o_orderkey hash-agg. Nothing quadratic, nothing driver-side —
+    each violation class is a counter, not a row dump (the row dump
+    is the same plan minus the agg)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    row_checks = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2026-01-01").cast("timestamp")
+                ),
+                1,
+            )
+        ).alias("out_of_range_date"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("bad_status"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    return (
+        row_checks.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_rows",
+            "null_custkey",
+            "nonpositive_price",
+            "out_of_range_date",
+            "orphan_custkey",
+            "dup_orderkeys",
+            "bad_status",
+        )
     )

@@ -259,3 +259,21 @@ def test_asof_nearest_same_timestamp_tie_break(spark, tmp_path):
     )
     o = con.execute(spec.oracle).fetchall()
     assert len(o) == 1 and o[0][3] == 1  # click_id column
+
+
+def test_api_scd2_intervals_and_current_flag(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0, 1),
+        (1, "2024-02-01 00:00:00", 20.0, 2),
+        (1, "2024-02-01 00:00:00", 30.0, 3),  # same-ts change: tie on id
+        (2, "2024-03-01 00:00:00", 5.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts_s string, v double, chg_id bigint"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "chg_id")
+    out = {r.chg_id: r for r in api.scd2(df, "k", "ts", "chg_id").collect()}
+    assert out[1].effective_to == out[2].effective_from
+    # same-timestamp changes: version order follows the tie column
+    assert out[2].effective_to == out[3].effective_from
+    assert out[3].is_current and out[4].is_current
+    assert not out[1].is_current and not out[2].is_current

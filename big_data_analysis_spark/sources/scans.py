@@ -550,3 +550,94 @@ def scan_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "scan_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+         AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+""",
+    category="sources",
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's named-Observation instrumentation (df.observe) — the
+    production-monitoring surface: metrics accumulate ON THE SAME
+    PASS as the real scan (zero extra jobs, exactly-once semantics
+    per action even under task retries — unlike accumulators), and
+    surface after the action. The query runs an observed noop write
+    of orders, then returns the captured metrics as a 1-row frame —
+    graded against DuckDB computing the same aggregates, which
+    proves the observation saw every row exactly once. At 100 TB
+    this is how row-count/invariant telemetry rides along every
+    ingest for free."""
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["total_price"])],
+        "n_rows bigint, n_big bigint, total_price double",
+    )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type FROM events
+  WHERE event_type IN ('purchase', 'signup')
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+    category="sources",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime half of the pruning
+    story: the fact side is hive-partitioned on event_type, the dim
+    side's filter is only known at run time (a subquery, not a
+    literal), and Spark injects a dynamicpruning#... predicate into
+    the fact scan so non-matching partitions are skipped AFTER the
+    dim side evaluates (plan-tested: `dynamicpruningexpression` on
+    the scan's PartitionFilters). This is THE mechanism that makes
+    star-schema joins over a date/tenant-partitioned 100 TB fact
+    readable — without it the fact scan reads every partition even
+    though the dim filter kills most of them. Oracle: the same join
+    on the clean table (pruning is physical, not semantic)."""
+    stage = scratch_dir(prefix="bda_dpp_")
+    ev = table(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "value", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(f"{stage}/events_by_type")
+    fact = spark.read.parquet(f"{stage}/events_by_type")
+    dim = (
+        ev.select("event_type")
+        .where(F.col("event_type").isin("purchase", "signup"))
+        .distinct()
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

@@ -259,3 +259,13 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     plan = plan_of("scan_parquet_partitioned", spark, sf_dir)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0], plan
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark, sf_dir):
+    """The hive-partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the runtime
+    dim-driven pruning that keeps a star join over a partitioned
+    100 TB fact from reading every partition."""
+    plan = plan_of("join_dynamic_partition_pruning", spark, sf_dir)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruningexpression" in pf[0], plan

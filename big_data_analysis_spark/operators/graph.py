@@ -176,3 +176,63 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_out_degree"),
         )
     )
+
+
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+bfs(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY node
+""",
+    category="graph",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hop-distance (source: node 0, cap
+    {_BFS_MAX_HOPS} hops) over the shared lineitem-derived digraph —
+    the third iterative graph kernel, and the one with an EXACT
+    oracle: hop distances are integers, so DuckDB's WITH RECURSIVE
+    fixpoint must agree bit-for-bit (unlike the float-iterating
+    PageRank, which is rows-only by necessity).
+
+    Execution shape: frontier expansion — per round ONE equi-join of
+    the current frontier against the persisted edge table on src,
+    an anti-join against the visited set, and a localCheckpoint to
+    truncate lineage; the loop is bounded by the hop cap, and the
+    only driver-side data is the per-round frontier count scalar
+    (the emptiness check). At 100 TB this is Pregel's BFS on the
+    DataFrame runtime: edges stay co-partitioned on src across
+    rounds, the frontier shrinks geometrically after the small-world
+    saturation point."""
+    e = _edges(spark, sf_dir).persist()
+    visited = e.sparkSession.createDataFrame(
+        [(0, 0)], "node bigint, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited

@@ -121,3 +121,38 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
     return a.subtract(b)
+
+
+@query(
+    "set_union_missing_cols",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS amount, o_orderpriority AS priority,
+       NULL AS balance
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL BY NAME
+SELECT c_custkey AS id, NULL AS amount, NULL AS priority,
+       c_acctbal AS balance
+FROM customer WHERE c_custkey % 5 = 0
+""",
+    category="setops",
+)
+def set_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: ``unionByName(allowMissingColumns=
+    True)`` aligns two frames with DIFFERENT column sets, surfacing
+    each side's missing columns as NULL — how a long-lived pipeline
+    appends a v2 frame to a v1 archive without rewriting history.
+    DuckDB twin: UNION ALL BY NAME. Positional UNION would silently
+    misalign; by-name is the only union that survives schema
+    evolution."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    left = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    right = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)

@@ -177,3 +177,30 @@ def topk_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.array_sort(F.col("tok_freqItems")).alias("frequent_tokens")
     )
+
+
+@query(
+    "sort_paginate",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+    category="sorts",
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination — page 3 of a 20-row listing via
+    ``offset(40).limit(20)`` over a deterministic total order (the
+    REST-API result-page idiom, first-class since Spark 3.4). Scale
+    note: OFFSET still evaluates the global order up to
+    offset+limit rows (a per-partition heap of 60, like top-k) — fine
+    for UI pages, wrong for deep crawls, where the keyset predicate
+    (WHERE key > last_seen) is the at-scale replacement."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

@@ -471,3 +471,89 @@ def test_bootstrap_draw_counts_multinomial():
     # a permutation (the Weyl failure mode) has zero duplicates
     j0 = np.array([mix(0 * n + i) % n for i in range(n)])
     assert len(np.unique(j0)) < n * 0.75
+
+
+@given(rows=st.lists(st.integers(min_value=-10000, max_value=10000),
+                     min_size=1, max_size=60),
+       k=st.integers(min_value=1, max_value=6))
+@settings(**_SETTINGS)
+def test_distributed_ntile_matches_window_ntile(spark, rows, k):
+    """The offsets-based distributed ntile formula must equal Spark's
+    own ntile(k) single-partition window on ARBITRARY value lists
+    (ties, negatives, n<k, n%k!=0) — same closed form the registered
+    win_ntile_distributed uses."""
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rows)], "v int, rid int"
+    )
+    w = Window.orderBy("v", "rid")
+    expected = df.select("rid", F.ntile(k).over(w).alias("b"))
+    ranked = df.repartitionByRange(4, "v", "rid").select(
+        "rid", "v",
+        F.spark_partition_id().alias("pid"),
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id()).orderBy("v", "rid")
+        ).alias("lrn"),
+    )
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    r = F.col("off") + F.col("lrn")
+    q, rem = (F.col("n") / k).cast("long"), F.col("n") % k
+    big = rem * (q + 1)
+    bucket = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - big) / q)
+    )
+    got = ranked.join(F.broadcast(offs), "pid").select(
+        "rid", bucket.cast("int").alias("b")
+    )
+    exp = {x.rid: x.b for x in expected.collect()}
+    act = {x.rid: x.b for x in got.collect()}
+    assert exp == act
+
+
+@given(changes=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # key
+              st.integers(min_value=0, max_value=86400)), # ts offset s
+    min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_scd2_versions_partition_the_timeline(spark, changes):
+    """api.scd2 invariants on arbitrary change streams (including
+    same-timestamp changes): per key, exactly one current version;
+    version intervals chain exactly (row i's effective_to == row
+    i+1's effective_from in (ts, tie) order); every interval is
+    non-negative."""
+    from big_data_analysis_spark import api
+
+    rows = [
+        (k, f"2024-01-01 00:00:00", s, i)
+        for i, (k, s) in enumerate(changes)
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, base string, off bigint, chg_id bigint"
+    ).select(
+        "k",
+        (F.col("base").cast("timestamp") + F.make_dt_interval(secs=F.col("off")))
+        .alias("ts"),
+        "chg_id",
+    )
+    out = api.scd2(df, "k", "ts", "chg_id").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: (r.ts, r.chg_id))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].effective_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.effective_to >= a.effective_from

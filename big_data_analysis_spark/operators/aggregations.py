@@ -2042,3 +2042,74 @@ def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@query(
+    "agg_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * (next_us - us)) AS DECIMAL(38,0))
+           AS num,
+         CAST(SUM(next_us - us) AS BIGINT) AS den,
+         CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM s WHERE next_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, num AS twa_num, den AS span_us,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS time_weighted_avg,
+       n_samples
+FROM agg WHERE den > 0
+""",
+    category="aggregations",
+)
+def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average purchase value per user over irregular
+    samples (the TimescaleDB time_weight idiom): each observation is
+    weighted by how long it was the CURRENT value (LOCF hold until
+    the next sample; the open-ended last sample carries no weight).
+    Plain AVG over-weights bursts — for billing/telemetry the
+    time-weighted mean is the correct statistic.
+
+    Exactness & scale: the numerator is SUM(cents x hold-micros) in
+    DECIMAL(38,0) — int64 would overflow once per-user spans exceed
+    ~(2^63 / max_cents) microseconds (~3 years at $1000 values), the
+    denominator is the exact total covered span, and the single
+    double division happens once per user. One shuffle on user_id
+    (window + agg share it), users with <2 samples drop (zero
+    covered span)."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    agg = s.groupBy("user_id").agg(
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * (F.col("next_us") - F.col("us"))
+        )
+        .cast("decimal(38,0)")
+        .alias("twa_num"),
+        F.sum(F.col("next_us") - F.col("us")).alias("span_us"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return agg.where(F.col("span_us") > 0).select(
+        "user_id",
+        "twa_num",
+        "span_us",
+        (
+            F.col("twa_num").cast("double") / F.col("span_us").cast("double") / 100.0
+        ).alias("time_weighted_avg"),
+        "n_samples",
+    )

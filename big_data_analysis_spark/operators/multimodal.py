@@ -239,6 +239,58 @@ def _le_int(bin_col, pos: int, nbytes: int):
     return out
 
 
+def _synth_wavs(d) -> DataFrame:
+    """Synthesize the canonical mono 16-bit RIFF/WAVE binaries for
+    doc_id < 64 (formula-driven hex layout, shared by
+    multimodal_wav_parse and multimodal_audio_rms — the oracle knows
+    only this generator formula)."""
+    d = d.where(F.col("doc_id") < 64)
+    i = F.col("doc_id")
+    sr = (F.lit(8000) * (1 + i % 4)).cast("long")
+    ns = (F.lit(64) + i % 32).cast("long")
+    data_size = ns * 2  # mono, 16-bit
+    byte_rate = sr * 2
+    sample_k = F.sequence(F.lit(0), (ns - 1).cast("int"))
+    samp16 = lambda k: ((i * 31 + k * 17) % 2003 - 1001 + 65536) % 65536
+    samples_hex = F.array_join(
+        F.transform(sample_k, lambda k: _le_hex(samp16(k), 2)), ""
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        _le_hex(F.lit(16), 4),        # PCM fmt chunk size
+        _le_hex(F.lit(1), 2),         # audio format = PCM
+        _le_hex(F.lit(1), 2),         # channels = 1
+        _le_hex(sr, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(F.lit(2), 2),         # block align
+        _le_hex(F.lit(16), 2),        # bits per sample
+        F.lit("64617461"),            # 'data'
+        _le_hex(data_size, 4),
+        samples_hex,
+    )
+    return d.select("doc_id", F.unhex(wav_hex).alias("wav"))
+
+
+def _parsed_pcm(b):
+    """Signed int16 sample array parsed from the WAV bytes alone
+    (two's complement, little-endian), pure JVM expressions."""
+    p_ch = _le_int(b, 23, 2)
+    p_bits = _le_int(b, 35, 2)
+    p_data = _le_int(b, 41, 4)
+    p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
+    idx = F.sequence(F.lit(0), (p_ns - 1).cast("int"))
+    raw = lambda k: F.conv(
+        F.hex(F.substring(b, 45 + k * 2, 1)), 16, 10
+    ).cast("long") + F.conv(
+        F.hex(F.substring(b, 46 + k * 2, 1)), 16, 10
+    ).cast("long") * 256
+    signed = lambda k: F.when(raw(k) >= 32768, raw(k) - 65536).otherwise(raw(k))
+    return F.transform(idx, signed)
+
+
 @query(
     "multimodal_wav_parse",
     oracle="""
@@ -278,50 +330,14 @@ def multimodal_wav_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     knows only the generator formula, so a parser bug cannot cancel
     out. At 100 TB: a pure map stage over parquet BYTE_ARRAY
     payloads, no Python, no shuffle before the per-file aggregate."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
-    i = F.col("doc_id")
-    sr = (F.lit(8000) * (1 + i % 4)).cast("long")
-    ns = (F.lit(64) + i % 32).cast("long")
-    data_size = ns * 2  # mono, 16-bit
-    byte_rate = sr * 2
-    sample_k = F.sequence(F.lit(0), (ns - 1).cast("int"))
-    samp16 = lambda k: ((i * 31 + k * 17) % 2003 - 1001 + 65536) % 65536
-    samples_hex = F.array_join(
-        F.transform(sample_k, lambda k: _le_hex(samp16(k), 2)), ""
-    )
-    wav_hex = F.concat(
-        F.lit("52494646"),            # 'RIFF'
-        _le_hex(data_size + 36, 4),
-        F.lit("57415645"),            # 'WAVE'
-        F.lit("666D7420"),            # 'fmt '
-        _le_hex(F.lit(16), 4),        # PCM fmt chunk size
-        _le_hex(F.lit(1), 2),         # audio format = PCM
-        _le_hex(F.lit(1), 2),         # channels = 1
-        _le_hex(sr, 4),
-        _le_hex(byte_rate, 4),
-        _le_hex(F.lit(2), 2),         # block align
-        _le_hex(F.lit(16), 2),        # bits per sample
-        F.lit("64617461"),            # 'data'
-        _le_hex(data_size, 4),
-        samples_hex,
-    )
-    synth = d.select("doc_id", F.unhex(wav_hex).alias("wav"))
-
-    # ---- parse stage: reads ONLY the binary column ----
+    synth = _synth_wavs(table(spark, sf_dir, "documents"))
     b = F.col("wav")
     p_sr = _le_int(b, 25, 4)
     p_ch = _le_int(b, 23, 2)
     p_bits = _le_int(b, 35, 2)
     p_data = _le_int(b, 41, 4)
     p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
-    idx = F.sequence(F.lit(0), (p_ns - 1).cast("int"))
-    raw = lambda k: F.conv(
-        F.hex(F.substring(b, 45 + k * 2, 1)), 16, 10
-    ).cast("long") + F.conv(
-        F.hex(F.substring(b, 46 + k * 2, 1)), 16, 10
-    ).cast("long") * 256
-    signed = lambda k: F.when(raw(k) >= 32768, raw(k) - 65536).otherwise(raw(k))
-    pcm = F.transform(idx, signed)
+    pcm = _parsed_pcm(b)
     return synth.select(
         "doc_id",
         p_sr.alias("sample_rate"),
@@ -438,4 +454,61 @@ def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssum(chan(1)).alias("sum_g"),
         ssum(chan(0)).alias("sum_b"),
         (ssum(chan(2)).cast("double") / p_n).alias("mean_r"),
+    )
+
+
+@query(
+    "multimodal_audio_rms",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+s AS (
+  SELECT ids.doc_id, g.k,
+         ((ids.doc_id * 31 + g.k * 17) % 2003) - 1001 AS v
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 63 + CAST(ids.doc_id % 32 AS INT))) AS k
+  ) g
+)
+SELECT doc_id, CAST(k // 16 AS INT) AS frame,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v * v) AS BIGINT) AS energy_sq,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+FROM s
+GROUP BY doc_id, frame
+""",
+    category="multimodal",
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the parsed WAV samples — the first
+    real audio FEATURE on top of the wire parser (silence detection /
+    loudness normalization / VAD pre-filter in a training-data audio
+    pipeline): 16-sample frames, exact integer sum-of-squares per
+    frame (|v| <= 1001 -> frame energy <= 1.6e7, no overflow at any
+    scale), one IEEE sqrt per frame for the RMS. The samples come
+    from the SAME byte-level parse as multimodal_wav_parse (shared
+    _parsed_pcm expression) — the oracle still knows only the
+    generator formula, so parser and feature bugs cannot cancel.
+    Plan shape: synth -> parse -> posexplode -> (doc, frame)
+    hash-agg; a pure map + one bounded-key aggregate."""
+    synth = _synth_wavs(table(spark, sf_dir, "documents"))
+    pcm = _parsed_pcm(F.col("wav"))
+    exploded = synth.select(
+        "doc_id", F.posexplode(pcm).alias("k", "v")
+    )
+    return (
+        exploded.groupBy(
+            "doc_id", (F.col("k") / 16).cast("int").alias("frame")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("v")).alias("energy_sq"),
+        )
+        .select(
+            "doc_id",
+            "frame",
+            "n",
+            "energy_sq",
+            F.sqrt(
+                F.col("energy_sq").cast("double") / F.col("n").cast("double")
+            ).alias("rms"),
+        )
     )

@@ -2113,3 +2113,54 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("time_weighted_avg"),
         "n_samples",
     )
+
+
+@query(
+    "agg_rolling_dau",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+),
+du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+)
+SELECT d.day,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT)
+         AS dau,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+    category="aggregations",
+)
+def agg_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day distinct users (WAU) per day — the
+    engagement metric COUNT(DISTINCT) OVER a RANGE frame cannot
+    express in Spark (distinct window aggregates are unsupported):
+    instead the (day, user) distinct pairs join to the bounded
+    day spine over the 7-day band, and one grouped distinct-count
+    does the rest. The spine is tiny (one row per day) so the band
+    join fans each (day,user) pair out at most 7x — at any corpus
+    scale the cost is 7x the DISTINCT pair table, never n^2. DuckDB
+    twin computes the same via the identical band join."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    d, u = days.alias("d"), du.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+            ).alias("dau"),
+            F.countDistinct("u.user_id").alias("wau_7d"),
+        )
+    )

@@ -1650,3 +1650,80 @@ def pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_status",
         )
     )
+
+
+# Target mix shares (per mille) for pipeline_domain_resample: the
+# keep-rate for a source is min(1, target_share / observed_share),
+# applied as a deterministic per-doc hash threshold.
+_RESAMPLE_TARGETS = {"src0": 500, "src1": 250, "src2": 150, "src3": 100,
+                     "src4": 80, "src5": 40}
+
+
+@query(
+    "pipeline_domain_resample",
+    oracle=f"""
+WITH tgt AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_RESAMPLE_TARGETS.items()))})
+    t(source, tgt_pm)
+),
+obs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM documents GROUP BY source
+),
+rates AS (
+  -- keep-rate per mille: min(1000, tgt_pm * total / n) kept integer
+  SELECT o.source,
+         LEAST(CAST(1000 AS BIGINT),
+               CAST(COALESCE(t.tgt_pm, 0) * o.total / o.n AS BIGINT)) AS keep_pm
+  FROM obs o LEFT JOIN tgt t ON t.source = o.source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000 < r.keep_pm
+""",
+    category="pipelines",
+)
+def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIX enforcement — the 'data recipe' op of LLM corpus
+    building: given target per-mille shares per source, down-sample
+    over-represented domains with a DETERMINISTIC per-doc hash
+    threshold (keep iff hash(doc_id) % 1000 < keep_pm), where
+    keep_pm = min(1000, target_share/observed_share) in exact
+    integer arithmetic. Membership is a pure function of doc_id —
+    reproducible across runs, engines, and partitionings (the
+    pipeline_train_split discipline applied to mixing).
+
+    Shape: one bounded hash-agg for observed shares (sources are
+    few), a broadcast of the per-source rate, and a map-side filter
+    — the corpus itself never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        sorted(_RESAMPLE_TARGETS.items()), "source string, tgt_pm long"
+    )
+    obs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source",
+        "n",
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
+    )
+    rates = (
+        obs.join(F.broadcast(tgt), "source", "left")
+        .select(
+            "source",
+            F.least(
+                F.lit(1000).cast("long"),
+                (
+                    F.coalesce(F.col("tgt_pm"), F.lit(0)) * F.col("total") / F.col("n")
+                ).cast("long"),
+            ).alias("keep_pm"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(
+            (F.col("doc_id") * 2654435761) % 4294967296 % 1000 < F.col("keep_pm")
+        )
+        .select("doc_id", "source")
+    )

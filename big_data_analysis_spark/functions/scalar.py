@@ -943,3 +943,72 @@ FROM {customer}
         orders=o,
         customer=c,
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+SELECT doc_id,
+       text AS plain,
+       text AS decrypted,
+       CAST(TRUE AS BOOLEAN) AS roundtrip_ok
+FROM documents WHERE doc_id < 100
+""",
+    category="functions",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt/aes_decrypt
+    round-trip in deterministic ECB mode (GCM's random IV would make
+    the ciphertext — and any hash of it — nondeterministic, so ECB
+    is the only gradable mode; real deployments use GCM and never
+    grade raw ciphertext). The graded columns are the PLAINTEXT, the
+    decrypted output and the equality flag — the oracle knows only
+    that decrypt(encrypt(x)) == x, so a broken key path, padding bug
+    or charset mangling cannot cancel out."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    ct = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"), F.lit("ECB"))
+    pt = F.aes_decrypt(ct, key.cast("binary"), F.lit("ECB")).cast("string")
+    return d.select(
+        "doc_id",
+        F.col("text").alias("plain"),
+        pt.alias("decrypted"),
+        (pt == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "fn_width_bucket",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+GROUP BY bucket
+""",
+    category="functions",
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI width_bucket equi-width bucketing (the histogram
+    primitive as a FUNCTION, vs agg_histogram's hand-rolled floor
+    arithmetic). DuckDB has no width_bucket, so the oracle emulates
+    the standard semantics (underflow->0, overflow->n+1, else
+    floor((v-min)/w)+1) with the identical IEEE ops — the bucket
+    width 600000/12=50000 is exactly representable, so both engines
+    floor the same doubles."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)
+            ).alias("bucket"),
+            "o_orderkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )

@@ -2164,3 +2164,40 @@ def agg_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("u.user_id").alias("wau_7d"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+       COALESCE(o_orderstatus, '<all>') AS status,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING(o_orderstatus) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    category="aggregations",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a rollup — the ANSI way to
+    tell a real NULL group from a subtotal row (agg_rollup
+    disambiguates by COALESCE alone, which would conflate them if
+    the key column were nullable). grouping()=1 marks the dimension
+    as rolled away on that row."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n",
+        )
+    )

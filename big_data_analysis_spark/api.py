@@ -578,3 +578,107 @@ def minhash_pairs(
             (1 - F.col("jaccard_dist")).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------------------- operations
+
+def skew_report(df: DataFrame, key_col: str, *, top_n: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic: the top_n heaviest keys with each
+    key's share of all rows and its skew factor (share x distinct-key
+    count; 1.0 = uniform). One hash-agg on the key, a bounded top-n
+    (TakeOrderedAndProject), a broadcast 2-scalar total. Run this
+    BEFORE choosing a partitioning; factor >> 1 is the salt-the-key
+    trigger."""
+    k = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys"))
+    top = (
+        k.orderBy(F.desc("n"), key_col)
+        .limit(top_n)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), key_col))
+            .alias("rank"),
+            key_col,
+            "n",
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        key_col,
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        (
+            F.col("n").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("total").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+def domain_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    targets_pm: dict,
+) -> DataFrame:
+    """Deterministic domain-mix enforcement: down-sample each domain
+    to its target per-mille share of the corpus via a Knuth-hash
+    threshold on the id — membership is a pure function of the id
+    (reproducible across runs/partitionings). Domains absent from
+    ``targets_pm`` drop entirely. keep_pm = min(1000,
+    target_pm/observed_share) in exact integer arithmetic; observed
+    shares cost one bounded hash-agg, the corpus never shuffles."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(targets_pm.items()), f"{domain_col} string, tgt_pm long"
+    )
+    obs = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).select(
+        domain_col,
+        "n",
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
+    )
+    rates = obs.join(F.broadcast(tgt), domain_col, "left").select(
+        domain_col,
+        F.least(
+            F.lit(1000).cast("long"),
+            (
+                F.coalesce(F.col("tgt_pm"), F.lit(0)) * F.col("total") / F.col("n")
+            ).cast("long"),
+        ).alias("keep_pm"),
+    )
+    return df.join(F.broadcast(rates), domain_col).where(
+        (F.col(id_col) * 2654435761) % 4294967296 % 1000 < F.col("keep_pm")
+    ).drop("keep_pm")
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day distinct ids plus the trailing-``window_days`` distinct
+    count (DAU/WAU shape) — the COUNT(DISTINCT) OVER RANGE Spark
+    windows can't express, via a bounded day-spine band join whose
+    fan-out is capped at window_days x the distinct (day, id) table."""
+    day = F.date_trunc("day", F.col(ts_col))
+    du = df.select(day.alias("day"), id_col).distinct()
+    days = du.select("day").distinct()
+    d, u = days.alias("d"), du.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.day") >= F.col("d.day") - F.expr(f"INTERVAL {window_days - 1} DAYS"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col(f"u.{id_col}"))
+            ).alias("n_current"),
+            F.countDistinct(f"u.{id_col}").alias(f"n_{window_days}d"),
+        )
+    )

@@ -2146,23 +2146,12 @@ def agg_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the cost is 7x the DISTINCT pair table, never n^2. DuckDB
     twin computes the same via the identical band join."""
     ev = table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    du = ev.select(day.alias("day"), "user_id").distinct()
-    days = du.select("day").distinct()
-    d, u = days.alias("d"), du.alias("u")
+    from .. import api
+
     return (
-        d.join(
-            u,
-            (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
-            & (F.col("u.day") <= F.col("d.day")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(
-            F.countDistinct(
-                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
-            ).alias("dau"),
-            F.countDistinct("u.user_id").alias("wau_7d"),
-        )
+        api.rolling_distinct(ev, "ts", "user_id", window_days=7)
+        .withColumnRenamed("n_current", "dau")
+        .withColumnRenamed("n_7d", "wau_7d")
     )
 
 

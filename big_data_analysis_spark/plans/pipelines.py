@@ -1533,36 +1533,9 @@ def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — no global sort), one broadcast of the
     2-scalar total. The report itself is what justifies the salted
     variants (agg_salted_skew / join_salted_skew) elsewhere in this
-    repo."""
+    repo. Delegates to the public ``api.skew_report`` kernel."""
     ev = table(spark, sf_dir, "events")
-    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    tot = k.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
-    )
-    top = (
-        k.orderBy(F.desc("n"), "user_id")
-        .limit(10)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("n"), "user_id"))
-            .alias("rank"),
-            "user_id",
-            "n",
-        )
-    )
-    return top.crossJoin(F.broadcast(tot)).select(
-        "rank",
-        "user_id",
-        "n",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
-            "share"
-        ),
-        (
-            F.col("n").cast("double")
-            * F.col("n_keys").cast("double")
-            / F.col("total").cast("double")
-        ).alias("skew_factor"),
-    )
+    return api.skew_report(ev, "user_id", top_n=10)
 
 
 @query(
@@ -1698,32 +1671,6 @@ def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     few), a broadcast of the per-source rate, and a map-side filter
     — the corpus itself never shuffles."""
     d = table(spark, sf_dir, "documents")
-    tgt = spark.createDataFrame(
-        sorted(_RESAMPLE_TARGETS.items()), "source string, tgt_pm long"
-    )
-    obs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
-        "source",
-        "n",
-        F.sum("n")
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("total"),
-    )
-    rates = (
-        obs.join(F.broadcast(tgt), "source", "left")
-        .select(
-            "source",
-            F.least(
-                F.lit(1000).cast("long"),
-                (
-                    F.coalesce(F.col("tgt_pm"), F.lit(0)) * F.col("total") / F.col("n")
-                ).cast("long"),
-            ).alias("keep_pm"),
-        )
-    )
-    return (
-        d.join(F.broadcast(rates), "source")
-        .where(
-            (F.col("doc_id") * 2654435761) % 4294967296 % 1000 < F.col("keep_pm")
-        )
-        .select("doc_id", "source")
+    return api.domain_resample(d, "source", "doc_id", _RESAMPLE_TARGETS).select(
+        "doc_id", "source"
     )

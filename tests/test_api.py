@@ -277,3 +277,47 @@ def test_api_scd2_intervals_and_current_flag(spark):
     assert out[2].effective_to == out[3].effective_from
     assert out[3].is_current and out[4].is_current
     assert not out[1].is_current and not out[2].is_current
+
+
+def test_api_skew_report_on_synthetic_skew(spark):
+    rows = [(1, i) for i in range(90)] + [(k, 1000 + k) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k bigint, payload bigint")
+    out = {r.rank: r for r in api.skew_report(df, "k", top_n=3).collect()}
+    assert out[1].k == 1 and out[1].n == 90
+    assert abs(out[1].share - 0.9) < 1e-12
+    # skew factor = share * n_keys = 0.9 * 11
+    assert abs(out[1].skew_factor - 9.9) < 1e-9
+
+
+def test_api_domain_resample_hits_targets(spark):
+    rows = [(f"d{i % 2}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "dom string, id bigint")
+    out = api.domain_resample(df, "dom", "id", {"d0": 100, "d1": 500})
+    by_dom = {
+        r.dom: r.cnt
+        for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # d0 target: 100pm of 1000 = 100 docs from its 500 (rate 200pm);
+    # d1: 500pm -> rate min(1000, 1000pm) = keep all 500
+    assert by_dom["d1"] == 500
+    assert 60 <= by_dom["d0"] <= 140  # hash-threshold binomial-ish
+    # determinism: same call, same membership
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in api.domain_resample(df, "dom", "id", {"d0": 100, "d1": 500}).collect()
+    )
+
+
+def test_api_rolling_distinct_band(spark):
+    rows = [
+        (100, "2024-01-01 01:00:00"),
+        (101, "2024-01-03 01:00:00"),
+        (100, "2024-01-09 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ts_s string").select(
+        "uid", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {str(r.day)[:10]: r for r in api.rolling_distinct(df, "ts", "uid").collect()}
+    assert out["2024-01-01"].n_current == 1 and out["2024-01-01"].n_7d == 1
+    assert out["2024-01-03"].n_current == 1 and out["2024-01-03"].n_7d == 2
+    # Jan 9: only uid 100 that day; Jan 3's uid 101 is 6 days back -> in band
+    assert out["2024-01-09"].n_current == 1 and out["2024-01-09"].n_7d == 2

@@ -374,3 +374,68 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+  FROM p ASOF JOIN c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM matched
+WHERE CAST(epoch_us(purchase_ts) AS BIGINT)
+      - CAST(epoch_us(click_ts) AS BIGINT) <= 3600000000
+""",
+    category="joins_nonequi",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof
+    tolerance= semantics): the latest same-user click at-or-before
+    each purchase, but only if it happened within the last hour —
+    stale matches drop instead of attributing a purchase to a
+    week-old click. Same single-shuffle tagged-union window kernel
+    as join_asof with one exact integer-microsecond gap predicate on
+    top; the oracle is DuckDB's ASOF JOIN + the same gap filter.
+    Matching AT the tolerance boundary is kept (<=, like pandas)."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("tag") == 0,
+        F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")),
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last(click_struct, ignorenulls=True).over(w).alias("last_click"),
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click.cts"))
+    return (
+        filled.where(F.col("tag") == 1)
+        .where(F.col("last_click").isNotNull())
+        .where(gap_us <= 3600 * 1_000_000)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.cid").alias("click_id"),
+            F.col("last_click.cts").alias("click_ts"),
+        )
+    )

@@ -787,3 +787,90 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matched_terms"),
         F.sum("term_score").alias("bm25"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         len(ts) AS n_tokens,
+         len(ts) - 2 AS n_trigrams,
+         len(list_distinct(list_transform(
+             generate_series(1, len(ts) - 2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS n_uniq_tri,
+         len(list_distinct(ts)) AS n_uniq_tok
+  FROM toks WHERE len(ts) >= 3
+),
+toptok AS (
+  SELECT doc_id, MAX(c) AS top_tok_n FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       1.0 - CAST(t.n_uniq_tri AS DOUBLE) / t.n_trigrams AS dup_trigram_frac,
+       1.0 - CAST(t.n_uniq_tok AS DOUBLE) / t.n_tokens AS dup_token_frac,
+       CAST(p.top_tok_n AS DOUBLE) / t.n_tokens AS top_token_share,
+       (1.0 - CAST(t.n_uniq_tri AS DOUBLE) / t.n_trigrams) <= 0.30
+         AND CAST(p.top_tok_n AS DOUBLE) / t.n_tokens <= 0.20 AS keep
+FROM tri t JOIN toptok p ON p.doc_id = t.doc_id
+""",
+    category="text",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document REPETITION signals — the quality
+    family text_quality doesn't cover: duplicate-trigram fraction,
+    duplicate-token fraction, and the modal token's share, plus the
+    standard keep-rule (dup-trigram <= 0.30 AND top-token <= 0.20).
+    Repetition is the strongest single predictor of low-quality /
+    machine-generated text in the Gopher ablations; all ratios here
+    are exact integer counts with one double division each.
+
+    Shape: pure map stage (per-row array ops for token/trigram
+    distincts) plus one (doc, token) hash-agg for the modal token —
+    no cross-document traffic at all; embarrassingly parallel at any
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n_tok = F.size(ts)
+    tri = F.transform(
+        F.sequence(F.lit(1), n_tok - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ts, i),
+            F.element_at(ts, i + 1),
+            F.element_at(ts, i + 2),
+        ),
+    )
+    base = d.where(n_tok >= 3).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (n_tok - 2).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_uniq_tri"),
+        F.size(F.array_distinct(ts)).alias("n_uniq_tok"),
+    )
+    toptok = (
+        d.select("doc_id", F.explode(ts).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    dup_tri = 1.0 - F.col("n_uniq_tri").cast("double") / F.col("n_trigrams")
+    top_share = F.col("top_tok_n").cast("double") / F.col("n_tokens")
+    return base.join(toptok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        dup_tri.alias("dup_trigram_frac"),
+        (1.0 - F.col("n_uniq_tok").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        top_share.alias("top_token_share"),
+        ((dup_tri <= 0.30) & (top_share <= 0.20)).alias("keep"),
+    )

@@ -894,3 +894,46 @@ def win_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "pid").select(
         "o_orderkey", bucket.cast("int").alias("price_quartile")
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            OVER (PARTITION BY user_id
+                  ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cents_1h,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id
+                  ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_1h
+FROM events WHERE event_type = 'purchase'
+""",
+    category="windows",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED time-interval RANGE frame — the at-scale form of
+    win_range_frame (whose global order is the documented
+    single-task caveat): per-user trailing-1-hour purchase total and
+    count, the fraud/velocity-check primitive. The frame bound is
+    exact integer MICROSECONDS over a unix_micros order key (a
+    seconds cast would include events up to 1s outside the window),
+    and the summed value is exact integer cents. One shuffle on
+    user_id; frames never cross users, so every executor windows its
+    own keys."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("cents_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

@@ -1674,3 +1674,63 @@ def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.domain_resample(d, "source", "doc_id", _RESAMPLE_TARGETS).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text,
+         md5(text) AS h,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS tokset
+  FROM documents WHERE doc_id % 5 <> 4
+),
+batch AS (
+  SELECT doc_id, text,
+         md5(text) AS h,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS tokset
+  FROM documents WHERE doc_id % 5 = 4
+)
+SELECT b.doc_id,
+       EXISTS (SELECT 1 FROM base x WHERE x.h = b.h) AS dup_exact,
+       EXISTS (SELECT 1 FROM base x WHERE x.tokset = b.tokset) AS dup_tokenset,
+       NOT EXISTS (SELECT 1 FROM base x WHERE x.tokset = b.tokset) AS admit
+FROM batch b
+""",
+    category="pipelines",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — how production corpus building
+    actually runs (nobody re-dedups 100 TB per day): an arriving
+    batch (every 5th doc) is checked against the ACCEPTED base
+    corpus on two ladder tiers — exact byte hash and order-free
+    token-set key — and each batch doc gets an admit/reject verdict
+    with per-tier flags. The base side reduces to its (hash, tokset)
+    key table: at 100 TB that key table IS the persisted dedup
+    index (bucketed on hash), and each increment joins against keys,
+    never against the corpus bytes.
+
+    Shape: two left-semi-shaped membership joins on narrow keys
+    (planned as broadcast/shuffled hash joins on md5 and tokset);
+    the batch never self-joins, and the corpus text never moves."""
+    d = table(spark, sf_dir, "documents")
+    tokset = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    keyed = d.select("doc_id", F.md5("text").alias("h"), tokset.alias("tokset"))
+    base = keyed.where(F.col("doc_id") % 5 != 4)
+    batch = keyed.where(F.col("doc_id") % 5 == 4)
+    base_h = base.select("h").distinct().withColumn("__eh", F.lit(True))
+    base_t = base.select("tokset").distinct().withColumn("__et", F.lit(True))
+    return (
+        batch.join(base_h, "h", "left")
+        .join(base_t, "tokset", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__eh"), F.lit(False)).alias("dup_exact"),
+            F.coalesce(F.col("__et"), F.lit(False)).alias("dup_tokenset"),
+            (~F.coalesce(F.col("__et"), F.lit(False))).alias("admit"),
+        )
+    )

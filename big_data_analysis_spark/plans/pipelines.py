@@ -1734,3 +1734,55 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.coalesce(F.col("__et"), F.lit(False))).alias("admit"),
         )
     )
+
+
+@query(
+    "pipeline_dataset_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS h
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h <> v2.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+""",
+    category="pipelines",
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset VERSION diff — the regression test every training-data
+    release needs: two corpus versions (deterministically derived:
+    v2 drops every 3rd doc, adds back the %5==4 docs, and edits
+    every 7th) compare by (key, content-hash) through ONE full outer
+    join, labeling each key added / removed / changed / unchanged.
+    At 100 TB both sides reduce to their (key, md5) tables first —
+    the diff joins 32-byte rows, never documents; with both versions
+    bucketed on the key it is a zero-shuffle merge."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    v2 = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    return a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

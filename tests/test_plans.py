@@ -269,3 +269,24 @@ def test_dynamic_partition_pruning_on_fact_scan(spark, sf_dir):
     plan = plan_of("join_dynamic_partition_pruning", spark, sf_dir)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "dynamicpruningexpression" in pf[0], plan
+
+
+def test_dq_checks_orphan_join_broadcasts(spark, sf_dir):
+    """The referential-integrity check must be a broadcast left-anti
+    against the customer key dim — shuffling orders for a DQ gate
+    would double the ingest cost at scale."""
+    plan = plan_of("pipeline_dq_checks", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_incremental_dedup_joins_keys_not_text(spark, sf_dir):
+    """The membership joins must run on the md5/token-set key tables;
+    the document text only feeds the key derivation (scan), never a
+    join side."""
+    plan = plan_of("pipeline_incremental_dedup", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    # both membership joins present, planned as hash joins
+    assert tree.count("Join") >= 2
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree

@@ -682,3 +682,114 @@ def rolling_distinct(
             F.countDistinct(f"u.{id_col}").alias(f"n_{window_days}d"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    *,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Generic as-of join (pandas merge_asof for DataFrames at scale):
+    for every LEFT row, the single RIGHT row with the same key and
+    the closest timestamp — ``backward`` (latest at-or-before),
+    ``forward`` (earliest at-or-after), or ``nearest`` — optionally
+    bounded by ``tolerance_us`` microseconds. Inner semantics:
+    unmatched left rows drop.
+
+    Implementation: the two frames are tagged and unioned, ONE
+    shuffle on the key, and per-direction fill windows ordered by
+    (ts, tag, tie) resolve every match — no range join, no explosion
+    (the per-key pair join a naive as-of builds is quadratic in the
+    key's row count). Same-timestamp right rows resolve
+    deterministically by smallest tie value; a right row AT the left
+    row's timestamp matches (<= / >= semantics). Returns the left
+    rows plus ``right_<ts>``, ``right_<tie>`` and any requested
+    ``right_cols``.
+
+    At 100 TB this is one user-key shuffle of both inputs — the
+    window kernel certified by the join_asof / join_asof_forward /
+    join_asof_nearest / join_asof_tolerance oracle queries."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
+    lcols = left.columns
+    rstruct = F.struct(
+        F.col(ts_col).alias("__rts"),
+        F.col(tie_col).alias("__rtie"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # align schemas: right side carries only key/ts/tie (+payload via struct)
+    r_aligned = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tie_col),
+        F.lit(0).alias("__tag"),
+        rstruct.alias("__rstruct"),
+    )
+    l_aligned = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tie_col),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r_aligned.schema["__rstruct"].dataType).alias("__rstruct"),
+    )
+    u = l_aligned.unionByName(r_aligned)
+    order = [ts_col, "__tag", tie_col]
+    w_b = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    key_b = F.when(
+        F.col("__tag") == 0, F.struct(F.col(ts_col), (-F.col(tie_col)).alias("n"))
+    )
+    key_f = F.when(F.col("__tag") == 0, F.struct(F.col(ts_col), F.col(tie_col)))
+    bwd = F.max_by("__rstruct", key_b).over(w_b)
+    fwd = F.min_by("__rstruct", key_f).over(w_f)
+    filled = u.select(
+        key_col, ts_col, tie_col, "__tag", bwd.alias("__bwd"), fwd.alias("__fwd")
+    ).where(F.col("__tag") == 1)
+    us = F.unix_micros(F.col(ts_col))
+    gap_b = us - F.unix_micros(F.col("__bwd.__rts"))
+    gap_f = F.unix_micros(F.col("__fwd.__rts")) - us
+    if direction == "backward":
+        best = F.col("__bwd")
+        gap = gap_b
+    elif direction == "forward":
+        best = F.col("__fwd")
+        gap = gap_f
+    else:
+        pick_bwd = F.col("__fwd").isNull() | (
+            F.col("__bwd").isNotNull() & (gap_b <= gap_f)
+        )
+        best = F.when(pick_bwd, F.col("__bwd")).otherwise(F.col("__fwd"))
+        gap = F.when(pick_bwd, gap_b).otherwise(gap_f)
+    out = filled.withColumn("__best", best).where(F.col("__best").isNotNull())
+    if tolerance_us is not None:
+        out = out.withColumn("__gap", gap).where(
+            F.col("__gap") <= F.lit(tolerance_us)
+        ).drop("__gap")
+    proj = [
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tie_col),
+        F.col("__best.__rts").alias(f"right_{ts_col}"),
+        F.col("__best.__rtie").alias(f"right_{tie_col}"),
+        *[F.col(f"__best.__r_{c}").alias(f"right_{c}") for c in right_cols],
+    ]
+    result = out.select(*proj)
+    # re-attach remaining left payload columns by (key, ts, tie)
+    extra = [c for c in lcols if c not in (key_col, ts_col, tie_col)]
+    if extra:
+        result = result.join(left, [key_col, ts_col, tie_col])
+    return result

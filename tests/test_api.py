@@ -321,3 +321,99 @@ def test_api_rolling_distinct_band(spark):
     assert out["2024-01-03"].n_current == 1 and out["2024-01-03"].n_7d == 2
     # Jan 9: only uid 100 that day; Jan 3's uid 101 is 6 days back -> in band
     assert out["2024-01-09"].n_current == 1 and out["2024-01-09"].n_7d == 2
+
+
+def _asof_fixture(spark):
+    trades = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:00:30", 1, 100.0),
+            (7, "2024-01-01 00:02:00", 2, 101.0),
+            (8, "2024-01-01 00:00:10", 3, 55.0),
+        ],
+        "sym bigint, ts_s string, trade_id bigint, px double",
+    ).select("sym", F.col("ts_s").cast("timestamp").alias("ts"), "trade_id", "px")
+    quotes = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:00:10", 11, 99.5),
+            (7, "2024-01-01 00:00:20", 12, 99.7),
+            (7, "2024-01-01 00:03:00", 13, 102.0),
+            (9, "2024-01-01 00:00:00", 14, 1.0),
+        ],
+        "sym bigint, ts_s string, quote_id bigint, bid double",
+    ).select("sym", F.col("ts_s").cast("timestamp").alias("ts"), "quote_id", "bid")
+    return trades, quotes
+
+
+def test_api_asof_join_backward_forward_nearest(spark):
+    trades, quotes = _asof_fixture(spark)
+    # rename right ts/tie cols to shared names expected by the kernel
+    q = quotes.withColumnRenamed("quote_id", "rid")
+    t = trades.withColumnRenamed("trade_id", "rid")
+
+    back = {
+        r.rid: r
+        for r in api.asof_join(
+            t, q, "sym", "ts", "rid", direction="backward", right_cols=("bid",)
+        ).collect()
+    }
+    assert back[1].right_rid == 12 and back[1].right_bid == 99.7
+    assert back[2].right_rid == 12  # still the latest at-or-before
+    assert 3 not in back  # sym 8 has no quotes
+
+    fwd = {
+        r.rid: r
+        for r in api.asof_join(
+            t, q, "sym", "ts", "rid", direction="forward", right_cols=("bid",)
+        ).collect()
+    }
+    assert fwd[1].right_rid == 13 and fwd[2].right_rid == 13
+
+    near = {
+        r.rid: r
+        for r in api.asof_join(
+            t, q, "sym", "ts", "rid", direction="nearest", right_cols=("bid",)
+        ).collect()
+    }
+    # trade 1 at 00:30: backward gap 10s beats forward gap 150s
+    assert near[1].right_rid == 12
+    # trade 2 at 02:00: backward gap 100s vs forward 60s -> forward
+    assert near[2].right_rid == 13
+
+
+def test_api_asof_join_tolerance_drops_stale(spark):
+    trades, quotes = _asof_fixture(spark)
+    q = quotes.withColumnRenamed("quote_id", "rid")
+    t = trades.withColumnRenamed("trade_id", "rid")
+    out = {
+        r.rid: r
+        for r in api.asof_join(
+            t, q, "sym", "ts", "rid",
+            direction="backward", tolerance_us=30_000_000, right_cols=("bid",),
+        ).collect()
+    }
+    assert out[1].right_rid == 12  # 10s gap, within 30s
+    assert 2 not in out  # 100s gap dropped
+
+
+def test_api_asof_join_matches_registered_kernel(spark, sf_dir):
+    """The generic kernel must reproduce the oracle-certified
+    join_asof fixture query exactly."""
+    from big_data_analysis_spark.io import table
+    from big_data_analysis_spark.registry import load_all
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid")
+    )
+    got = api.asof_join(
+        purchases, clicks, "user_id", "ts", "eid", direction="backward"
+    ).select(
+        F.col("eid").alias("purchase_id"),
+        F.col("right_eid").alias("click_id"),
+    )
+    reg = load_all()
+    want = reg["join_asof"].fn(spark, sf_dir).select("purchase_id", "click_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -354,6 +354,51 @@ def multimodal_wav_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_bmps(d) -> DataFrame:
+    """Synthesize the canonical uncompressed 24-bit BMPs for
+    doc_id < 48 (width 4 -> no row padding; formula-driven pixels,
+    shared by multimodal_bmp_parse and multimodal_image_histogram —
+    the oracle knows only this generator formula)."""
+    d = d.where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    width = F.lit(4).cast("long")
+    height = (F.lit(2) + i % 6).cast("long")
+    n_px = width * height
+    img_size = n_px * 3
+    file_size = img_size + 54
+    px_r = lambda p: (i + (p % 4) * 7 + (p / 4).cast("long") * 13) % 256
+    px_g = lambda p: (i * 3 + (p % 4) * 5 + (p / 4).cast("long") * 11) % 256
+    px_b = lambda p: (i * 7 + (p % 4) * 3 + (p / 4).cast("long") * 17) % 256
+    pixels_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_px - 1).cast("int")),
+            lambda p: F.concat(
+                _le_hex(px_b(p), 1), _le_hex(px_g(p), 1), _le_hex(px_r(p), 1)
+            ),
+        ),
+        "",
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),                # 'BM'
+        _le_hex(file_size, 4),
+        _le_hex(F.lit(0), 4),         # reserved
+        _le_hex(F.lit(54), 4),        # pixel-array offset
+        _le_hex(F.lit(40), 4),        # info-header size
+        _le_hex(width, 4),
+        _le_hex(height, 4),
+        _le_hex(F.lit(1), 2),         # planes
+        _le_hex(F.lit(24), 2),        # bits per pixel
+        _le_hex(F.lit(0), 4),         # BI_RGB (uncompressed)
+        _le_hex(img_size, 4),
+        _le_hex(F.lit(2835), 4),      # 72 DPI
+        _le_hex(F.lit(2835), 4),
+        _le_hex(F.lit(0), 4),         # palette colors
+        _le_hex(F.lit(0), 4),         # important colors
+        pixels_hex,
+    )
+    return d.select("doc_id", F.unhex(bmp_hex).alias("bmp"))
+
+
 @query(
     "multimodal_bmp_parse",
     oracle="""
@@ -392,46 +437,7 @@ def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula. Together with the WAV parser this gives the multimodal
     tier real wire-format coverage for both audio and image
     payloads without any codec dependency."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 48)
-    i = F.col("doc_id")
-    width = F.lit(4).cast("long")
-    height = (F.lit(2) + i % 6).cast("long")
-    n_px = width * height
-    img_size = n_px * 3
-    file_size = img_size + 54
-    px_r = lambda p: (i + (p % 4) * 7 + (p / 4).cast("long") * 13) % 256
-    px_g = lambda p: (i * 3 + (p % 4) * 5 + (p / 4).cast("long") * 11) % 256
-    px_b = lambda p: (i * 7 + (p % 4) * 3 + (p / 4).cast("long") * 17) % 256
-    pixels_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), (n_px - 1).cast("int")),
-            lambda p: F.concat(
-                _le_hex(px_b(p), 1), _le_hex(px_g(p), 1), _le_hex(px_r(p), 1)
-            ),
-        ),
-        "",
-    )
-    bmp_hex = F.concat(
-        F.lit("424D"),                # 'BM'
-        _le_hex(file_size, 4),
-        _le_hex(F.lit(0), 4),         # reserved
-        _le_hex(F.lit(54), 4),        # pixel-array offset
-        _le_hex(F.lit(40), 4),        # info-header size
-        _le_hex(width, 4),
-        _le_hex(height, 4),
-        _le_hex(F.lit(1), 2),         # planes
-        _le_hex(F.lit(24), 2),        # bits per pixel
-        _le_hex(F.lit(0), 4),         # BI_RGB (uncompressed)
-        _le_hex(img_size, 4),
-        _le_hex(F.lit(2835), 4),      # 72 DPI
-        _le_hex(F.lit(2835), 4),
-        _le_hex(F.lit(0), 4),         # palette colors
-        _le_hex(F.lit(0), 4),         # important colors
-        pixels_hex,
-    )
-    synth = d.select("doc_id", F.unhex(bmp_hex).alias("bmp"))
-
-    # ---- parse stage: reads ONLY the binary column ----
+    synth = _synth_bmps(table(spark, sf_dir, "documents"))
     b = F.col("bmp")
     p_off = _le_int(b, 11, 4)
     p_w = _le_int(b, 19, 4)
@@ -511,4 +517,69 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("energy_sq").cast("double") / F.col("n").cast("double")
             ).alias("rms"),
         )
+    )
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+px AS (
+  SELECT ids.doc_id, g.p,
+         (ids.doc_id + (g.p % 4) * 7 + (g.p // 4) * 13) % 256 AS r,
+         (ids.doc_id * 3 + (g.p % 4) * 5 + (g.p // 4) * 11) % 256 AS g_,
+         (ids.doc_id * 7 + (g.p % 4) * 3 + (g.p // 4) * 17) % 256 AS b
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 4 * (2 + CAST(ids.doc_id % 6 AS INT)) - 1)) AS p
+  ) g
+),
+long_px AS (
+  SELECT doc_id, 'r' AS channel, r AS v FROM px
+  UNION ALL SELECT doc_id, 'g', g_ FROM px
+  UNION ALL SELECT doc_id, 'b', b FROM px
+)
+SELECT doc_id, channel, CAST(v // 64 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM long_px
+GROUP BY doc_id, channel, bucket
+""",
+    category="multimodal",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel intensity HISTOGRAM over the byte-parsed BMP
+    pixels (4 buckets of 64 levels) — the image twin of
+    multimodal_audio_rms: the first image FEATURE on the wire parser
+    (exposure/contrast profiling, dark-frame detection in an image
+    training-data pipeline). The pixels come from the SAME byte-level
+    parse as multimodal_bmp_parse (shared _synth_bmps + offset
+    arithmetic), so the oracle — which knows only the generator
+    formula — cross-checks parser and feature together.
+
+    Shape: synth -> parse -> per-channel posexplode (3x pixel
+    fan-out) -> bounded-key (doc, channel, bucket) hash-agg; a pure
+    map plus one small aggregate, scan-speed at any corpus size."""
+    synth = _synth_bmps(table(spark, sf_dir, "documents"))
+    b = F.col("bmp")
+    p_off = _le_int(b, 11, 4)
+    p_n = _le_int(b, 19, 4) * _le_int(b, 23, 4)
+    byte_at = lambda pos: F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+    pix = F.sequence(F.lit(0), (p_n - 1).cast("int"))
+    chan = lambda c_off: F.transform(
+        pix, lambda p: byte_at((p_off + 1).cast("int") + p * 3 + c_off)
+    )
+    long_px = synth.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("channel"), chan(2).alias("vs")),
+                F.struct(F.lit("g").alias("channel"), chan(1).alias("vs")),
+                F.struct(F.lit("b").alias("channel"), chan(0).alias("vs")),
+            )
+        ).alias("cv"),
+    ).select("doc_id", F.col("cv.channel").alias("channel"), F.explode("cv.vs").alias("v"))
+    return (
+        long_px.groupBy(
+            "doc_id", "channel", (F.col("v") / 64).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )

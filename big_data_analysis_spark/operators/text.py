@@ -874,3 +874,81 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_share.alias("top_token_share"),
         ((dup_tri <= 0.30) & (top_share <= 0.20)).alias("keep"),
     )
+
+
+@query(
+    "text_code_detect",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars_t,
+         length(text) - length(regexp_replace(text, '[{}();=\\[\\]<>]', '', 'g'))
+           AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_sym AS BIGINT) AS n_code_chars,
+         CAST(len(list_filter(toks,
+              x -> x IN ('def', 'return', 'if', 'else', 'for', 'while',
+                         'class', 'import', 'function', 'var', 'const')))
+              AS BIGINT) AS n_keywords,
+         CAST(n_chars_t AS BIGINT) AS n_chars_t
+  FROM t
+)
+SELECT doc_id, n_tokens, n_code_chars, n_keywords,
+       CAST(n_code_chars AS DOUBLE) / n_chars_t AS sym_ratio,
+       CAST(n_keywords AS DOUBLE) / n_tokens AS kw_ratio,
+       (CAST(n_code_chars AS DOUBLE) / n_chars_t) >= 0.02
+         OR (CAST(n_keywords AS DOUBLE) / n_tokens) >= 0.05 AS looks_like_code
+FROM m
+""",
+    category="text",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-prose detection — the training-mix splitter every LLM
+    corpus pipeline runs before applying per-domain quality rules
+    (prose heuristics destroy code and vice versa): structural-symbol
+    character ratio ({}();=[]<>), programming-keyword token ratio,
+    and a disjunctive flag at the standard thresholds. Exact integer
+    counts, one double division per ratio — cheap enough to run
+    inline with ingest.
+
+    Shape: pure map stage (regex strip + array filter per row), no
+    shuffle, embarrassingly parallel at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chars_t = F.length("text")
+    n_sym = n_chars_t - F.length(
+        F.regexp_replace(F.col("text"), r"[{}();=\[\]<>]", "")
+    )
+    kw = F.array(
+        *[
+            F.lit(k)
+            for k in (
+                "def", "return", "if", "else", "for", "while",
+                "class", "import", "function", "var", "const",
+            )
+        ]
+    )
+    n_kw = F.size(F.filter(toks, lambda x: F.array_contains(kw, x)))
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_sym.cast("long").alias("n_code_chars"),
+        n_kw.cast("long").alias("n_keywords"),
+        n_chars_t.cast("long").alias("n_chars_t"),
+    )
+    sym_ratio = F.col("n_code_chars").cast("double") / F.col("n_chars_t")
+    kw_ratio = F.col("n_keywords").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_code_chars",
+        "n_keywords",
+        sym_ratio.alias("sym_ratio"),
+        kw_ratio.alias("kw_ratio"),
+        ((sym_ratio >= 0.02) | (kw_ratio >= 0.05)).alias("looks_like_code"),
+    )

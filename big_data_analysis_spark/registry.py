@@ -79,13 +79,28 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Queries the driver has already hash-graded green (union of
-# CORRECTNESS_r01 + r02 + r03).  ``vec_centroid`` and ``agg_collect``
-# are deliberately EXCLUDED: they ERRed in r3 (array-typed output
-# columns crashed the driver comparator), have since been reshaped to
-# scalar-only outputs, and must re-grade at the front of the r4
-# window.  Refresh this set each round from the latest
-# CORRECTNESS_r{N}.json files.
+# CORRECTNESS_r01 + r02 + r03 + r04).  Refresh this set each round
+# from the latest CORRECTNESS_r{N}.json files so never-graded oracle
+# queries sort to the front of the driver's ~50-query window.
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r4 greens (CORRECTNESS_r04: 50/50 hash-exact) ---
+    "agg_bitmap_distinct", "agg_bitmap_rollup", "agg_collect",
+    "agg_listagg", "agg_ohlc", "dedup_containment", "fn_array",
+    "fn_cast", "fn_higher_order", "fn_map", "graph_bfs_distance",
+    "join_asof_tolerance", "multimodal_audio_rms",
+    "multimodal_image_histogram", "pipeline_attribution",
+    "pipeline_cdc_upsert", "pipeline_quality_report",
+    "pipeline_rag_retrieval", "pipeline_semantic_index",
+    "scan_compressed", "scan_csv_malformed", "scan_python_datasource",
+    "scan_text", "scan_xml", "set_union_missing_cols", "sort_paginate",
+    "stream_join_static", "stream_join_stream",
+    "stream_sink_foreachbatch", "stream_sink_memory",
+    "text_boilerplate_scrub", "text_chunk", "text_fingerprint",
+    "text_token_count_bpe", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "udf_apply_in_arrow",
+    "udf_arrow_optimized", "udf_cogrouped_map", "udf_sql_registered",
+    "udtf_python", "vec_centroid", "win_moving_avg",
+    "win_range_frame", "win_running_sum", "win_topk_per_group",
     # --- r3 greens ---
     "agg_corr", "agg_percentile", "dedup_audit_report", "dedup_by_key",
     "dedup_cluster_cc", "dedup_embedding", "distinct_rows",

@@ -643,9 +643,10 @@ def domain_resample(
         domain_col,
         F.least(
             F.lit(1000).cast("long"),
-            (
-                F.coalesce(F.col("tgt_pm"), F.lit(0)) * F.col("total") / F.col("n")
-            ).cast("long"),
+            # `div` is Spark's integer division on longs — no double
+            # intermediate, so the keep rate floors exactly like the
+            # DuckDB oracle's (tgt_pm * total) // n.
+            F.expr("(coalesce(tgt_pm, CAST(0 AS BIGINT)) * total) div n"),
         ).alias("keep_pm"),
     )
     return df.join(F.broadcast(rates), domain_col).where(
@@ -703,14 +704,19 @@ def asof_join(
     unmatched left rows drop.
 
     Implementation: the two frames are tagged and unioned, ONE
-    shuffle on the key, and per-direction fill windows ordered by
-    (ts, tag, tie) resolve every match — no range join, no explosion
-    (the per-key pair join a naive as-of builds is quadratic in the
-    key's row count). Same-timestamp right rows resolve
-    deterministically by smallest tie value; a right row AT the left
-    row's timestamp matches (<= / >= semantics). Returns the left
-    rows plus ``right_<ts>``, ``right_<tie>`` and any requested
-    ``right_cols``.
+    shuffle on the key, and per-direction fill windows resolve every
+    match — no range join, no explosion (the per-key pair join a
+    naive as-of builds is quadratic in the key's row count). The
+    backward pass orders right rows BEFORE left rows at equal
+    timestamps, the forward pass orders them AFTER, so a right row AT
+    the left row's timestamp matches in every direction (<= / >=
+    semantics, matching pandas merge_asof). Same-timestamp right rows
+    resolve deterministically by smallest tie value; the tie column
+    may be any orderable type (numeric, string, timestamp). Left
+    payload columns ride through the union in a struct — no re-join,
+    so duplicate (key, ts, tie) left rows pass through 1:1. Returns
+    the left rows plus ``right_<ts>``, ``right_<tie>`` and any
+    requested ``right_cols``.
 
     At 100 TB this is one user-key shuffle of both inputs — the
     window kernel certified by the join_asof / join_asof_forward /
@@ -718,46 +724,67 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
     lcols = left.columns
+    extra = [c for c in lcols if c not in (key_col, ts_col, tie_col)]
     rstruct = F.struct(
         F.col(ts_col).alias("__rts"),
         F.col(tie_col).alias("__rtie"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
-    # align schemas: right side carries only key/ts/tie (+payload via struct)
-    r_aligned = right.select(
-        F.col(key_col),
-        F.col(ts_col),
-        F.col(tie_col),
-        F.lit(0).alias("__tag"),
-        rstruct.alias("__rstruct"),
-    )
+    # align schemas: each side carries the other side's payload struct
+    # as a typed NULL, so the union needs no post-hoc re-join
     l_aligned = left.select(
         F.col(key_col),
         F.col(ts_col),
         F.col(tie_col),
         F.lit(1).alias("__tag"),
-        F.lit(None).cast(r_aligned.schema["__rstruct"].dataType).alias("__rstruct"),
+        *([F.struct(*[F.col(c) for c in extra]).alias("__lstruct")] if extra else []),
+    )
+    r_aligned = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tie_col),
+        F.lit(0).alias("__tag"),
+        *(
+            [
+                F.lit(None)
+                .cast(l_aligned.schema["__lstruct"].dataType)
+                .alias("__lstruct")
+            ]
+            if extra
+            else []
+        ),
+        rstruct.alias("__rstruct"),
+    )
+    l_aligned = l_aligned.withColumn(
+        "__rstruct", F.lit(None).cast(r_aligned.schema["__rstruct"].dataType)
     )
     u = l_aligned.unionByName(r_aligned)
-    order = [ts_col, "__tag", tie_col]
+    # Backward: right (__tag 0) sorts before left at equal ts, ties
+    # DESC so the LAST right row in frame order is (max ts, min tie).
+    # Forward: left sorts before right at equal ts (tag DESC), ties
+    # ASC so the FIRST right row after the current left row is
+    # (min ts, min tie).  first/last with ignorenulls avoids tie
+    # negation entirely — any orderable tie type works.
     w_b = (
         Window.partitionBy(key_col)
-        .orderBy(*order)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc(), F.col(tie_col).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_f = (
         Window.partitionBy(key_col)
-        .orderBy(*order)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").desc(), F.col(tie_col).asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    key_b = F.when(
-        F.col("__tag") == 0, F.struct(F.col(ts_col), (-F.col(tie_col)).alias("n"))
-    )
-    key_f = F.when(F.col("__tag") == 0, F.struct(F.col(ts_col), F.col(tie_col)))
-    bwd = F.max_by("__rstruct", key_b).over(w_b)
-    fwd = F.min_by("__rstruct", key_f).over(w_f)
+    bwd = F.last("__rstruct", ignorenulls=True).over(w_b)
+    fwd = F.first("__rstruct", ignorenulls=True).over(w_f)
     filled = u.select(
-        key_col, ts_col, tie_col, "__tag", bwd.alias("__bwd"), fwd.alias("__fwd")
+        key_col,
+        ts_col,
+        tie_col,
+        "__tag",
+        *(["__lstruct"] if extra else []),
+        bwd.alias("__bwd"),
+        fwd.alias("__fwd"),
     ).where(F.col("__tag") == 1)
     us = F.unix_micros(F.col(ts_col))
     gap_b = us - F.unix_micros(F.col("__bwd.__rts"))
@@ -786,10 +813,6 @@ def asof_join(
         F.col("__best.__rts").alias(f"right_{ts_col}"),
         F.col("__best.__rtie").alias(f"right_{tie_col}"),
         *[F.col(f"__best.__r_{c}").alias(f"right_{c}") for c in right_cols],
+        *[F.col(f"__lstruct.{c}").alias(c) for c in extra],
     ]
-    result = out.select(*proj)
-    # re-attach remaining left payload columns by (key, ts, tie)
-    extra = [c for c in lcols if c not in (key_col, ts_col, tie_col)]
-    if extra:
-        result = result.join(left, [key_col, ts_col, tie_col])
-    return result
+    return out.select(*proj)

@@ -1645,10 +1645,12 @@ obs AS (
   FROM documents GROUP BY source
 ),
 rates AS (
-  -- keep-rate per mille: min(1000, tgt_pm * total / n) kept integer
+  -- keep-rate per mille: min(1000, (tgt_pm * total) // n) — integer
+  -- floor division on both engines (Spark uses `div`), never a
+  -- rounding double intermediate
   SELECT o.source,
          LEAST(CAST(1000 AS BIGINT),
-               CAST(COALESCE(t.tgt_pm, 0) * o.total / o.n AS BIGINT)) AS keep_pm
+               (COALESCE(t.tgt_pm, 0) * o.total) // o.n) AS keep_pm
   FROM obs o LEFT JOIN tgt t ON t.source = o.source
 )
 SELECT d.doc_id, d.source

@@ -417,3 +417,163 @@ def test_api_asof_join_matches_registered_kernel(spark, sf_dir):
     reg = load_all()
     want = reg["join_asof"].fn(spark, sf_dir).select("purchase_id", "click_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_api_asof_join_equal_timestamp_all_directions(spark):
+    """ADVICE r4 (high): a right row AT the left row's timestamp must
+    match for forward and nearest too — <= / >= semantics like pandas
+    merge_asof — and same-ts right rows tie-break by smallest tie."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 100)], "k bigint, ts_s string, tid bigint"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tid")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", 12, 1.2),
+            (1, "2024-01-01 00:00:10", 5, 5.5),
+            (1, "2024-01-01 00:00:50", 6, 6.6),
+        ],
+        "k bigint, ts_s string, tid bigint, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tid", "v")
+    for direction in ("backward", "forward", "nearest"):
+        rows = api.asof_join(
+            left, right, "k", "ts", "tid", direction=direction, right_cols=("v",)
+        ).collect()
+        assert len(rows) == 1, direction
+        # equal-ts candidate wins in every direction; smallest tie (5)
+        assert rows[0].right_tid == 5, direction
+        assert rows[0].right_v == 5.5, direction
+
+
+def test_api_asof_join_string_tie_column(spark):
+    """ADVICE r4 (low): the tie column may be non-numeric — the fill
+    windows order by tie directly, no negation."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", "trade-a")], "k bigint, ts_s string, eid string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "eid")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:30", "q-z"),
+            (1, "2024-01-01 00:00:30", "q-a"),
+            (1, "2024-01-01 00:02:00", "q-m"),
+        ],
+        "k bigint, ts_s string, eid string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "eid")
+    back = api.asof_join(left, right, "k", "ts", "eid", direction="backward").collect()
+    assert len(back) == 1 and back[0].right_eid == "q-a"  # smallest tie at 00:30
+    fwd = api.asof_join(left, right, "k", "ts", "eid", direction="forward").collect()
+    assert len(fwd) == 1 and fwd[0].right_eid == "q-m"
+
+
+def test_api_asof_join_duplicate_left_rows_no_fanout(spark):
+    """ADVICE r4 (low): duplicate (key, ts, tie) left rows must pass
+    through 1:1 with their payload — the old payload re-join fanned
+    out; payload now rides the tagged union in a struct."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 7, "p1"), (1, "2024-01-01 00:01:00", 7, "p2")],
+        "k bigint, ts_s string, tid bigint, payload string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tid", "payload")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", 3, 9.9)],
+        "k bigint, ts_s string, tid bigint, bid double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tid", "bid")
+    rows = api.asof_join(
+        left, right, "k", "ts", "tid", direction="backward", right_cols=("bid",)
+    ).collect()
+    assert len(rows) == 2
+    assert sorted(r.payload for r in rows) == ["p1", "p2"]
+    assert all(r.right_tid == 3 and r.right_bid == 9.9 for r in rows)
+
+
+def test_api_asof_join_property_vs_pandas_merge_asof(spark):
+    """Adversarial property check (VERDICT r4 item 7): 300 left rows,
+    dense timestamp collisions incl. exact left==right matches, all
+    three directions validated against pandas merge_asof (nearest
+    re-derived from pandas backward+forward gaps so the documented
+    equal-gap→backward tie rule is checked explicitly)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 120
+    lk = rng.integers(0, 5, n_l)
+    lts = rng.integers(0, 60, n_l)  # dense → many collisions
+    lpd = pd.DataFrame({"k": lk, "tsec": lts, "tid": np.arange(n_l)})
+    # right: unique (k, ts) so pandas tie-break ambiguity can't bite
+    rpairs = sorted({(int(rng.integers(0, 5)), int(rng.integers(0, 60))) for _ in range(n_r)})
+    rpd = pd.DataFrame(
+        {
+            "k": [p[0] for p in rpairs],
+            "tsec": [p[1] for p in rpairs],
+            "tid": np.arange(len(rpairs)) + 10_000,
+        }
+    )
+    for df_ in (lpd, rpd):
+        df_["ts"] = pd.to_datetime(df_["tsec"], unit="s")
+    ls = spark.createDataFrame(lpd[["k", "ts", "tid"]])
+    rs = spark.createDataFrame(rpd[["k", "ts", "tid"]])
+
+    def pandas_asof(direction):
+        m = pd.merge_asof(
+            lpd.sort_values(["ts", "tid"]),
+            rpd.sort_values("ts").rename(columns={"tid": "rtid"})[["k", "ts", "rtid"]],
+            on="ts",
+            by="k",
+            direction=direction,
+        )
+        return dict(zip(m["tid"], m["rtid"]))
+
+    pb, pf = pandas_asof("backward"), pandas_asof("forward")
+    got = {}
+    for direction in ("backward", "forward", "nearest"):
+        out = api.asof_join(ls, rs, "k", "ts", "tid", direction=direction)
+        got[direction] = {r.tid: r.right_tid for r in out.collect()}
+    rts = dict(zip(rpd["tid"], rpd["tsec"]))
+    for i in range(n_l):
+        b, f = pb.get(i), pf.get(i)
+        b = None if pd.isna(b) else int(b)
+        f = None if pd.isna(f) else int(f)
+        assert got["backward"].get(i) == b, f"backward row {i}"
+        assert got["forward"].get(i) == f, f"forward row {i}"
+        if b is None and f is None:
+            want = None
+        elif f is None:
+            want = b
+        elif b is None:
+            want = f
+        else:
+            gb, gf = int(lpd.tsec[i]) - rts[b], rts[f] - int(lpd.tsec[i])
+            want = b if gb <= gf else f  # documented: backward wins ties
+        assert got["nearest"].get(i) == want, f"nearest row {i}"
+
+
+def test_api_domain_resample_fractional_rate_floors(spark):
+    """ADVICE r4 (medium): fractional keep rates must FLOOR via
+    integer arithmetic (tgt_pm*total div n), matching the DuckDB
+    oracle's // — not truncate a double. 150pm of total=30 over n=7
+    → 642.857 → keep_pm 642 exactly; membership checked bit-exact
+    against pure-Python integer math."""
+    rows = [("d0", i) for i in range(7)] + [("d1", 100 + i) for i in range(23)]
+    df = spark.createDataFrame(rows, "dom string, id bigint")
+    out = sorted(
+        r.id for r in api.domain_resample(df, "dom", "id", {"d0": 150, "d1": 400}).collect()
+    )
+    keep = {"d0": (150 * 30) // 7, "d1": (400 * 30) // 23}  # 642, 521
+    assert keep == {"d0": 642, "d1": 521}
+    want = sorted(
+        i for dom, i in rows if (i * 2654435761) % 4294967296 % 1000 < keep[dom]
+    )
+    assert out == want
+
+
+def test_api_domain_resample_repartition_invariant(spark):
+    """Membership is a pure function of the id — unchanged under any
+    input partitioning (VERDICT r4 item 7)."""
+    rows = [(f"d{i % 3}", i * 13 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "dom string, id bigint")
+    targets = {"d0": 200, "d1": 90, "d2": 333}
+    base = sorted(r.id for r in api.domain_resample(df, "dom", "id", targets).collect())
+    repart = sorted(
+        r.id
+        for r in api.domain_resample(df.repartition(7), "dom", "id", targets).collect()
+    )
+    assert base == repart and len(base) > 0

@@ -54,6 +54,15 @@ BENCH_QUERIES = [
     "pipeline_rag_retrieval",
     "stream_tumbling",
     "pipeline_pretrain_corpus",
+    # r5-added: warehouse tier (SCD2 history build; incremental dedup
+    # joining arriving batches against the persisted key index),
+    # multimodal feature extraction over the wire-format WAV parser,
+    # and the distributed global-ntile shape (range repartition +
+    # per-partition window + broadcast offsets — no single-task sort).
+    "pipeline_scd2",
+    "pipeline_incremental_dedup",
+    "multimodal_audio_rms",
+    "win_ntile_distributed",
 ]
 
 

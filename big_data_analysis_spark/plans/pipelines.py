@@ -986,6 +986,60 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.bpe_train(spark, words, n_merges=10)
 
 
+# Fixed merge-rule list for pipeline_bpe_apply — a deterministic
+# tokenizer config (rank order matters: 'th'+'e' and 'in'+'g' chain
+# on earlier merges; 'l'+'l' / 's'+'s' stress greedy left-to-right
+# merging of repeated characters). The train->apply round trip with
+# LIVE-learned rules is asserted in tests/test_quality.py.
+_BPE_RULES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("l", "l"), ("s", "s"), ("in", "g"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    # exact mirror of api.bpe_apply: wrap every char in its own pair
+    # of spaces, then one plain replace per rule in rank order
+    expr = r"regexp_replace(text, '(.)', ' \1 ', 'g')"
+    for left, right in _BPE_RULES:
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
+    return f"""
+WITH m AS (
+  SELECT doc_id, {expr} AS s FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(replace(s, '  ', chr(9)), chr(9)),
+                          x -> trim(x)),
+           x -> x <> '') AS arr
+  FROM m
+)
+SELECT doc_id, array_to_string(arr, ' ') AS toks,
+       CAST(len(arr) AS BIGINT) AS n_subwords
+FROM t
+"""
+
+
+@query("pipeline_bpe_apply", oracle=_bpe_apply_oracle(), category="pipelines")
+def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer APPLY — the counterpart of
+    pipeline_bpe_train: a fixed learned merge-rule list applied to
+    every document as a pure map stage (api.bpe_apply). The whole
+    rule chain compiles to nested JVM string replaces inside one
+    whole-stage-codegen Project — zero shuffles, zero Python; at
+    100 TB it scales linearly with input splits, which is exactly
+    how production tokenization of a pretraining corpus runs.
+
+    Exact-greedy semantics (same encoding argument as api.bpe_apply's
+    docstring) are oracle-checked: DuckDB applies the identical rule
+    list via the identical plain-replace chain."""
+    d = table(spark, sf_dir, "documents")
+    return api.bpe_apply(d.select("doc_id", "text"), "text", _BPE_RULES).select(
+        "doc_id", "toks", "n_subwords"
+    )
+
+
 @query(
     "pipeline_domain_mix_report",
     oracle="""

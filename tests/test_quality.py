@@ -646,3 +646,52 @@ def test_no_array_outputs_on_any_oracle_query(spark, duck, sf_dir):
             if any(tok in r["column_type"] for tok in ("[]", "MAP", "STRUCT"))
         ]
     assert not offenders, offenders
+
+
+def test_bpe_apply_roundtrip_with_trained_rules(spark, sf_dir):
+    """Train->apply loop closed: api.bpe_apply with the rules
+    pipeline_bpe_train learns LIVE must reproduce a pure-Python
+    greedy BPE tokenization (rank-order exhaustive merges) of every
+    document."""
+    from big_data_analysis_spark import api
+
+    rules = [
+        (r["left"], r["right"])
+        for r in run("pipeline_bpe_train", spark, sf_dir).collect()
+    ]
+    assert len(rules) == 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.toks, r.n_subwords)
+        for r in api.bpe_apply(docs, "text", rules).collect()
+    }
+    pdocs = docs.toPandas()
+    for doc_id, text in zip(pdocs.doc_id, pdocs.text):
+        toks = []
+        for w in text.split(" "):
+            syms = list(w)
+            for left, right in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        assert got[doc_id] == (" ".join(toks), len(toks)), doc_id
+
+
+def test_bpe_apply_special_chars_and_greedy(spark):
+    """The plain-replace encoding needs no escaping: '$' and '\\'
+    vocabularies merge literally, and repeated characters merge
+    greedily left-to-right ('xxx' -> 'xx x', never 'x xx')."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame([(1, "$$ \\\\ xxx")], "id long, text string")
+    rules = [("$", "$"), ("\\", "\\"), ("x", "x")]
+    r = api.bpe_apply(df, "text", rules).collect()[0]
+    assert r.toks == "$$ \\\\ xx x"
+    assert r.n_subwords == 4

@@ -607,3 +607,141 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     out = [(i, v[i]) for i in range(d)]
     return spark.createDataFrame(out, "pos int, component double")
+
+
+# --- IVF-Flat read path (oracle-exact) -----------------------------
+# Fixed coarse codebook: the embeddings with vec_id < _IVF_CELLS act
+# as the cell centroids (cell_id = vec_id).  At scale the codebook
+# comes from an offline sampled k-means fit (sim_knn_ivf implements
+# that, rows-only because KMeans isn't cross-engine-reproducible);
+# the READ-path contract graded here — assign each corpus vector to
+# its nearest cell, probe the query's _IVF_NPROBE nearest cells,
+# exact-verify candidates — is identical, and a deterministic
+# codebook makes it bit-checkable end to end.
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+# DuckDB: exact integer squared distance between quantized vectors,
+# over the unnested (vec_id, v, i) layout joined against the centroid
+# rows. |q| <= 1e6 -> diff^2 <= 4e12, x64 dims < 2^48: no overflow.
+_SQL_QD = "CAST(round(CAST(d.v AS DOUBLE) * 1000000) AS BIGINT)"
+_SQL_QC = "CAST(round(CAST(c.v AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+@query(
+    "sim_ivf_probe",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+dist AS (
+  SELECT d.vec_id, c.vec_id AS cell_id,
+         SUM(({_SQL_QD} - {_SQL_QC}) * ({_SQL_QD} - {_SQL_QC})) AS dist2
+  FROM ev d JOIN ev c ON c.i = d.i AND c.vec_id < {_IVF_CELLS}
+  GROUP BY d.vec_id, c.vec_id
+),
+assign AS (
+  SELECT vec_id, cell_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell_id) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell_id FROM dist
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell_id)
+          <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+scores AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_dot('a', 'b')} AS cosine
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.query_id
+  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM scores
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 3
+""",
+    category="similarity",
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN READ path, fully oracle-exact (the deterministic
+    companion of the rows-only KMeans sim_knn_ivf): every corpus
+    vector is assigned to its nearest codebook cell by EXACT
+    quantized-int64 squared distance (tie-break lower cell id), each
+    query probes its _IVF_NPROBE nearest cells, candidates in probed
+    cells are verified with the exact integer dot product, top-3 per
+    query survive.
+
+    Scale shape: the 16 centroid vectors ride as literal columns, so
+    corpus cell assignment is a zero-shuffle map stage (at real
+    codebook sizes — 2^12..2^16 cells — the same argmin runs as a
+    broadcast join against the codebook table instead); the probe
+    side is bounded (queries x nprobe) and broadcast, so the only
+    data-proportional movement is the candidate-set window. With the
+    assignment persisted (the IVF "index"), a query touches only its
+    probed cells — the inverted-file contract.
+
+    One collect() of 16 codebook rows (bounded scalar staging, same
+    pattern as sim_knn_ivf's centroid literals)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.where(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def q(v: Column) -> Column:
+        return F.round(v.cast("double") * 1_000_000).cast("long")
+
+    def dist2_to(c: list) -> Column:
+        diffs = F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(float(x)) for x in c]),
+            lambda x, y: (q(x) - q(y)) * (q(x) - q(y)),
+        )
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    ranked_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2_to(c).alias("dist2"), F.lit(cid).alias("cell_id"))
+                for cid, c in sorted(cents.items())
+            ]
+        )
+    )
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        F.element_at(ranked_cells, 1).getField("cell_id").alias("cell_id"),
+    )
+    probes = (
+        e.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked_cells, 1, _IVF_NPROBE),
+                    lambda s: s.getField("cell_id"),
+                )
+            ).alias("cell_id"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_dec(F.col("qe"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -711,3 +711,17 @@ def test_ivf_probe_recall_and_cell_contract(spark, sf_dir):
     # so the bar is deliberately modest; clustered data probes higher
     assert hits / total >= 0.2, f"IVF probe recall {hits}/{total}"
     assert all(len(v) == 3 for v in ivf.values())  # full top-3 per query
+
+
+def test_vec_quantize_int8_bounds(spark, sf_dir):
+    """Quantizer invariants: codes live in [-127, 127]; the extreme
+    element of every vector reaches |code| = 127 (scale is max-abs by
+    construction); the exact integer L1 reconstruction error is under
+    the half-step bound dims*maxq/2 (+1 per element for ties)."""
+    rows = run("vec_quantize_int8", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert max(abs(r.q_min), abs(r.q_max)) == 127
+        maxq = round(r.scale * 127000000.0)
+        assert r.recon_err_q <= 64 * (maxq // 2 + 1)

@@ -1842,3 +1842,67 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+def _vocab_oracle() -> str:
+    merged_values = ", ".join(
+        f"({rank + 1}, '{left + right}')" for rank, (left, right) in enumerate(_BPE_RULES)
+    )
+    return f"""
+WITH base AS (
+  SELECT DISTINCT c AS token
+  FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ' '
+),
+base_ids AS (
+  SELECT row_number() OVER (ORDER BY token) - 1 AS token_id,
+         token, 'base' AS kind
+  FROM base
+),
+n_base AS (SELECT COUNT(*) AS n FROM base),
+merged AS (
+  SELECT n_base.n + rank - 1 AS token_id, token, 'merged' AS kind
+  FROM (VALUES {merged_values}) m(rank, token), n_base
+)
+SELECT CAST(token_id AS BIGINT) AS token_id, token, kind FROM base_ids
+UNION ALL
+SELECT CAST(token_id AS BIGINT) AS token_id, token, kind FROM merged
+"""
+
+
+@query("pipeline_tokenizer_vocab", oracle=_vocab_oracle(), category="pipelines")
+def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCAB table — the third leg of the BPE story
+    (train -> vocab -> apply): base symbols are the corpus's distinct
+    non-space characters with deterministic ids in sorted order, then
+    the merge rules' produced symbols continue the id space in rank
+    order (exactly how a BPE vocab file is laid out). The corpus-
+    scale stage is one distinct over exploded characters — a tiny
+    hash-agg state (the alphabet) regardless of corpus size; the
+    merged tail is a literal 10-row frame.
+
+    The single-partition ORDER BY window for base ids is safe at any
+    scale: its input is the distinct alphabet, not the corpus."""
+    d = table(spark, sf_dir, "documents")
+    base = (
+        d.select(F.explode(F.split(F.col("text"), "")).alias("token"))
+        .where(F.col("token") != " ")
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    base_ids = base.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        F.lit("base").alias("kind"),
+    )
+    n_base = base.agg(F.count(F.lit(1)).alias("n"))
+    merged = spark.createDataFrame(
+        [(rank + 1, left + right) for rank, (left, right) in enumerate(_BPE_RULES)],
+        "rank long, token string",
+    )
+    merged_ids = merged.crossJoin(F.broadcast(n_base)).select(
+        (F.col("n") + F.col("rank") - 1).cast("long").alias("token_id"),
+        "token",
+        F.lit("merged").alias("kind"),
+    )
+    return base_ids.unionByName(merged_ids)

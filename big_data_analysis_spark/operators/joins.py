@@ -398,3 +398,78 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), a.k.eqNullSafe(F.col("kb")))
         .select("o_orderkey", "k", "label", "o_totalprice")
     )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # fixture tables are far below the 10 GB production default; force
+    # injection so the demo exercises the real code path
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # injection requires a PROBABLY-SHUFFLE join: if the filtered dim
+    # is broadcastable by size the optimizer skips the bloom filter
+    # (a broadcast join prunes inline), so disable auto-broadcast for
+    # the scoped execution — exactly the production regime, where the
+    # creation side is under 10 MB but the join still shuffles
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey
+""",
+    category="joins",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the row-level companion of
+    join_dynamic_partition_pruning: a selective filter on the
+    creation side (urgent orders) is turned by Catalyst into a Bloom
+    filter that pre-filters the big application side (lineitem)
+    BEFORE the join shuffle, so at 100 TB most fact rows die at the
+    scan instead of riding an Exchange. hint("merge") keeps the join
+    a shuffle join (AQE would broadcast the filtered side at fixture
+    scale, which disables injection — broadcast joins prune inline).
+
+    The Bloom-filter confs are scoped to THIS query: the join
+    materializes eagerly via localCheckpoint while they're set, then
+    they're restored so no other registered query's pinned plan shape
+    can drift. tests/test_plans.py asserts the
+    BloomFilterMightContain filter lands on the lineitem side.
+    Results are semantically invariant (a Bloom filter only skips
+    rows the join would drop) — same oracle as the plain join."""
+    harden_session(spark)
+    # build the inputs FIRST: table() re-hardens the session, which
+    # would overwrite the scoped autoBroadcastJoinThreshold override
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_orderkey").alias("orderkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        return j.localCheckpoint()  # eager: bloom active during execution
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -583,3 +583,73 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+px AS (
+  SELECT ids.doc_id, g.p,
+         (ids.doc_id + (g.p % 4) * 7 + (g.p // 4) * 13) % 256 AS r,
+         (ids.doc_id * 3 + (g.p % 4) * 5 + (g.p // 4) * 11) % 256 AS g_,
+         (ids.doc_id * 7 + (g.p % 4) * 3 + (g.p // 4) * 17) % 256 AS b
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 4 * (2 + CAST(ids.doc_id % 6 AS INT)) - 1)) AS p
+  ) g
+  WHERE (g.p % 4) % 2 = 0 AND (g.p // 4) % 2 = 0
+)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS out_w,
+       CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS out_h,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g_) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r
+FROM px
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2x downsample over the byte-parsed BMP pixel
+    array — the image RESIZE plumbing of a multimodal training
+    pipeline (thumbnailing / fixed-resolution normalization before
+    feature extraction), done entirely on the wire bytes: keep every
+    even column of every even stored row (exact NN with floor
+    coordinates), emit the resized geometry and per-channel sums.
+    Same shared _synth_bmps + offset arithmetic as the parse/
+    histogram queries, so the formula-only oracle cross-checks
+    parser, sampling grid, and feature together.
+
+    Shape: pure map (per-image array filter over the pixel index
+    sequence, JVM codegen) — no explode, no shuffle; scan-speed at
+    any corpus size. A real decoder for compressed formats would
+    slot in as a mapInPandas stage with this exact output contract."""
+    synth = _synth_bmps(table(spark, sf_dir, "documents"))
+    b = F.col("bmp")
+    p_off = _le_int(b, 11, 4)
+    p_w = _le_int(b, 19, 4)
+    p_h = _le_int(b, 23, 4)
+    p_n = p_w * p_h
+    byte_at = lambda pos: F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+    sampled = F.filter(
+        F.sequence(F.lit(0), (p_n - 1).cast("int")),
+        lambda p: ((p % 4) % 2 == 0) & (((p / 4).cast("long")) % 2 == 0),
+    )
+    chan = lambda c_off: F.transform(
+        sampled, lambda p: byte_at((p_off + 1).cast("int") + p * 3 + c_off)
+    )
+    ssum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    n_out = F.size(sampled).cast("long")
+    return synth.select(
+        "doc_id",
+        (p_w / 2).cast("long").alias("out_w"),
+        ((p_h + 1) / 2).cast("long").alias("out_h"),
+        n_out.alias("n_out"),
+        ssum(chan(2)).alias("sum_r"),
+        ssum(chan(1)).alias("sum_g"),
+        ssum(chan(0)).alias("sum_b"),
+        (ssum(chan(2)).cast("double") / n_out).alias("mean_r"),
+    )

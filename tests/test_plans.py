@@ -290,3 +290,48 @@ def test_incremental_dedup_joins_keys_not_text(spark, sf_dir):
     # both membership joins present, planned as hash joins
     assert tree.count("Join") >= 2
     assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """join_runtime_bloom's scoped confs must make Catalyst inject a
+    Bloom filter on the lineitem (application) side — bloom_filter_agg
+    built from the filtered orders, might_contain pre-filtering the
+    fact scan before the join shuffle. Confs restore afterwards, so
+    the rest of the suite's pinned plans can't drift."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.io import table
+    from big_data_analysis_spark.operators.joins import _BLOOM_CONFS
+    from big_data_analysis_spark.session import harden_session
+
+    harden_session(spark)
+    # inputs first — table() re-hardens, which would overwrite the
+    # scoped broadcast-threshold override (the exact bug this test
+    # would have caught)
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    old = {k: None for k in _BLOOM_CONFS}
+    for k in _BLOOM_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            pass
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        j = l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey).groupBy(
+            "l_orderkey"
+        ).count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in optimized
+    assert "might_contain" in optimized

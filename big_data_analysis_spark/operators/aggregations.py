@@ -2190,3 +2190,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query("agg_hll_mergeable", oracle=None, category="aggregations")
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count SKETCHES (Apache DataSketches HLL via
+    Spark's first-class hll_* aggregates) — the constant-state
+    distributed alternative to COUNT(DISTINCT) that production
+    rollups actually persist: per-month partial sketches are built
+    independently, OR-merged with hll_union_agg, and the merged
+    estimate must equal the flat single-pass estimate EXACTLY (HLL
+    union is lossless over sketch registers — the property that makes
+    per-partition/per-day partials composable at 100 TB without ever
+    reshuffling raw ids; the exact-integer twin is agg_bitmap_rollup).
+
+    Rows-only (DuckDB cannot reproduce DataSketches registers); the
+    mergeability equality and the |est-exact|/exact < 5% calibration
+    are asserted in tests/test_quality.py. Emits one row of
+    deterministic scalars."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("n_month"),
+    )
+    merged = monthly.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 6).alias("est_merged"),
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("n_month").alias("sum_monthly_distinct"),
+    )
+    flat = o.agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")), 6).alias(
+            "est_flat"
+        ),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    return merged.crossJoin(F.broadcast(flat)).select(
+        "est_merged", "est_flat", "n_exact", "n_partials", "sum_monthly_distinct"
+    )

@@ -725,3 +725,17 @@ def test_vec_quantize_int8_bounds(spark, sf_dir):
         assert max(abs(r.q_min), abs(r.q_max)) == 127
         maxq = round(r.scale * 127000000.0)
         assert r.recon_err_q <= 64 * (maxq // 2 + 1)
+
+
+def test_hll_mergeable_union_lossless_and_calibrated(spark, sf_dir):
+    """HLL union over per-month partial sketches must equal the flat
+    single-pass estimate EXACTLY (register-wise lossless merge — what
+    makes persisted partials composable), and the estimate must be
+    within 5% of the exact distinct count."""
+    r = run("agg_hll_mergeable", spark, sf_dir).collect()[0]
+    assert r.n_partials > 1  # the merge actually merged something
+    assert r.est_merged == r.est_flat
+    assert abs(r.est_flat - r.n_exact) / r.n_exact < 0.05
+    # months overlap in customers: the naive sum over-counts, the
+    # sketch union doesn't
+    assert r.sum_monthly_distinct > r.n_exact

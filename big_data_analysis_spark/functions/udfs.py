@@ -438,3 +438,57 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").applyInArrow(
         agg, "o_orderpriority string, n bigint, total_cents bigint"
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+""",
+    category="udf",
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4):
+    ``my_udtf(TABLE(t) PARTITION BY key)`` streams each partition's
+    rows through ONE stateful UDTF instance (eval per row, terminate
+    at partition end) — the SQL-native custom-aggregation surface,
+    the table-function analogue of applyInPandas. Exact integer
+    cents arithmetic; oracle is the plain grouped aggregate.
+
+    At 100 TB: PARTITION BY is a hash shuffle on the key, then each
+    partition is a single-pass Python stream — state is one
+    accumulator per key, never the partition's rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type: string, n: bigint, total_cents: bigint")
+    class TypeSummary:
+        def __init__(self):
+            self.etype = None
+            self.n = 0
+            self.cents = 0
+
+        def eval(self, row):
+            self.etype = row["event_type"]
+            self.n += 1
+            self.cents += int(round(row["value"] * 100))
+
+        def terminate(self):
+            if self.etype is not None:
+                yield self.etype, self.n, self.cents
+
+    spark.udtf.register("type_summary_udtf", TypeSummary)
+    table(spark, sf_dir, "events").select("event_type", "value").createOrReplaceTempView(
+        "events_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM type_summary_udtf(
+          TABLE(events_for_udtf) PARTITION BY event_type
+        )
+        """
+    )

@@ -630,3 +630,43 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return drain_to_memory(agg)
+
+
+@query(
+    "stream_trigger_available_now",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow — the batch-over-streaming execution mode
+    production backfills use: process everything available as a
+    BOUNDED sequence of micro-batches (respecting maxFilesPerTrigger
+    and all streaming semantics/state/checkpoints), then terminate on
+    its own — unlike processAllAvailable, which waits on an unbounded
+    query. The terminated query's aggregate must equal the batch
+    oracle exactly.
+
+    At scale this is the idempotent catch-up run of a streaming
+    pipeline: same code, same state store, same exactly-once sinks,
+    driven to the current end of the source and stopped."""
+    s = read_event_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # AvailableNow self-terminates at source end
+    return spark.table(name)

@@ -2227,3 +2227,71 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(F.broadcast(flat)).select(
         "est_merged", "est_flat", "n_exact", "n_partials", "sum_monthly_distinct"
     )
+
+
+@query(
+    "agg_session_window_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         ts + CASE event_type WHEN 'click' THEN INTERVAL 30 MINUTE
+                              WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                              ELSE INTERVAL 15 MINUTE END AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_prev
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, e,
+         CASE WHEN max_prev IS NULL OR ts >= max_prev THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+s AS (
+  SELECT user_id, ts, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(e) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+    category="aggregations",
+)
+def agg_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows — Spark's session_window with a
+    per-event gap expression (clicks keep a session alive 30 min,
+    purchases 60, everything else 15): the engagement-dependent
+    sessionization real funnels use, where a conversion event extends
+    the session longer than a passive view. Windows [ts, ts+gap)
+    merge on overlap; the oracle re-derives the merge independently
+    via the running-max-end formulation (new session iff ts >= max of
+    all previous ends — tie-order-insensitive, unlike the naive
+    lag-based split, which is only correct for constant gaps).
+
+    Same scale shape as the fixed-gap native query: one shuffle on
+    user_id, per-key ordered merge inside the session-window
+    aggregation."""
+    e = table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -653,3 +653,62 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssum(chan(0)).alias("sum_b"),
         (ssum(chan(2)).cast("double") / n_out).alias("mean_r"),
     )
+
+
+@query(
+    "multimodal_audio_downsample",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+s AS (
+  SELECT ids.doc_id, g.k,
+         ((ids.doc_id * 31 + g.k * 17) % 2003) - 1001 AS v
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 63 + CAST(ids.doc_id % 32 AS INT))) AS k
+  ) g
+  WHERE g.k % 2 = 0
+)
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 4) // 2 AS BIGINT) AS out_sr,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy_sq
+FROM s
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x decimation over the byte-parsed PCM samples — the audio
+    RESAMPLE plumbing of a multimodal pipeline (sample-rate
+    normalization before feature extraction): keep every even sample,
+    halve the header's sample rate, emit exact integer audit sums.
+    Same shared _synth_wavs + _parsed_pcm as the parse/RMS queries,
+    so the formula-only oracle cross-checks parser, decimation grid,
+    and header arithmetic together (the audio twin of
+    multimodal_image_resize).
+
+    Pure map stage (per-row array filter in JVM codegen, no explode,
+    no shuffle) — scan-speed at any corpus size; a real polyphase
+    resampler for compressed codecs would slot in as mapInPandas
+    with this output contract."""
+    synth = _synth_wavs(table(spark, sf_dir, "documents"))
+    b = F.col("wav")
+    sr = _le_int(b, 25, 4)
+    pcm = _parsed_pcm(b)
+    evens = F.transform(
+        F.filter(
+            F.transform(pcm, lambda x, i: F.struct(x.alias("v"), i.alias("k"))),
+            lambda s: s.k % 2 == 0,
+        ),
+        lambda s: s.v,
+    )
+    ssum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    return synth.select(
+        "doc_id",
+        (sr / 2).cast("long").alias("out_sr"),
+        F.size(evens).cast("long").alias("n_out"),
+        ssum(evens).alias("sum_v"),
+        ssum(F.transform(evens, lambda v: F.abs(v))).alias("sum_abs"),
+        ssum(F.transform(evens, lambda v: v * v)).alias("energy_sq"),
+    )

@@ -142,6 +142,20 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 })
 
 
+# Never-graded SURVEY.md §2 checklist rows — graded ahead of other
+# ungraded queries so the §2 inventory driver-completes first (r5:
+# the remaining 23 §2 rows without a driver hash grade).
+_GRADE_FIRST: frozenset[str] = frozenset({
+    "scan_parquet_merge_schema", "agg_filtered", "agg_pivot",
+    "agg_unpivot", "agg_top_groups", "agg_weighted_avg", "agg_mode",
+    "agg_histogram", "agg_boolean", "agg_gap_fill", "win_gaps_islands",
+    "win_nth_ignore_nulls", "win_sessionize", "fn_json", "fn_hash",
+    "fn_url", "fn_explode_outer", "fn_variant", "fn_bitwise",
+    "stream_dedup_within_watermark", "text_bigram_freq",
+    "text_pii_scrub", "text_contamination",
+})
+
+
 def _interleaved(specs: list[QuerySpec]) -> list[QuerySpec]:
     """Round-robin across categories (flagship plans/pipelines first
     within each round, otherwise module registration order) so any
@@ -183,8 +197,19 @@ def ordered_registry() -> dict[str, QuerySpec]:
     # buys a NEW hash-exact grade), then never-graded rows-only (the
     # driver can only record a weaker rows-only line for these), then
     # the already-graded tail.
+    ungraded_oracle_first = [
+        s
+        for s in rest
+        if s.name not in _DRIVER_GRADED
+        and s.oracle is not None
+        and s.name in _GRADE_FIRST
+    ]
     ungraded_oracle = [
-        s for s in rest if s.name not in _DRIVER_GRADED and s.oracle is not None
+        s
+        for s in rest
+        if s.name not in _DRIVER_GRADED
+        and s.oracle is not None
+        and s.name not in _GRADE_FIRST
     ]
     ungraded_rows_only = [
         s for s in rest if s.name not in _DRIVER_GRADED and s.oracle is None
@@ -192,7 +217,8 @@ def ordered_registry() -> dict[str, QuerySpec]:
     graded = [s for s in rest if s.name in _DRIVER_GRADED]
     out: dict[str, QuerySpec] = {flagship.name: flagship}
     for spec in (
-        _interleaved(ungraded_oracle)
+        _interleaved(ungraded_oracle_first)
+        + _interleaved(ungraded_oracle)
         + _interleaved(ungraded_rows_only)
         + _interleaved(graded)
     ):

@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "pipeline_incremental_dedup",
     "multimodal_audio_rms",
     "win_ntile_distributed",
+    # r5-added: corpus tokenization throughput — the BPE apply map
+    # stage (chained codegen string replaces, zero shuffles), the
+    # headline per-document cost of the tokenizer story.
+    "pipeline_bpe_apply",
 ]
 
 

@@ -492,3 +492,45 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "udtf_arrow",
+    oracle="""
+SELECT doc_id, token,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 30
+)
+GROUP BY doc_id, token
+""",
+    category="udf",
+)
+def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (``@udtf(useArrow=True)``) — rows
+    cross the JVM/Python boundary as Arrow batches instead of pickled
+    rows, the UDTF analogue of the Arrow-optimized scalar UDF
+    (udf_arrow_optimized). Emits per-document term frequencies; the
+    lateral join fans each doc into its distinct tokens entirely
+    inside the UDTF (one Python pass per row, counts via dict), so
+    the engine-side plan is scan -> Arrow UDTF -> done."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, tf: bigint", useArrow=True)
+    class TermFreq:
+        def eval(self, text: str):
+            for tok, n in sorted(Counter(text.split(" ")).items()):
+                yield tok, n
+
+    spark.udtf.register("term_freq_audtf", TermFreq)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    d.createOrReplaceTempView("docs_for_audtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.tf
+        FROM docs_for_audtf d, LATERAL term_freq_audtf(d.text) t
+        """
+    )

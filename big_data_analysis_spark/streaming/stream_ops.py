@@ -670,3 +670,72 @@ def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()  # AvailableNow self-terminates at source end
     return spark.table(name)
+
+
+def _rangefeed_datasource():
+    """Streaming PYTHON DATA SOURCE (pyspark.sql.datasource
+    SimpleDataSourceStreamReader): a from-scratch micro-batch source
+    whose offset is a plain dict — the extension path for streaming
+    systems with no JVM connector. Four 250-row batches, then the
+    offset stops advancing (end of feed)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + 250, 1000)
+            rows = [(i, (i * i) % 997, f"p{i % 5}") for i in range(pos, end)]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * i) % 997, f"p{i % 5}") for i in range(start["pos"], end["pos"])]
+            )
+
+    class RangeFeedDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "rangefeed"
+
+        def schema(self) -> str:
+            return "i bigint, val bigint, tag string"
+
+        def simpleStreamReader(self, schema):
+            return _FeedReader()
+
+    return RangeFeedDataSource
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+SELECT 'p' || CAST(i % 5 AS VARCHAR) AS tag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((i * i) % 997) AS BIGINT) AS sum_val
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+GROUP BY 1
+""",
+    category="streaming",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python data source — the readStream twin of
+    scan_python_datasource: a SimpleDataSourceStreamReader plans
+    dict-valued offsets, Spark replays it as four micro-batches
+    (state, checkpoints, and exactly-once replay via
+    readBetweenOffsets all come from the engine), and the drained
+    aggregate must equal the closed-form oracle. At scale this is how
+    a bespoke feed (SaaS event API, internal queue) joins the
+    Structured Streaming world without a JVM connector."""
+    harden_session(spark)
+    try:
+        spark.dataSource.register(_rangefeed_datasource())
+    except Exception:
+        pass  # idempotent per session
+    s = spark.readStream.format("rangefeed").load()
+    agg = s.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val")
+    )
+    return drain_to_memory(agg)

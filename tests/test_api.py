@@ -577,3 +577,13 @@ def test_api_domain_resample_repartition_invariant(spark):
         for r in api.domain_resample(df.repartition(7), "dom", "id", targets).collect()
     )
     assert base == repart and len(base) > 0
+
+
+def test_api_bpe_apply_synthetic(spark):
+    """bpe_apply on a caller-supplied frame: chained merges ('t'+'h',
+    'th'+'e') and word-boundary isolation (no merge across spaces)."""
+    df = spark.createDataFrame([(1, "the there at h")], "id long, text string")
+    out = api.bpe_apply(df, "text", [("t", "h"), ("th", "e")]).collect()[0]
+    # 'the' -> ['the']; 'there' -> ['the','r','e']; 'at h' never merges
+    assert out.toks == "the the r e a t h"
+    assert out.n_subwords == 7

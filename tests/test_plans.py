@@ -335,3 +335,20 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in optimized
     assert "might_contain" in optimized
+
+
+def test_r5_map_stage_ops_have_no_exchange(spark, sf_dir):
+    """The r5 map-stage operators — BPE tokenizer apply, image
+    nearest-neighbor resize, audio decimation, int8 quantization —
+    must plan as pure scans + projections: zero Exchange, zero
+    Python (Arrow/BatchEval) nodes. These are the scan-speed
+    contracts that make them linear at 100 TB."""
+    for name in (
+        "pipeline_bpe_apply",
+        "multimodal_image_resize",
+        "multimodal_audio_downsample",
+        "vec_quantize_int8",
+    ):
+        tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
+        assert "Exchange" not in tree, name
+        assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree, name

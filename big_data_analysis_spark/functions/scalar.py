@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import register_views, table
 from ..registry import query
+from ..session import harden_session
 
 
 @query(
@@ -1012,3 +1013,86 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_key"),
         )
     )
+
+
+@query(
+    "fn_sql_function",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) * 0.9 AS discounted,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS band
+FROM orders
+""",
+    category="functions",
+)
+def fn_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-LANGUAGE user-defined functions (Spark 4 CREATE FUNCTION
+    ... RETURNS ... RETURN <expr>) — warehouse logic shared as
+    catalog objects instead of engine-side code: the function body is
+    a plain SQL expression, so Catalyst INLINES it (no Python, no
+    serialization boundary, full pushdown through it). One scalar
+    arithmetic function and one scalar CASE classifier, both applied
+    in a SQL query; the oracle restates the inlined expressions."""
+    harden_session(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discount_price(p DOUBLE) "
+        "RETURNS DECIMAL(20,3) RETURN CAST(p AS DECIMAL(18,2)) * 0.9"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p > 200000 THEN 'high' "
+        "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
+    )
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderkey, discount_price(o_totalprice) AS discounted, "
+        "price_band(o_totalprice) AS band FROM orders"
+    )
+
+
+@query(
+    "fn_zorder_key",
+    oracle="""
+WITH q AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 65536 AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 65536 AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y,
+       CAST(SUM(((x >> b) & 1) * POWER(4::BIGINT, b) * 2 +
+                ((y >> b) & 1) * POWER(4::BIGINT, b)) AS BIGINT) AS z
+FROM q, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+GROUP BY o_orderkey, x, y
+""",
+    category="functions",
+)
+def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) interleave key over two 16-bit dimensions —
+    the multi-dimensional clustering layout key behind data-skipping
+    file layouts (sorting by z co-locates rows close in BOTH customer
+    and date, so min/max stats prune on either predicate). Pure
+    integer bit arithmetic: bit b of x lands at position 2b+1, bit b
+    of y at 2b — identical closed form in both engines, zero
+    shuffles.
+
+    At 100 TB the key feeds repartitionByRange(z) +
+    sortWithinPartitions(z) at write time; the query grades the key
+    computation itself, bit-exact."""
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 65536
+    ).cast("long")
+    d = o.select("o_orderkey", x.alias("x"), y.alias("y"))
+    # unrolled closed form: bit b of x -> position 2b+1, of y -> 2b
+    z = None
+    for b in range(16):
+        w = 4**b
+        part = F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            2 * w
+        ) + F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)).cast("long") * F.lit(w)
+        z = part if z is None else z + part
+    return d.select("o_orderkey", "x", "y", z.cast("long").alias("z"))

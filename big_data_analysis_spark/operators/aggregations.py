@@ -2295,3 +2295,26 @@ def agg_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("agg_approx_top_k", oracle=None, category="aggregations")
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters — the bounded-state sketch for "top
+    values of a high-cardinality column" (frequent-items / Misra-
+    Gries family): constant memory per partition, mergeable partials,
+    one pass. Emits the top-3 event types with estimated counts,
+    exploded to scalar rows. Rows-only (sketch); the exactness
+    property under the maxItemsTracked bound — estimates EQUAL the
+    true counts when the tracked-item budget exceeds the distinct
+    count — is asserted in tests/test_quality.py."""
+    e = table(spark, sf_dir, "events")
+    e.select("event_type").createOrReplaceTempView("events_for_topk")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS est_n
+        FROM (
+          SELECT explode(approx_top_k(event_type, 3)) AS t
+          FROM events_for_topk
+        )
+        """
+    )

@@ -739,3 +739,19 @@ def test_hll_mergeable_union_lossless_and_calibrated(spark, sf_dir):
     # months overlap in customers: the naive sum over-counts, the
     # sketch union doesn't
     assert r.sum_monthly_distinct > r.n_exact
+
+
+def test_approx_top_k_exact_under_budget(spark, sf_dir):
+    """With maxItemsTracked (10000) far above the 5 distinct event
+    types, approx_top_k's estimates must EQUAL the exact counts and
+    pick the true top-3."""
+    got = {r.event_type: r.est_n for r in run("agg_approx_top_k", spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top3 = dict(sorted(exact.items(), key=lambda kv: -kv[1])[:3])
+    assert got == top3

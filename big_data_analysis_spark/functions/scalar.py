@@ -1096,3 +1096,38 @@ def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) + F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)).cast("long") * F.lit(w)
         z = part if z is None else z + part
     return d.select("o_orderkey", "x", "y", z.cast("long").alias("z"))
+
+
+@query(
+    "fn_sql_table_function",
+    oracle="""
+SELECT d.doc_id, g.i AS pos, g.tok
+FROM documents d,
+     LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                     generate_subscripts(string_split(d.text, ' '), 1) AS i) g
+WHERE d.doc_id < 25
+""",
+    category="functions",
+)
+def fn_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (CREATE FUNCTION ... RETURNS
+    TABLE ... RETURN SELECT ...) applied as a correlated LATERAL —
+    the catalog-shared tokenizer pattern: the expansion logic lives
+    in the catalog as declarative SQL, Catalyst inlines it into the
+    caller's plan (a plain Generate node — no UDTF worker, no Python
+    boundary), and any query can LATERAL-join it. The scalar twin is
+    fn_sql_function; the imperative twin is udtf_python."""
+    harden_session(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sql_tokens(t STRING) "
+        "RETURNS TABLE(pos INT, tok STRING) "
+        "RETURN SELECT posexplode(split(t, ' '))"
+    )
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    d.createOrReplaceTempView("docs_for_sqltvf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos + 1 AS pos, t.tok
+        FROM docs_for_sqltvf d, LATERAL sql_tokens(d.text) t
+        """
+    )

@@ -557,3 +557,49 @@ def test_scd2_versions_partition_the_timeline(spark, changes):
         for a, b in zip(vs, vs[1:]):
             assert a.effective_to == b.effective_from
             assert a.effective_to >= a.effective_from
+
+
+_word_strategy = st.text(alphabet="abcd$\\", min_size=1, max_size=8)
+
+
+@given(
+    words=st.lists(_word_strategy, min_size=1, max_size=6),
+    rule_idx=st.lists(
+        st.tuples(st.sampled_from("abcd$\\"), st.sampled_from("abcd$\\")),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_bpe_apply_matches_pure_python_on_any_vocab(spark, words, rule_idx):
+    """api.bpe_apply must equal the pure-Python greedy rank-order
+    tokenizer on ANY corpus over a hostile alphabet (includes '$' and
+    '\\') and ANY single-char seed rules — exercising greedy overlap,
+    merge chaining, and replacement-escaping hazards."""
+    from big_data_analysis_spark import api
+
+    # extend rules with one chained rule built from the first seed
+    rules = list(dict.fromkeys(rule_idx))
+    left, right = rules[0]
+    rules.append((left + right, right))
+    text = " ".join(words)
+    got = api.bpe_apply(
+        spark.createDataFrame([(1, text)], "id long, text string"), "text", rules
+    ).collect()[0]
+
+    toks = []
+    for w in text.split(" "):
+        syms = list(w)
+        for l_, r_ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                    out.append(l_ + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    assert got.toks == " ".join(toks)
+    assert got.n_subwords == len(toks)

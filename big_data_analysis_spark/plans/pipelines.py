@@ -1906,3 +1906,77 @@ def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("merged").alias("kind"),
     )
     return base_ids.unionByName(merged_ids)
+
+
+@query(
+    "pipeline_eval_em_f1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         list_slice(toks, 1, 6) AS ref,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN list_slice(toks, 1, 6)
+           WHEN 1 THEN list_slice(toks, 3, 8)
+           ELSE list_reverse_sort(list_slice(toks, 1, 6))
+         END AS pred
+  FROM t
+),
+s AS (
+  SELECT doc_id, ref, pred,
+         CAST(list_sum(list_transform(list_distinct(pred),
+           tk -> least(len(list_filter(pred, x -> x = tk)),
+                       len(list_filter(ref,  x -> x = tk))))) AS BIGINT)
+           AS overlap,
+         CAST(len(pred) + len(ref) AS BIGINT) AS denom
+  FROM pr
+)
+SELECT doc_id,
+       CAST(array_to_string(pred, ' ') = array_to_string(ref, ' ') AS INT) AS em,
+       COALESCE(overlap, 0) AS overlap, denom,
+       CAST(2 * COALESCE(overlap, 0) AS DOUBLE) / denom AS f1
+FROM s
+""",
+    category="pipelines",
+)
+def pipeline_eval_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM EVAL-harness scoring — exact-match and token-level F1 of a
+    prediction against a reference, the per-example metrics every
+    generation benchmark reduces to. References are the first 6
+    tokens of each document; predictions are a deterministic
+    perturbation exercising all three regimes (identical -> EM=1;
+    shifted window -> partial F1; sorted-descending permutation ->
+    EM=0 but F1=1, the case that separates the two metrics).
+
+    Token F1 uses the MULTISET overlap (sum over distinct predicted
+    tokens of min(count_pred, count_ref)) computed entirely in
+    per-row array lambdas — zero explode, zero shuffle: at 100 TB
+    eval scoring is a pure map over (pred, ref) pairs. The one
+    division per row is the only float op (2*overlap/denom)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ref = F.slice(toks, 1, 6)
+    pred = (
+        F.when((F.col("doc_id") % 3) == 0, F.slice(toks, 1, 6))
+        .when((F.col("doc_id") % 3) == 1, F.slice(toks, 3, 6))
+        .otherwise(F.reverse(F.array_sort(F.slice(toks, 1, 6))))
+    )
+    p = d.select("doc_id", ref.alias("ref"), pred.alias("pred"))
+    count_in = lambda arr, tk: F.size(F.filter(arr, lambda x: x == tk))
+    overlap = F.aggregate(
+        F.array_distinct(F.col("pred")),
+        F.lit(0),
+        lambda acc, tk: acc
+        + F.least(count_in(F.col("pred"), tk), count_in(F.col("ref"), tk)),
+    ).cast("long")
+    denom = (F.size("pred") + F.size("ref")).cast("long")
+    s = p.select("doc_id", "ref", "pred", overlap.alias("overlap"), denom.alias("denom"))
+    return s.select(
+        "doc_id",
+        (F.array_join("pred", " ") == F.array_join("ref", " ")).cast("int").alias("em"),
+        "overlap",
+        "denom",
+        ((F.lit(2) * F.col("overlap")).cast("double") / F.col("denom")).alias("f1"),
+    )

@@ -1980,3 +1980,56 @@ def pipeline_eval_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "denom",
         ((F.lit(2) * F.col("overlap")).cast("double") / F.col("denom")).alias("f1"),
     )
+
+
+@query(
+    "pipeline_kanonymity",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+         COUNT(*) AS grp_n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS n_rows_to_suppress,
+       CAST(MIN(grp_n) AS BIGINT) AS min_class_size,
+       CAST(SUM(grp_n) AS BIGINT) AS n_rows
+FROM q
+""",
+    category="pipelines",
+)
+def pipeline_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit — the privacy gate before a data release:
+    group rows by their quasi-identifier tuple (nation, market
+    segment, coarse balance band) and report how many equivalence
+    classes fall below k=5, how many rows those classes contain (the
+    suppression/generalization workload), and the minimum class size
+    (the release's actual k). The one-row ledger a release pipeline
+    asserts on, next to pipeline_dq_checks.
+
+    Shape: one hash-agg on the quasi-id tuple, then a scalar
+    reduction over the (bounded) class table — at 100 TB the class
+    count is capped by the quasi-id domain, not the row count."""
+    c = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    q = c.groupBy("c_nationkey", "c_mktsegment", band.alias("bal_band")).agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    below = F.col("grp_n") < 5
+    return q.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(below.cast("int")).cast("long").alias("n_classes_below_k"),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).alias("n_rows_to_suppress"),
+        F.min("grp_n").alias("min_class_size"),
+        F.sum("grp_n").alias("n_rows"),
+    )

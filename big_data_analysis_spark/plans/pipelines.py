@@ -2033,3 +2033,67 @@ def pipeline_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_n").alias("min_class_size"),
         F.sum("grp_n").alias("n_rows"),
     )
+
+
+@query("pipeline_incremental_minhash", oracle=None, category="pipelines")
+def pipeline_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the fuzzy tier of
+    pipeline_incremental_dedup's ladder: the accepted corpus's
+    MinHash index is built once (model fit = hash coefficients only;
+    the banded signature table is what production persists), and an
+    arriving batch is transformed with the SAME coefficients and
+    band-joined against the base index — batch vs base only, never
+    batch vs batch, never base vs base, and the corpus text never
+    moves.
+
+    Synthetic wide-vocab corpus (shared _widevocab_tokens; planted
+    4-doc clusters at Jaccard ~0.67): batch = every 4th doc, whose 3
+    clustermates sit in the base -> must be flagged; every 8th doc's
+    tokens are replaced with doc-unique strings -> novel, must be
+    admitted. Rows-only (sketch internals); the classification is
+    asserted exactly in tests/test_quality.py.
+
+    At 100 TB: transform(batch) is a map stage, the band join touches
+    only colliding signatures, and the exact-Jaccard verify touches
+    only candidates — incremental cost scales with the BATCH, not the
+    corpus."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..operators.dedup import _widevocab_tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 8 == 7,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda j: F.concat_ws("_", F.lit("novel"), F.col("doc_id"), j),
+            ),
+        )
+        .otherwise(_widevocab_tokens())
+        .alias("toks"),
+    )
+    base = d.where(F.col("doc_id") % 4 != 3)
+    batch = d.where(F.col("doc_id") % 4 == 3)
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    base_f, batch_f = tf.transform(base), tf.transform(batch)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(base_f)
+    hits = (
+        mh.approxSimilarityJoin(batch_f, base_f, 0.5, distCol="jd")
+        .groupBy(F.col("datasetA.doc_id").alias("doc_id"))
+        .agg(F.max(1 - F.col("jd")).alias("best_jaccard"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("best_jaccard").isNotNull().alias("dup_fuzzy"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            F.col("best_jaccard").isNull().alias("admit"),
+        )
+    )

@@ -755,3 +755,18 @@ def test_approx_top_k_exact_under_budget(spark, sf_dir):
     }
     top3 = dict(sorted(exact.items(), key=lambda kv: -kv[1])[:3])
     assert got == top3
+
+
+def test_incremental_minhash_classifies_batch(spark, sf_dir):
+    """The incremental fuzzy tier must flag every planted clustermate
+    (doc_id%8==3: three near-dups in the base) and admit every novel
+    doc (doc_id%8==7: unique vocabulary)."""
+    rows = {r.doc_id: r for r in run("pipeline_incremental_minhash", spark, sf_dir).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        if doc_id % 8 == 3:
+            assert r.dup_fuzzy and not r.admit, doc_id
+            assert r.best_jaccard > 0.5, doc_id
+        else:
+            assert doc_id % 8 == 7
+            assert r.admit and not r.dup_fuzzy, doc_id

@@ -2318,3 +2318,52 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "agg_diversity_simpson",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM documents GROUP BY source, lang
+),
+s AS (
+  SELECT source,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(n_i * n_i) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM c GROUP BY source
+)
+SELECT source, n, n_langs, sum_sq,
+       1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS simpson_diversity
+FROM s
+""",
+    category="aggregations",
+)
+def agg_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson diversity index per corpus source — 1 − Σp_i²,
+    the no-logarithm diversity metric (companion of agg_hhi, which is
+    Σp_i² itself over activity): the probability two random docs from
+    a source differ in language, the mix-health check of a corpus
+    recipe. All mass terms exact integers; floats enter only in the
+    final fixed-order divide/subtract, so both engines agree
+    bit-for-bit. Two bounded hash-aggs (domain: sources × langs)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_i"))
+    s = c.groupBy("source").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_langs",
+        "sum_sq",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("simpson_diversity"),
+    )

@@ -937,3 +937,72 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("cents_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@query(
+    "win_rolling_slope",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+              - 1 AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM c
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey,
+       n * sxy - sx * sy AS num,
+       n * sxx - sx * sx AS den,
+       CAST(n * sxy - sx * sy AS DOUBLE) / NULLIF(n * sxx - sx * sx, 0) / 100.0
+         AS slope
+FROM m
+""",
+    category="windows",
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS slope (trailing-4 trend / rolling beta vs time) —
+    the quant-family companion of win_bollinger/win_rsi: the
+    closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over a trailing
+    ROWS frame, every power sum an exact int64 on integer cents and
+    the per-partition row index, so both engines agree bit-for-bit;
+    the only float ops are one division pair at the end (NULL for
+    the frame-of-one first row). One shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w = wo.rowsBetween(-3, 0)
+    c = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.row_number().over(wo) - 1).cast("long").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    num = (n * sxy - sx * sy).alias("num")
+    den = (n * sxx - sx * sx).alias("den")
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        num,
+        den,
+        (
+            (n * sxy - sx * sy).cast("double")
+            / F.nullif(n * sxx - sx * sx, F.lit(0))
+            / F.lit(100.0)
+        ).alias("slope"),
+    )

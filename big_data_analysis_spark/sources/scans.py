@@ -641,3 +641,64 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+_MULTILINE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+SELECT doc_id,
+       'header "quoted" line' || chr(10) || 'tail line ' || doc_id AS note,
+       CAST(2 AS BIGINT) AS n_lines
+FROM documents WHERE doc_id < 100
+""",
+    category="sources",
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE quoted-CSV ingestion — fields containing embedded
+    newlines and doubled-quote escapes (the export format of
+    spreadsheets and CRM dumps): with multiLine=true Spark must treat
+    a quoted field spanning physical lines as ONE record. The staged
+    file is written by Python's csv module (standard RFC-4180
+    quoting); the oracle reconstructs each field from the generator
+    formula, so quote/escape/newline handling is what's graded.
+
+    Scale note: multiLine=true makes a CSV file NON-SPLITTABLE (a
+    record boundary can't be found mid-file), so at 100 TB this path
+    is for many medium files — one task per file — not one giant
+    file; scan_compressed carries the same caveat for gzip."""
+    if sf_dir not in _MULTILINE_CACHE:
+        import csv
+        import os
+
+        stage = scratch_dir(prefix="bda_mlcsv_")
+        ids = sorted(
+            r["doc_id"]
+            for r in table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100)
+            .select("doc_id")
+            .collect()
+        )
+        with open(os.path.join(stage, "notes.csv"), "w", newline="") as fh:
+            w = csv.writer(fh, quoting=csv.QUOTE_ALL)
+            for i in ids:
+                w.writerow([i, f'header "quoted" line\ntail line {i}'])
+        _MULTILINE_CACHE[sf_dir] = stage
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_MULTILINE_CACHE[sf_dir])
+    )
+    return df.select(
+        "doc_id", "note", F.size(F.split(F.col("note"), "\n")).cast("long").alias("n_lines")
+    )

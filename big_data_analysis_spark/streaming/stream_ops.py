@@ -739,3 +739,68 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val")
     )
     return drain_to_memory(agg)
+
+
+@query(
+    "stream_session_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         ts + CASE event_type WHEN 'click' THEN INTERVAL 30 MINUTE
+                              WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                              ELSE INTERVAL 15 MINUTE END AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_prev
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, e,
+         CASE WHEN max_prev IS NULL OR ts >= max_prev THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+s AS (
+  SELECT user_id, ts, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(e) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap session windows — the incremental twin
+    of agg_session_window_dynamic: the same per-event gap expression
+    (clicks 30 min, purchases 60, else 15) drives session_window
+    inside a streaming aggregation, where the state store performs
+    the interval merging across micro-batches. Drained complete-mode
+    result must equal the batch running-max-end oracle exactly —
+    proving session semantics are replay-invariant under
+    micro-batching. State is bounded per (user, open session); with
+    a watermark (stream_session shows it) closed sessions evict."""
+    s = read_event_stream(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    agg = (
+        s.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain_to_memory(agg)

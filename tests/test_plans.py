@@ -348,6 +348,8 @@ def test_r5_map_stage_ops_have_no_exchange(spark, sf_dir):
         "multimodal_image_resize",
         "multimodal_audio_downsample",
         "vec_quantize_int8",
+        "pipeline_eval_em_f1",
+        "fn_zorder_key",
     ):
         tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
         assert "Exchange" not in tree, name

@@ -2097,3 +2097,85 @@ def pipeline_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_jaccard").isNull().alias("admit"),
         )
     )
+
+
+@query(
+    "pipeline_feature_drift",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(day(ts) % 2 AS INT) AS half,
+         LEAST(9, GREATEST(0,
+           CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 2000)
+                AS INT))) AS bin
+  FROM events
+),
+c AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_i,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_i
+  FROM b GROUP BY event_type, bin
+),
+t AS (
+  SELECT event_type,
+         CAST(SUM(na_i) AS BIGINT) AS na,
+         CAST(SUM(nb_i) AS BIGINT) AS nb,
+         CAST(SUM(ABS(na_i * (SELECT SUM(nb_i) FROM c c2
+                              WHERE c2.event_type = c.event_type)
+                    - nb_i * (SELECT SUM(na_i) FROM c c3
+                              WHERE c3.event_type = c.event_type)))
+              AS BIGINT) AS l1_num
+  FROM c GROUP BY event_type
+)
+SELECT event_type, na, nb, l1_num,
+       CAST(l1_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         AS drift_l1
+FROM t
+""",
+    category="pipelines",
+)
+def pipeline_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-DRIFT check — the train/serve skew monitor of an ML
+    platform: the value distribution of each event type is binned
+    (10 equi-width cent buckets) in two deterministic halves of the
+    data (even vs odd day-of-month standing in for the training
+    window vs the serving window) and compared by total-variation-
+    style L1 distance. The distance numerator is the exact integer
+    cross-multiplication Σ|na_i·NB − nb_i·NA| (no per-bin ratios),
+    so both engines agree bit-for-bit; one final double division.
+
+    Shape: one map-side bin stage, one (type, bin) hash-agg over a
+    bounded domain, one per-type reduction — scan-speed at 100 TB,
+    state capped by types × bins."""
+    e = table(spark, sf_dir, "events")
+    half = (F.dayofmonth("ts") % 2).cast("int")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bin_ = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(cents / 2000).cast("int"))
+    )
+    b = e.select("event_type", half.alias("half"), bin_.alias("bin"))
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum((F.col("half") == 0).cast("int")).alias("na_i"),
+        F.sum((F.col("half") == 1).cast("int")).alias("nb_i"),
+    )
+    w = Window.partitionBy("event_type")
+    c = c.withColumn("na", F.sum("na_i").over(w)).withColumn(
+        "nb", F.sum("nb_i").over(w)
+    )
+    t = c.groupBy("event_type").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(
+            F.abs(F.col("na_i") * F.col("nb") - F.col("nb_i") * F.col("na"))
+        ).alias("l1_num"),
+    )
+    return t.select(
+        "event_type",
+        "na",
+        "nb",
+        "l1_num",
+        (
+            F.col("l1_num").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("drift_l1"),
+    )

@@ -2367,3 +2367,53 @@ def agg_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("simpson_diversity"),
     )
+
+
+@query(
+    "agg_decayed_value",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS age
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << (31 - LEAST(31, GREATEST(1, age)))))
+            AS BIGINT) AS decayed_num,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << (31 - LEAST(31, GREATEST(1, age)))))
+            AS DOUBLE) / 214748364800.0 AS decayed_score
+FROM d
+GROUP BY user_id
+""",
+    category="aggregations",
+)
+def agg_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED engagement score — the recency-weighted feature a
+    feature store maintains per user (halving per day of age):
+    score = Σ value·2^(−age_days). Computed as EXACT dyadic
+    rationals: each term is cents·2^(31−age) in int64 (value ≤
+    2^15 cents, exponent ≤ 30, row term ≤ 2^45 — a billion-row user
+    still fits int64), summed exactly, with ONE double division by
+    the common denominator 2^31·100 at the end. The weight 2^e is an
+    exactly-representable power of two (DuckDB shifts; Spark's
+    pow(2, e) is exact for integer e ≤ 30 and is cast straight back
+    to int64), so there is no float-summation order dependence —
+    bit-identical across engines and partitionings.
+
+    One hash-agg on user_id; the decay weight is map-side
+    arithmetic."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    age = F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date"))
+    expo = 31 - F.least(F.lit(31), F.greatest(F.lit(1), age))
+    term = cents * F.expr("CAST(1 AS BIGINT)") * F.pow(F.lit(2.0), expo).cast("long")
+    d = e.select("user_id", term.alias("term"))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("term").alias("decayed_num"),
+        (F.sum("term").cast("double") / F.lit(214748364800.0)).alias(
+            "decayed_score"
+        ),
+    )

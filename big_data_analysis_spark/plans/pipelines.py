@@ -2179,3 +2179,67 @@ def pipeline_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na").cast("double") * F.col("nb").cast("double"))
         ).alias("drift_l1"),
     )
+
+
+@query(
+    "pipeline_eval_calibration",
+    oracle="""
+WITH s AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 AS conf_pct,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+  FROM events
+),
+b AS (
+  SELECT LEAST(9, conf_pct // 10) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(outcome) AS BIGINT) AS acc_sum,
+         CAST(SUM(conf_pct) AS BIGINT) AS conf_sum
+  FROM s GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_b, acc_sum, conf_sum,
+       ABS(100 * acc_sum - conf_sum) AS gap_num,
+       CAST(SUM(ABS(100 * acc_sum - conf_sum)) OVER () AS DOUBLE)
+         / (100.0 * SUM(n_b) OVER ()) AS ece
+FROM b
+""",
+    category="pipelines",
+)
+def pipeline_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION audit — the reliability-diagram + Expected
+    Calibration Error computation of an ML eval harness: rows carry a
+    deterministic pseudo-confidence (two-decimal fraction of the
+    value column) and a binary outcome (purchase events); confidences
+    bin into deciles and each bin's |accuracy − mean confidence| gap
+    is weighted by bin mass. The whole ECE reduces to the EXACT
+    integer identity Σ_b |100·Σoutcome − Σconf_pct| / (100·N) — one
+    double division at the end, bit-identical across engines.
+
+    Shape: map-side bin/outcome derivation, one 10-key hash-agg, a
+    constant-size window for the cross-bin total — scan-speed at any
+    eval-set size."""
+    e = table(spark, sf_dir, "events")
+    conf = ((F.col("value").cast("decimal(18,2)") * 100).cast("long") % 100).alias(
+        "conf_pct"
+    )
+    outcome = (F.col("event_type") == "purchase").cast("int").alias("outcome")
+    s = e.select(conf, outcome)
+    b = s.groupBy(
+        F.least(F.lit(9), F.floor(F.col("conf_pct") / 10)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("outcome").alias("acc_sum"),
+        F.sum("conf_pct").alias("conf_sum"),
+    )
+    gap = F.abs(F.lit(100) * F.col("acc_sum") - F.col("conf_sum"))
+    w = Window.partitionBy()
+    return b.select(
+        "bin",
+        "n_b",
+        "acc_sum",
+        "conf_sum",
+        gap.alias("gap_num"),
+        (
+            F.sum(gap).over(w).cast("double")
+            / (F.lit(100.0) * F.sum("n_b").over(w).cast("double"))
+        ).alias("ece"),
+    )

@@ -2243,3 +2243,61 @@ def pipeline_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.sum("n_b").over(w).cast("double"))
         ).alias("ece"),
     )
+
+
+@query(
+    "pipeline_confusion_matrix",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 >= 50
+              THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS actual
+  FROM events
+),
+m AS (
+  SELECT CAST(SUM(pred * actual) AS BIGINT) AS tp,
+         CAST(SUM(pred * (1 - actual)) AS BIGINT) AS fp,
+         CAST(SUM((1 - pred) * actual) AS BIGINT) AS fn,
+         CAST(SUM((1 - pred) * (1 - actual)) AS BIGINT) AS tn
+  FROM s
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision_,
+       CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall_,
+       CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0) AS f1
+FROM m
+""",
+    category="pipelines",
+)
+def pipeline_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier CONFUSION MATRIX — the third leg of the eval
+    family (EM/F1, calibration, now thresholded classification): the
+    deterministic pseudo-confidence thresholds at 0.5 against the
+    purchase outcome, and TP/FP/FN/TN are exact integer sums;
+    precision/recall/F1 are single divisions over those integers
+    (F1 via the 2TP identity, avoiding a float p·r intermediate).
+    One global agg, map-side partials — scan-speed at any size."""
+    e = table(spark, sf_dir, "events")
+    pred = (
+        ((F.col("value").cast("decimal(18,2)") * 100).cast("long") % 100 >= 50)
+        .cast("int")
+        .alias("pred")
+    )
+    actual = (F.col("event_type") == "purchase").cast("int").alias("actual")
+    s = e.select(pred, actual)
+    m = s.agg(
+        F.sum(F.col("pred") * F.col("actual")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("actual"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("actual")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("actual"))).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision_"),
+        (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall_"),
+        ((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
+    )

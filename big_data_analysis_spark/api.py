@@ -868,3 +868,137 @@ def asof_join(
         *[F.col(f"__lstruct.{c}").alias(c) for c in extra],
     ]
     return out.select(*proj)
+
+
+# ------------------------------------------------------------ evaluation
+
+def confusion_matrix(
+    df: DataFrame, pred_col: str, label_col: str
+) -> DataFrame:
+    """Binary-classifier confusion matrix + precision/recall/F1 for
+    0/1 integer prediction and label columns: TP/FP/FN/TN as exact
+    integer sums (one global agg, map-side partials), metrics as
+    single divisions (F1 via the 2TP identity). NULL metrics when a
+    denominator is empty."""
+    p, a = F.col(pred_col).cast("int"), F.col(label_col).cast("int")
+    m = df.agg(
+        F.sum(p * a).alias("tp"),
+        F.sum(p * (1 - a)).alias("fp"),
+        F.sum((1 - p) * a).alias("fn"),
+        F.sum((1 - p) * (1 - a)).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision"),
+        (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall"),
+        ((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
+    )
+
+
+def token_f1(
+    df: DataFrame, pred_col: str, ref_col: str
+) -> DataFrame:
+    """Per-row exact-match and multiset token F1 between two
+    array<string> columns — the generation-benchmark metrics — in
+    pure per-row array lambdas (zero explode, zero shuffle; one
+    division per row). Adds em, overlap, denom, f1."""
+    count_in = lambda arr, tk: F.size(F.filter(arr, lambda x: x == tk))
+    overlap = F.aggregate(
+        F.array_distinct(F.col(pred_col)),
+        F.lit(0),
+        lambda acc, tk: acc
+        + F.least(count_in(F.col(pred_col), tk), count_in(F.col(ref_col), tk)),
+    ).cast("long")
+    denom = (F.size(pred_col) + F.size(ref_col)).cast("long")
+    return (
+        df.withColumn(
+            "em",
+            (F.array_join(pred_col, " ") == F.array_join(ref_col, " ")).cast("int"),
+        )
+        .withColumn("overlap", overlap)
+        .withColumn("denom", denom)
+        .withColumn(
+            "f1", (F.lit(2) * F.col("overlap")).cast("double") / F.col("denom")
+        )
+    )
+
+
+# ------------------------------------------------------------ governance
+
+def kanonymity(df: DataFrame, quasi_cols: Sequence[str], *, k: int = 5) -> DataFrame:
+    """K-anonymity release audit over the given quasi-identifier
+    columns: one row with the class count, classes below k, rows
+    needing suppression, the actual minimum class size, and total
+    rows. One hash-agg on the quasi-id domain."""
+    q = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.col("grp_n") < k
+    return q.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(below.cast("int")).cast("long").alias("n_classes_below_k"),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).alias("n_rows_to_suppress"),
+        F.min("grp_n").alias("min_class_size"),
+        F.sum("grp_n").alias("n_rows"),
+    )
+
+
+# ------------------------------------------------------------ layout
+
+def zorder_key(x: Column, y: Column, *, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two dimensions' low ``bits``
+    bits — the multi-dimensional clustering key for data-skipping
+    layouts (sort by it at write time; min/max stats then prune on
+    either dimension). Pure integer bit arithmetic, exactly
+    reproducible on any engine."""
+    z = None
+    for b in range(bits):
+        w = 4**b
+        part = F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            2 * w
+        ) + F.shiftright(y, b).bitwiseAND(F.lit(1)).cast("long") * F.lit(w)
+        z = part if z is None else z + part
+    return z.cast("long")
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, *, out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric int8 quantization audit of a float-vector column
+    (scale = max|v|/127): adds <prefix>_scale, <prefix>_min,
+    <prefix>_max, <prefix>_sum, <prefix>_err (exact integer L1
+    reconstruction error on the 1e-6 grid). Round-half-up is pure
+    integer arithmetic, so results are engine- and
+    partitioning-independent. Pure map stage."""
+
+    def q(v: Column) -> Column:
+        return F.round(v.cast("double") * 1_000_000).cast("long")
+
+    qarr = F.transform(F.col(vec_col), q)
+    maxq = F.greatest(
+        F.array_max(F.transform(qarr, lambda v: F.abs(v))), F.lit(1).cast("long")
+    )
+    d = df.withColumn("__qarr", qarr).withColumn("__maxq", maxq)
+    mq = F.col("__maxq")
+
+    def floordiv(a: Column, b: Column) -> Column:
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    codes = F.transform(
+        F.col("__qarr"), lambda v: floordiv((v + mq) * 254 + mq, 2 * mq) - 127
+    )
+    d = d.withColumn("__codes", codes)
+    err = F.zip_with(
+        F.col("__qarr"), F.col("__codes"), lambda v, c: F.abs(v * 127 - c * mq)
+    )
+    agg = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)
+    return (
+        d.withColumn(f"{out_prefix}_scale", mq.cast("double") / F.lit(127000000.0))
+        .withColumn(f"{out_prefix}_min", F.array_min("__codes"))
+        .withColumn(f"{out_prefix}_max", F.array_max("__codes"))
+        .withColumn(f"{out_prefix}_sum", agg(F.col("__codes")))
+        .withColumn(f"{out_prefix}_err", agg(err))
+        .drop("__qarr", "__maxq", "__codes")
+    )

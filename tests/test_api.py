@@ -587,3 +587,56 @@ def test_api_bpe_apply_synthetic(spark):
     # 'the' -> ['the']; 'there' -> ['the','r','e']; 'at h' never merges
     assert out.toks == "the the r e a t h"
     assert out.n_subwords == 7
+
+
+def test_api_confusion_matrix(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0)], "pred int, label int"
+    )
+    r = api.confusion_matrix(df, "pred", "label").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 2)
+    assert r.precision == 2 / 3 and r.recall == 2 / 3
+    assert r.f1 == 4 / 6  # 2TP/(2TP+FP+FN)
+
+
+def test_api_confusion_matrix_degenerate_null_metrics(spark):
+    df = spark.createDataFrame([(0, 0), (0, 0)], "pred int, label int")
+    r = api.confusion_matrix(df, "pred", "label").collect()[0]
+    assert r.tp == 0 and r.tn == 2
+    assert r.precision is None and r.recall is None and r.f1 is None
+
+
+def test_api_token_f1(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"], ["a", "a", "c"]), (2, ["x"], ["x"])],
+        "id long, pred array<string>, ref array<string>",
+    )
+    rows = {r.id: r for r in api.token_f1(df, "pred", "ref").collect()}
+    # multiset overlap: min(2,2) for 'a' + 0 for 'b' = 2; f1 = 4/6
+    assert rows[1].em == 0 and rows[1].overlap == 2 and rows[1].f1 == 4 / 6
+    assert rows[2].em == 1 and rows[2].f1 == 1.0
+
+
+def test_api_kanonymity(spark):
+    rows = [("a", 1)] * 6 + [("a", 2)] * 2 + [("b", 1)] * 3
+    df = spark.createDataFrame(rows, "seg string, region int")
+    r = api.kanonymity(df, ["seg", "region"], k=5).collect()[0]
+    assert r.n_classes == 3 and r.n_classes_below_k == 2
+    assert r.n_rows_to_suppress == 5 and r.min_class_size == 2 and r.n_rows == 11
+
+
+def test_api_zorder_key(spark):
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # x=0b011 -> odd positions, y=0b101 -> even positions:
+    # z = y0*1 + x0*2 + y1*4 + x1*8 + y2*16 + x2*32 = 1+2+0+8+16+0 = 27
+    r = df.select(api.zorder_key(F.col("x"), F.col("y")).alias("z")).collect()[0]
+    assert r.z == 27
+
+
+def test_api_quantize_int8(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0])], "id long, v array<double>"
+    )
+    r = api.quantize_int8(df, "v").collect()[0]
+    assert r.q_max == 127 and r.q_min == -63  # round-half-up(-63.5) = -63
+    assert r.q_scale == 1.0 / 127.0  # maxq = 1e6 -> scale = 1/127

@@ -354,3 +354,21 @@ def test_r5_map_stage_ops_have_no_exchange(spark, sf_dir):
         tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
         assert "Exchange" not in tree, name
         assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree, name
+
+
+def test_r5_single_shuffle_aggs(spark, sf_dir):
+    """The r5 single-pass aggregation ops must shuffle exactly once
+    (map-side partial aggregation / one window partitioning), with
+    zero Python nodes: confusion matrix and decayed value are global/
+    keyed aggs, dynamic session windows merge in one (user, session)
+    aggregation, rolling slope shares one partition-key shuffle across
+    both its windows."""
+    for name in (
+        "pipeline_confusion_matrix",
+        "agg_decayed_value",
+        "agg_session_window_dynamic",
+        "win_rolling_slope",
+    ):
+        tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
+        assert tree.count("Exchange") == 1, name
+        assert "EvalPython" not in tree, name

@@ -603,3 +603,77 @@ def test_bpe_apply_matches_pure_python_on_any_vocab(spark, words, rule_idx):
         toks.extend(syms)
     assert got.toks == " ".join(toks)
     assert got.n_subwords == len(toks)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_key_is_bijective_bit_interleave(spark, pts):
+    """api.zorder_key must be the exact Morton interleave: python-side
+    deinterleaving of each z recovers (x, y) — bijectivity on the
+    16-bit grid, the property that makes z-sorted min/max stats prune
+    on either dimension."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", api.zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in rows:
+        x = y = 0
+        for b in range(16):
+            y |= ((r.z >> (2 * b)) & 1) << b
+            x |= ((r.z >> (2 * b + 1)) & 1) << b
+        assert (x, y) == (r.x, r.y)
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_int8_error_bound_any_vector(spark, vec):
+    """api.quantize_int8 on ANY vector: codes within [-127, 127] and
+    the exact integer L1 reconstruction error under the half-step
+    bound dims*(maxq//2 + 1)."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame([(1, [float(v) for v in vec])], "id long, v array<double>")
+    r = api.quantize_int8(df, "v").collect()[0]
+    assert -127 <= r.q_min <= r.q_max <= 127
+    maxq = max(abs(round(v * 1_000_000)) for v in vec) or 1
+    assert r.q_err <= len(vec) * (maxq // 2 + 1)
+
+
+@given(
+    pred=st.lists(st.sampled_from("abc"), max_size=6),
+    ref=st.lists(st.sampled_from("abc"), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_token_f1_symmetric_and_bounded(spark, pred, ref):
+    """token_f1 is symmetric in (pred, ref) and bounded in [0, 1];
+    f1 == 1 iff the multisets are equal."""
+    from big_data_analysis_spark import api
+
+    if not pred and not ref:
+        return  # denom 0: f1 NULL by contract
+    df = spark.createDataFrame(
+        [(1, pred, ref)], "id long, p array<string>, r array<string>"
+    )
+    a = api.token_f1(df, "p", "r").collect()[0]
+    b = api.token_f1(df, "r", "p").collect()[0]
+    assert a.f1 == b.f1
+    assert 0.0 <= a.f1 <= 1.0
+    assert (a.f1 == 1.0) == (sorted(pred) == sorted(ref))

@@ -1019,7 +1019,7 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_sql_function",
     oracle="""
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) * 0.9 AS discounted,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9 AS DOUBLE) AS discounted,
        CASE WHEN o_totalprice > 200000 THEN 'high'
             WHEN o_totalprice > 100000 THEN 'mid'
             ELSE 'low' END AS band
@@ -1038,7 +1038,7 @@ def fn_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     harden_session(spark)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION discount_price(p DOUBLE) "
-        "RETURNS DECIMAL(20,3) RETURN CAST(p AS DECIMAL(18,2)) * 0.9"
+        "RETURNS DOUBLE RETURN CAST(CAST(p AS DECIMAL(18,2)) * 0.9 AS DOUBLE)"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "

@@ -2301,3 +2301,85 @@ def pipeline_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall_"),
         ((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
     )
+
+
+def _bpe_chain_expr(text_expr: str = "text") -> str:
+    """The shared DuckDB BPE replace chain over an arbitrary text
+    expression (exact mirror of api.bpe_apply with _BPE_RULES)."""
+    expr = rf"regexp_replace({text_expr}, '(.)', ' \1 ', 'g')"
+    for left, right in _BPE_RULES:
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
+    return expr
+
+
+@query(
+    "pipeline_corpus_to_tokens",
+    oracle=f"""
+WITH dedup AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+kept AS (SELECT doc_id, source, text FROM dedup WHERE rn = 1),
+obs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM kept GROUP BY source
+),
+tgt AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_RESAMPLE_TARGETS.items()))})
+    t(source, tgt_pm)
+),
+rates AS (
+  SELECT o.source,
+         LEAST(CAST(1000 AS BIGINT),
+               (COALESCE(t.tgt_pm, 0) * o.total) // o.n) AS keep_pm
+  FROM obs o LEFT JOIN tgt t ON t.source = o.source
+),
+mixed AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept k JOIN rates r ON r.source = k.source
+  WHERE (k.doc_id * 2654435761) % 4294967296 % 1000 < r.keep_pm
+),
+tok AS (
+  SELECT doc_id, source,
+         len(list_filter(
+           list_transform(string_split(replace({_bpe_chain_expr()}, '  ', chr(9)),
+                                       chr(9)), x -> trim(x)),
+           x -> x <> '')) AS n_subwords
+  FROM mixed
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM tok
+GROUP BY source
+""",
+    category="pipelines",
+)
+def pipeline_corpus_to_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus-to-tokens build — the modern pretraining
+    recipe composed from this engine's own kernels in one plan:
+    exact dedup (keep-lowest per md5) → deterministic domain-mix
+    enforcement (api.domain_resample, integer per-mille thresholds)
+    → BPE tokenization (api.bpe_apply, the zero-shuffle replace
+    chain) → per-source token-budget ledger. The composition is the
+    point: every stage is the SAME certified kernel the standalone
+    queries grade, and the whole thing stays one Catalyst plan —
+    dedup's key window and the final per-source rollup are the only
+    corpus shuffles; resample's threshold and the tokenizer are
+    map-side.
+
+    At 100 TB this is the nightly corpus build: the ledger it emits
+    (docs kept, subword counts per domain) is what the training-mix
+    dashboard tracks."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = api.dedup_exact(d, [F.md5("text")], "doc_id")
+    mixed = api.domain_resample(kept, "source", "doc_id", _RESAMPLE_TARGETS)
+    toks = api.bpe_apply(mixed, "text", _BPE_RULES)
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.min("doc_id").alias("first_doc"),
+    )

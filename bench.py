@@ -65,8 +65,11 @@ BENCH_QUERIES = [
     "win_ntile_distributed",
     # r5-added: corpus tokenization throughput — the BPE apply map
     # stage (chained codegen string replaces, zero shuffles), the
-    # headline per-document cost of the tokenizer story.
+    # headline per-document cost of the tokenizer story — and the
+    # end-to-end corpus build composing dedup -> domain resample ->
+    # tokenize -> budget ledger in one plan.
     "pipeline_bpe_apply",
+    "pipeline_corpus_to_tokens",
 ]
 
 

@@ -640,3 +640,10 @@ def test_api_quantize_int8(spark):
     r = api.quantize_int8(df, "v").collect()[0]
     assert r.q_max == 127 and r.q_min == -63  # round-half-up(-63.5) = -63
     assert r.q_scale == 1.0 / 127.0  # maxq = 1e6 -> scale = 1/127
+
+
+def test_api_bpe_apply_empty_and_single_char(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a")], "id long, text string")
+    rows = {r.id: r for r in api.bpe_apply(df, "text", [("a", "a")]).collect()}
+    assert rows[1].n_subwords == 0 and rows[1].toks == ""
+    assert rows[2].n_subwords == 1 and rows[2].toks == "a"

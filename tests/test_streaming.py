@@ -346,3 +346,58 @@ def test_foreachbatch_restart_recovery_exactly_once(spark, sf_dir, tmp_path):
     want_ids = {r.event_id for r in ev.select("event_id").collect()}
     got_ids = {r.event_id for r in got.select("event_id").collect()}
     assert got_ids == want_ids
+
+
+def test_python_stream_source_checkpoint_restart(spark, tmp_path):
+    """The custom SimpleDataSourceStreamReader must replay correctly
+    across a checkpointed restart: stop the query after the first
+    micro-batches, restart from the same checkpoint (Spark re-reads
+    committed ranges via readBetweenOffsets and continues from the
+    last offset), and the final aggregate equals the closed form —
+    no loss, no double-count."""
+    from big_data_analysis_spark.streaming.stream_ops import _rangefeed_datasource
+
+    try:
+        spark.dataSource.register(_rangefeed_datasource())
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    name = "rangefeed_restart_sink"
+
+    def start():
+        s = spark.readStream.format("rangefeed").load()
+        agg = s.groupBy("tag").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val")
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    # let at least one micro-batch commit, then stop mid-feed
+    import time
+
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if any(p.get("batchId", -1) >= 1 for p in [q.lastProgress or {}]):
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r.tag: (r.n, r.sum_val) for r in spark.table(name).collect()}
+    want = {}
+    for i in range(1000):
+        t = f"p{i % 5}"
+        n, s_ = want.get(t, (0, 0))
+        want[t] = (n + 1, s_ + (i * i) % 997)
+    assert got == want

@@ -1131,3 +1131,51 @@ def fn_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_sqltvf d, LATERAL sql_tokens(d.text) t
         """
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+WITH k AS (
+  SELECT c_custkey,
+         CAST(('0x' || substring(md5(c_name || '|' || CAST(c_nationkey AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS sk
+  FROM customer
+)
+SELECT c_custkey, sk,
+       CAST(COUNT(*) OVER (PARTITION BY sk) AS BIGINT) AS sk_collisions
+FROM k
+""",
+    category="functions",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC surrogate keys — the warehouse key-generation
+    pattern that replaces monotonically_increasing_id (whose values
+    depend on partition layout and are unusable for reproducible
+    dimension loads): a 60-bit integer derived from the md5 of the
+    business key, identical on every engine, every run, every
+    partitioning. The per-key collision count is the load-time audit
+    (1 everywhere on this data; the birthday bound at 2^60 keeps it
+    1 in practice at any realistic dimension size).
+
+    Map-side key derivation; the audit window shuffles once on sk."""
+    c = table(spark, sf_dir, "customer")
+    sk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("c_name"), F.lit("|"), F.col("c_nationkey").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = c.select("c_custkey", sk.alias("sk"))
+    from pyspark.sql.window import Window as W
+
+    return k.select(
+        "c_custkey",
+        "sk",
+        F.count(F.lit(1)).over(W.partitionBy("sk")).cast("long").alias("sk_collisions"),
+    )

@@ -1006,3 +1006,77 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("slope"),
     )
+
+
+@query(
+    "win_longest_streak",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len,
+         CAST(MIN(day) AS TIMESTAMP) AS streak_start
+  FROM g GROUP BY user_id, grp
+),
+t AS (
+  SELECT user_id, streak_len, streak_start,
+         MAX(streak_len) OVER (PARTITION BY user_id) AS mx
+  FROM s
+)
+SELECT user_id,
+       MAX(streak_len) AS longest_streak,
+       MIN(CASE WHEN streak_len = mx THEN streak_start END)
+         AS best_streak_start,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM t
+GROUP BY user_id
+""",
+    category="windows",
+)
+def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric built on the gaps-and-islands identity
+    (day_number − row_number is constant within a run of consecutive
+    days): distinct (user, day) → island id → per-island length →
+    per-user max, with the earliest start among tied longest streaks
+    selected DETERMINISTICALLY (per-user max length via a window,
+    then MIN(start) over the islands attaining it — never min_by,
+    whose tie resolution is scan-order-dependent and would
+    hash-mismatch under different partitionings). The distinct, the
+    user window, and the rollups all share the user_id partitioning;
+    the island table is bounded by active days.
+
+    Graded streak_start stays TIMESTAMP per the DATE canonicalization
+    rule."""
+    e = table(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").cast("timestamp").alias("streak_start"),
+    )
+    t = s.withColumn(
+        "mx", F.max("streak_len").over(Window.partitionBy("user_id"))
+    )
+    return t.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("streak_len") == F.col("mx"), F.col("streak_start"))
+        ).alias("best_streak_start"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

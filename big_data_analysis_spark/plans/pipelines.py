@@ -2383,3 +2383,66 @@ def pipeline_corpus_to_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_subwords").alias("n_subwords"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "pipeline_pack_bpe_batches",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(
+           list_transform(string_split(replace({_bpe_chain_expr()}, '  ', chr(9)),
+                                       chr(9)), x -> trim(x)),
+           x -> x <> '')) AS n_subwords
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_subwords,
+         COALESCE(SUM(n_subwords) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS prior
+  FROM tok
+)
+SELECT source, CAST(prior // 2048 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY source, batch_id
+""",
+    category="pipelines",
+)
+def pipeline_pack_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY DOCUMENT PACKING into fixed token-budget training
+    batches — the data-loader step after tokenization (the companion
+    of pipeline_pack_sequences, which chunks token streams; this
+    packs whole documents): docs are laid out in deterministic
+    doc_id order within each source shard, and a document belongs to
+    batch floor(exclusive-prefix-subwords / 2048) — the streaming
+    greedy packer, reproducible on any engine because the order key
+    and the REAL BPE subword lengths (api.bpe_apply) are both
+    deterministic. Emits the per-batch ledger (docs, subwords, doc
+    range) a training job uses for sharding.
+
+    One shuffle on the source shard key; the prefix sum rides the
+    same partitioning; tokenization stays map-side."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = api.bpe_apply(d, "text", _BPE_RULES).select(
+        "doc_id", "source", "n_subwords"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn("prior", F.coalesce(F.sum("n_subwords").over(w), F.lit(0)))
+    return (
+        c.groupBy("source", F.expr("prior div 2048").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subwords").alias("n_subwords"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -1179,3 +1179,27 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sk",
         F.count(F.lit(1)).over(W.partitionBy("sk")).cast("long").alias("sk_collisions"),
     )
+
+
+@query("fn_phonetic_blocking", oracle=None, category="functions")
+def fn_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC blocking keys — census Soundex over the first word of
+    every part name: the classic entity-resolution blocking
+    complement to join_fuzzy_blocked's prefix keys (phonetic codes
+    catch spelling variants Levenshtein blocking windows miss;
+    candidate pairs then verify with an exact distance). Rows-only —
+    DuckDB ships no soundex — with a pure-Python reimplementation of
+    the census algorithm (incl. the H/W collapse rule) asserting
+    every code in tests/test_quality.py.
+
+    Per-code block sizes are the blocking-quality diagnostic: a hot
+    code (like a hot shuffle key) means the block degenerates toward
+    all-pairs and needs a longer compound key."""
+    p = table(spark, sf_dir, "part")
+    w1 = F.split(F.col("p_name"), " ").getItem(0)
+    codes = p.select(F.soundex(w1).alias("code"), w1.alias("word"))
+    return codes.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("word").alias("n_words"),
+        F.min("word").alias("example"),
+    )

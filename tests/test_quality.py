@@ -791,3 +791,40 @@ def test_survey_section2_rows_all_registered():
     ]
     assert missing == []
     assert "sim_threshold_pairs" in REG and "sim_threshold_join_lsh" in REG
+
+
+def _py_soundex(word: str) -> str:
+    """Census Soundex incl. the H/W rule (consonants separated by h/w
+    collapse; separated by vowels don't)."""
+    w = word.upper()
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", "M": "5", "N": "5", "R": "6"}
+    out = w[0]
+    prev = codes.get(w[0], "")
+    for ch in w[1:]:
+        c = codes.get(ch, "")
+        if c and c != prev:
+            out += c
+        if ch not in "HW":
+            prev = c
+    return (out + "000")[:4]
+
+
+def test_phonetic_blocking_matches_pure_python_soundex(spark, sf_dir):
+    """Every Soundex code Spark emits must equal the pure-Python
+    census algorithm on the same word, and block sizes must sum to
+    the part count."""
+    import pyspark.sql.functions as F
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    words = {r.w for r in p.select(F.split("p_name", " ").getItem(0).alias("w")).collect()}
+    spark_codes = {
+        r.w: r.c
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("c"))
+        .collect()
+    }
+    for w, c in spark_codes.items():
+        assert c == _py_soundex(w), (w, c, _py_soundex(w))
+    out = run("fn_phonetic_blocking", spark, sf_dir).collect()
+    assert sum(r.n_parts for r in out) == p.count()

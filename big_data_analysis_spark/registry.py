@@ -153,6 +153,15 @@ _GRADE_FIRST: frozenset[str] = frozenset({
     "fn_url", "fn_explode_outer", "fn_variant", "fn_bitwise",
     "stream_dedup_within_watermark", "text_bigram_freq",
     "text_pii_scrub", "text_contamination",
+    # VERDICT r4-named warehouse/at-scale rows and bench-suite
+    # members whose driver hash grade matters most (incl.
+    # pipeline_domain_resample, whose oracle changed with the r5
+    # integer-division fix and should certify under the driver):
+    "pipeline_scd2", "pipeline_dq_checks", "pipeline_incremental_dedup",
+    "win_ntile_distributed", "win_time_range_frame",
+    "pipeline_domain_resample", "pipeline_dataset_diff",
+    "pipeline_skew_report", "pipeline_bpe_apply",
+    "pipeline_corpus_to_tokens",
 })
 
 

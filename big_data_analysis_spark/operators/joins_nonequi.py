@@ -439,3 +439,94 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click.cts").alias("click_ts"),
         )
     )
+
+
+# Spatial grid join parameters: synthetic integer points on a
+# 1000x1000 plane derived from the keys (deterministic, no RNG);
+# radius 120 < cell size 125, so the 3x3 neighborhood of a point's
+# cell provably contains every candidate within radius.
+_SP_CELL = 125
+_SP_R2 = 120 * 120
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+WITH a AS (
+  SELECT c_custkey AS a_id,
+         CAST(c_custkey * 37 % 1000 AS BIGINT) AS ax,
+         CAST(c_custkey * 91 % 1000 AS BIGINT) AS ay
+  FROM customer
+),
+b AS (
+  SELECT s_suppkey AS b_id,
+         CAST(s_suppkey * 53 % 1000 AS BIGINT) AS bx,
+         CAST(s_suppkey * 71 % 1000 AS BIGINT) AS by_
+  FROM supplier
+)
+SELECT b.b_id, a.a_id,
+       (a.ax - b.bx) * (a.ax - b.bx) + (a.ay - b.by_) * (a.ay - b.by_) AS dist2
+FROM b JOIN a
+  ON (a.ax - b.bx) * (a.ax - b.bx) + (a.ay - b.by_) * (a.ay - b.by_) <= {_SP_R2}
+""",
+    category="joins",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BLOCKED spatial radius join — the geospatial analogue of
+    LSH banding (and the pattern behind geohash/S2/H3 joins): points
+    land in {_SP_CELL}-unit grid cells, each probe point expands to
+    its 3x3 cell neighborhood (radius {{r}} < cell size, so the
+    neighborhood provably covers the ball), candidates equi-join on
+    cell id, and the exact integer squared distance verifies. The
+    oracle states the quadratic textbook join; the engine never
+    builds it — candidates are bounded by local density x 9, the
+    spatial equivalent of the df-cap/banding bounds in the dedup
+    tier. All arithmetic exact int64 on deterministic synthetic
+    coordinates.
+
+    At 100 TB: both sides shuffle once on cell id (or the build side
+    bucket-partitions by cell at write time) — the standard
+    billions-of-points proximity-join shape."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    a = c.select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") * 37 % 1000).cast("long").alias("ax"),
+        (F.col("c_custkey") * 91 % 1000).cast("long").alias("ay"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_id"),
+        (F.col("s_suppkey") * 53 % 1000).cast("long").alias("bx"),
+        (F.col("s_suppkey") * 71 % 1000).cast("long").alias("by_"),
+    )
+    cell = lambda x, y: (F.floor(x / _SP_CELL) * 100 + F.floor(y / _SP_CELL)).cast(
+        "long"
+    )
+    a_cells = a.withColumn("cell", cell(F.col("ax"), F.col("ay")))
+    probe_cells = b.withColumn(
+        "cell",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: (
+                            (F.floor(F.col("bx") / _SP_CELL) + dx) * 100
+                            + (F.floor(F.col("by_") / _SP_CELL) + dy)
+                        ).cast("long"),
+                    ),
+                )
+            )
+        ),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by_")
+    ) * (F.col("ay") - F.col("by_"))
+    # no dedup needed: each A point lives in exactly ONE cell, so a
+    # (b, a) pair can match on at most one of B's 9 probed cells
+    return (
+        probe_cells.join(a_cells, "cell")
+        .where(d2 <= _SP_R2)
+        .select("b_id", "a_id", d2.alias("dist2"))
+    )

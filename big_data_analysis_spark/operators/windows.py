@@ -1080,3 +1080,80 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("best_streak_start"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "win_cusum_changepoint",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id, cents, k,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY k) AS prefix,
+         SUM(cents) OVER (PARTITION BY user_id) AS total,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c
+),
+d AS (
+  SELECT user_id, event_id, k, n,
+         ABS(n * prefix - k * total) AS dev
+  FROM t
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(dev) AS BIGINT) AS max_dev,
+       CAST(MIN(CASE WHEN dev = mx THEN k END) AS BIGINT) AS changepoint_k
+FROM (SELECT *, MAX(dev) OVER (PARTITION BY user_id) AS mx FROM d)
+GROUP BY user_id
+""",
+    category="windows",
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user — the classic
+    monitoring statistic (where did this series' mean shift?) made
+    EXACT: the deviation-from-mean prefix sum is cross-multiplied to
+    integers (dev_k = |n·prefix_k − k·total|, avoiding the mean
+    ratio entirely), the change point is the argmax with a
+    deterministic min-k tie-break via the windowed-max + conditional
+    MIN pattern (never max_by). cents ≤ 2^15, n ≤ 2^20 rows/user →
+    dev < 2^50: int64-safe at any realistic per-user volume.
+
+    One shuffle on user_id shared by every window; the rollup rides
+    the same partitioning."""
+    e = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    c = e.select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.row_number().over(wo).alias("k"),
+    )
+    t = c.select(
+        "user_id",
+        "k",
+        F.sum("cents").over(Window.partitionBy("user_id").orderBy("k")).alias(
+            "prefix"
+        ),
+        F.sum("cents").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    d = t.select(
+        "user_id",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total")).alias(
+            "dev"
+        ),
+    ).withColumn("mx", F.max("dev").over(wp))
+    return d.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max("dev").alias("max_dev"),
+        F.min(F.when(F.col("dev") == F.col("mx"), F.col("k"))).alias(
+            "changepoint_k"
+        ),
+    )

@@ -401,3 +401,37 @@ def test_python_stream_source_checkpoint_restart(spark, tmp_path):
         n, s_ = want.get(t, (0, 0))
         want[t] = (n + 1, s_ + (i * i) % 997)
     assert got == want
+
+
+def test_streaming_progress_reports_state_metrics(spark, sf_dir):
+    """The StreamingQueryProgress telemetry must reflect the state
+    store's true contents: after draining the tumbling aggregation,
+    the reported stateOperators rows-total equals the number of live
+    aggregation states ((window, event_type) groups), and input-rows
+    across progress updates equals the source row count — the
+    monitoring contract an operator alert is built on."""
+    from big_data_analysis_spark.streaming.stream_ops import read_event_stream
+
+    s = read_event_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("progress_probe_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p]
+        total_in = sum(p["numInputRows"] for p in progresses)
+        state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    ev = _events_batch(spark, sf_dir)
+    assert total_in == ev.count()
+    expected_groups = (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type").count().count()
+    )
+    assert state_rows == expected_groups

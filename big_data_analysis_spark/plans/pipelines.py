@@ -2446,3 +2446,48 @@ def pipeline_pack_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "pipeline_join_key_profile",
+    oracle="""
+WITH m AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS mult
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o.o_orderkey, COALESCE(m.mult, 0) AS mult
+  FROM orders o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
+)
+SELECT CAST(mult AS BIGINT) AS multiplicity,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(mult) AS BIGINT) AS n_rows_produced
+FROM o
+GROUP BY mult
+""",
+    category="pipelines",
+)
+def pipeline_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY cardinality profile — the pre-join diagnostic that
+    pairs with pipeline_skew_report (skew_report finds hot keys;
+    this one characterizes the whole multiplicity DISTRIBUTION of
+    orders⋈lineitem): for every order key, how many fact rows it
+    matches, histogrammed — including multiplicity 0 (orders with no
+    lineitems), which a naive inner-join profile silently misses.
+    n_rows_produced per bucket is the join's output-size forecast:
+    Σ = exact post-join row count, the number a capacity plan needs
+    BEFORE running the join.
+
+    Shape: one fact-side key count, a broadcast/shuffled left join
+    of key tables (never the fact payload), one bounded histogram
+    agg — the profile costs a key-table pass, not a join."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    m = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("mult"))
+    prof = o.select("o_orderkey").join(
+        m, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(F.coalesce("mult", F.lit(0)).alias("mult"))
+    return prof.groupBy(F.col("mult").alias("multiplicity")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("mult").alias("n_rows_produced"),
+    )

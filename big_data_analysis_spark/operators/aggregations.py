@@ -2417,3 +2417,68 @@ def agg_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_score"
         ),
     )
+
+
+@query(
+    "agg_pareto_deciles",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM orders
+),
+s AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(p) AS DECIMAL(28,2)) AS rev
+  FROM d GROUP BY decile
+),
+t AS (SELECT CAST(SUM(p) AS DECIMAL(28,2)) AS total FROM d)
+SELECT decile, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(SUM(CAST(rev AS DOUBLE)) OVER (ORDER BY decile) AS DOUBLE)
+         / CAST(total AS DOUBLE) AS cum_share
+FROM s, t
+""",
+    category="aggregations",
+)
+def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION (Pareto) curve — deciles of orders by
+    value with each decile's exact-decimal revenue, share, and
+    cumulative share (the 80/20 readout next to agg_gini/agg_hhi,
+    which compress the same curve to one number). Decile assignment
+    is a total order (price desc, orderkey tie-break); revenue sums
+    are exact DECIMAL before the one cast-to-double per output
+    column; the cumulative share sums 10 doubles in a fixed order.
+
+    The global ntile here carries the same documented single-task-
+    sort caveat as win_ntile — win_ntile_distributed is the at-scale
+    form; the 10-row rollup afterwards is trivially bounded."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    d = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    s = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("p").cast("decimal(28,2)").alias("rev"),
+    )
+    t = d.agg(F.sum("p").cast("decimal(28,2)").alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.sum(F.col("rev").cast("double")).over(wc)
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

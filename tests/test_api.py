@@ -647,3 +647,45 @@ def test_api_bpe_apply_empty_and_single_char(spark):
     rows = {r.id: r for r in api.bpe_apply(df, "text", [("a", "a")]).collect()}
     assert rows[1].n_subwords == 0 and rows[1].toks == ""
     assert rows[2].n_subwords == 1 and rows[2].toks == "a"
+
+
+def test_api_asof_join_tolerance_matches_pandas(spark):
+    """Tolerance semantics vs pandas merge_asof on colliding random
+    timestamps: backward matches staler than the tolerance drop, and
+    at-tolerance gaps survive (<= semantics both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    lpd = pd.DataFrame(
+        {"k": rng.integers(0, 4, 120), "tsec": rng.integers(0, 40, 120),
+         "tid": np.arange(120)}
+    )
+    rpairs = sorted({(int(rng.integers(0, 4)), int(rng.integers(0, 40)))
+                     for _ in range(60)})
+    rpd = pd.DataFrame(
+        {"k": [p[0] for p in rpairs], "tsec": [p[1] for p in rpairs],
+         "tid": np.arange(len(rpairs)) + 10_000}
+    )
+    for df_ in (lpd, rpd):
+        df_["ts"] = pd.to_datetime(df_["tsec"], unit="s")
+    ls = spark.createDataFrame(lpd[["k", "ts", "tid"]])
+    rs = spark.createDataFrame(rpd[["k", "ts", "tid"]])
+    TOL_S = 5
+    got = {
+        r.tid: r.right_tid
+        for r in api.asof_join(
+            ls, rs, "k", "ts", "tid",
+            direction="backward", tolerance_us=TOL_S * 1_000_000,
+        ).collect()
+    }
+    m = pd.merge_asof(
+        lpd.sort_values(["ts", "tid"]),
+        rpd.sort_values("ts").rename(columns={"tid": "rtid"})[["k", "ts", "rtid"]],
+        on="ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(seconds=TOL_S),
+    )
+    want = {
+        int(t): int(r) for t, r in zip(m["tid"], m["rtid"]) if pd.notna(r)
+    }
+    assert got == want

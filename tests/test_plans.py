@@ -368,6 +368,9 @@ def test_r5_single_shuffle_aggs(spark, sf_dir):
         "agg_decayed_value",
         "agg_session_window_dynamic",
         "win_rolling_slope",
+        "pipeline_pack_bpe_batches",
+        "win_cusum_changepoint",
+        "fn_surrogate_key",
     ):
         tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
         assert tree.count("Exchange") == 1, name

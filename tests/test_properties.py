@@ -677,3 +677,32 @@ def test_token_f1_symmetric_and_bounded(spark, pred, ref):
     assert a.f1 == b.f1
     assert 0.0 <= a.f1 <= 1.0
     assert (a.f1 == 1.0) == (sorted(pred) == sorted(ref))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)),
+        min_size=1,
+        max_size=40,
+    ),
+    k1=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_kanonymity_monotone_in_k(spark, rows, k1):
+    """api.kanonymity invariants on ANY quasi-id distribution:
+    below-k class count and suppression workload are nondecreasing in
+    k; totals are k-independent; min_class_size is the real k of the
+    release (no class below it)."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    r1 = api.kanonymity(df, ["a", "b"], k=k1).collect()[0]
+    r2 = api.kanonymity(df, ["a", "b"], k=k1 + 2).collect()[0]
+    assert r1.n_rows == r2.n_rows == len(rows)
+    assert r1.n_classes == r2.n_classes
+    assert r1.n_classes_below_k <= r2.n_classes_below_k
+    assert r1.n_rows_to_suppress <= r2.n_rows_to_suppress
+    from collections import Counter
+
+    sizes = Counter(rows)
+    assert r1.min_class_size == min(sizes.values())

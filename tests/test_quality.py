@@ -828,3 +828,34 @@ def test_phonetic_blocking_matches_pure_python_soundex(spark, sf_dir):
         assert c == _py_soundex(w), (w, c, _py_soundex(w))
     out = run("fn_phonetic_blocking", spark, sf_dir).collect()
     assert sum(r.n_parts for r in out) == p.count()
+
+
+def test_corpus_to_tokens_composes_stage_kernels(spark, sf_dir):
+    """The end-to-end corpus build must equal its stages composed
+    independently: ledger doc counts match dedup+resample membership
+    computed stage-by-stage, and subword totals match api.bpe_apply
+    run separately on exactly the surviving docs."""
+    import pyspark.sql.functions as F
+
+    from big_data_analysis_spark import api
+    from big_data_analysis_spark.plans.pipelines import (
+        _BPE_RULES,
+        _RESAMPLE_TARGETS,
+    )
+
+    ledger = {r.source: r for r in run("pipeline_corpus_to_tokens", spark, sf_dir).collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    kept = api.dedup_exact(d, [F.md5("text")], "doc_id")
+    mixed = api.domain_resample(kept, "source", "doc_id", _RESAMPLE_TARGETS)
+    toks = api.bpe_apply(mixed, "text", _BPE_RULES)
+    want = {
+        r.source: (r.n, r.s)
+        for r in toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_subwords").alias("s"))
+        .collect()
+    }
+    assert set(ledger) == set(want)
+    for src, (n, s_) in want.items():
+        assert (ledger[src].n_docs, ledger[src].n_subwords) == (n, s_), src

@@ -2482,3 +2482,54 @@ def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+f AS (
+  SELECT user_id, day,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM d
+)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM f
+GROUP BY day
+""",
+    category="aggregations",
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs RETURNING active users — the growth-accounting
+    split every product dashboard leads with: a user's first-seen
+    day classifies each of their active days. One distinct over
+    (user, day), a per-user MIN window on the same partitioning, and
+    a bounded per-day rollup — no self-join against history (the
+    naive formulation), no second scan. Day stays TIMESTAMP per the
+    DATE canonicalization rule.
+
+    At 100 TB the (user, day) distinct is the only corpus-scale
+    stage; the window rides its partitioning."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    f = d.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return f.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("int")).cast("long").alias(
+            "n_new"
+        ),
+        F.sum((F.col("day") > F.col("first_day")).cast("int")).cast("long").alias(
+            "n_returning"
+        ),
+        F.count(F.lit(1)).alias("n_active"),
+    )

@@ -79,10 +79,28 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Queries the driver has already hash-graded green (union of
-# CORRECTNESS_r01 + r02 + r03 + r04).  Refresh this set each round
-# from the latest CORRECTNESS_r{N}.json files so never-graded oracle
-# queries sort to the front of the driver's ~50-query window.
+# CORRECTNESS_r01 + r02 + r03 + r04 + r05).  Refresh this set each
+# round from the latest CORRECTNESS_r{N}.json files so never-graded
+# oracle queries sort to the front of the driver's ~50-query window.
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r5 greens (CORRECTNESS_r05: 50/50 hash-exact) ---
+    "agg_boolean", "agg_filtered", "agg_gap_fill", "agg_histogram",
+    "agg_mode", "agg_pivot", "agg_time_rollup", "agg_top_groups",
+    "agg_unpivot", "agg_weighted_avg", "fn_bitwise", "fn_explode_outer",
+    "fn_hash", "fn_json", "fn_string_distance", "fn_url", "fn_variant",
+    "graph_sssp_weighted", "join_runtime_bloom", "join_spatial_grid",
+    "multimodal_image_resize", "pipeline_bpe_apply",
+    "pipeline_corpus_to_tokens", "pipeline_dataset_diff",
+    "pipeline_domain_resample", "pipeline_dq_checks",
+    "pipeline_incremental_dedup", "pipeline_incremental_mv",
+    "pipeline_journey_regex", "pipeline_scd2", "pipeline_skew_report",
+    "scan_observe_metrics", "scan_parquet_merge_schema",
+    "scan_parquet_partitioned", "sim_ivf_probe",
+    "stream_dedup_within_watermark", "stream_trigger_available_now",
+    "text_bigram_freq", "text_contamination", "text_pii_scrub",
+    "text_top_terms", "udtf_table_arg", "vec_quantize_int8",
+    "win_gaps_islands", "win_nth_ignore_nulls", "win_ntile_distributed",
+    "win_ratio_to_report", "win_sessionize", "win_time_range_frame",
     # --- r4 greens (CORRECTNESS_r04: 50/50 hash-exact) ---
     "agg_bitmap_distinct", "agg_bitmap_rollup", "agg_collect",
     "agg_listagg", "agg_ohlc", "dedup_containment", "fn_array",
@@ -142,26 +160,29 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 })
 
 
-# Never-graded SURVEY.md §2 checklist rows — graded ahead of other
-# ungraded queries so the §2 inventory driver-completes first (r5:
-# the remaining 23 §2 rows without a driver hash grade).
+# Priority tier within the never-graded pool (r6): VERDICT r5-named
+# queries first — the two scale-weak fixes landing this round
+# (pipeline_rfm_segments, win_skyline) must certify under the driver
+# with their NEW plans, plus the judge's explicitly named r5-wave and
+# bench-suite members.  72 ungraded oracle queries remain vs a
+# ~49-slot window, so the ~23 that miss r6 drain in r7.
 _GRADE_FIRST: frozenset[str] = frozenset({
-    "scan_parquet_merge_schema", "agg_filtered", "agg_pivot",
-    "agg_unpivot", "agg_top_groups", "agg_weighted_avg", "agg_mode",
-    "agg_histogram", "agg_boolean", "agg_gap_fill", "win_gaps_islands",
-    "win_nth_ignore_nulls", "win_sessionize", "fn_json", "fn_hash",
-    "fn_url", "fn_explode_outer", "fn_variant", "fn_bitwise",
-    "stream_dedup_within_watermark", "text_bigram_freq",
-    "text_pii_scrub", "text_contamination",
-    # VERDICT r4-named warehouse/at-scale rows and bench-suite
-    # members whose driver hash grade matters most (incl.
-    # pipeline_domain_resample, whose oracle changed with the r5
-    # integer-division fix and should certify under the driver):
-    "pipeline_scd2", "pipeline_dq_checks", "pipeline_incremental_dedup",
-    "win_ntile_distributed", "win_time_range_frame",
-    "pipeline_domain_resample", "pipeline_dataset_diff",
-    "pipeline_skew_report", "pipeline_bpe_apply",
-    "pipeline_corpus_to_tokens",
+    "pipeline_rfm_segments", "win_skyline",
+    "stream_session_dynamic", "agg_session_window_dynamic",
+    "pipeline_tokenizer_vocab", "agg_new_vs_returning",
+    "pipeline_join_key_profile", "pipeline_pack_bpe_batches",
+    # bench-suite members / marquee pipeline surface
+    "pipeline_inverted_index", "pipeline_cohort_retention",
+    "pipeline_ab_test", "pipeline_dataset_card",
+    "pipeline_confusion_matrix", "pipeline_kanonymity",
+    "pipeline_eval_em_f1", "pipeline_eval_calibration",
+    "pipeline_feature_drift", "pipeline_domain_mix_report",
+    "pipeline_seasonality", "pipeline_traffic_anomaly",
+    "multimodal_audio_downsample", "join_dynamic_partition_pruning",
+    "scan_csv_multiline", "stream_python_datasource",
+    "agg_session_window_native", "fn_sql_function",
+    "fn_sql_table_function", "fn_zorder_key", "udtf_arrow",
+    "text_repetition_filter", "text_code_detect",
 })
 
 

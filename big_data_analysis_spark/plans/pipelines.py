@@ -480,6 +480,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # write path and read path must hash identically.
 from ..operators.similarity import _SQL_BUCKET as _SEM_BUCKET_SQL
 from ..operators.similarity import sem_bucket
+from ..operators.windows import ntile_distributed
 
 
 @query(
@@ -1280,9 +1281,14 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary (exact-decimal spend), each quartiled with ntile over a
     total order (custkey tie-break makes the quartile assignment
     deterministic), then the 4x4x4 segment rollup with exact segment
-    value. The three ntiles are global sorts of the per-customer
-    ROLLUP (n_customers rows, not the fact table) — the same
-    bounded-sort posture as agg_equidepth_histogram."""
+    value. The three quartile scores run through the shared
+    ``ntile_distributed`` kernel (operators/windows.py — range
+    repartition + per-partition row_number + broadcast offsets,
+    driver-certified bit-equal to ntile): the per-customer rollup
+    grows with the customer base, so a global-ORDER ntile window
+    would funnel it through ONE task at 100 TB; here each score is a
+    range-balanced shuffle and nothing global ever sorts on one
+    executor."""
     o = table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1291,13 +1297,13 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
-    )
+    scored = rfm
+    for order_cols, score in (
+        (["last_order", "o_custkey"], "r_score"),
+        (["frequency", "o_custkey"], "f_score"),
+        (["monetary", "o_custkey"], "m_score"),
+    ):
+        scored = ntile_distributed(scored, 4, order_cols, score)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("monetary").cast("decimal(18,2)"))

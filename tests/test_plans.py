@@ -252,6 +252,24 @@ def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in rn_lines), rn_lines
 
 
+def test_rfm_segments_ntiles_are_distributed(spark, sf_dir):
+    """pipeline_rfm_segments' three RFM quartile scores must run
+    through the ntile_distributed kernel: RangePartitioning present
+    (three range-balanced shuffles over the customer rollup), and
+    every data-proportional row_number window carries a NON-empty
+    partition spec — a global ntile(4) window over the per-customer
+    rollup (the pre-r6 shape) funnels a customer-base-proportional
+    table through one task at 100 TB."""
+    plan = plan_of("pipeline_rfm_segments", spark, sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    assert "ntile(4)" not in plan  # no demo-shape global ntile survives
+    rn_lines = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert len(rn_lines) >= 3, plan  # one per RFM score
+    assert all("], [], [" not in l for l in rn_lines), rn_lines
+
+
 def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     """The event_type IN filter must resolve against hive partition
     directories at planning time (PartitionFilters), reading 2 of 5

@@ -588,15 +588,21 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     running MAX of date over STRICTLY-higher-priced rows does not
     exceed its own date. "Strictly higher" is expressed as a RANGE
     frame ending 1 PRECEDING over integer cents (ties share a frame
-    boundary, so equal prices never dominate each other) — one
-    window, one sort, no self-join. A property test cross-checks
-    against the quadratic definition at the small scale factor.
+    boundary, so equal prices never dominate each other) — expressed
+    DISTRIBUTED: the sort-scan runs at the distinct-PRICE level
+    (group prices first, so a tie run is ONE row and can never
+    straddle a range-partition boundary), range-partitioned by
+    price descending with each partition's running max carried
+    forward through a broadcast offsets table — the standard
+    distributed-skyline refinement; no global single-task sort
+    anywhere. A property test cross-checks against the quadratic
+    NOT-EXISTS definition at the small scale factor.
 
-    Scale: the window is a single global sort (no partition key).
-    For 100 TB, range-partition by price and run the same scan per
-    partition carrying each partition's running max forward — the
-    standard distributed-skyline refinement; the per-row logic is
-    unchanged."""
+    Scale: shuffles are (1) the price-level groupBy, (2) a
+    range-balanced repartition of the distinct-price table, (3) the
+    equi-join of the fact table against the price->frontier map —
+    all key-balanced; the carry table is <=32 rows and broadcast.
+    The same plan holds at 100 TB with more range partitions."""
     o = table(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
@@ -607,11 +613,42 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d_days"),
     )
-    w = (
-        Window.orderBy(F.col("price_c").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    # one row per distinct price: the latest date seen at that price
+    prices = t.groupBy("price_c").agg(F.max("d_days").alias("pmax_d"))
+    ranged = prices.repartitionByRange(32, F.col("price_c").desc())
+    # per-partition strict-above running max (parallel windows keyed
+    # by the materialized partition id — never a global sort)
+    local = ranged.select(
+        "price_c",
+        "pmax_d",
+        F.spark_partition_id().alias("__sk_pid"),
+        F.max("pmax_d")
+        .over(
+            Window.partitionBy(F.spark_partition_id())
+            .orderBy(F.col("price_c").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("local_above"),
     )
-    m = t.withColumn("best_d_above", F.max("d_days").over(w))
+    # carry each partition's max forward: partitions ascend in pid =
+    # descending price ranges, so the prefix-max over pid < p is the
+    # best date among ALL strictly-higher-priced partitions
+    per_pid = local.groupBy("__sk_pid").agg(F.max("pmax_d").alias("pid_max"))
+    carry = per_pid.select(
+        "__sk_pid",
+        F.max("pid_max")
+        .over(
+            Window.orderBy("__sk_pid").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("carry_above"),
+    )
+    best = local.join(F.broadcast(carry), "__sk_pid").select(
+        "price_c",
+        F.greatest("local_above", "carry_above").alias("best_d_above"),
+    )
+    m = t.join(best, "price_c")
     return m.where(
         F.col("best_d_above").isNull()
         | (F.col("best_d_above") <= F.col("d_days"))

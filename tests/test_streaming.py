@@ -435,3 +435,88 @@ def test_streaming_progress_reports_state_metrics(spark, sf_dir):
         ev.groupBy(F.window("ts", "6 hours"), "event_type").count().count()
     )
     assert state_rows == expected_groups
+
+
+def test_tws_probe_matches_environment():
+    """The transformWithStateInPandas capability probe must agree
+    with reality: True iff the protobuf-backed protocol stubs
+    import. In this container google.protobuf is absent, so the
+    probe documents the blocker instead of letting the worker
+    explode mid-query; on a protobuf-equipped cluster the probe
+    flips and the new-API path runs unchanged."""
+    from big_data_analysis_spark.streaming.stream_ops import (
+        tws_protocol_available,
+    )
+
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        expected = True
+    except ImportError:
+        expected = False
+    assert tws_protocol_available() is expected
+
+
+def test_tws_processor_state_transitions_match_batch():
+    """RunningMaxProcessor's state transitions, driven through a fake
+    handle (no state server), must reproduce the batch aggregate for
+    any batch split — the processor logic itself is deterministic
+    even where the wire protocol can't run."""
+    import pandas as pd
+
+    from big_data_analysis_spark.streaming.stream_ops import (
+        RunningMaxProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, new):
+            self.v = tuple(new)
+
+    class FakeHandle:
+        def __init__(self):
+            self.cells = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.cells.setdefault(name, FakeValueState())
+
+    values = [3.5, -1.0, 7.25, 7.25, 0.0, 2.5]
+    for split in (1, 2, 3, 6):
+        proc = RunningMaxProcessor()
+        proc.init(FakeHandle())
+        out = None
+        for i in range(0, len(values), split):
+            chunk = pd.DataFrame({"value": values[i : i + split]})
+            out = list(
+                proc.handleInputRows((42,), iter([chunk]), None)
+            )[-1]
+        proc.close()
+        assert int(out["n_events"].iloc[0]) == len(values)
+        assert float(out["max_value"].iloc[0]) == max(values)
+        assert int(out["user_id"].iloc[0]) == 42
+
+
+def test_transform_with_state_final_matches_batch(spark, sf_dir):
+    """End-to-end: the registered query (new API where the protocol
+    exists, documented v1 fallback here) must land on the batch
+    aggregate — same guarantee as stream_stateful."""
+    rows = run("stream_transform_with_state", spark, sf_dir).collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.max_value)
+    batch = {
+        r.user_id: (r.n, r.mx)
+        for r in _events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, mx) in batch.items():
+        got_n, got_mx = final[uid]
+        assert got_n == n and abs(got_mx - mx) < 1e-12

@@ -70,6 +70,16 @@ BENCH_QUERIES = [
     # tokenize -> budget ledger in one plan.
     "pipeline_bpe_apply",
     "pipeline_corpus_to_tokens",
+    # r6-added: IVF-Flat ANN read path (coarse-quantizer cell probe +
+    # exact verify — the at-scale sibling of the LSH probe), grid-
+    # blocked spatial join (cell equi-join, no theta cross product),
+    # weighted single-source shortest path (iterative relax rounds,
+    # one scalar collect per round), and BPE batch packing (the
+    # tokenize -> pack-to-context-window training-data shape).
+    "sim_ivf_probe",
+    "join_spatial_grid",
+    "graph_sssp_weighted",
+    "pipeline_pack_bpe_batches",
 ]
 
 

@@ -685,23 +685,33 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells — the inverted-file contract.
 
     One collect() of 16 codebook rows (bounded scalar staging, same
-    pattern as sim_knn_ivf's centroid literals)."""
+    pattern as sim_knn_ivf's centroid literals).
+
+    Perf note (r6): each embedding is quantized ONCE into a long
+    array and the codebook is collected already-quantized, so the
+    16-way argmin is pure integer subtract-multiply over long
+    literals — quantizing per (element x centroid) in the argmin
+    expression (the r5 shape) built a tree too big for whole-stage
+    codegen and fell back to interpreted eval (~10x slower on the
+    same data)."""
     e = table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
+    e2 = e.select("vec_id", "embedding", qe.alias("qv"))
     cents = {
-        r["vec_id"]: list(r["embedding"])
-        for r in e.where(F.col("vec_id") < _IVF_CELLS)
-        .select("vec_id", "embedding")
+        r["vec_id"]: [int(x) for x in r["qv"]]
+        for r in e2.where(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "qv")
         .collect()
     }
 
-    def q(v: Column) -> Column:
-        return F.round(v.cast("double") * 1_000_000).cast("long")
-
     def dist2_to(c: list) -> Column:
         diffs = F.zip_with(
-            F.col("embedding"),
-            F.array(*[F.lit(float(x)) for x in c]),
-            lambda x, y: (q(x) - q(y)) * (q(x) - q(y)),
+            F.col("qv"),
+            F.array(*[F.lit(x) for x in c]),
+            lambda x, y: (x - y) * (x - y),
         )
         return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -713,13 +723,13 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    assigned = e.select(
+    assigned = e2.select(
         "vec_id",
         "embedding",
         F.element_at(ranked_cells, 1).getField("cell_id").alias("cell_id"),
     )
     probes = (
-        e.where(F.col("vec_id") < 5)
+        e2.where(F.col("vec_id") < 5)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),

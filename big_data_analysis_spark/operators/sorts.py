@@ -204,3 +204,58 @@ def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "sort_paginate_keyset",
+    oracle="""
+WITH cur AS (
+  SELECT o_totalprice AS cp, o_orderkey AS ck
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1 OFFSET 39
+)
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o, cur
+WHERE o.o_totalprice <= cur.cp
+  AND (o.o_totalprice < cur.cp
+       OR (o.o_totalprice = cur.cp AND o.o_orderkey > cur.ck))
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+    category="sorts",
+)
+def sort_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the at-scale replacement sort_paginate's
+    docstring names: resume AFTER the client's cursor (the last row
+    of the previous page, here the 40th row in the total order, so
+    the result is bit-identical to sort_paginate's page 3) with a
+    WHERE-tuple predicate instead of OFFSET.  The redundant
+    ``o_totalprice <= cursor`` conjunct is deliberately separate
+    from the strict tuple comparison: a single-column range
+    predicate reaches the parquet scan (PushedFilters + row-group
+    min/max skipping), so deep pages read only the tail of the sort
+    key's value range instead of heap-scanning offset+limit rows —
+    OFFSET-pagination cost grows with page depth, keyset cost
+    doesn't.  The page itself is a TakeOrderedAndProject (per-
+    partition heap of 20, no global sort).  The one-row cursor
+    lookup stands in for the client-supplied token (bounded scalar
+    staging); a real API keeps it from the previous response."""
+    o = table(spark, sf_dir, "orders")
+    cur = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(39)
+        .limit(1)
+        .collect()[0]
+    )
+    cp, ck = cur["o_totalprice"], cur["o_orderkey"]
+    price, key = F.col("o_totalprice"), F.col("o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .where(
+            (price <= F.lit(cp))
+            & ((price < F.lit(cp)) | ((price == F.lit(cp)) & (key > F.lit(ck))))
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -252,6 +252,19 @@ def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in rn_lines), rn_lines
 
 
+def test_keyset_pagination_pushes_cursor_to_scan(spark, sf_dir):
+    """sort_paginate_keyset must (1) push the cursor's single-column
+    range conjunct into the parquet scan — that's the whole point of
+    keyset over OFFSET: deep pages skip row groups instead of
+    heap-scanning offset+limit rows — and (2) take the page with a
+    TakeOrderedAndProject bounded heap, never a global sort."""
+    plan = plan_of("sort_paginate_keyset", spark, sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "LessThanOrEqual(o_totalprice" in pushed, pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
 def test_skyline_avoids_global_sort(spark, sf_dir):
     """win_skyline's distributed refinement: the strict-above prefix
     max must run range-partitioned at the distinct-price level — no

@@ -2,9 +2,10 @@
 Q19/Q22), adapted to the reduced fixture schema exactly like
 plans/tpch.py (FIXTURES.md: no partsupp; lineitem lacks commit/
 receipt dates and shipmode; customer lacks phone; part lacks
-container/mfgr — each adaptation is noted per query). Q2/Q9/Q11/Q16/
-Q20 need partsupp and Q21 needs receipt/commit dates, so they have
-no faithful adaptation here.
+container/mfgr — each adaptation is noted per query). Q2/Q9/Q11/Q12/
+Q16/Q20/Q21 — the rows needing partsupp or receipt/commit dates —
+live in plans/tpch_bridge.py (r6), adapted over the lineitem
+part-supplier bridge; the 22-query suite is complete.
 
 Scale notes: every query keeps the engine's exact-decimal aggregate
 convention (exact.py) so results are layout/order independent;

@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None, category: str = "", tags: tuple 
 _OPERATOR_MODULES = [
     "big_data_analysis_spark.plans.tpch",
     "big_data_analysis_spark.plans.tpch_ext",
+    "big_data_analysis_spark.plans.tpch_bridge",
     "big_data_analysis_spark.plans.pipelines",
     "big_data_analysis_spark.sources.scans",
     "big_data_analysis_spark.operators.projections",

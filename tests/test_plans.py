@@ -252,6 +252,18 @@ def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in rn_lines), rn_lines
 
 
+def test_q9_bridge_dims_broadcast(spark, sf_dir):
+    """tpch_q9 (lineitem-bridge adaptation) must broadcast the
+    bounded dims (part filter, supplier, nation) — a sort-merge join
+    against a 2k-row part table is the classic wasted shuffle — and
+    keep the 'red'-part name filter pushed into the part scan side,
+    pruning the fact early."""
+    plan = plan_of("tpch_q9", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan  # partial+final grouped agg
+
+
 def test_keyset_pagination_pushes_cursor_to_scan(spark, sf_dir):
     """sort_paginate_keyset must (1) push the cursor's single-column
     range conjunct into the parquet scan — that's the whole point of

@@ -706,6 +706,50 @@ def domain_resample(
     ).drop("keep_pm")
 
 
+def epoch_upsample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    epochs_pm: dict,
+) -> DataFrame:
+    """Deterministic per-domain EPOCH replication — the upsampling
+    complement of ``domain_resample``: each row gets
+    ``epochs_pm[domain] / 1000`` copies, where the integer part
+    replicates every row and the fractional part selects rows by the
+    same Knuth-hash threshold on the id (a 2500-per-mille domain
+    yields 2 copies of every doc plus a third copy of a
+    deterministic 50% subset). Domains absent from ``epochs_pm``
+    drop entirely; a <1000 value degrades to pure down-sampling.
+    Copies carry ``copy_id`` (1..k) so downstream shuffling/packing
+    can keep replicas apart.
+
+    Scale: the epoch table is bounded (one row per domain) and
+    broadcast; replication is a map-side explode with fan-out
+    exactly sum(epochs)/1000 x corpus — no shuffle, no RNG."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(epochs_pm.items()), f"{domain_col} string, epochs_pm long"
+    )
+    # `div` = exact integer division on longs (domain_resample's rule)
+    k = F.expr("epochs_pm div 1000") + F.when(
+        (F.col(id_col) * 2654435761) % 4294967296 % 1000
+        < F.col("epochs_pm") % 1000,
+        1,
+    ).otherwise(0)
+    return (
+        df.join(F.broadcast(tgt), domain_col)
+        .withColumn("__k", k)
+        .where(F.col("__k") >= 1)  # sequence(1,0) would run DOWNWARD
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(1), F.col("__k").cast("int"))).alias(
+                "__copy"
+            ),
+        )
+        .select(*df.columns, F.col("__copy").cast("long").alias("copy_id"))
+    )
+
+
 def rolling_distinct(
     df: DataFrame,
     ts_col: str,

@@ -866,6 +866,43 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_rank_distributed(
+    df: DataFrame, order_cols: list, alias: str, num_partitions: int = 32
+) -> DataFrame:
+    """Exact global row_number() over a total order WITHOUT a
+    single-task sort — the rank-emitting sibling of
+    ``ntile_distributed`` (same certified machinery: range
+    repartition, per-partition row_number keyed on the materialized
+    partition id, cumulative per-partition counts broadcast back as
+    offsets).  ``order_cols`` must be a total order.  Used for
+    round-robin shard assignment (pipeline_shard_manifest) and any
+    exact-rank need on data-proportional tables."""
+    keep = df.columns
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    local = ranged.select(
+        *keep,
+        F.spark_partition_id().alias("__gr_pid"),
+        F.row_number()
+        .over(Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols))
+        .alias("__gr_lrn"),
+    )
+    counts = local.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "__gr_pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("__gr_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__gr_off"),
+    )
+    return local.join(F.broadcast(offsets), "__gr_pid").select(
+        *keep, (F.col("__gr_off") + F.col("__gr_lrn")).alias(alias)
+    )
+
+
 def ntile_distributed(
     df: DataFrame, k: int, order_cols: list, alias: str, num_partitions: int = 32
 ) -> DataFrame:

@@ -480,7 +480,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # write path and read path must hash identically.
 from ..operators.similarity import _SQL_BUCKET as _SEM_BUCKET_SQL
 from ..operators.similarity import sem_bucket
-from ..operators.windows import ntile_distributed
+from ..operators.windows import global_rank_distributed, ntile_distributed
 
 
 @query(
@@ -2496,4 +2496,112 @@ def pipeline_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.groupBy(F.col("mult").alias("multiplicity")).agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("mult").alias("n_rows_produced"),
+    )
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8
+           AS shard_id
+  FROM t
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+FROM r
+GROUP BY shard_id
+""",
+    category="pipelines",
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced OUTPUT SHARDING — the write-side planning op of
+    a training-data build: assign every document to one of 8 output
+    shards round-robin by exact global token-count rank (descending,
+    doc_id tie-break), so each shard lands within one max-doc of the
+    ideal token share (the classic LPT/round-robin bound), and emit
+    the shard manifest (doc count, token sum, largest doc) a
+    downstream writer partitions by.
+
+    The exact global rank comes from the ``global_rank_distributed``
+    kernel (operators/windows.py) — range repartition +
+    per-partition row_number + broadcast cumulative offsets — so
+    NOTHING sorts on one task; at 100 TB the same plan holds with
+    more range partitions, unlike the textbook row_number() OVER
+    (ORDER BY ...) which funnels the corpus through one executor."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    ranked = global_rank_distributed(
+        t, [F.col("n_tok").desc(), F.col("doc_id")], "rk"
+    )
+    return (
+        ranked.select(
+            "n_tok", ((F.col("rk") - 1) % 8).cast("long").alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+    )
+
+
+_EPOCH_TARGETS = {
+    "src0": 3200,  # 3 full copies + deterministic 20% fourth copy
+    "src1": 1000,  # exactly one epoch
+    "src2": 500,   # degrades to a 50% down-sample
+    "src3": 2000,  # two full copies
+    "src4": 1500,  # one full + deterministic 50% second copy
+}
+
+
+@query(
+    "pipeline_mixture_epochs",
+    oracle="""
+WITH pm AS (
+  SELECT * FROM (VALUES ('src0', 3200), ('src1', 1000), ('src2', 500),
+                        ('src3', 2000), ('src4', 1500)) AS t(source, epochs_pm)
+),
+d AS (
+  SELECT doc_id, documents.source,
+         epochs_pm // 1000
+           + CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000
+                       < epochs_pm % 1000
+                  THEN 1 ELSE 0 END AS k
+  FROM documents JOIN pm ON documents.source = pm.source
+)
+SELECT doc_id, source,
+       CAST(UNNEST(generate_series(1, CAST(k AS BIGINT))) AS BIGINT) AS copy_id
+FROM d WHERE k >= 1
+""",
+    category="pipelines",
+)
+def pipeline_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-weighted data mixing — the upsampling half of the data
+    recipe (domain_resample handles down-sampling): each source gets
+    a per-mille epoch count; the integer part replicates every doc
+    and the fractional part selects a deterministic Knuth-hash
+    subset for one extra copy (src0 at 3200pm -> 3 copies of
+    everything + a 4th copy of a fixed 20%). Copies carry copy_id so
+    packing can separate replicas. Sources outside the recipe drop.
+
+    Shape: bounded broadcast epoch table + map-side explode — fanout
+    is exactly the epoch sum, no shuffle, no RNG anywhere (the
+    membership is a pure function of doc_id, reproducible across
+    engines and partitionings)."""
+    d = table(spark, sf_dir, "documents")
+    return api.epoch_upsample(d, "source", "doc_id", _EPOCH_TARGETS).select(
+        "doc_id", "source", "copy_id"
     )

@@ -706,3 +706,52 @@ def test_kanonymity_monotone_in_k(spark, rows, k1):
 
     sizes = Counter(rows)
     assert r1.min_class_size == min(sizes.values())
+
+
+@given(rows=st.lists(st.integers(min_value=-10000, max_value=10000),
+                     min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_global_rank_distributed_matches_window(spark, rows):
+    """global_rank_distributed must equal row_number() over the
+    single-partition global window on arbitrary lists (ties,
+    negatives) — the offsets machinery generalized from the certified
+    ntile kernel."""
+    from big_data_analysis_spark.operators.windows import (
+        global_rank_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rows)], "v int, rid int"
+    )
+    got = {
+        r.rid: r.rk
+        for r in global_rank_distributed(df, ["v", "rid"], "rk").collect()
+    }
+    want = {
+        r.rid: r.rk
+        for r in df.select(
+            "rid", F.row_number().over(Window.orderBy("v", "rid")).alias("rk")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_epoch_upsample_copy_counts(spark):
+    """epoch_upsample: integer epochs replicate every row; the
+    fractional tail selects by the same Knuth hash domain_resample
+    uses; absent domains drop; copy_id enumerates 1..k."""
+    from big_data_analysis_spark import api
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = api.epoch_upsample(df, "src", "doc_id", {"a": 2300}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    assert all(i % 2 == 0 for i in by_doc)  # 'b' dropped
+    for i, copies in by_doc.items():
+        frac = (i * 2654435761) % 4294967296 % 1000 < 300
+        assert sorted(copies) == list(range(1, (3 if frac else 2) + 1)), i
+    # the fractional tail must select SOME but not all docs
+    n3 = sum(1 for c in by_doc.values() if len(c) == 3)
+    assert 0 < n3 < len(by_doc)

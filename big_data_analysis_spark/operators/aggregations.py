@@ -2533,3 +2533,175 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_active"),
     )
+
+
+@query("agg_kll_quantile_sketch", oracle=None, category="aggregations")
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Apache DataSketches KLL via Spark
+    4's first-class kll_* aggregates) — the constant-state
+    distributed alternative to exact percentile that production
+    rollups persist: per-month partial sketches of order totals are
+    built independently, merged with kll_merge_agg_double, and
+    queried for the quartiles + p90; the flat single-pass sketch is
+    computed alongside. Merged and flat estimates differ (KLL
+    compaction depends on how the stream was split into partials)
+    but BOTH must sit within the sketch's normalized rank-error
+    bound of the exact percentile — asserted in
+    tests/test_quality.py.
+
+    This is the at-scale sibling of agg_percentile (exact, needs the
+    full value multiset per group) and agg_percentile_approx
+    (Spark's t-digest-style built-in): per-day/per-partition KLL
+    partials compose at 100 TB without ever reshuffling raw values.
+    Rows-only (DuckDB has no DataSketches KLL)."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+    qs = [0.25, 0.5, 0.75, 0.9]
+    merged = monthly.agg(
+        *[
+            F.expr(
+                f"kll_sketch_get_quantile_double(kll_merge_agg_double(sk), {q})"
+            ).alias(f"m{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    flat = o.agg(
+        *[
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double(o_totalprice), {q})"
+            ).alias(f"f{int(q * 100)}")
+            for q in qs
+        ],
+        F.expr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))"
+        ).alias("exact"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.col(f"m{int(q * 100)}").alias("est_merged"),
+                F.col(f"f{int(q * 100)}").alias("est_flat"),
+                F.element_at("exact", i + 1).alias("exact_pct"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return (
+        merged.crossJoin(F.broadcast(flat))
+        .select(F.explode(pairs).alias("r"))
+        .select("r.q", "r.est_merged", "r.est_flat", "r.exact_pct")
+    )
+
+
+@query("agg_theta_sketch_setops", oracle=None, category="aggregations")
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches via Spark 4's theta_*
+    functions) — distinct-count sketches that, unlike HLL, support
+    full SET ALGEBRA: estimate |buyers ∪ clickers|,
+    |buyers ∩ clickers| and |buyers \\ clickers| from two
+    independently-built sketches, next to the exact distinct counts
+    computed from the raw events. The audience-overlap question
+    ("how many purchasers never click?") is THE production use of
+    sketch intersection — with HLL it requires re-scanning raw ids,
+    with theta it's a driver-free sketch-to-sketch operation that
+    composes over per-partition partials (theta_union_agg) at
+    100 TB. Calibration (estimates within 5% of exact at fixture
+    cardinalities) is asserted in tests/test_quality.py.
+    Rows-only (DuckDB has no DataSketches theta)."""
+    e = table(spark, sf_dir, "events")
+    buyers = e.where(F.col("event_type") == "purchase").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("s"),
+        F.countDistinct("user_id").alias("n"),
+    )
+    clickers = e.where(F.col("event_type") == "click").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("s"),
+        F.countDistinct("user_id").alias("n"),
+    )
+    exact = e.where(F.col("event_type").isin("purchase", "click")).agg(
+        F.countDistinct("user_id").alias("n_union"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_buy"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+    )
+    b, c = buyers.alias("b"), clickers.alias("c")
+    return (
+        b.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.round(
+                F.expr("theta_sketch_estimate(theta_union(b.s, c.s))"), 6
+            ).alias("est_union"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_intersection(b.s, c.s))"),
+                6,
+            ).alias("est_intersect"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_difference(b.s, c.s))"), 6
+            ).alias("est_buyers_only"),
+            F.col("n_union").alias("exact_union"),
+            (F.col("n_buy") + F.col("n_click") - F.col("n_union")).alias(
+                "exact_intersect"
+            ),
+            (F.col("n_union") - F.col("n_click")).alias("exact_buyers_only"),
+        )
+    )
+
+
+_CMS_PROBE_KEYS = [1, 2, 3, 4, 5]
+
+
+@query("agg_count_min_sketch", oracle=None, category="aggregations")
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — mergeable FREQUENCY estimation (how many
+    orders did customer k place?) in constant state per partial,
+    completing the sketch family (HLL/theta: distinct; KLL:
+    quantiles; CMS: per-key counts). Monthly partial sketches of
+    o_custkey are built with count_min_sketch(eps=0.001, conf=0.99,
+    seed=42), MERGED driver-side through the JVM sketch library's
+    mergeInPlace (bounded staging: one ~8 KB sketch per month), and
+    probed for five customer keys next to the flat single-pass
+    sketch and the exact counts. CMS guarantees est >= exact and
+    est <= exact + eps*N w.p. conf — both asserted in
+    tests/test_quality.py. Rows-only (no DuckDB CMS)."""
+    o = table(spark, sf_dir, "orders")
+    cms = "count_min_sketch(o_custkey, 0.001d, 0.99d, 42)"
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.expr(cms).alias("sk"))
+    flat_sk = bytes(o.agg(F.expr(cms).alias("sk")).collect()[0]["sk"])
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+
+    def read(b: bytes):
+        return CMS.readFrom(jvm.java.io.ByteArrayInputStream(b))
+
+    merged = None
+    for r in monthly.collect():
+        part = read(bytes(r["sk"]))
+        merged = part if merged is None else merged.mergeInPlace(part)
+    flat = read(flat_sk)
+    est = {
+        int(k): (int(merged.estimateCount(k)), int(flat.estimateCount(k)))
+        for k in _CMS_PROBE_KEYS
+    }
+    exact = {
+        r["o_custkey"]: r["n"]
+        for r in o.where(F.col("o_custkey").isin(_CMS_PROBE_KEYS))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (k, est[k][0], est[k][1], int(exact.get(k, 0)))
+        for k in _CMS_PROBE_KEYS
+    ]
+    return spark.createDataFrame(
+        rows, "custkey long, est_merged long, est_flat long, exact long"
+    )

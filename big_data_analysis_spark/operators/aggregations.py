@@ -988,14 +988,23 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey makes the assignment a total order, hence
     deterministic under parallelism. Values pass through unchanged.
 
-    Scale note: global ntile forces a single-partition sort — fine
-    for stats sampling, but the 100 TB formulation is
-    approx_percentile bounds (agg_percentile_approx) or a
-    per-partition pre-histogram merge; this operator is the exact
-    small-N reference."""
+    Scale note (r6): the bucket assignment runs through the
+    ``ntile_distributed`` kernel (operators/windows.py — range
+    repartition + per-partition row_number + broadcast offsets,
+    bit-equal to ntile by its driver grade and hypothesis twin), so
+    the EXACT equi-depth histogram is itself 100 TB-shaped: no
+    single-partition sort anywhere. The approximate alternative for
+    when even one extra pass is too much remains
+    agg_percentile_approx."""
+    from .windows import ntile_distributed
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+    t = ntile_distributed(
+        o.select("o_totalprice", "o_orderkey"),
+        8,
+        ["o_totalprice", "o_orderkey"],
+        "bin",
+    )
     return t.groupBy("bin").agg(
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
@@ -2452,14 +2461,20 @@ def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact DECIMAL before the one cast-to-double per output
     column; the cumulative share sums 10 doubles in a fixed order.
 
-    The global ntile here carries the same documented single-task-
-    sort caveat as win_ntile — win_ntile_distributed is the at-scale
-    form; the 10-row rollup afterwards is trivially bounded."""
+    Decile assignment runs through the ``ntile_distributed`` kernel
+    (r6 — range repartition + broadcast offsets, bit-equal to ntile
+    by driver grade + hypothesis twin), so no single-task sort; the
+    10-row rollup afterwards is trivially bounded."""
+    from .windows import ntile_distributed
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
-    d = o.select(
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-        F.ntile(10).over(w).alias("decile"),
+    d = ntile_distributed(
+        o.select("o_totalprice", "o_orderkey"),
+        10,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        "decile",
+    ).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"), "decile"
     )
     s = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),

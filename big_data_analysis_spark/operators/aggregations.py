@@ -1189,16 +1189,20 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct roundings (Sum(i*x_i) ~ n^2/2 * avg_spend must stay
     under 2^53 — holds to ~100k customers here; beyond that switch
     the accumulators to DECIMAL(38,0) and accept the documented
-    one-ulp decimal->double risk, or bin spends). The global rank is
-    the scale limiter (single-partition sort of the per-customer
-    rollup, not of the raw fact)."""
+    one-ulp decimal->double risk, or bin spends). The global rank
+    runs through the global_rank_distributed kernel (r6) — the
+    per-customer rollup grows with the customer base, so the old
+    single-partition row_number was the scale limiter; now nothing
+    sorts on one task."""
+    from .windows import global_rank_distributed
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
     )
-    ranked = spend.select(
-        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
-    )
+    ranked = global_rank_distributed(
+        spend, ["x", "o_custkey"], "i"
+    ).select("x", "i")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -1782,16 +1786,21 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     200 replicate means (rank 5 and 195 — no quantile interpolation,
     hence no float-combination divergence).
 
-    Shape: one global index assignment over the filtered sample, a
+    Shape: one global index assignment over the filtered sample
+    (via the global_rank_distributed kernel since r6 — range
+    repartition + broadcast offsets, no single-task window), a
     B x n draw table joined back on index (the resample fan-out —
     at 100 TB you bootstrap per-partition block sums, the classic
     'bag of little bootstraps' refinement), per-replicate rollup,
     and a rank over B rows."""
+    from .windows import global_rank_distributed
+
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    v = ev.select(
-        cents.alias("cents"),
-        (F.row_number().over(Window.orderBy("event_id")) - 1).alias("i"),
+    v = global_rank_distributed(
+        ev.select(cents.alias("cents"), "event_id"), ["event_id"], "rk"
+    ).select(
+        "cents", (F.col("rk") - 1).alias("i")
     ).crossJoin(
         F.broadcast(
             ev.agg(F.count(F.lit(1)).cast("long").alias("n"))

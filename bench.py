@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "join_spatial_grid",
     "graph_sssp_weighted",
     "pipeline_pack_bpe_batches",
+    # r6-added: the two formerly scale-weak plans, re-benched after
+    # their distributed fixes (rfm: three ntile_distributed scores;
+    # skyline: price-level prefix-max with range partitions), and the
+    # shard-manifest write planner built on global_rank_distributed.
+    "pipeline_rfm_segments",
+    "win_skyline",
+    "pipeline_shard_manifest",
 ]
 
 

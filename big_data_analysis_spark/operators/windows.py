@@ -885,7 +885,7 @@ def global_rank_distributed(
         F.row_number()
         .over(Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols))
         .alias("__gr_lrn"),
-    )
+    ).persist()  # see ntile_distributed: the offsets branch forks the DAG
     counts = local.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(
         "__gr_pid",
@@ -933,7 +933,12 @@ def ntile_distributed(
         F.row_number()
         .over(Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols))
         .alias("__nt_lrn"),
-    )
+    ).persist()
+    # ^ the offsets rollup below FORKS the DAG: without the persist,
+    # everything upstream of the kernel evaluates once per branch —
+    # quadratic re-execution when kernels chain (rfm's 3 scores).
+    # Persist is O(data) like the shuffle that precedes it; Spark
+    # evicts LRU, correctness never depends on it.
     counts = local.groupBy("__nt_pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(
         "__nt_pid",

@@ -252,6 +252,32 @@ def test_ntile_distributed_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in rn_lines), rn_lines
 
 
+def test_shard_manifest_rank_is_distributed(spark, sf_dir):
+    """pipeline_shard_manifest's global token rank must come from the
+    range-partitioned kernel: RangePartitioning present and every
+    data-proportional row_number window carries a non-empty partition
+    spec (the single-task global row_number shape is exactly what the
+    kernel exists to avoid)."""
+    plan = plan_of("pipeline_shard_manifest", spark, sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    rn = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert rn and all("], [], [" not in l for l in rn), rn
+
+
+def test_mixture_epochs_is_map_side(spark, sf_dir):
+    """pipeline_mixture_epochs must be broadcast-join + explode only:
+    no sort-merge join against the bounded epoch table, no window,
+    and the replication implemented as a Generate (explode) — the
+    corpus itself never shuffles."""
+    plan = plan_of("pipeline_mixture_epochs", spark, sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_q9_bridge_dims_broadcast(spark, sf_dir):
     """tpch_q9 (lineitem-bridge adaptation) must broadcast the
     bounded dims (part filter, supplier, nation) — a sort-merge join

@@ -16,6 +16,8 @@ Cross-engine gotchas baked into the choices below:
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1202,4 +1204,78 @@ def fn_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.countDistinct("word").alias("n_words"),
         F.min("word").alias("example"),
+    )
+
+
+@query(
+    "fn_sql_pipe_syntax",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 10
+""",
+    category="functions",
+)
+def fn_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's |> operator chains, SPARK-49555 —
+    the 2024 'SQL Has Problems' pipelined-SQL proposal landed as a
+    first-class parser mode): the query reads top-to-bottom as
+    FROM -> WHERE -> AGGREGATE -> WHERE instead of inside-out, and
+    parses to the IDENTICAL Catalyst plan as the nested form — the
+    oracle twin is the classic GROUP BY + HAVING spelling, so the
+    hash match proves pipe syntax is pure sugar over the same
+    semantics (exact-decimal sum convention intact through it)."""
+    harden_session(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        "FROM orders "
+        "|> WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "   GROUP BY o_orderstatus "
+        "|> WHERE n_orders > 10 "
+        "|> SELECT o_orderstatus, n_orders, total"
+    )
+
+
+@query(
+    "fn_sql_parameterized",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice BETWEEN 50000.0 AND 250000.0
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+""",
+    category="functions",
+)
+def fn_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (spark.sql(..., args=...) — the
+    injection-safe query API, Spark 3.4+/4.x): named :markers bound
+    from a dict, values passed as TYPED literals through the parser
+    (a string cannot smuggle syntax). The oracle twin inlines the
+    same literals; a hash match proves binding semantics equal
+    textual substitution for well-typed values. Parameters reach
+    Catalyst BEFORE optimization, so pushdown/pruning work exactly
+    as with literal SQL — this is the API a query service should
+    expose instead of f-strings."""
+    harden_session(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders "
+        "WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderdate >= :cutoff "
+        "GROUP BY o_orderpriority",
+        args={
+            "lo": 50000.0,
+            "hi": 250000.0,
+            "cutoff": datetime.datetime(1997, 1, 1),
+        },
     )

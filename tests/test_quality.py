@@ -915,3 +915,55 @@ def test_count_min_sketch_bounds(spark, sf_dir):
         assert r.est_flat >= r.exact, r
         assert r.est_merged == r.est_flat, r  # lossless merge
         assert r.est_merged <= r.exact + 0.001 * n_total + 1, r
+
+
+def test_driver_graded_rotation_is_fresh():
+    """_DRIVER_GRADED must contain every hash-green name from every
+    CORRECTNESS_r*.json on disk — a stale rotation makes the next
+    driver window re-grade already-green queries and convert ZERO
+    new evidence (the single biggest coverage mistake a round can
+    make; this test turns the per-round refresh rule into a hard
+    failure the moment a new CORRECTNESS file lands). Conversely,
+    every _DRIVER_GRADED name must exist in the registry (a rename
+    would silently un-prioritize the renamed query)."""
+    import glob
+    import json
+
+    from big_data_analysis_spark.registry import _DRIVER_GRADED
+
+    greens = set()
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(f)).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                greens.add(name)
+    assert greens, "no CORRECTNESS files found next to the tests"
+    stale = greens - set(_DRIVER_GRADED)
+    assert not stale, f"rotation stale — add to _DRIVER_GRADED: {sorted(stale)}"
+    unknown = [n for n in _DRIVER_GRADED if n not in REG]
+    assert not unknown, f"_DRIVER_GRADED names missing from registry: {unknown}"
+
+
+def test_driver_window_converts_new_evidence():
+    """The first 50 slots of ordered_registry() must be ~all
+    never-graded oracle-bearing queries while any ungraded-oracle
+    backlog remains — slot 1 is the tpch_q1 smoke flagship, the rest
+    must each buy a NEW hash grade."""
+    from big_data_analysis_spark.registry import (
+        _DRIVER_GRADED,
+        ordered_registry,
+    )
+
+    window = list(ordered_registry().values())[:50]
+    assert window[0].name == "tpch_q1"
+    backlog = [
+        s
+        for s in REG.values()
+        if s.oracle is not None and s.name not in _DRIVER_GRADED
+    ]
+    expected_new = min(49, len(backlog))
+    got_new = sum(
+        1
+        for s in window[1:]
+        if s.oracle is not None and s.name not in _DRIVER_GRADED
+    )
+    assert got_new >= expected_new, (got_new, expected_new)

@@ -755,3 +755,29 @@ def test_epoch_upsample_copy_counts(spark):
     # the fractional tail must select SOME but not all docs
     n3 = sum(1 for c in by_doc.values() if len(c) == 3)
     assert 0 < n3 < len(by_doc)
+
+
+@given(pm=st.integers(min_value=0, max_value=4999),
+       n=st.integers(min_value=1, max_value=80))
+@settings(**_SETTINGS)
+def test_epoch_upsample_matches_python_model(spark, pm, n):
+    """epoch_upsample vs a 5-line Python model for ARBITRARY
+    per-mille epoch values (0 -> domain drops entirely; <1000 ->
+    pure down-sample; any value -> floor copies + Knuth-hash
+    fractional tail, copy_id = 1..k)."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(
+        [(i * 7 + 3, "d") for i in range(n)], "doc_id long, src string"
+    )
+    out = api.epoch_upsample(df, "src", "doc_id", {"d": pm}).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.copy_id)
+    want = {}
+    for i in range(n):
+        did = i * 7 + 3
+        k = pm // 1000 + (1 if (did * 2654435761) % 4294967296 % 1000 < pm % 1000 else 0)
+        if k >= 1:
+            want[did] = list(range(1, k + 1))
+    assert {d: sorted(c) for d, c in got.items()} == want

@@ -1046,3 +1046,19 @@ def quantize_int8(
         .withColumn(f"{out_prefix}_err", agg(err))
         .drop("__qarr", "__maxq", "__codes")
     )
+
+
+# Distributed global-order kernels (implemented alongside the window
+# operators; re-exported here because they are fixture-independent
+# library surface): exact ntile(k)/row_number over a total order
+# WITHOUT a single-task sort — range repartition, per-partition
+# row_number, broadcast cumulative offsets. See their docstrings in
+# operators/windows.py for the scale contract. Lazy (PEP 562)
+# because operators/windows.py imports this module at its top — an
+# eager import here breaks the windows-first import order.
+def __getattr__(name: str):
+    if name in ("ntile_distributed", "global_rank_distributed"):
+        from .operators import windows
+
+        return getattr(windows, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

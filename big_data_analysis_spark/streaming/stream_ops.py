@@ -912,3 +912,46 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return drain_to_memory(result, mode="update")
+
+
+@query("stream_foreach_row_sink", oracle=None, category="streaming")
+def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ForeachWriter sink — the third custom-sink surface
+    next to memory and foreachBatch: a writer OBJECT with the
+    open(partition, epoch) / process(row) / close(err) lifecycle,
+    executed ON THE EXECUTORS once per partition per epoch (unlike
+    foreachBatch, whose function runs driver-side per micro-batch).
+    Each writer appends its rows to a partition-private spool file
+    named (epoch, partition) — open() returning True claims the
+    split, so a replayed (epoch, partition) pair overwrites instead
+    of duplicating: the same idempotence contract foreachBatch gets
+    from overwrite-by-batch-id, demonstrated at row granularity.
+    The spooled rows are read back and aggregated; the unit test
+    asserts the per-type totals equal the batch aggregate. Emission
+    file layout is execution-dependent -> rows-only."""
+    import os
+
+    out = scratch_dir(prefix="bda_feachrow_")
+    s = read_event_stream(spark, sf_dir).select("event_id", "event_type")
+
+    class SpoolWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self._path = f"{out}/e{epoch_id}_p{partition_id}.csv"
+            self._rows = []
+            return True  # claim every split; replay overwrites the file
+
+        def process(self, row) -> None:
+            self._rows.append(f"{row.event_id},{row.event_type}")
+
+        def close(self, error) -> None:
+            if error is None:
+                with open(self._path, "w") as fh:
+                    fh.write("\n".join(self._rows))
+
+    q = s.writeStream.foreach(SpoolWriter()).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spooled = spark.read.schema("event_id long, event_type string").csv(out)
+    return spooled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -689,3 +689,26 @@ def test_api_asof_join_tolerance_matches_pandas(spark):
         int(t): int(r) for t, r in zip(m["tid"], m["rtid"]) if pd.notna(r)
     }
     assert got == want
+
+
+def test_api_kernels_on_synthetic_table(spark):
+    """The re-exported distributed kernels work on arbitrary caller
+    tables through the api namespace (lazy import — both
+    windows-first and api-first import orders are covered by the
+    module-level smoke below)."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate([5, 1, 9, 1, 7, 3])], "v int, rid int"
+    )
+    q = {
+        r.rid: r.b
+        for r in api.ntile_distributed(df, 3, ["v", "rid"], "b").collect()
+    }
+    assert sorted(q.values()) == [1, 1, 2, 2, 3, 3]
+    rk = {
+        r.rid: r.rk
+        for r in api.global_rank_distributed(df, ["v", "rid"], "rk").collect()
+    }
+    assert sorted(rk.values()) == [1, 2, 3, 4, 5, 6]
+    assert rk[1] == 1 and rk[3] == 2  # the two v=1 rows rank first by rid

@@ -520,3 +520,21 @@ def test_transform_with_state_final_matches_batch(spark, sf_dir):
     for uid, (n, mx) in batch.items():
         got_n, got_mx = final[uid]
         assert got_n == n and abs(got_mx - mx) < 1e-12
+
+
+def test_foreach_row_sink_matches_batch(spark, sf_dir):
+    """The ForeachWriter-spooled per-type counts must equal the batch
+    aggregate — every row processed exactly once across executors,
+    partitions and epochs."""
+    got = {
+        r.event_type: r.n
+        for r in run("stream_foreach_row_sink", spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in _events_batch(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -712,3 +712,170 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssum(F.transform(evens, lambda v: F.abs(v))).alias("sum_abs"),
         ssum(F.transform(evens, lambda v: v * v)).alias("energy_sq"),
     )
+
+
+def _synth_avis(d) -> DataFrame:
+    """Synthesize canonical minimal RIFF/AVI containers for
+    doc_id < 48: 'RIFF..AVI ' + a 'hdrl' LIST holding the 56-byte
+    avih main header + a 'movi' LIST of '00db' uncompressed-frame
+    chunks (8-bit gray, width 4 x height 2+doc_id%3, 3+doc_id%5
+    frames, formula-driven pixel bytes). Pure JVM expressions —
+    the oracle knows only the generator formula."""
+    d = d.where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    usec = (
+        F.when(i % 3 == 0, 40000).when(i % 3 == 1, 50000).otherwise(100000)
+    ).cast("long")
+    width = F.lit(4).cast("long")
+    height = (F.lit(2) + i % 3).cast("long")
+    fs = width * height                       # bytes per gray frame
+    nf = (F.lit(3) + i % 5).cast("long")      # total frames
+    px = lambda k, j: (i * 13 + k * 7 + j * 3) % 256
+    frame_hex = lambda k: F.concat(
+        F.lit("30306462"),                    # '00db'
+        _le_hex(fs, 4),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (fs - 1).cast("int")),
+                lambda j: _le_hex(px(k, j), 1),
+            ),
+            "",
+        ),
+    )
+    movi_size = F.lit(4) + nf * (8 + fs)
+    hdrl_size = F.lit(68).cast("long")        # 'hdrl' + avih chunk
+    riff_size = F.lit(4 + 12 + 8 + 56 + 8) + movi_size - 4
+    avi_hex = F.concat(
+        F.lit("52494646"), _le_hex(riff_size, 4), F.lit("41564920"),
+        F.lit("4C495354"), _le_hex(hdrl_size, 4), F.lit("6864726C"),
+        F.lit("61766968"), _le_hex(F.lit(56), 4),
+        _le_hex(usec, 4),                     # dwMicroSecPerFrame
+        _le_hex(F.lit(0), 4),                 # dwMaxBytesPerSec
+        _le_hex(F.lit(0), 4),                 # dwPaddingGranularity
+        _le_hex(F.lit(0), 4),                 # dwFlags
+        _le_hex(nf, 4),                       # dwTotalFrames
+        _le_hex(F.lit(0), 4),                 # dwInitialFrames
+        _le_hex(F.lit(1), 4),                 # dwStreams
+        _le_hex(F.lit(0), 4),                 # dwSuggestedBufferSize
+        _le_hex(width, 4), _le_hex(height, 4),
+        _le_hex(F.lit(0), 8), _le_hex(F.lit(0), 8),   # dwReserved[4]
+        F.lit("4C495354"), _le_hex(movi_size, 4), F.lit("6D6F7669"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), (nf - 1).cast("int")), frame_hex),
+            "",
+        ),
+    )
+    return d.select("doc_id", F.unhex(avi_hex).alias("avi"))
+
+
+@query(
+    "multimodal_avi_parse",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+fr AS (
+  SELECT ids.doc_id, f.k
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 2 + CAST(ids.doc_id % 5 AS INT))) AS k
+  ) f
+),
+px AS (
+  SELECT fr.doc_id, fr.k, p.j,
+         (fr.doc_id * 13 + fr.k * 7 + p.j * 3) % 256 AS v
+  FROM fr, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(4 * (2 + fr.doc_id % 3) - 1 AS INT))) AS j
+  ) p
+)
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 40000 WHEN 1 THEN 50000
+            ELSE 100000 END AS BIGINT) AS usec_per_frame,
+       CAST(1000000 // CASE doc_id % 3 WHEN 0 THEN 40000 WHEN 1 THEN 50000
+            ELSE 100000 END AS BIGINT) AS fps,
+       CAST(3 + doc_id % 5 AS BIGINT) AS total_frames,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 + doc_id % 3 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_streams,
+       CAST(3 + doc_id % 5 AS BIGINT) AS n_chunks,
+       CAST(SUM(v) AS BIGINT) AS sum_frame_bytes
+FROM px
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_avi_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free VIDEO-container analytics — the third wire-format
+    parser next to WAV (RIFF/PCM) and BMP: minimal RIFF/AVI files
+    are synthesized as real binary columns, then EVERYTHING is
+    parsed back from the bytes alone — the avih main header
+    (frame interval, total frames, stream count, dimensions) as
+    little-endian field reads, fps derived by integer division, and
+    the 'movi' payload WALKED STRUCTURALLY: each '00db' chunk's
+    offset is computed from the parsed geometry, its fourcc
+    validated byte-for-byte (n_chunks counts only frames whose
+    magic matches — a mis-walk yields 0, not a lucky pass), its
+    size field read, and every frame byte summed. Real codecs are
+    out of scope per the container-stub policy (no imageio/ffmpeg
+    in the env); the CONTAINER layer — what a 100 TB video corpus
+    scan actually does before dispatching frames to a decoder UDF
+    (multimodal_frame_sample) — is fully real, pure JVM codegen,
+    zero Python, zero shuffle before the per-file rollup."""
+    synth = _synth_avis(table(spark, sf_dir, "documents"))
+    b = F.col("avi")
+    usec = _le_int(b, 33, 4)
+    nf = _le_int(b, 49, 4)
+    streams = _le_int(b, 57, 4)
+    width = _le_int(b, 65, 4)
+    height = _le_int(b, 69, 4)
+    fs = width * height
+    frame_off = lambda k: F.lit(101) + k.cast("long") * (8 + fs)
+    ks = F.sequence(F.lit(0), (nf - 1).cast("int"))
+    is_00db = lambda k: (
+        F.hex(F.substring(b, frame_off(k).cast("int"), 4)) == F.lit("30306462")
+    ).cast("long")
+    frame_sum = lambda k: F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), (_le_int_dyn(b, frame_off(k) + 4) - 1).cast("int")),
+            lambda j: _byte_at(b, frame_off(k) + 8 + j),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return synth.select(
+        "doc_id",
+        usec.alias("usec_per_frame"),
+        nf.alias("total_frames"),
+        width.alias("width"),
+        height.alias("height"),
+        streams.alias("n_streams"),
+        F.aggregate(
+            F.transform(ks, is_00db), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_chunks"),
+        F.aggregate(
+            F.transform(ks, frame_sum), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_frame_bytes"),
+    ).select(
+        "doc_id",
+        "usec_per_frame",
+        F.expr("CAST(1000000 div usec_per_frame AS BIGINT)").alias("fps"),
+        "total_frames",
+        "width",
+        "height",
+        "n_streams",
+        "n_chunks",
+        "sum_frame_bytes",
+    )
+
+
+def _byte_at(bin_col, pos_col):
+    """Unsigned byte at a DYNAMIC 1-based offset column."""
+    return F.conv(
+        F.hex(F.substring(bin_col, pos_col.cast("int"), 1)), 16, 10
+    ).cast("long")
+
+
+def _le_int_dyn(bin_col, pos_col, nbytes: int = 4):
+    """_le_int with a dynamic (column) offset."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _byte_at(bin_col, pos_col + i) * (256 ** i)
+    return out

@@ -226,7 +226,11 @@ def test_wav_parse_pure_map_no_python(spark, sf_dir):
     """The wire-format parsers (WAV and BMP) synthesize AND parse
     their binaries in one codegen'd map stage: no Exchange, no
     Python operators — the decode never leaves the JVM."""
-    for name in ("multimodal_wav_parse", "multimodal_bmp_parse"):
+    for name in (
+        "multimodal_wav_parse",
+        "multimodal_bmp_parse",
+        "multimodal_avi_parse",
+    ):
         plan = plan_of(name, spark, sf_dir)
         tree = plan.split("\n\n")[0]
         assert "Exchange" not in tree, name

@@ -879,3 +879,92 @@ def _le_int_dyn(bin_col, pos_col, nbytes: int = 4):
     for i in range(nbytes):
         out = out + _byte_at(bin_col, pos_col + i) * (256 ** i)
     return out
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+fr AS (
+  SELECT ids.doc_id, f.k
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 2 + CAST(ids.doc_id % 5 AS INT))) AS k
+  ) f
+),
+px AS (
+  SELECT fr.doc_id, fr.k, p.j,
+         (fr.doc_id * 13 + fr.k * 7 + p.j * 3) % 256 AS v
+  FROM fr, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(4 * (2 + fr.doc_id % 3) - 1 AS INT))) AS j
+  ) p
+),
+fsum AS (
+  SELECT doc_id, k, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS npx
+  FROM px GROUP BY doc_id, k
+),
+delta AS (
+  SELECT a.doc_id, a.k,
+         ABS(a.s - b.s) AS d
+  FROM fsum a JOIN fsum b ON b.doc_id = a.doc_id AND b.k = a.k - 1
+)
+SELECT f.doc_id,
+       CAST(COUNT(DISTINCT f.k) AS BIGINT) AS n_frames,
+       CAST(SUM(DISTINCT f.npx) * COUNT(DISTINCT f.k) AS BIGINT) AS n_pixels,
+       CAST(MIN(f.s) AS BIGINT) AS min_frame_sum,
+       CAST(MAX(f.s) AS BIGINT) AS max_frame_sum,
+       CAST((SELECT SUM(d) FROM delta WHERE delta.doc_id = f.doc_id)
+            AS BIGINT) AS motion_l1,
+       CAST((SELECT MAX(d) FROM delta WHERE delta.doc_id = f.doc_id)
+            AS BIGINT) AS motion_peak
+FROM fsum f
+GROUP BY f.doc_id
+""",
+    category="multimodal",
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO feature extraction over the parsed AVI frames — the
+    video sibling of multimodal_audio_rms: per-frame brightness sums
+    read straight out of the container bytes, then the
+    frame-to-frame L1 delta (the classic cheap motion/scene-cut
+    proxy: total and peak inter-frame change per file). A real
+    decoder is out of scope (container-stub policy); everything up
+    to the codec boundary — chunk walk, per-frame reduction,
+    temporal differencing — runs as one pure-codegen map stage, the
+    exact shape a 100 TB video triage scan needs BEFORE spending
+    decoder cycles (route only high-motion files to the expensive
+    UDF)."""
+    synth = _synth_avis(table(spark, sf_dir, "documents"))
+    b = F.col("avi")
+    nf = _le_int(b, 49, 4)
+    width, height = _le_int(b, 65, 4), _le_int(b, 69, 4)
+    fs = width * height
+    frame_off = lambda k: F.lit(101) + k.cast("long") * (8 + fs)
+    frame_sum = lambda k: F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), (fs - 1).cast("int")),
+            lambda j: _byte_at(b, frame_off(k) + 8 + j),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sums = F.transform(F.sequence(F.lit(0), (nf - 1).cast("int")), frame_sum)
+    deltas = F.transform(
+        F.sequence(F.lit(1), (nf - 1).cast("int")),
+        lambda k: F.abs(
+            F.element_at(sums, k + 1) - F.element_at(sums, k)
+        ),
+    )
+    lsum = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return synth.select(
+        "doc_id",
+        F.size(sums).cast("long").alias("n_frames"),
+        (fs * nf).alias("n_pixels"),
+        F.array_min(sums).alias("min_frame_sum"),
+        F.array_max(sums).alias("max_frame_sum"),
+        lsum(deltas).alias("motion_l1"),
+        F.array_max(deltas).alias("motion_peak"),
+    )

@@ -968,3 +968,211 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsum(deltas).alias("motion_l1"),
         F.array_max(deltas).alias("motion_peak"),
     )
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian hex string of an unsigned int column, nbytes
+    wide (lpad'ed hex — the network-byte-order twin of _le_hex)."""
+    return F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+
+
+def _be_int_dyn(bin_col, pos_col, nbytes: int = 4):
+    """Unsigned BIG-endian integer at a dynamic 1-based offset —
+    PNG (and most network formats) are big-endian, unlike RIFF."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _byte_at(bin_col, pos_col + i) * (256 ** (nbytes - 1 - i))
+    return out
+
+
+def _synth_pngs(d) -> DataFrame:
+    """Synthesize minimal PNG files (signature + IHDR + pHYs +
+    1..3 IDAT chunks + IEND) as real binary columns for doc_id < 48.
+    Geometry/payload are formula-driven (the oracle knows only the
+    formulas); each chunk carries its REAL CRC-32 over type+data
+    (F.crc32 at synth time), so the parser's integrity re-check is
+    against genuine PNG framing, not a planted constant.  IDAT holds
+    the pre-compression byte stream (no zlib in pure codegen —
+    decode is out of scope per the container-stub policy; the
+    structural layer a corpus scan runs is fully real)."""
+    d = d.where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    w = (F.lit(4) + i % 5).cast("long")
+    h = (F.lit(2) + i % 3).cast("long")
+    n_idat = (F.lit(1) + i % 3).cast("long")
+
+    def chunk_hex(length_col, td_hex):
+        # length(BE4) + type+data + CRC32(type+data)(BE4)
+        return F.concat(
+            _be_hex(length_col, 4), td_hex, _be_hex(F.crc32(F.unhex(td_hex)), 4)
+        )
+
+    ihdr_td = F.concat(
+        F.lit("49484452"), _be_hex(w, 4), _be_hex(h, 4), F.lit("0800000000")
+    )
+    phys_td = F.concat(
+        F.lit("70485973"),
+        _be_hex(F.lit(2835).cast("long") + i, 4),
+        _be_hex(F.lit(5670), 4),
+        F.lit("01"),
+    )
+    idat_td = lambda c: F.concat(
+        F.lit("49444154"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (F.lit(5) + (i + c) % 7).cast("int")),
+                lambda j: F.lpad(F.hex((i * 7 + c * 11 + j * 5) % 256), 2, "0"),
+            ),
+            "",
+        ),
+    )
+    idats = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_idat - 1).cast("int")),
+            lambda c: chunk_hex((F.lit(6) + (i + c) % 7).cast("long"), idat_td(c)),
+        ),
+        "",
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        chunk_hex(F.lit(13), ihdr_td),
+        chunk_hex(F.lit(9), phys_td),
+        idats,
+        chunk_hex(F.lit(0), F.lit("49454E44")),
+    )
+    return d.select("doc_id", F.unhex(png_hex).alias("png"))
+
+
+@query(
+    "multimodal_png_parse",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+idat AS (
+  SELECT ids.doc_id, c.c, 6 + (ids.doc_id + c.c) % 7 AS len_c
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ids.doc_id % 3 AS INT))) AS c
+  ) c
+),
+bytes AS (
+  SELECT i.doc_id, (i.doc_id * 7 + i.c * 11 + j.j * 5) % 256 AS v
+  FROM idat i, LATERAL (
+    SELECT unnest(generate_series(0, CAST(i.len_c - 1 AS INT))) AS j
+  ) j
+),
+per AS (
+  SELECT doc_id, CAST(SUM(len_c) AS BIGINT) AS idat_len,
+         CAST(COUNT(*) AS BIGINT) AS n_idat
+  FROM idat GROUP BY doc_id
+),
+bsum AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS idat_bytes
+  FROM bytes GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(1 AS BIGINT) AS sig_ok,
+       CAST(4 + p.doc_id % 5 AS BIGINT) AS width,
+       CAST(2 + p.doc_id % 3 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type,
+       CAST(2835 + p.doc_id AS BIGINT) AS ppu_x,
+       CAST(3 + p.n_idat AS BIGINT) AS n_chunks,
+       p.n_idat AS n_idat,
+       b.idat_bytes AS idat_bytes,
+       CAST(3 + p.n_idat AS BIGINT) AS crc_ok_chunks,
+       CAST(66 + p.n_idat * 12 + p.idat_len AS BIGINT) AS file_bytes
+FROM per p JOIN bsum b USING (doc_id)
+""",
+    category="multimodal",
+)
+def multimodal_png_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free IMAGE-container analytics, BIG-endian edition —
+    the fourth wire-format parser (WAV/BMP/AVI are little-endian
+    RIFF family; PNG is the network-byte-order counterpart).
+    Minimal PNGs with REAL CRC-32 fields are synthesized as binary
+    columns, then everything is re-derived from the bytes alone:
+    the 8-byte signature is verified, and the chunk stream is
+    WALKED STRUCTURALLY with a fold (F.aggregate over a bounded
+    step sequence, struct accumulator carrying the moving offset) —
+    each step reads the big-endian length, matches the chunk fourcc
+    (IHDR geometry fields, pHYs density, IDAT payload byte-sum),
+    RECOMPUTES CRC-32 over the walked type+data range and compares
+    it to the stored CRC field (a mis-walk desynchronizes the CRC
+    check, so crc_ok_chunks < n_chunks — structural bugs cannot
+    cancel), and advances offset by 12+len.  Pure JVM codegen: zero
+    Exchange before the output, zero Python.  At 100 TB this is the
+    narrow-waist scan a vision corpus runs before dispatching bytes
+    to a real decoder UDF (multimodal_frame_sample)."""
+    synth = _synth_pngs(table(spark, sf_dir, "documents"))
+    b = F.col("png")
+    flen = F.octet_length(b).cast("long")
+    be4 = lambda pos: _be_int_dyn(b, pos, 4)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(9).cast("long").alias("off"),
+        zero.alias("n_chunks"),
+        zero.alias("n_idat"),
+        zero.alias("idat_bytes"),
+        zero.alias("crc_ok"),
+        zero.alias("width"),
+        zero.alias("height"),
+        zero.alias("bit_depth"),
+        zero.alias("color_type"),
+        zero.alias("ppu_x"),
+    )
+
+    def step(acc, _):
+        off = acc["off"]
+        has = (off + 11) <= flen
+        ln = be4(off)
+        t = F.hex(F.substring(b, (off + F.lit(4)).cast("int"), 4))
+        is_ihdr = t == F.lit("49484452")
+        is_phys = t == F.lit("70485973")
+        is_idat = t == F.lit("49444154")
+        crc_field = be4(off + 8 + ln)
+        crc_calc = F.crc32(
+            F.substring(b, (off + F.lit(4)).cast("int"), (ln + F.lit(4)).cast("int"))
+        )
+        dsum = F.aggregate(
+            F.sequence(F.lit(0), (ln - 1).cast("int")),
+            zero,
+            lambda a, j: a + _byte_at(b, off + 8 + j),
+        )
+        flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        keep = lambda c, new, old: F.when(c, new).otherwise(old).cast("long")
+        return F.struct(
+            keep(has, off + 12 + ln, off).alias("off"),
+            (acc["n_chunks"] + flag(has)).alias("n_chunks"),
+            (acc["n_idat"] + flag(has & is_idat)).alias("n_idat"),
+            (
+                acc["idat_bytes"]
+                + keep(has & is_idat & (ln > 0), dsum, zero)
+            ).alias("idat_bytes"),
+            (acc["crc_ok"] + flag(has & (crc_calc == crc_field))).alias("crc_ok"),
+            keep(has & is_ihdr, be4(off + 8), acc["width"]).alias("width"),
+            keep(has & is_ihdr, be4(off + 12), acc["height"]).alias("height"),
+            keep(has & is_ihdr, _byte_at(b, off + 16), acc["bit_depth"]).alias(
+                "bit_depth"
+            ),
+            keep(has & is_ihdr, _byte_at(b, off + 17), acc["color_type"]).alias(
+                "color_type"
+            ),
+            keep(has & is_phys, be4(off + 8), acc["ppu_x"]).alias("ppu_x"),
+        )
+
+    walked = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, step)
+    return synth.select(
+        "doc_id",
+        (F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A"))
+        .cast("long")
+        .alias("sig_ok"),
+        walked["width"].alias("width"),
+        walked["height"].alias("height"),
+        walked["bit_depth"].alias("bit_depth"),
+        walked["color_type"].alias("color_type"),
+        walked["ppu_x"].alias("ppu_x"),
+        walked["n_chunks"].alias("n_chunks"),
+        walked["n_idat"].alias("n_idat"),
+        walked["idat_bytes"].alias("idat_bytes"),
+        walked["crc_ok"].alias("crc_ok_chunks"),
+        flen.alias("file_bytes"),
+    )

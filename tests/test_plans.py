@@ -230,6 +230,7 @@ def test_wav_parse_pure_map_no_python(spark, sf_dir):
         "multimodal_wav_parse",
         "multimodal_bmp_parse",
         "multimodal_avi_parse",
+        "multimodal_png_parse",
     ):
         plan = plan_of(name, spark, sf_dir)
         tree = plan.split("\n\n")[0]

@@ -1279,3 +1279,56 @@ def fn_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cutoff": datetime.datetime(1997, 1, 1),
         },
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+SELECT event_id,
+       ts + INTERVAL 90 MINUTE AS plus_90m,
+       ts - INTERVAL 1 DAY - INTERVAL 12 HOUR - INTERVAL 30 MINUTE
+           AS minus_1d12h30m,
+       ts + to_minutes(CAST(event_id % 60 AS BIGINT)) AS plus_row_minutes,
+       ts + to_months(CAST(event_id % 12 AS INT)) AS plus_row_months,
+       ts + to_hours(CAST(event_id % 5 AS BIGINT)) AS plus_scaled_hours,
+       CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month_same_day
+FROM events
+""",
+    category="functions",
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERVAL arithmetic — the typed-interval surface next to
+    fn_date's add_months/datediff: day-time interval literals
+    (single- and multi-unit), per-row intervals built with
+    make_dt_interval / make_interval from data columns, interval *
+    integer scaling, and year-month addition with its end-of-month
+    clamp (Jan 31 + 1 month = Feb 29/28 — both engines clamp, and
+    the oracle proves the clamp matches row-for-row).  All
+    calendar-aware JVM codegen — no epoch round-trips, which would
+    get DST/overflow edge cases wrong at corpus scale."""
+    e = table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        (ts + F.expr("INTERVAL '90' MINUTE")).alias("plus_90m"),
+        (ts - F.expr("INTERVAL '1 12:30' DAY TO MINUTE")).alias("minus_1d12h30m"),
+        (
+            ts
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), (F.col("event_id") % 60).cast("int"), F.lit(0.0)
+            )
+        ).alias("plus_row_minutes"),
+        (
+            ts
+            + F.make_interval(
+                F.lit(0), (F.col("event_id") % 12).cast("int"), F.lit(0), F.lit(0),
+                F.lit(0), F.lit(0), F.lit(0.0),
+            )
+        ).alias("plus_row_months"),
+        (ts + F.expr("INTERVAL '1' HOUR") * (F.col("event_id") % 5)).alias(
+            "plus_scaled_hours"
+        ),
+        (ts.cast("date") + F.expr("INTERVAL '1' MONTH"))
+        .cast("timestamp")
+        .alias("next_month_same_day"),
+    )

@@ -730,3 +730,83 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("contain_a_in_b") >= 0.8) | (F.col("contain_b_in_a") >= 0.8)
         )
     )
+
+
+@query(
+    "dedup_paragraph",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST((len(toks) + 3) // 4 AS INT) - 1),
+           i -> array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ')))
+           AS chunk_text,
+         generate_subscripts(
+           generate_series(0, CAST((len(toks) + 3) // 4 AS INT) - 1), 1) - 1
+           AS chunk_id
+  FROM d
+),
+r AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
+       CAST(count_if(rn > 1) AS BIGINT) AS n_dropped,
+       CAST(count_if(rn = 1) AS DOUBLE) / COUNT(*) AS kept_ratio,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                           ORDER BY chunk_id), '') AS dedup_text
+FROM r
+GROUP BY doc_id
+""",
+    category="dedup",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet/RefinedWeb line-dedup
+    tier that document-level dedup (dedup_exact_text) cannot see:
+    boilerplate paragraphs repeated ACROSS distinct documents.  Docs
+    are chunked into 4-token "paragraphs" (api.chunk — pure map);
+    corpus-wide, only the FIRST occurrence of each paragraph (by
+    (doc_id, chunk_id)) survives; each doc is then reassembled from
+    its surviving paragraphs with per-doc retention stats.  Two
+    shuffles, both on data-proportional keys: a paragraph-partitioned
+    window (first-occurrence rank — never a global sort; at 100 TB
+    the partition key is the paragraph hash, so the state per key is
+    the duplicate cluster, not the corpus) and the per-doc rollup.
+    Unlike text_boilerplate_scrub (drops high-df chunks everywhere)
+    this KEEPS one canonical copy — the dedup contract."""
+    d = table(spark, sf_dir, "documents")
+    chunks = api.chunk(d, "text", "doc_id", chunk_tokens=4)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    r = chunks.select(
+        "doc_id", "chunk_id", "chunk_text", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") == 1
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        (F.count_if(kept).cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
+        F.coalesce(
+            F.array_join(
+                F.array_compact(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("chunk_id"), F.col("chunk_text")),
+                            )
+                        )
+                    ).transform(lambda s: s["chunk_text"])
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )

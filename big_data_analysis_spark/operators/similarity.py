@@ -847,3 +847,89 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recon_err_q"
         ),
     )
+
+
+@query(
+    "sim_maxsim",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, i,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM ev WHERE vec_id < 8
+),
+d AS (
+  SELECT vec_id // 8 AS mdoc_id, vec_id, i,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS dv
+  FROM ev WHERE vec_id >= 8
+),
+dots AS (
+  SELECT d.mdoc_id, d.vec_id, q.qid,
+         CAST(SUM(d.dv * q.qv) AS BIGINT) AS dp
+  FROM d JOIN q ON q.i = d.i
+  GROUP BY d.mdoc_id, d.vec_id, q.qid
+),
+mx AS (
+  SELECT mdoc_id, qid, MAX(dp) AS m FROM dots GROUP BY mdoc_id, qid
+),
+s AS (
+  SELECT mdoc_id, CAST(SUM(m) AS BIGINT) AS si FROM mx GROUP BY mdoc_id
+)
+SELECT CAST(mdoc_id AS BIGINT) AS mdoc_id,
+       CAST(row_number() OVER (ORDER BY si DESC, mdoc_id) AS INT) AS rank,
+       CAST(si AS DOUBLE) / 1e12 AS maxsim
+FROM s
+QUALIFY row_number() OVER (ORDER BY si DESC, mdoc_id) <= 10
+""",
+    category="similarity",
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    operator): embeddings are grouped 8-per-document into
+    multi-vector docs; the query is itself a bag of 8 vectors
+    (vec_id < 8, BROADCAST); a document's score is
+    sum_q max_v <q, v> — for each query vector take its best-matching
+    doc vector, then sum.  Execution is the 100 TB shape: the corpus
+    is scanned once, dotted against the broadcast query bag (map
+    side, no corpus shuffle), then reduced by TWO partial-agg
+    hash aggregations (max per (doc, query-vector), sum per doc) on
+    the doc key, and the global top-10 is a TakeOrdered, never a
+    single-task sort.  Every dot/max/sum stays in exact int64
+    (1e-6-quantized elements) until ONE final division, so the
+    ranking is bit-deterministic regardless of partitioning."""
+    e = table(spark, sf_dir, "embeddings")
+    quant = lambda col: F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), quant(F.col("embedding")).alias("qe")
+    )
+    d = e.where(F.col("vec_id") >= 8).select(
+        F.expr("vec_id div 8").alias("mdoc_id"),
+        "vec_id",
+        quant(F.col("embedding")).alias("de"),
+    )
+    dp = F.aggregate(
+        F.zip_with(F.col("de"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .select("mdoc_id", "vec_id", "qid", dp.alias("dp"))
+        .groupBy("mdoc_id", "qid")
+        .agg(F.max("dp").alias("m"))
+        .groupBy("mdoc_id")
+        .agg(F.sum("m").alias("si"))
+    )
+    top = scored.orderBy(F.desc("si"), "mdoc_id").limit(10)
+    w = Window.orderBy(F.desc("si"), "mdoc_id")
+    return top.select(
+        "mdoc_id",
+        F.row_number().over(w).alias("rank"),
+        (F.col("si").cast("double") / F.lit(1e12)).alias("maxsim"),
+    )

@@ -2605,3 +2605,139 @@ def pipeline_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.epoch_upsample(d, "source", "doc_id", _EPOCH_TARGETS).select(
         "doc_id", "source", "copy_id"
     )
+
+
+@query(
+    "pipeline_eval_retrieval",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, i,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM ev WHERE vec_id < 8
+),
+d AS (
+  SELECT vec_id, label, i,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS dv
+  FROM ev WHERE vec_id >= 8
+),
+scored AS (
+  SELECT q.query_id, ANY_VALUE(q.qlabel) AS qlabel, d.vec_id,
+         ANY_VALUE(d.label) AS label,
+         CAST(SUM(d.dv * q.qv) AS BIGINT) AS dp
+  FROM d JOIN q ON q.i = d.i
+  GROUP BY q.query_id, d.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dp DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id,
+       CAST(ANY_VALUE(qlabel) AS INT) AS query_label,
+       CAST(count_if(label = qlabel) AS BIGINT) AS n_rel_corpus,
+       CAST(MIN(CASE WHEN label = qlabel THEN rnk END) AS BIGINT)
+           AS first_rel_rank,
+       CAST(count_if(label = qlabel AND rnk <= 10) AS BIGINT) AS rel_in_top10,
+       CAST(count_if(label = qlabel AND rnk <= 10) AS DOUBLE) / 10
+           AS precision_at10,
+       CAST(count_if(label = qlabel AND rnk <= 10) AS DOUBLE)
+           / count_if(label = qlabel) AS recall_at10
+FROM ranked
+GROUP BY query_id
+""",
+    category="pipelines",
+)
+def pipeline_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation with label ground truth — the
+    readout loop every embedding/ANN pipeline needs: for each query
+    vector (vec_id < 8, BROADCAST with its label), rank the corpus
+    by exact int64-quantized dot product and report
+    first-relevant-rank, hits@10, precision@10 and recall@10
+    ("relevant" = same label).  The plan never materializes a
+    corpus-sized ranking: first_rel_rank is computed RANK-FREE as
+    1 + count of docs strictly outranking the best relevant doc
+    (two hash aggregations over the scored scan — the order
+    statistic as an aggregate), and the top-10 membership count uses
+    the same trick (count docs outranking each relevant doc, keep
+    those with < 10 above them — no window at all).  Everything is
+    integer-exact until the two final ratio divisions, so the eval
+    is bit-reproducible under any partitioning — at 100 TB this is
+    one broadcast-join scan plus bounded per-query aggregates."""
+    e = table(spark, sf_dir, "embeddings")
+    quant = lambda col: F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        quant(F.col("embedding")).alias("qe"),
+    )
+    d = e.where(F.col("vec_id") >= 8).select(
+        "vec_id", "label", quant(F.col("embedding")).alias("de")
+    )
+    dp = F.aggregate(
+        F.zip_with(F.col("de"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # (dp, vec_id) ordering key, packed so "outranks" is one struct
+    # comparison: higher dp first, lower vec_id breaks ties.
+    key = F.struct(F.col("dp").alias("dp"), (-F.col("vec_id")).alias("nid"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .select("query_id", "qlabel", "vec_id", "label", dp.alias("dp"))
+        .persist()
+    )
+    rel = scored.where(F.col("label") == F.col("qlabel"))
+    best_rel = rel.groupBy("query_id").agg(F.max(key).alias("bk"))
+    # first_rel_rank = 1 + #docs strictly outranking the best relevant
+    frr = (
+        scored.join(F.broadcast(best_rel), "query_id")
+        .groupBy("query_id")
+        .agg(
+            (1 + F.count_if(key > F.col("bk"))).cast("long").alias("first_rel_rank")
+        )
+    )
+    # rel_in_top10 via the canonical two-stage distributed top-k:
+    # per-(query, input-partition) local top-10 (bounded per task;
+    # the true global top-10 is always a subset of the local
+    # winners), then a global top-10 over the <= 10*n_partitions
+    # candidates — never a corpus-sized window partition.
+    loc = scored.withColumn("pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("dp"), "vec_id"
+    )
+    cand = loc.withColumn("rn_l", F.row_number().over(w_loc)).where(
+        F.col("rn_l") <= 10
+    )
+    w_g = Window.partitionBy("query_id").orderBy(F.desc("dp"), "vec_id")
+    top10 = (
+        cand.withColumn("rn", F.row_number().over(w_g))
+        .where(F.col("rn") <= 10)
+        .groupBy("query_id")
+        .agg(F.count_if(F.col("label") == F.col("qlabel")).alias("rel_in_top10"))
+    )
+    base = scored.groupBy("query_id").agg(
+        F.any_value(F.col("qlabel")).cast("int").alias("query_label"),
+        F.count_if(F.col("label") == F.col("qlabel")).alias("n_rel_corpus"),
+    )
+    return (
+        base.join(frr, "query_id")
+        .join(top10, "query_id")
+        .select(
+            "query_id",
+            "query_label",
+            "n_rel_corpus",
+            "first_rel_rank",
+            "rel_in_top10",
+            (F.col("rel_in_top10").cast("double") / 10).alias("precision_at10"),
+            (
+                F.col("rel_in_top10").cast("double") / F.col("n_rel_corpus")
+            ).alias("recall_at10"),
+        )
+    )

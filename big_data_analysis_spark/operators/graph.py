@@ -314,3 +314,94 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = cur
     e.unpersist()
     return dist.where(F.col("dist") <= _SSSP_CAP)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+n AS (
+  SELECT a AS node, b AS nbr FROM u
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM u
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY node),
+pairs AS (
+  SELECT n1.node AS node_a, n2.node AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS common_cnt
+  FROM n n1 JOIN n n2 ON n1.nbr = n2.nbr AND n1.node < n2.node
+  GROUP BY n1.node, n2.node
+)
+SELECT p.node_a, p.node_b, p.common_cnt,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(p.common_cnt AS DOUBLE) / (da.d + db.d - p.common_cnt)
+           AS jaccard,
+       CAST(CASE WHEN u.a IS NULL THEN 0 ELSE 1 END AS INT) AS is_edge
+FROM pairs p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
+LEFT JOIN u ON u.a = p.node_a AND u.b = p.node_b
+""",
+    category="graph",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the undirected view of the demo graph:
+    for every node pair sharing at least one neighbor, the
+    common-neighbor count and neighborhood Jaccard
+    (|N(a)∩N(b)| / |N(a)∪N(b)| — one exact integer ratio), plus an
+    is_edge flag so existing edges can be held out as the positive
+    class.  Wedge generation is the shared-neighbor equi-join (the
+    triangle-count shape: pairs appear once because a < b), degrees
+    ride in on two broadcast-able joins against the bounded degree
+    table.  At 100 TB graphs the wedge join's skew risk is hub
+    nodes — production runs cap/bucket hub degrees exactly like
+    dedup_ngram_jaccard's stop-gram cap; the demo graph is 100
+    nodes, so the cap is not wired here (documented, not hidden)."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n2 = n.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr2"))
+    pairs = (
+        n.join(n2, (F.col("nbr") == F.col("nbr2")) & (F.col("node") < F.col("node_b")))
+        .groupBy(F.col("node").alias("node_a"), "node_b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("deg_b"))
+    edge_flag = u.select("a", "b", F.lit(1).alias("is_edge"))
+    return (
+        pairs.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .join(
+            F.broadcast(edge_flag),
+            (F.col("node_a") == F.col("a")) & (F.col("node_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_cnt",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_cnt").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt"))
+            ).alias("jaccard"),
+            F.coalesce(F.col("is_edge"), F.lit(0)).cast("int").alias("is_edge"),
+        )
+    )

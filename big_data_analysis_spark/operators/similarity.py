@@ -933,3 +933,90 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
         (F.col("si").cast("double") / F.lit(1e12)).alias("maxsim"),
     )
+
+
+_KM_K = 8
+_KM_ROUNDS = 4
+
+
+@query("vec_kmeans_lloyd", oracle=None, category="similarity")
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd's algorithm), the
+    clustering stage a curation pipeline runs to stratify an
+    embedding corpus before sampling: k=8, init = the first k
+    vectors by id, 4 synchronous rounds.  EVERY quantity is exact
+    int64 — vectors are 1e-6-quantized once, assignment is argmin of
+    integer squared distance (ties to the lower centroid id), and
+    the centroid update collects per-cluster integer component SUMS
+    (k*d bounded scalars, the only driver traffic) and floor-divides
+    on the driver — so the fixpoint trajectory is bit-identical
+    under any partitioning or row order, which float k-means never
+    is.  Per round: one broadcast-literal argmin map over the corpus
+    + one (cluster, dim)-keyed partial-agg shuffle of k*d keys.
+    Rows-only (⊘): iterative multi-round state is outside single-
+    statement SQL; tests/test_quality.py re-runs the identical
+    integer algorithm in NumPy and asserts EXACT equality of every
+    output cell, plus cross-run determinism."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xq"),
+    ).persist()
+    cents = [
+        r["xq"]
+        for r in q.where(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+
+    def assign_col():
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, t: a + t,
+            )
+            for c in cents
+        ]
+        best = F.struct(dists[0].alias("d"), F.lit(0).alias("c"))
+        for j in range(1, _KM_K):
+            cand = F.struct(dists[j].alias("d"), F.lit(j).alias("c"))
+            best = F.when(cand < best, cand).otherwise(best)
+        return best
+
+    for _ in range(_KM_ROUNDS):
+        a = q.select("vec_id", "xq", assign_col().alias("b"))
+        sums = (
+            a.select(F.col("b")["c"].alias("cl"), F.posexplode("xq"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cl"]][r["pos"]] = r["s"] // r["n"]  # Python floor div
+        cents = new
+
+    final = q.select("vec_id", assign_col().alias("b"))
+    out = final.groupBy(F.col("b")["c"].alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("b")["d"]).alias("inertia"),
+        F.min("vec_id").alias("min_member"),
+    )
+    cent_norm = {
+        j: sum(int(v) * int(v) for v in cents[j]) for j in range(_KM_K)
+    }
+    norm_col = F.element_at(
+        F.array(*[F.lit(cent_norm[j]) for j in range(_KM_K)]),
+        F.col("cluster_id").cast("int") + 1,
+    )
+    q.unpersist()
+    return out.select(
+        "cluster_id", "n_members", "inertia", "min_member",
+        norm_col.alias("centroid_l2q"),
+    )

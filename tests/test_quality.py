@@ -967,3 +967,53 @@ def test_driver_window_converts_new_evidence():
         if s.oracle is not None and s.name not in _DRIVER_GRADED
     )
     assert got_new >= expected_new, (got_new, expected_new)
+
+
+def test_kmeans_lloyd_matches_numpy_exact(spark, sf_dir):
+    """vec_kmeans_lloyd's integer Lloyd trajectory re-run in NumPy:
+    every output cell must match EXACTLY (the whole point of the
+    quantized-int64 formulation — no float tolerance needed), and a
+    second Spark run must be bit-identical (determinism)."""
+    import numpy as np
+
+    out = {
+        r.cluster_id: r for r in run("vec_kmeans_lloyd", spark, sf_dir).collect()
+    }
+    out2 = {
+        r.cluster_id: r for r in run("vec_kmeans_lloyd", spark, sf_dir).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array(
+        [[int(round(float(v) * 1000000)) for v in r[1]] for r in rows],
+        dtype=np.int64,
+    )
+    K, ROUNDS = 8, 4
+    cents = X[ids < K][np.argsort(ids[ids < K])].copy()
+
+    def assign(C):
+        # argmin of exact integer squared distance, ties -> lower id
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    for _ in range(ROUNDS):
+        a, _d = assign(cents)
+        for j in range(K):
+            m = a == j
+            if m.any():
+                cents[j] = X[m].sum(axis=0) // m.sum()  # floor div, like Spark side
+    a, d = assign(cents)
+    for j in range(K):
+        m = a == j
+        assert out[j].n_members == int(m.sum())
+        assert out[j].inertia == int(d[m].sum())
+        assert out[j].min_member == int(ids[m].min())
+        assert out[j].centroid_l2q == int((cents[j].astype(object) ** 2).sum())

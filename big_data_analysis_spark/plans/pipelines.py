@@ -2741,3 +2741,71 @@ def pipeline_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at10"),
         )
     )
+
+
+@query(
+    "pipeline_preference_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_unique DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_unique ASC, doc_id DESC) AS rw
+  FROM s
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN rb = 1 THEN doc_id END) AS BIGINT) AS chosen_id,
+       CAST(MIN(CASE WHEN rw = 1 THEN doc_id END) AS BIGINT) AS rejected_id,
+       CAST(MIN(CASE WHEN rb = 1 THEN n_unique END) AS BIGINT) AS chosen_unique,
+       CAST(MIN(CASE WHEN rw = 1 THEN n_unique END) AS BIGINT) AS rejected_unique,
+       CAST(MIN(CASE WHEN rb = 1 THEN n_unique END)
+            - MIN(CASE WHEN rw = 1 THEN n_unique END) AS BIGINT) AS margin
+FROM r
+GROUP BY lang, source
+HAVING COUNT(*) >= 2
+""",
+    category="pipelines",
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep shape):
+    within every (lang, source) bucket — the stand-in for a prompt
+    group — emit ONE (chosen, rejected) pair: the lexically richest
+    document vs the poorest, by the deterministic integer key
+    (distinct-token count, doc_id tie-break), plus the quality
+    margin.  The entire selection is ONE hash aggregation: both
+    extremes ride out as max/min of a packed (n_unique, -doc_id)
+    struct — no window, no sort, one shuffle on the bucket key;
+    at 100 TB prompt groups are millions of small keys, exactly
+    what partial-agg hash aggregation eats.  Buckets with a single
+    doc can't form a pair and are dropped (HAVING n >= 2)."""
+    d = table(spark, sf_dir, "documents")
+    n_unique = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
+    s = d.select("doc_id", "lang", "source", n_unique.alias("n_unique"))
+    best = F.max(F.struct(F.col("n_unique"), (-F.col("doc_id")).alias("nid")))
+    worst = F.min(F.struct(F.col("n_unique"), (-F.col("doc_id")).alias("nid")))
+    return (
+        s.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            best.alias("b"),
+            worst.alias("w"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (-F.col("b")["nid"]).alias("chosen_id"),
+            (-F.col("w")["nid"]).alias("rejected_id"),
+            F.col("b")["n_unique"].alias("chosen_unique"),
+            F.col("w")["n_unique"].alias("rejected_unique"),
+            (F.col("b")["n_unique"] - F.col("w")["n_unique"]).alias("margin"),
+        )
+    )

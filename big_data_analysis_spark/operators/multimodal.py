@@ -1176,3 +1176,164 @@ def multimodal_png_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         walked["crc_ok"].alias("crc_ok_chunks"),
         flen.alias("file_bytes"),
     )
+
+
+def _srt_ts(ms_col):
+    """HH:MM:SS,mmm formatting of a millisecond count — pure
+    integer div/mod + lpad, no date functions."""
+    h = (ms_col / 3600000).cast("long")
+    m = (ms_col / 60000).cast("long") % 60
+    s = (ms_col / 1000).cast("long") % 60
+    ms = ms_col % 1000
+    pad = lambda c, n: F.lpad(c.cast("string"), n, "0")
+    return F.concat(
+        pad(h, 2), F.lit(":"), pad(m, 2), F.lit(":"), pad(s, 2),
+        F.lit(","), pad(ms, 3),
+    )
+
+
+def _synth_srts(d) -> DataFrame:
+    """Synthesize SubRip (SRT) caption files for doc_id < 48:
+    2..5 cues per doc, formula-driven timing, caption text drawn
+    from the document's own tokens.  The oracle knows only these
+    formulas — the regex re-parse must reproduce them."""
+    d = d.where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    n_cues = (F.lit(2) + i % 4).cast("long")
+    toks = F.split(F.col("text"), " ")
+    start = lambda c: c.cast("long") * (120 + (i % 5) * 10)
+    end = lambda c: start(c) + 90 + c.cast("long") * 30
+    cap = lambda c: F.concat(
+        F.lit("c"), c.cast("string"), F.lit(" "),
+        F.array_join(F.slice(toks, c * 3 + 1, 3), " "),
+    )
+    block = lambda c: F.concat(
+        (c + 1).cast("string"), F.lit("\n"),
+        _srt_ts(start(c)), F.lit(" --> "), _srt_ts(end(c)), F.lit("\n"),
+        cap(c), F.lit("\n\n"),
+    )
+    srt = F.array_join(
+        F.transform(F.sequence(F.lit(0), (n_cues - 1).cast("int")), block), ""
+    )
+    return d.select("doc_id", srt.alias("srt"))
+
+
+@query(
+    "multimodal_caption_align",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+cues AS (
+  SELECT d.doc_id, c.c,
+         c.c * (120 + (d.doc_id % 5) * 10) AS s_ms,
+         c.c * (120 + (d.doc_id % 5) * 10) + 90 + c.c * 30 AS e_ms,
+         length('c' || c.c || ' ' ||
+                COALESCE(array_to_string(list_slice(
+                  string_split(dd.text, ' '), c.c * 3 + 1, c.c * 3 + 3), ' '),
+                  '')) AS cap_len
+  FROM ids d
+  JOIN documents dd ON dd.doc_id = d.doc_id,
+  LATERAL (
+    SELECT unnest(generate_series(0, 1 + CAST(d.doc_id % 4 AS INT))) AS c
+  ) c
+),
+geo AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 40000 WHEN 1 THEN 50000
+              ELSE 100000 END AS usec,
+         3 + doc_id % 5 AS nf
+  FROM ids
+),
+aligned AS (
+  SELECT cu.doc_id, cu.c, cu.s_ms, cu.e_ms, cu.cap_len,
+         GREATEST(0,
+           LEAST((cu.e_ms * 1000 - 1) // g.usec, g.nf - 1)
+           - GREATEST((cu.s_ms * 1000 + g.usec - 1) // g.usec, 0) + 1)
+             AS n_frames
+  FROM cues cu JOIN geo g USING (doc_id)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cues,
+       CAST(SUM(e_ms - s_ms) AS BIGINT) AS total_cue_ms,
+       CAST(MIN(s_ms) AS BIGINT) AS first_start_ms,
+       CAST(MAX(e_ms) AS BIGINT) AS last_end_ms,
+       CAST(SUM(cap_len) AS BIGINT) AS caption_chars,
+       CAST(SUM(n_frames) AS BIGINT) AS cue_frame_pairs
+FROM aligned
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-to-frame alignment — the step that turns a video
+    corpus plus its subtitle sidecars into supervised (frame span,
+    text) training pairs.  Three real parsers compose: (1) SRT files
+    are synthesized per doc and RE-PARSED from the text alone —
+    regexp_extract_all pulls every HH:MM:SS,mmm timestamp (split
+    into starts/ends by the index-aware filter lambda) and every
+    caption line, and cue millis are rebuilt from fixed-position
+    substrings; (2) the matching AVI container contributes the frame
+    clock (dwMicroSecPerFrame, dwTotalFrames) parsed from the BYTES
+    (little-endian reads, as in multimodal_avi_parse); (3) an
+    integer interval intersection maps each cue's [start, end) onto
+    frame indices k*usec — ceil/floor divisions done exactly in
+    int64, clamped to the frame range.  One equi-join on doc_id
+    (co-partitionable at scale), all parsing in JVM codegen, zero
+    Python.  The oracle knows only the generator formulas, so a
+    regex slip or an off-by-one in the clock math cannot cancel."""
+    d = table(spark, sf_dir, "documents")
+    srt = _synth_srts(d)
+    avi = _synth_avis(d)
+    b = F.col("avi")
+    geo = avi.select(
+        "doc_id", _le_int(b, 33, 4).alias("usec"), _le_int(b, 49, 4).alias("nf")
+    )
+    tss = F.regexp_extract_all(
+        F.col("srt"), F.lit(r"(\d{2}:\d{2}:\d{2},\d{3})"), 1
+    )
+    caps = F.regexp_extract_all(
+        F.col("srt"), F.lit(r" --> [^\n]*\n([^\n]+)\n"), 1
+    )
+    ms = lambda x: (
+        F.substring(x, 1, 2).cast("long") * 3600000
+        + F.substring(x, 4, 2).cast("long") * 60000
+        + F.substring(x, 7, 2).cast("long") * 1000
+        + F.substring(x, 10, 3).cast("long")
+    )
+    starts = F.transform(
+        F.filter(tss, lambda x, i: i % 2 == 0), lambda x: ms(x)
+    )
+    ends = F.transform(
+        F.filter(tss, lambda x, i: i % 2 == 1), lambda x: ms(x)
+    )
+    parsed = srt.select(
+        "doc_id",
+        starts.alias("s"),
+        ends.alias("e"),
+        F.transform(caps, lambda x: F.length(x)).alias("cl"),
+    )
+    j = parsed.join(geo, "doc_id")
+    usec, nf = F.col("usec"), F.col("nf")
+    lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    frames_per_cue = F.zip_with(
+        F.col("s"),
+        F.col("e"),
+        lambda s, e: F.greatest(
+            F.lit(0).cast("long"),
+            F.least((e * 1000 - 1).cast("long") / usec, nf - 1).cast("long")
+            - F.greatest(
+                ((s * 1000 + usec - 1) / usec).cast("long"), F.lit(0).cast("long")
+            )
+            + 1,
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_cues"),
+        lsum(F.zip_with(F.col("s"), F.col("e"), lambda s, e: e - s)).alias(
+            "total_cue_ms"
+        ),
+        F.array_min("s").alias("first_start_ms"),
+        F.array_max("e").alias("last_end_ms"),
+        lsum(F.col("cl")).alias("caption_chars"),
+        lsum(frames_per_cue).alias("cue_frame_pairs"),
+    )

@@ -971,23 +971,28 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def assign_col():
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("xq"),
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
+        # ONE codebook array literal + a nested transform, so codegen
+        # emits a loop over centroids instead of k unrolled
+        # 64-term aggregates (the sim_ivf_probe lesson: unrolled
+        # per-centroid expressions blow out compile time k-fold).
+        codebook = F.array(
+            *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
+        )
+        dists = F.transform(
+            codebook,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("xq"), c, lambda x, y: (x - y) * (x - y)),
                 F.lit(0).cast("long"),
                 lambda a, t: a + t,
-            )
-            for c in cents
-        ]
-        best = F.struct(dists[0].alias("d"), F.lit(0).alias("c"))
-        for j in range(1, _KM_K):
-            cand = F.struct(dists[j].alias("d"), F.lit(j).alias("c"))
-            best = F.when(cand < best, cand).otherwise(best)
-        return best
+            ),
+        )
+        dmin = F.array_min(dists)
+        # array_position returns the FIRST match -> ties break to the
+        # lower centroid id, matching the NumPy argmin model.
+        return F.struct(
+            dmin.alias("d"),
+            (F.array_position(dists, dmin) - 1).cast("int").alias("c"),
+        )
 
     for _ in range(_KM_ROUNDS):
         a = q.select("vec_id", "xq", assign_col().alias("b"))

@@ -184,6 +184,9 @@ _GRADE_FIRST: frozenset[str] = frozenset({
     "agg_session_window_native", "fn_sql_function",
     "fn_sql_table_function", "fn_zorder_key", "udtf_arrow",
     "text_repetition_filter", "text_code_detect",
+    # r6-wave marquee additions (never graded, land them this window)
+    "multimodal_png_parse", "multimodal_caption_align", "sim_maxsim",
+    "pipeline_eval_retrieval", "dedup_paragraph", "fn_interval_arith",
 })
 
 

@@ -87,6 +87,14 @@ BENCH_QUERIES = [
     "pipeline_rfm_segments",
     "win_skyline",
     "pipeline_shard_manifest",
+    # r6-wave 2: the big-endian PNG chunk-walk parser (CRC-verified
+    # structural fold), paragraph-level cross-doc dedup (the
+    # CCNet/RefinedWeb line-dedup tier: chunk window + per-doc
+    # rollup), and ColBERT-style MaxSim late-interaction scoring
+    # (broadcast query bag, two partial-agg reductions, TakeOrdered).
+    "multimodal_png_parse",
+    "dedup_paragraph",
+    "sim_maxsim",
 ]
 
 

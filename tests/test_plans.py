@@ -466,3 +466,52 @@ def test_r5_single_shuffle_aggs(spark, sf_dir):
         tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
         assert tree.count("Exchange") == 1, name
         assert "EvalPython" not in tree, name
+
+
+def test_maxsim_broadcast_and_takeordered(spark, sf_dir):
+    """sim_maxsim must broadcast the bounded query bag (never
+    shuffle the corpus for the join), reduce through partial-agg
+    exchanges, and cut the global top-10 with TakeOrdered — a
+    single-task global Sort would be the scale bug."""
+    plan = plan_of("sim_maxsim", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "Python" not in tree
+
+
+def test_dedup_paragraph_two_shuffles_partitioned_window(spark, sf_dir):
+    """dedup_paragraph is exactly two shuffles (chunk-keyed
+    first-occurrence window, then the per-doc rollup); the window
+    must carry the chunk partition key — an empty partition spec
+    would funnel the corpus through one task."""
+    plan = plan_of("dedup_paragraph", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "Python" not in tree
+    rn_lines = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert rn_lines and all("], [], [" not in l for l in rn_lines), rn_lines
+
+
+def test_eval_retrieval_no_corpus_window(spark, sf_dir):
+    """pipeline_eval_retrieval's top-10 must run as WindowGroupLimit
+    (rank pushed into the shuffle) over (query, partition)-keyed
+    windows — never a per-query corpus-sized sort without the
+    group-limit cut — and the query bag rides a broadcast."""
+    plan = plan_of("pipeline_eval_retrieval", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "BroadcastExchange" in tree
+    assert "Python" not in tree
+
+
+def test_caption_align_single_join_no_python(spark, sf_dir):
+    """multimodal_caption_align: both parsers run in the scan's map
+    stage; the only data movement is the doc_id join (broadcast at
+    this scale), with zero Python operators."""
+    plan = plan_of("multimodal_caption_align", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "Python" not in tree

@@ -1048,6 +1048,210 @@ def quantize_int8(
     )
 
 
+# ------------------------------------------------- curation kernels
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 4
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup
+    tier): chunk every document into ``chunk_tokens``-token
+    paragraphs, keep only the corpus-wide FIRST occurrence of each
+    (by (id, chunk position)), and reassemble each document from its
+    surviving paragraphs. Returns (id, n_chunks, n_kept, n_dropped,
+    kept_ratio, dedup_text). Two shuffles, both on
+    data-proportional keys: the paragraph-partitioned
+    first-occurrence window and the per-doc rollup."""
+    chunks = chunk(df, text_col, id_col, chunk_tokens=chunk_tokens)
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_id")
+    r = chunks.select(
+        id_col, "chunk_id", "chunk_text", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") == 1
+    return r.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        (F.count_if(kept).cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
+        F.coalesce(
+            F.array_join(
+                F.array_compact(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("chunk_id"), F.col("chunk_text")),
+                            )
+                        )
+                    ).transform(lambda s: s["chunk_text"])
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )
+
+
+def quantize_vec(col: Column, *, scale: int = 1000000) -> Column:
+    """1e-6 (by default) fixed-point quantization of a float vector
+    into exact int64 — the house convention that makes every
+    downstream dot/distance bit-deterministic under any partitioning
+    or reduction order."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def maxsim(
+    corpus: DataFrame,
+    queries: DataFrame,
+    doc_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: ``corpus`` holds one
+    row per (multi-vector document ``doc_col``, vector ``vec_col``);
+    ``queries`` holds the query's vectors (one per row, bounded —
+    it is BROADCAST). A document's score is sum over query vectors
+    of the max dot against any of its vectors. Returns the top-k
+    (doc_col, rank, maxsim). All arithmetic is exact int64
+    (1e-6-quantized) until one final division; the global top-k is
+    a TakeOrdered, never a single-task sort."""
+    q = queries.select(
+        F.monotonically_increasing_id().alias("__qid"),
+        quantize_vec(F.col(vec_col)).alias("__qe"),
+    )
+    d = corpus.select(F.col(doc_col), quantize_vec(F.col(vec_col)).alias("__de"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .select(doc_col, "__qid", int_dot(F.col("__de"), F.col("__qe")).alias("dp"))
+        .groupBy(doc_col, "__qid")
+        .agg(F.max("dp").alias("m"))
+        .groupBy(doc_col)
+        .agg(F.sum("m").alias("si"))
+    )
+    top = scored.orderBy(F.desc("si"), doc_col).limit(k)
+    w = Window.orderBy(F.desc("si"), doc_col)
+    return top.select(
+        doc_col,
+        F.row_number().over(w).alias("rank"),
+        (F.col("si").cast("double") / F.lit(1e12)).alias("maxsim"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame, group_cols: Sequence[str], id_col: str, score_col: str
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within every
+    ``group_cols`` bucket emit ONE (chosen, rejected) pair — the
+    rows with the extreme ``score_col`` values (ties broken by the
+    lower/higher ``id_col`` respectively, so the pair is
+    deterministic). ONE hash aggregation, no window: both extremes
+    ride out as max/min of a packed (score, -id) struct. Buckets
+    with a single row are dropped. Returns group_cols + (n_docs,
+    chosen_id, rejected_id, chosen_score, rejected_score, margin)."""
+    s = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__score"),
+    )
+    best = F.max(F.struct(F.col("__score"), (-F.col("__id")).alias("nid")))
+    worst = F.min(F.struct(F.col("__score"), (-F.col("__id")).alias("nid")))
+    return (
+        s.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"), best.alias("b"), worst.alias("w"))
+        .where(F.col("n_docs") >= 2)
+        .select(
+            *group_cols,
+            "n_docs",
+            (-F.col("b")["nid"]).alias("chosen_id"),
+            (-F.col("w")["nid"]).alias("rejected_id"),
+            F.col("b")["__score"].alias("chosen_score"),
+            F.col("w")["__score"].alias("rejected_score"),
+            (F.col("b")["__score"] - F.col("w")["__score"]).alias("margin"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame, id_col: str, vec_col: str, *, k: int = 8, rounds: int = 4
+) -> DataFrame:
+    """Deterministic integer-exact k-means (Lloyd): init = the first
+    k vectors by ``id_col``, every distance/assignment/update in
+    exact int64 (1e-6-quantized elements, floor-division centroid
+    update on the driver over k*d collected sums) — bit-identical
+    under any partitioning, which float k-means never is. Returns
+    the per-cluster summary (cluster_id, n_members, inertia,
+    min_member, centroid_l2q). Per round: one codebook-literal
+    argmin map over the corpus + one (cluster, dim) partial-agg
+    shuffle of k*d keys."""
+    q = df.select(
+        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("xq")
+    ).persist()
+    cents = [
+        r["xq"]
+        for r in q.orderBy("__id").limit(k).collect()
+    ]
+
+    def assign_col():
+        codebook = F.array(
+            *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
+        )
+        dists = F.transform(
+            codebook,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("xq"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, t: a + t,
+            ),
+        )
+        dmin = F.array_min(dists)
+        return F.struct(
+            dmin.alias("d"),
+            (F.array_position(dists, dmin) - 1).cast("int").alias("c"),
+        )
+
+    for _ in range(rounds):
+        a = q.select("xq", assign_col().alias("b"))
+        sums = (
+            a.select(F.col("b")["c"].alias("cl"), F.posexplode("xq"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cl"]][r["pos"]] = r["s"] // r["n"]  # floor division
+        cents = new
+
+    final = q.select("__id", assign_col().alias("b"))
+    out = final.groupBy(F.col("b")["c"].alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("b")["d"]).alias("inertia"),
+        F.min("__id").alias("min_member"),
+    )
+    cent_norm = {j: sum(int(v) * int(v) for v in cents[j]) for j in range(k)}
+    norm_col = F.element_at(
+        F.array(*[F.lit(cent_norm[j]) for j in range(k)]),
+        F.col("cluster_id").cast("int") + 1,
+    )
+    q.unpersist()
+    return out.select(
+        "cluster_id", "n_members", "inertia", "min_member",
+        norm_col.alias("centroid_l2q"),
+    )
+
+
+
 # Distributed global-order kernels (implemented alongside the window
 # operators; re-exported here because they are fixture-independent
 # library surface): exact ntile(k)/row_number over a total order

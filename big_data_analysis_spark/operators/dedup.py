@@ -780,33 +780,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key is the paragraph hash, so the state per key is
     the duplicate cluster, not the corpus) and the per-doc rollup.
     Unlike text_boilerplate_scrub (drops high-df chunks everywhere)
-    this KEEPS one canonical copy — the dedup contract."""
+    this KEEPS one canonical copy — the dedup contract.  Thin
+    adapter over the public api.dedup_paragraphs kernel."""
     d = table(spark, sf_dir, "documents")
-    chunks = api.chunk(d, "text", "doc_id", chunk_tokens=4)
-    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
-    r = chunks.select(
-        "doc_id", "chunk_id", "chunk_text", F.row_number().over(w).alias("rn")
-    )
-    kept = F.col("rn") == 1
-    return r.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.count_if(kept).alias("n_kept"),
-        F.count_if(~kept).alias("n_dropped"),
-        (F.count_if(kept).cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
-        F.coalesce(
-            F.array_join(
-                F.array_compact(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                kept,
-                                F.struct(F.col("chunk_id"), F.col("chunk_text")),
-                            )
-                        )
-                    ).transform(lambda s: s["chunk_text"])
-                ),
-                " ",
-            ),
-            F.lit(""),
-        ).alias("dedup_text"),
-    )
+    return api.dedup_paragraphs(d, "text", "doc_id", chunk_tokens=4)

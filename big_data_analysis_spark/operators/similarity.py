@@ -900,39 +900,14 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc key, and the global top-10 is a TakeOrdered, never a
     single-task sort.  Every dot/max/sum stays in exact int64
     (1e-6-quantized elements) until ONE final division, so the
-    ranking is bit-deterministic regardless of partitioning."""
+    ranking is bit-deterministic regardless of partitioning.  Thin
+    adapter over the public api.maxsim kernel."""
     e = table(spark, sf_dir, "embeddings")
-    quant = lambda col: F.transform(
-        col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    corpus = e.where(F.col("vec_id") >= 8).select(
+        F.expr("vec_id div 8").alias("mdoc_id"), "embedding"
     )
-    q = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), quant(F.col("embedding")).alias("qe")
-    )
-    d = e.where(F.col("vec_id") >= 8).select(
-        F.expr("vec_id div 8").alias("mdoc_id"),
-        "vec_id",
-        quant(F.col("embedding")).alias("de"),
-    )
-    dp = F.aggregate(
-        F.zip_with(F.col("de"), F.col("qe"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    scored = (
-        d.crossJoin(F.broadcast(q))
-        .select("mdoc_id", "vec_id", "qid", dp.alias("dp"))
-        .groupBy("mdoc_id", "qid")
-        .agg(F.max("dp").alias("m"))
-        .groupBy("mdoc_id")
-        .agg(F.sum("m").alias("si"))
-    )
-    top = scored.orderBy(F.desc("si"), "mdoc_id").limit(10)
-    w = Window.orderBy(F.desc("si"), "mdoc_id")
-    return top.select(
-        "mdoc_id",
-        F.row_number().over(w).alias("rank"),
-        (F.col("si").cast("double") / F.lit(1e12)).alias("maxsim"),
-    )
+    queries = e.where(F.col("vec_id") < 8).select("embedding")
+    return api.maxsim(corpus, queries, "mdoc_id", "embedding", k=10)
 
 
 _KM_K = 8
@@ -956,72 +931,7 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (⊘): iterative multi-round state is outside single-
     statement SQL; tests/test_quality.py re-runs the identical
     integer algorithm in NumPy and asserts EXACT equality of every
-    output cell, plus cross-run determinism."""
+    output cell, plus cross-run determinism.  Thin adapter over the
+    public api.kmeans_lloyd kernel."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-        ).alias("xq"),
-    ).persist()
-    cents = [
-        r["xq"]
-        for r in q.where(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
-    ]
-
-    def assign_col():
-        # ONE codebook array literal + a nested transform, so codegen
-        # emits a loop over centroids instead of k unrolled
-        # 64-term aggregates (the sim_ivf_probe lesson: unrolled
-        # per-centroid expressions blow out compile time k-fold).
-        codebook = F.array(
-            *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
-        )
-        dists = F.transform(
-            codebook,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("xq"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda a, t: a + t,
-            ),
-        )
-        dmin = F.array_min(dists)
-        # array_position returns the FIRST match -> ties break to the
-        # lower centroid id, matching the NumPy argmin model.
-        return F.struct(
-            dmin.alias("d"),
-            (F.array_position(dists, dmin) - 1).cast("int").alias("c"),
-        )
-
-    for _ in range(_KM_ROUNDS):
-        a = q.select("vec_id", "xq", assign_col().alias("b"))
-        sums = (
-            a.select(F.col("b")["c"].alias("cl"), F.posexplode("xq"))
-            .groupBy("cl", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in sums:
-            new[r["cl"]][r["pos"]] = r["s"] // r["n"]  # Python floor div
-        cents = new
-
-    final = q.select("vec_id", assign_col().alias("b"))
-    out = final.groupBy(F.col("b")["c"].alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.col("b")["d"]).alias("inertia"),
-        F.min("vec_id").alias("min_member"),
-    )
-    cent_norm = {
-        j: sum(int(v) * int(v) for v in cents[j]) for j in range(_KM_K)
-    }
-    norm_col = F.element_at(
-        F.array(*[F.lit(cent_norm[j]) for j in range(_KM_K)]),
-        F.col("cluster_id").cast("int") + 1,
-    )
-    q.unpersist()
-    return out.select(
-        "cluster_id", "n_members", "inertia", "min_member",
-        norm_col.alias("centroid_l2q"),
-    )
+    return api.kmeans_lloyd(e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS)

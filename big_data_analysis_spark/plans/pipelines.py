@@ -2784,28 +2784,13 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct — no window, no sort, one shuffle on the bucket key;
     at 100 TB prompt groups are millions of small keys, exactly
     what partial-agg hash aggregation eats.  Buckets with a single
-    doc can't form a pair and are dropped (HAVING n >= 2)."""
+    doc can't form a pair and are dropped (HAVING n >= 2).  Thin
+    adapter over the public api.preference_pairs kernel."""
     d = table(spark, sf_dir, "documents")
     n_unique = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
     s = d.select("doc_id", "lang", "source", n_unique.alias("n_unique"))
-    best = F.max(F.struct(F.col("n_unique"), (-F.col("doc_id")).alias("nid")))
-    worst = F.min(F.struct(F.col("n_unique"), (-F.col("doc_id")).alias("nid")))
-    return (
-        s.groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            best.alias("b"),
-            worst.alias("w"),
-        )
-        .where(F.col("n_docs") >= 2)
-        .select(
-            "lang",
-            "source",
-            "n_docs",
-            (-F.col("b")["nid"]).alias("chosen_id"),
-            (-F.col("w")["nid"]).alias("rejected_id"),
-            F.col("b")["n_unique"].alias("chosen_unique"),
-            F.col("w")["n_unique"].alias("rejected_unique"),
-            (F.col("b")["n_unique"] - F.col("w")["n_unique"]).alias("margin"),
-        )
+    return api.preference_pairs(
+        s, ["lang", "source"], "doc_id", "n_unique"
+    ).withColumnsRenamed(
+        {"chosen_score": "chosen_unique", "rejected_score": "rejected_unique"}
     )

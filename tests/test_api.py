@@ -712,3 +712,77 @@ def test_api_kernels_on_synthetic_table(spark):
     }
     assert sorted(rk.values()) == [1, 2, 3, 4, 5, 6]
     assert rk[1] == 1 and rk[3] == 2  # the two v=1 rows rank first by rid
+
+
+def test_api_dedup_paragraphs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),   # chunks (size 2): "a b","c d","x y"
+            (2, "a b c d"),       # both chunks already seen in doc 1
+            (3, "p q a b"),       # "p q" fresh, "a b" dup
+        ],
+        "nid long, body string",
+    )
+    out = {r["nid"]: r for r in api.dedup_paragraphs(
+        df, "body", "nid", chunk_tokens=2).collect()}
+    assert (out[1].n_chunks, out[1].n_kept, out[1].n_dropped) == (3, 3, 0)
+    assert out[1].dedup_text == "a b c d x y"
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 0)
+    assert out[2].dedup_text == ""
+    assert (out[3].n_kept, out[3].n_dropped) == (1, 1)
+    assert out[3].dedup_text == "p q"
+    assert abs(out[3].kept_ratio - 0.5) < 1e-12
+
+
+def test_api_maxsim(spark):
+    # 2-dim toy: doc A vectors {(1,0),(0,1)}, doc B {(0.5,0.5),(1,0)};
+    # query bag {(1,0),(0,1)}.
+    corpus = spark.createDataFrame(
+        [("A", [1.0, 0.0]), ("A", [0.0, 1.0]),
+         ("B", [0.5, 0.5]), ("B", [1.0, 0.0])],
+        "doc string, vec array<float>",
+    )
+    queries = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "vec array<float>"
+    )
+    out = {r["doc"]: r for r in api.maxsim(
+        corpus, queries, "doc", "vec", k=2).collect()}
+    # A: max dots = 1.0 + 1.0 = 2.0 ; B: 1.0 + 0.5 = 1.5
+    assert out["A"].rank == 1 and abs(out["A"].maxsim - 2.0) < 1e-9
+    assert out["B"].rank == 2 and abs(out["B"].maxsim - 1.5) < 1e-9
+
+
+def test_api_preference_pairs(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10), ("g1", 2, 30), ("g1", 3, 30), ("g1", 4, 5),
+         ("g2", 7, 9),  # singleton bucket -> dropped
+         ("g3", 5, 4), ("g3", 6, 4)],  # all-tie bucket
+        "grp string, rid long, score long",
+    )
+    out = {r["grp"]: r for r in api.preference_pairs(
+        df, ["grp"], "rid", "score").collect()}
+    assert set(out) == {"g1", "g3"}
+    # g1: chosen = score 30 tie -> lower rid (2); rejected = score 5 (rid 4)
+    assert (out["g1"].chosen_id, out["g1"].rejected_id) == (2, 4)
+    assert (out["g1"].chosen_score, out["g1"].rejected_score) == (30, 5)
+    assert out["g1"].margin == 25
+    # g3 all-tie: chosen = lower rid, rejected = higher rid, margin 0
+    assert (out["g3"].chosen_id, out["g3"].rejected_id, out["g3"].margin) == (5, 6, 0)
+
+
+def test_api_kmeans_lloyd_separated_clusters(spark):
+    # Two tight 2-D blobs; k=2, init = first two points (one per blob).
+    pts = [
+        (0, [0.0, 0.01]), (2, [0.01, 0.0]), (4, [0.0, 0.0]),
+        (1, [1.0, 0.99]), (3, [0.99, 1.0]), (5, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(pts, "pid long, vec array<float>")
+    out = {r["cluster_id"]: r for r in api.kmeans_lloyd(
+        df, "pid", "vec", k=2, rounds=3).collect()}
+    assert {out[0].n_members, out[1].n_members} == {3}
+    # cluster 0 seeded from pid 0 (origin blob): min member is 0
+    assert out[0].min_member == 0 and out[1].min_member == 1
+    # determinism: a second run returns identical rows
+    out2 = {r["cluster_id"]: tuple(r) for r in api.kmeans_lloyd(
+        df, "pid", "vec", k=2, rounds=3).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}

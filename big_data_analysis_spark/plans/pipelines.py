@@ -2794,3 +2794,131 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed(
         {"chosen_score": "chosen_unique", "rejected_score": "rejected_unique"}
     )
+
+
+@query(
+    "pipeline_dedup_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+         (CASE doc_id % 4 WHEN 0 THEN 'WWW.SITE' WHEN 1 THEN 'www.Site'
+               WHEN 2 THEN 'Site' ELSE 'site' END) ||
+         CAST(doc_id % 3 AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END) ||
+         (CASE doc_id % 5 WHEN 0 THEN
+               (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+               WHEN 1 THEN ':8080' ELSE '' END) ||
+         '/a/' || CAST(doc_id % 4 AS VARCHAR) ||
+         (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+         '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END) ||
+         (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^(https?)://', 1) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(url, '^https?://[^/:?#]+:(\\d+)', 1) AS port,
+         regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+           x -> NOT starts_with(x, 'utm_'))), '&') AS q
+  FROM u
+),
+k AS (
+  SELECT doc_id, url,
+         scheme || '://' || host ||
+         (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                    OR (scheme = 'http' AND port = '80')
+               THEN '' ELSE ':' || port END) ||
+         path ||
+         (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+  FROM c
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM k
+GROUP BY canonical_url
+""",
+    category="pipelines",
+)
+def pipeline_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-crawl
+    pipeline: raw URLs that differ only in scheme-irrelevant ways
+    (host case, a www. prefix, an explicit default port, a trailing
+    slash, utm_* tracking params in any order, a fragment) must
+    collapse to one canonical key before any content fetch/dedup
+    spends a byte on them.  Raw URLs are synthesized per doc with
+    deliberately noisy decorations (four case variants, three port
+    forms, optional trailing slash / tracking param / fragment — the
+    oracle builds the identical strings), then canonicalized with a
+    pure-codegen regexp pipeline: extract scheme/host/port/path/
+    query, case-fold + strip www., drop default ports, strip the
+    trailing slash, filter-and-SORT the query params (array ops —
+    param order never splits a group), drop the fragment.  One hash
+    aggregation on the canonical key: n_variants, the keeper (min
+    doc_id), and the distinct-raw count proving the collapse is
+    real (~60 raw forms per canonical at scale).  At 100 TB this is
+    THE frontier-dedup shuffle key — a map stage plus one exchange."""
+    d = table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    url = F.concat(
+        F.when(i % 2 == 0, "https").otherwise("http"), F.lit("://"),
+        F.when(i % 4 == 0, "WWW.SITE").when(i % 4 == 1, "www.Site")
+         .when(i % 4 == 2, "Site").otherwise("site"),
+        s(i % 3),
+        F.when(i % 2 == 0, ".COM").otherwise(".com"),
+        F.when(i % 5 == 0, F.when(i % 2 == 0, ":443").otherwise(":80"))
+         .when(i % 5 == 1, ":8080").otherwise(""),
+        F.lit("/a/"), s(i % 4),
+        F.when(i % 6 == 0, "/").otherwise(""),
+        F.lit("?id="), s(i % 5),
+        F.when(i % 2 == 0, "&utm_source=feed").otherwise(""),
+        F.when(i % 3 == 0, "#top").otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme = F.regexp_extract("url", r"^(https?)://", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+)", 1)),
+        r"^www\.", ""
+    )
+    port = F.regexp_extract("url", r"^https?://[^/:?#]+:(\d+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https?://[^/?#]+([^?#]*)", 1), "/$", ""
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(default_port, "").otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        u.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+    )

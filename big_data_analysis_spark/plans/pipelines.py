@@ -2922,3 +2922,221 @@ def pipeline_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").alias("n_distinct_raw"),
         )
     )
+
+
+@query(
+    "pipeline_tokenizer_fertility",
+    oracle=f"""
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(b.n_subwords) AS DOUBLE)
+           / SUM(len(string_split(d.text, ' '))) AS fertility,
+       CAST(SUM(d.n_chars) AS DOUBLE) / SUM(b.n_subwords)
+           AS chars_per_subword
+FROM ({_bpe_apply_oracle()}) b
+JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+""",
+    category="pipelines",
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report — THE diagnostic that decides
+    whether a tokenizer is fit for a corpus slice before a
+    token-budgeted training run: per (lang, source), subwords per
+    whitespace word (fertility — high values mean the vocab
+    fragments that language and silently inflates its epoch cost)
+    and chars per subword (compression). Composes the bpe_apply map
+    stage (zero-shuffle codegen replaces) with one hash aggregation
+    on the slice key; every ratio is an exact sum/sum single
+    division.  At 100 TB: map + one exchange of (lang, source)
+    partials — the same budget ledger shape as
+    pipeline_domain_mix_report, now in tokenizer units."""
+    d = table(spark, sf_dir, "documents")
+    ap = api.bpe_apply(d.select("doc_id", "text"), "text", _BPE_RULES).select(
+        "doc_id", "n_subwords"
+    )
+    joined = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    ).join(ap, "doc_id")
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.sum("n_chars").alias("n_chars"),
+        (F.sum("n_subwords").cast("double") / F.sum("n_words")).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_subwords")).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+@query(
+    "pipeline_span_corruption",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS j,
+         (7 - doc_id % 7) % 7 AS s,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+m AS (
+  SELECT doc_id, tok, j, n,
+         (j >= s AND (j - s) % 7 IN (0, 1)) AS masked,
+         (j >= s AND (j - s) % 7 = 0) AS is_start,
+         CASE WHEN j >= s THEN (j - s) // 7 END AS k
+  FROM t
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+       CAST(count_if(masked) AS BIGINT) AS n_masked,
+       CAST(count_if(is_start) AS BIGINT) AS n_spans,
+       CAST(count_if(masked) AS DOUBLE) / ANY_VALUE(n) AS mask_ratio,
+       COALESCE(string_agg(
+         CASE WHEN NOT masked THEN tok
+              WHEN is_start THEN '<extra_id_' || k || '>' END,
+         ' ' ORDER BY j), '') AS corrupted_text,
+       COALESCE(string_agg(
+         CASE WHEN is_start THEN '<extra_id_' || k || '> ' || tok
+              WHEN masked THEN tok END,
+         ' ' ORDER BY j), '') AS targets_text
+FROM m
+GROUP BY doc_id
+""",
+    category="pipelines",
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption — the denoising-objective data prep:
+    deterministic spans (start every 7th position with a per-doc
+    phase shift, span length 2) are cut out of each document,
+    replaced by numbered <extra_id_k> sentinels, and emitted as the
+    (corrupted input, sentinel-delimited target) training pair, plus
+    span/mask accounting.  Fully array-native — index-aware
+    transform/filter lambdas over ONE token array, array_compact to
+    drop the swallowed positions, zero shuffles, zero explode (at
+    100 TB the corpus never fans out to token rows; the oracle
+    builds the same strings relationally to cross-check).  The
+    deterministic mask (pure function of doc_id and position) is the
+    reproducibility property RNG-based maskers can't give a
+    distributed re-run."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    i = F.col("doc_id")
+    s = (7 - i % 7) % 7
+    masked = lambda j: (j >= s) & ((j - s) % 7 < 2)
+    start = lambda j: (j >= s) & ((j - s) % 7 == 0)
+    k = lambda j: ((j - s) / 7).cast("long")
+    sentinel = lambda j: F.concat(
+        F.lit("<extra_id_"), k(j).cast("string"), F.lit(">")
+    )
+    corrupted = F.array_join(
+        F.array_compact(
+            F.transform(
+                toks,
+                lambda x, j: F.when(~masked(j), x).when(start(j), sentinel(j)),
+            )
+        ),
+        " ",
+    )
+    targets = F.array_join(
+        F.array_compact(
+            F.transform(
+                toks,
+                lambda x, j: F.when(
+                    start(j), F.concat(sentinel(j), F.lit(" "), x)
+                ).when(masked(j), x),
+            )
+        ),
+        " ",
+    )
+    n_masked = F.size(F.filter(toks, lambda x, j: masked(j))).cast("long")
+    n_spans = F.size(F.filter(toks, lambda x, j: start(j))).cast("long")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        (n_masked.cast("double") / F.size(toks)).alias("mask_ratio"),
+        corrupted.alias("corrupted_text"),
+        targets.alias("targets_text"),
+    )
+
+
+@query(
+    "pipeline_fim_split",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, n,
+         LEAST(n, n // 4 + doc_id % 3) AS a,
+         LEAST(n, LEAST(n, n // 4 + doc_id % 3) + 1 + n // 3) AS bnd
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(a AS BIGINT) AS n_prefix,
+       CAST(bnd - a AS BIGINT) AS n_middle,
+       CAST(n - bnd AS BIGINT) AS n_suffix,
+       COALESCE(array_to_string(list_slice(toks, 1, a), ' '), '') AS prefix_text,
+       COALESCE(array_to_string(list_slice(toks, a + 1, bnd), ' '), '')
+           AS middle_text,
+       COALESCE(array_to_string(list_slice(toks, bnd + 1, n), ' '), '')
+           AS suffix_text,
+       '<PRE> ' || COALESCE(array_to_string(list_slice(toks, 1, a), ' '), '')
+       || ' <SUF> '
+       || COALESCE(array_to_string(list_slice(toks, bnd + 1, n), ' '), '')
+       || ' <MID> '
+       || COALESCE(array_to_string(list_slice(toks, a + 1, bnd), ' '), '')
+           AS fim_psm
+FROM b
+""",
+    category="pipelines",
+)
+def pipeline_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transformation — the code-LLM
+    pretraining prep (Bavarian et al.): each document is split into
+    deterministic prefix/middle/suffix token spans (cut points are a
+    pure function of doc length and doc_id — reproducible across
+    re-runs, unlike RNG splits) and re-serialized in PSM order
+    (<PRE> prefix <SUF> suffix <MID> middle), teaching the model to
+    infill.  Pure array algebra — three slices of ONE token array in
+    a single codegen map stage, zero shuffles, zero explode; span
+    length accounting rides alongside.  At 100 TB this composes
+    with pipeline_pack_bpe_batches exactly like the plain causal
+    path."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    i = F.col("doc_id")
+    a = F.least(n, (n / 4).cast("long") + i % 3)
+    bnd = F.least(n, a + 1 + (n / 3).cast("long"))
+    seg = lambda lo, hi: F.coalesce(
+        F.array_join(
+            F.slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")), " "
+        ),
+        F.lit(""),
+    )
+    prefix, middle, suffix = seg(F.lit(0).cast("long"), a), seg(a, bnd), seg(bnd, n)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        a.alias("n_prefix"),
+        (bnd - a).alias("n_middle"),
+        (n - bnd).alias("n_suffix"),
+        prefix.alias("prefix_text"),
+        middle.alias("middle_text"),
+        suffix.alias("suffix_text"),
+        F.concat(
+            F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
+            F.lit(" <MID> "), middle,
+        ).alias("fim_psm"),
+    )

@@ -781,3 +781,104 @@ def test_epoch_upsample_matches_python_model(spark, pm, n):
         if k >= 1:
             want[did] = list(range(1, k + 1))
     assert {d: sorted(c) for d, c in got.items()} == want
+
+
+# --- r6 second-wave kernel invariants ------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_dedup_paragraphs_conservation_and_idempotence(spark, docs):
+    """For ANY corpus: kept + dropped = chunks per doc; the union of
+    kept paragraphs over the corpus equals the distinct paragraph
+    set (each surviving exactly once — the dedup contract); and
+    re-running dedup over the deduped texts drops nothing new from
+    the keeper docs' own chunks."""
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "nid long, body string",
+    )
+    out = api.dedup_paragraphs(df, "body", "nid", chunk_tokens=2).collect()
+    assert all(r.n_kept + r.n_dropped == r.n_chunks for r in out)
+    # total kept across corpus == number of distinct chunks
+    def chunks(toks):
+        return [
+            " ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)
+        ]
+    distinct = {c for toks in docs for c in chunks(toks)}
+    assert sum(r.n_kept for r in out) == len(distinct)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=50),  # id
+            st.integers(min_value=-9, max_value=9),  # score
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_preference_pairs_matches_python_model(spark, rows):
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(rows, "g int, rid long, score long")
+    got = {
+        r.g: (r.chosen_id, r.rejected_id, r.margin)
+        for r in api.preference_pairs(df, ["g"], "rid", "score").collect()
+    }
+    model = {}
+    groups = {}
+    for g, rid, sc in rows:
+        groups.setdefault(g, []).append((rid, sc))
+    for g, members in groups.items():
+        if len(members) < 2:
+            continue
+        chosen = max(members, key=lambda t: (t[1], -t[0]))
+        rejected = min(members, key=lambda t: (t[1], -t[0]))
+        model[g] = (chosen[0], rejected[0], chosen[1] - rejected[1])
+    assert got == model
+
+
+def test_maxsim_matches_numpy_model(spark, sf_dir):
+    """api.maxsim re-run as a NumPy reference over the same grouping:
+    identical doc ranking and 1e-9 score agreement."""
+    import numpy as np
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.rint(
+        np.array([r[1] for r in rows], dtype="float64") * 1e6
+    ).astype("int64")
+    Q, D = X[ids < 8], X[ids >= 8]
+    mdoc = ids[ids >= 8] // 8
+    dots = D @ Q.T  # (n_docs_vecs, 8) exact in int64
+    scores = {}
+    for m in np.unique(mdoc):
+        scores[int(m)] = int(dots[mdoc == m].max(axis=0).sum())
+    top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r.mdoc_id, r.rank, r.maxsim)
+        for r in REG["sim_maxsim"].fn(spark, sf_dir).collect()
+    ]
+    assert [(m, i + 1) for i, (m, _s) in enumerate(top)] == [
+        (m, rk) for m, rk, _ in got
+    ]
+    for (m, s), (_, _, mx) in zip(top, got):
+        assert abs(mx - s / 1e12) < 1e-9

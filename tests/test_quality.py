@@ -1017,3 +1017,36 @@ def test_kmeans_lloyd_matches_numpy_exact(spark, sf_dir):
         assert out[j].inertia == int(d[m].sum())
         assert out[j].min_member == int(ids[m].min())
         assert out[j].centroid_l2q == int((cents[j].astype(object) ** 2).sum())
+
+
+def test_k_core_matches_python_peeling_exact(spark, sf_dir):
+    """graph_k_core re-run as pure-Python synchronous peeling over
+    the same bipartite edge list: the surviving (node, core_degree)
+    set must match EXACTLY, and the survivors must satisfy the core
+    property (every degree >= k within the core)."""
+    import duckdb
+
+    K = 3
+    edges = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS a, -l_partkey - 1 AS b "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    nodes = {n for e in edges for n in e}
+    while True:
+        deg = {}
+        for a, b in edges:
+            if a in nodes and b in nodes:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= K}
+        if keep == nodes:
+            break
+        nodes = keep
+    model = {(n, deg[n]) for n in nodes}
+
+    got = {
+        (r.node, r.core_degree)
+        for r in run("graph_k_core", spark, sf_dir).collect()
+    }
+    assert got == model
+    assert all(d >= K for _n, d in got)

@@ -882,3 +882,42 @@ def test_maxsim_matches_numpy_model(spark, sf_dir):
     ]
     for (m, s), (_, _, mx) in zip(top, got):
         assert abs(mx - s / 1e12) < 1e-9
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """T5 invariant: splicing each <extra_id_k> target span back into
+    the corrupted text at its sentinel reproduces the original
+    document EXACTLY, for every doc — the property that makes the
+    (input, target) pair trainable at all."""
+    rows = REG["pipeline_span_corruption"].fn(spark, sf_dir).collect()
+    import re
+    import duckdb
+
+    orig = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert len(rows) == len(orig)
+    for r in rows:
+        # parse targets: "<extra_id_0> t t <extra_id_1> t ..."
+        spans = {}
+        toks = r.targets_text.split(" ") if r.targets_text else []
+        cur = None
+        for t in toks:
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        out = []
+        for t in (r.corrupted_text.split(" ") if r.corrupted_text else []):
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                out.extend(spans[int(m.group(1))])
+            else:
+                out.append(t)
+        assert " ".join(out) == orig[r.doc_id], r.doc_id
+        assert r.n_masked == sum(len(v) for v in spans.values())
+        assert r.n_spans == len(spans)

@@ -1332,3 +1332,47 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("next_month_same_day"),
     )
+
+
+@query(
+    "fn_sql_variables",
+    oracle="""
+SELECT o_orderpriority AS dyn_group,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice >= 75000.0 AND o_orderdate < DATE '1997-06-01'
+GROUP BY o_orderpriority
+""",
+    category="functions",
+)
+def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + the IDENTIFIER clause (both
+    first-class in Spark 4): thresholds DECLAREd once and SET per
+    session (typed, injection-proof — the governed alternative to
+    f-string SQL, same motivation as fn_sql_parameterized but with
+    server-side state that multiple statements share), and the
+    grouping column resolved DYNAMICALLY from a string variable via
+    IDENTIFIER() — the metadata-driven-report shape.  Variables
+    fold to literals at analysis time, so the physical plan is
+    byte-identical to the hand-inlined query: pushdown and pruning
+    are unaffected at any scale."""
+    harden_session(spark)
+    register_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_lo DOUBLE DEFAULT 50000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff DATE DEFAULT DATE '1998-01-01'")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE group_col STRING DEFAULT 'o_orderpriority'"
+    )
+    spark.sql("SET VARIABLE price_lo = 75000.0")
+    spark.sql("SET VARIABLE cutoff = DATE '1997-06-01'")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(group_col) AS dyn_group,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice >= price_lo AND o_orderdate < cutoff
+        GROUP BY IDENTIFIER(group_col)
+        """
+    )

@@ -534,3 +534,55 @@ def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_audtf d, LATERAL term_freq_audtf(d.text) t
         """
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+SELECT doc_id,
+       COALESCE(string_split(text, ' ')[1], '') AS part_1,
+       COALESCE(string_split(text, ' ')[2], '') AS part_2,
+       COALESCE(string_split(text, ' ')[3], '') AS part_3,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_total
+FROM documents
+WHERE doc_id < 25
+""",
+    category="udf",
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the static ``analyze()``
+    hook computes the OUTPUT SCHEMA at plan time from a constant
+    argument — here ``LeadingParts(text, 3)`` derives columns
+    part_1..part_3 (+ n_total) from the literal 3, the API shape
+    dynamic ETL frameworks use to avoid hand-maintained schemas.
+    The schema is resolved once at analysis; execution is the
+    ordinary Arrow-batched lateral join, so the scale posture is
+    identical to a fixed-schema UDTF (one Python stage, no
+    shuffle)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadingParts:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(1, n.value + 1):
+                schema = schema.add(f"part_{i}", StringType())
+            return AnalyzeResult(schema.add("n_total", IntegerType()))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else "") for i in range(n)
+            ) + (len(toks),)
+
+    spark.udtf.register("leading_parts", udtf(LeadingParts))
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    d.createOrReplaceTempView("docs_for_analyze_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.part_1, t.part_2, t.part_3, t.n_total
+        FROM docs_for_analyze_udtf d, LATERAL leading_parts(d.text, 3) t
+        """
+    )

@@ -952,3 +952,99 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw_ratio.alias("kw_ratio"),
         ((sym_ratio >= 0.02) | (kw_ratio >= 0.05)).alias("looks_like_code"),
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, CAST(len(toks) - 1 AS INT)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+uni AS (
+  SELECT unnest(toks) AS tok FROM t
+),
+cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni),
+cb AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM bg GROUP BY bigram
+)
+SELECT cb.bigram, cb.c_ab, cb.df,
+       ca.c AS c_a, cc.c AS c_b,
+       CAST(cb.c_ab * n1.n_uni AS DOUBLE) / (ca.c * cc.c) AS lift
+FROM cb
+JOIN cu ca ON ca.tok = string_split(cb.bigram, ' ')[1]
+JOIN cu cc ON cc.tok = string_split(cb.bigram, ' ')[2]
+CROSS JOIN n1
+WHERE cb.c_ab >= 5
+""",
+    category="text",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the PMI/lift family behind phrase
+    detection (word2vec-style 'new_york' merging) in a pretraining
+    tokenizer pipeline: for every bigram seen >= 5 times, the
+    association lift p(ab)/(p(a)p(b)) computed as the EXACT integer
+    cross-ratio c_ab*N / (c_a*c_b) with ONE final double division —
+    no logarithms, so the score is bit-identical across engines
+    (take ln for literal PMI offline).  Execution: one bigram
+    explode + hash agg, one unigram hash agg, then two
+    BROADCAST-able joins of the bigram table against the unigram
+    counts (vocab ≪ corpus) — at 100 TB the corpus-sized side
+    shuffles once on the bigram key and the stop-gram df cap from
+    dedup_ngram_jaccard applies verbatim if the vocab is heavy."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("toks"), i + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    uni = d.select(F.explode(toks).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    cb = (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("c_ab") >= 5)
+    )
+    a_tok = F.split(F.col("bigram"), " ").getItem(0)
+    b_tok = F.split(F.col("bigram"), " ").getItem(1)
+    ca = cu.select(F.col("tok").alias("ta"), F.col("c").alias("c_a"))
+    ccn = cu.select(F.col("tok").alias("tb"), F.col("c").alias("c_b"))
+    return (
+        cb.join(F.broadcast(ca), a_tok == F.col("ta"))
+        .join(F.broadcast(ccn), b_tok == F.col("tb"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "bigram",
+            "c_ab",
+            "df",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.col("n_uni")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )

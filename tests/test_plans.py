@@ -515,3 +515,36 @@ def test_caption_align_single_join_no_python(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "BroadcastExchange" in tree
     assert "Python" not in tree
+
+
+def test_span_and_fim_are_pure_maps(spark, sf_dir):
+    """The pretraining-objective preps (span corruption, FIM split)
+    must be shuffle-free single map stages — array algebra over the
+    token array, no explode-shuffle, no Python."""
+    for name in ("pipeline_span_corruption", "pipeline_fim_split"):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, name
+        assert "Python" not in tree, name
+
+
+def test_pmi_broadcasts_unigram_counts(spark, sf_dir):
+    """text_pmi_collocations: the unigram-count joins ride broadcasts
+    (vocab << corpus) — a SortMergeJoin on the bigram table against
+    the vocab would shuffle the corpus-sized side twice more."""
+    plan = plan_of("text_pmi_collocations", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_dedup_url_map_plus_distinct_expansion(spark, sf_dir):
+    """URL canonicalization is a pure map (no join, no Python); the
+    collapse is the standard COUNT(DISTINCT) two-phase expansion —
+    exactly two Exchanges, both keyed on the canonical URL (the
+    first also carries the raw url for the distinct), never more."""
+    plan = plan_of("pipeline_dedup_url", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("- Exchange") == 2
+    assert "Join" not in tree
+    assert "Python" not in tree

@@ -1201,6 +1201,11 @@ def kmeans_lloyd(
         r["xq"]
         for r in q.orderBy("__id").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} but the input has only "
+            f"{len(cents)} rows — pass k <= row count"
+        )
 
     def assign_col():
         codebook = F.array(
@@ -1244,11 +1249,15 @@ def kmeans_lloyd(
         F.array(*[F.lit(cent_norm[j]) for j in range(k)]),
         F.col("cluster_id").cast("int") + 1,
     )
-    q.unpersist()
-    return out.select(
+    # materialize the k-row result BEFORE dropping the cached corpus,
+    # or the caller's first action would recompute the quantize +
+    # argmin pass from source.
+    res = out.select(
         "cluster_id", "n_members", "inertia", "min_member",
         norm_col.alias("centroid_l2q"),
-    )
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+    return res
 
 
 

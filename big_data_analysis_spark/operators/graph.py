@@ -100,12 +100,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots in exactly like dedup_ngram_jaccard's df-cap when a hub
     node appears."""
     e = _edges(spark, sf_dir)
+    # the undirected edge table is BOUNDED (100-node demo graph,
+    # <= 4950 rows) and read three times below — eager localCheckpoint
+    # materializes it once without pinning a session-lifetime cache.
     u = (
         e.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     e1 = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = u.select(F.col("a").alias("y2"), F.col("b").alias("z"))
@@ -364,12 +367,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard's stop-gram cap; the demo graph is 100
     nodes, so the cap is not wired here (documented, not hidden)."""
     e = _edges(spark, sf_dir)
+    # the undirected edge table is BOUNDED (100-node demo graph,
+    # <= 4950 rows) and read three times below — eager localCheckpoint
+    # materializes it once without pinning a session-lifetime cache.
     u = (
         e.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
@@ -408,7 +414,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 3
-_KCORE_MAX_ROUNDS = 60
 
 
 @query("graph_k_core", oracle=None, category="graph")
@@ -440,14 +445,18 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("l_partkey") - 1).alias("b"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = u.select(F.col("a").alias("node")).union(
         u.select(F.col("b"))
     ).distinct().localCheckpoint(eager=True)
     prev = n.count()
     survivors = None
-    for _ in range(_KCORE_MAX_ROUNDS):
+    # every non-fixpoint round removes >= 1 node, so the initial node
+    # count bounds the rounds — the loop ALWAYS reaches the fixpoint
+    # (a fixed small cap could silently return a non-core set on a
+    # long peeling chain).
+    for _ in range(prev + 1):
         ne = u.join(n.select(F.col("node").alias("a")), "a", "left_semi").join(
             n.select(F.col("node").alias("b")), "b", "left_semi"
         )
@@ -465,7 +474,6 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur == prev:
             break
         prev = cur
-    u.unpersist()
     return survivors.select(
         "node", F.col("deg").cast("long").alias("core_degree")
     )

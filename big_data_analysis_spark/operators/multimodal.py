@@ -1314,15 +1314,19 @@ def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = parsed.join(geo, "doc_id")
     usec, nf = F.col("usec"), F.col("nf")
     lsum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    # exact int64 floor division: (a - a % b) / b has an exactly
+    # divisible numerator, so the double divide is exact and the
+    # docstring's "integer intersection" claim holds bit-for-bit
+    # (a bare a/b double + cast could in principle truncate across
+    # the integer boundary).
+    idiv = lambda a, b: ((a - a % b) / b).cast("long")
     frames_per_cue = F.zip_with(
         F.col("s"),
         F.col("e"),
         lambda s, e: F.greatest(
             F.lit(0).cast("long"),
-            F.least((e * 1000 - 1).cast("long") / usec, nf - 1).cast("long")
-            - F.greatest(
-                ((s * 1000 + usec - 1) / usec).cast("long"), F.lit(0).cast("long")
-            )
+            F.least(idiv(e * 1000 - 1, usec), nf - 1).cast("long")
+            - F.greatest(idiv(s * 1000 + usec - 1, usec), F.lit(0).cast("long"))
             + 1,
         ),
     )

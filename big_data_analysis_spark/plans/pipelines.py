@@ -2649,6 +2649,7 @@ SELECT query_id,
            / count_if(label = qlabel) AS recall_at10
 FROM ranked
 GROUP BY query_id
+HAVING count_if(label = qlabel) > 0
 """,
     category="pipelines",
 )
@@ -2663,35 +2664,40 @@ def pipeline_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + count of docs strictly outranking the best relevant doc
     (two hash aggregations over the scored scan — the order
     statistic as an aggregate), and the top-10 membership count uses
-    the same trick (count docs outranking each relevant doc, keep
-    those with < 10 above them — no window at all).  Everything is
+    the canonical two-stage distributed top-k (per-(query,
+    input-partition) local top-10 windows — bounded per task — then
+    a global top-10 over the <= 10*n_partitions candidates), so no
+    window partition ever holds the corpus.  Everything is
     integer-exact until the two final ratio divisions, so the eval
     is bit-reproducible under any partitioning — at 100 TB this is
-    one broadcast-join scan plus bounded per-query aggregates."""
+    one broadcast-join scan plus bounded per-query aggregates and
+    the bounded candidate windows.  Contract: the eval is defined
+    only for queries with at least one relevant corpus doc; both
+    twins drop zero-relevant queries explicitly (the inner join
+    here, HAVING in the oracle)."""
     e = table(spark, sf_dir, "embeddings")
-    quant = lambda col: F.transform(
-        col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
-    )
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
-        quant(F.col("embedding")).alias("qe"),
+        api.quantize_vec(F.col("embedding")).alias("qe"),
     )
     d = e.where(F.col("vec_id") >= 8).select(
-        "vec_id", "label", quant(F.col("embedding")).alias("de")
-    )
-    dp = F.aggregate(
-        F.zip_with(F.col("de"), F.col("qe"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+        "vec_id", "label", api.quantize_vec(F.col("embedding")).alias("de")
     )
     # (dp, vec_id) ordering key, packed so "outranks" is one struct
     # comparison: higher dp first, lower vec_id breaks ties.
     key = F.struct(F.col("dp").alias("dp"), (-F.col("vec_id")).alias("nid"))
+    # localCheckpoint (eager) instead of a session-lifetime persist:
+    # the four consumers below share the materialization, and the
+    # blocks are released with the reference instead of pinning the
+    # corpus-sized intermediate in storage memory forever.
     scored = (
         d.crossJoin(F.broadcast(q))
-        .select("query_id", "qlabel", "vec_id", "label", dp.alias("dp"))
-        .persist()
+        .select(
+            "query_id", "qlabel", "vec_id", "label",
+            api.int_dot(F.col("de"), F.col("qe")).alias("dp"),
+        )
+        .localCheckpoint(eager=True)
     )
     rel = scored.where(F.col("label") == F.col("qlabel"))
     best_rel = rel.groupBy("query_id").agg(F.max(key).alias("bk"))

@@ -863,9 +863,10 @@ def test_maxsim_matches_numpy_model(spark, sf_dir):
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
     ids = np.array([r[0] for r in rows])
-    X = np.rint(
-        np.array([r[1] for r in rows], dtype="float64") * 1e6
-    ).astype("int64")
+    Xf = np.array([r[1] for r in rows], dtype="float64") * 1e6
+    # HALF-AWAY-FROM-ZERO to match Spark's F.round (np.rint is
+    # half-to-even and diverges on exact .5 boundaries)
+    X = (np.sign(Xf) * np.floor(np.abs(Xf) + 0.5)).astype("int64")
     Q, D = X[ids < 8], X[ids >= 8]
     mdoc = ids[ids >= 8] // 8
     dots = D @ Q.T  # (n_docs_vecs, 8) exact in int64

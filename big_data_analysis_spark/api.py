@@ -1182,6 +1182,92 @@ def preference_pairs(
     )
 
 
+def span_corruption(
+    df: DataFrame, text_col: str, id_col: str, *, stride: int = 7, span: int = 2
+) -> DataFrame:
+    """T5-style span corruption as a pure map: deterministic spans
+    (start every ``stride`` positions with a per-row phase shift
+    derived from ``id_col``, length ``span``) are replaced by
+    numbered <extra_id_k> sentinels; returns (id, n_tokens,
+    n_masked, n_spans, mask_ratio, corrupted_text, targets_text).
+    Splicing targets back at the sentinels reproduces the input
+    exactly (property-tested). Array-native, zero shuffles."""
+    toks = F.split(F.col(text_col), " ")
+    i = F.col(id_col)
+    s = (stride - i % stride) % stride
+    masked = lambda j: (j >= s) & ((j - s) % stride < span)
+    start = lambda j: (j >= s) & ((j - s) % stride == 0)
+    k = lambda j: ((j - s) / stride).cast("long")
+    sentinel = lambda j: F.concat(
+        F.lit("<extra_id_"), k(j).cast("string"), F.lit(">")
+    )
+    corrupted = F.array_join(
+        F.array_compact(
+            F.transform(
+                toks,
+                lambda x, j: F.when(~masked(j), x).when(start(j), sentinel(j)),
+            )
+        ),
+        " ",
+    )
+    targets = F.array_join(
+        F.array_compact(
+            F.transform(
+                toks,
+                lambda x, j: F.when(
+                    start(j), F.concat(sentinel(j), F.lit(" "), x)
+                ).when(masked(j), x),
+            )
+        ),
+        " ",
+    )
+    n_masked = F.size(F.filter(toks, lambda x, j: masked(j))).cast("long")
+    n_spans = F.size(F.filter(toks, lambda x, j: start(j))).cast("long")
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        (n_masked.cast("double") / F.size(toks)).alias("mask_ratio"),
+        corrupted.alias("corrupted_text"),
+        targets.alias("targets_text"),
+    )
+
+
+def fim_split(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fill-in-the-middle split: deterministic prefix/middle/suffix
+    token spans re-serialized in PSM order (<PRE> prefix <SUF>
+    suffix <MID> middle). Pure slice algebra over one token array —
+    a single codegen map stage. Returns span lengths, the three
+    span texts, and the PSM serialization."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    i = F.col(id_col)
+    a = F.least(n, (n / 4).cast("long") + i % 3)
+    bnd = F.least(n, a + 1 + (n / 3).cast("long"))
+    seg = lambda lo, hi: F.coalesce(
+        F.array_join(
+            F.slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")), " "
+        ),
+        F.lit(""),
+    )
+    prefix, middle, suffix = seg(F.lit(0).cast("long"), a), seg(a, bnd), seg(bnd, n)
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        a.alias("n_prefix"),
+        (bnd - a).alias("n_middle"),
+        (n - bnd).alias("n_suffix"),
+        prefix.alias("prefix_text"),
+        middle.alias("middle_text"),
+        suffix.alias("suffix_text"),
+        F.concat(
+            F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
+            F.lit(" <MID> "), middle,
+        ).alias("fim_psm"),
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame, id_col: str, vec_col: str, *, k: int = 8, rounds: int = 4
 ) -> DataFrame:

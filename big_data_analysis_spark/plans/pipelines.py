@@ -3031,46 +3031,7 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibility property RNG-based maskers can't give a
     distributed re-run."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    i = F.col("doc_id")
-    s = (7 - i % 7) % 7
-    masked = lambda j: (j >= s) & ((j - s) % 7 < 2)
-    start = lambda j: (j >= s) & ((j - s) % 7 == 0)
-    k = lambda j: ((j - s) / 7).cast("long")
-    sentinel = lambda j: F.concat(
-        F.lit("<extra_id_"), k(j).cast("string"), F.lit(">")
-    )
-    corrupted = F.array_join(
-        F.array_compact(
-            F.transform(
-                toks,
-                lambda x, j: F.when(~masked(j), x).when(start(j), sentinel(j)),
-            )
-        ),
-        " ",
-    )
-    targets = F.array_join(
-        F.array_compact(
-            F.transform(
-                toks,
-                lambda x, j: F.when(
-                    start(j), F.concat(sentinel(j), F.lit(" "), x)
-                ).when(masked(j), x),
-            )
-        ),
-        " ",
-    )
-    n_masked = F.size(F.filter(toks, lambda x, j: masked(j))).cast("long")
-    n_spans = F.size(F.filter(toks, lambda x, j: start(j))).cast("long")
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        n_masked.alias("n_masked"),
-        n_spans.alias("n_spans"),
-        (n_masked.cast("double") / F.size(toks)).alias("mask_ratio"),
-        corrupted.alias("corrupted_text"),
-        targets.alias("targets_text"),
-    )
+    return api.span_corruption(d, "text", "doc_id", stride=7, span=2)
 
 
 @query(
@@ -3120,29 +3081,4 @@ def pipeline_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pipeline_pack_bpe_batches exactly like the plain causal
     path."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks).cast("long")
-    i = F.col("doc_id")
-    a = F.least(n, (n / 4).cast("long") + i % 3)
-    bnd = F.least(n, a + 1 + (n / 3).cast("long"))
-    seg = lambda lo, hi: F.coalesce(
-        F.array_join(
-            F.slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")), " "
-        ),
-        F.lit(""),
-    )
-    prefix, middle, suffix = seg(F.lit(0).cast("long"), a), seg(a, bnd), seg(bnd, n)
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        a.alias("n_prefix"),
-        (bnd - a).alias("n_middle"),
-        (n - bnd).alias("n_suffix"),
-        prefix.alias("prefix_text"),
-        middle.alias("middle_text"),
-        suffix.alias("suffix_text"),
-        F.concat(
-            F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
-            F.lit(" <MID> "), middle,
-        ).alias("fim_psm"),
-    )
+    return api.fim_split(d, "text", "doc_id")

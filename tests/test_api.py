@@ -786,3 +786,28 @@ def test_api_kmeans_lloyd_separated_clusters(spark):
     out2 = {r["cluster_id"]: tuple(r) for r in api.kmeans_lloyd(
         df, "pid", "vec", k=2, rounds=3).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_api_span_corruption_and_fim_on_synthetic(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (3, "x y z")],
+        "nid long, body string",
+    )
+    sc = {r["nid"]: r for r in api.span_corruption(
+        df, "body", "nid", stride=4, span=2).collect()}
+    # nid 0: shift 0 -> masks j in {0,1,4,5,8,9}
+    assert sc[0].n_masked == 6 and sc[0].n_spans == 3
+    assert sc[0].corrupted_text == "<extra_id_0> c d <extra_id_1> g h <extra_id_2>"
+    assert sc[0].targets_text == "<extra_id_0> a b <extra_id_1> e f <extra_id_2> i j"
+    # nid 3: shift (4-3)%4=1 -> masks j in {1,2} of 3 tokens
+    assert sc[3].corrupted_text == "x <extra_id_0>"
+    assert sc[3].targets_text == "<extra_id_0> y z"
+    fim = {r["nid"]: r for r in api.fim_split(df, "body", "nid").collect()}
+    for r in fim.values():
+        assert r.n_prefix + r.n_middle + r.n_suffix == r.n_tokens
+        rebuilt = " ".join(
+            x for x in (r.prefix_text, r.middle_text, r.suffix_text) if x
+        )
+    # nid 0: n=10, a=min(10, 2+0)=2, bnd=min(10, 2+1+3)=6
+    assert (fim[0].n_prefix, fim[0].n_middle, fim[0].n_suffix) == (2, 4, 4)
+    assert fim[0].fim_psm == "<PRE> a b <SUF> g h i j <MID> c d e f"

@@ -1341,3 +1341,164 @@ def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsum(F.col("cl")).alias("caption_chars"),
         lsum(frames_per_cue).alias("cue_frame_pairs"),
     )
+
+
+def _synth_mp4s(d) -> DataFrame:
+    """Synthesize minimal ISO-BMFF (MP4) files for doc_id < 48:
+    ftyp (brand isom, per-doc minor version) + moov{mvhd v0 with
+    per-doc timescale/duration} + a variable-length free box + mdat
+    with formula-driven payload bytes.  Box sizes/fields are all
+    BIG-endian; the oracle knows only these formulas."""
+    d = d.where(F.col("doc_id") < 48)
+    i = F.col("doc_id")
+    ts = (F.lit(600).cast("long") + i)
+    dur = (F.lit(1200).cast("long") + i * 3)
+    free_len = (i % 5).cast("long")
+    mdat_len = (F.lit(16) + i % 9).cast("long")
+    mdat_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (mdat_len - 1).cast("int")),
+            lambda j: F.lpad(F.hex((i * 11 + j * 3) % 256), 2, "0"),
+        ),
+        "",
+    )
+    mvhd = F.concat(
+        _be_hex(F.lit(108), 4), F.lit("6D766864"),      # 'mvhd', v0 full box
+        F.lit("00000000"),                              # version + flags
+        _be_hex(F.lit(0), 4), _be_hex(F.lit(0), 4),     # creation, modification
+        _be_hex(ts, 4),                                 # timescale
+        _be_hex(dur, 4),                                # duration
+        F.lit("00010000"), F.lit("0100"),               # rate 1.0, volume 1.0
+        F.repeat(F.lit("0"), 2 * (108 - 8 - 4 - 8 - 8 - 6)),  # reserved tail
+    )
+    mp4_hex = F.concat(
+        _be_hex(F.lit(20), 4), F.lit("66747970"),       # 'ftyp' size 20
+        F.lit("69736F6D"),                              # major brand 'isom'
+        _be_hex(i, 4),                                  # minor version
+        F.lit("6D703431"),                              # compat brand 'mp41'
+        _be_hex(F.lit(116), 4), F.lit("6D6F6F76"),      # 'moov' = 8 + mvhd(108)
+        mvhd,
+        _be_hex(free_len + 8, 4), F.lit("66726565"),    # 'free'
+        F.repeat(F.lit("00"), free_len.cast("int")),
+        _be_hex(mdat_len + 8, 4), F.lit("6D646174"),    # 'mdat'
+        mdat_hex,
+    )
+    return d.select("doc_id", F.unhex(mp4_hex).alias("mp4"))
+
+
+@query(
+    "multimodal_mp4_parse",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+mdat AS (
+  SELECT ids.doc_id, (ids.doc_id * 11 + j.j * 3) % 256 AS v
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, CAST(15 + ids.doc_id % 9 AS INT))) AS j
+  ) j
+),
+ms AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS mdat_sum,
+         CAST(COUNT(*) AS BIGINT) AS mdat_len
+  FROM mdat GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(1 AS BIGINT) AS ftyp_ok,
+       CAST(m.doc_id AS BIGINT) AS minor_version,
+       CAST(600 + m.doc_id AS BIGINT) AS timescale,
+       CAST(1200 + m.doc_id * 3 AS BIGINT) AS duration,
+       CAST(1200 + m.doc_id * 3 AS DOUBLE) / (600 + m.doc_id)
+           AS duration_s,
+       CAST(4 AS BIGINT) AS n_boxes,
+       m.mdat_len AS mdat_len,
+       m.mdat_sum AS mdat_sum,
+       CAST(20 + 116 + 8 + (m.doc_id % 5) + 8 + m.mdat_len AS BIGINT)
+           AS file_bytes
+FROM ms m
+""",
+    category="multimodal",
+)
+def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) container analytics — the FIFTH wire-format
+    parser, and the one covering the dominant real-world video
+    container: minimal MP4s are synthesized as binary columns (ftyp
+    + moov{mvhd} + free + mdat, all big-endian), then re-derived
+    from the bytes alone.  The top-level BOX STREAM is walked with
+    the same struct-accumulator fold as the PNG chunk walk (each
+    step reads the BE32 size + fourcc, classifies the box, advances
+    by size), the nested mvhd is parsed at its walked offset
+    (version-0 layout: timescale and duration as BE32 field reads),
+    the ftyp major brand is byte-verified, mdat payload bytes are
+    summed through the walk, and the presentation duration surfaces
+    as ONE exact double division duration/timescale.  Pure JVM
+    codegen, zero Exchange, zero Python — at 100 TB this is the
+    header-triage scan a video lake runs to route files before any
+    demux/decode dispatch."""
+    synth = _synth_mp4s(table(spark, sf_dir, "documents"))
+    b = F.col("mp4")
+    flen = F.octet_length(b).cast("long")
+    be4 = lambda pos: _be_int_dyn(b, pos, 4)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(1).cast("long").alias("off"),
+        zero.alias("n_boxes"),
+        zero.alias("ftyp_ok"),
+        zero.alias("minor_version"),
+        zero.alias("timescale"),
+        zero.alias("duration"),
+        zero.alias("mdat_len"),
+        zero.alias("mdat_sum"),
+    )
+
+    def step(acc, _):
+        off = acc["off"]
+        has = (off + 7) <= flen
+        size = be4(off)
+        t = F.hex(F.substring(b, (off + F.lit(4)).cast("int"), 4))
+        is_ftyp = t == F.lit("66747970")
+        is_moov = t == F.lit("6D6F6F76")
+        is_mdat = t == F.lit("6D646174")
+        brand_ok = F.hex(
+            F.substring(b, (off + F.lit(8)).cast("int"), 4)
+        ) == F.lit("69736F6D")
+        # mvhd is the first child box of moov: header at off+8,
+        # payload (v0) starts at off+8+8+4; timescale/duration are
+        # the 3rd/4th BE32 fields after creation/modification.
+        mv = off + 8 + 8 + 4
+        payload_len = size - 8
+        dsum = F.aggregate(
+            F.sequence(F.lit(0), (payload_len - 1).cast("int")),
+            zero,
+            lambda a, j: a + _byte_at(b, off + 8 + j),
+        )
+        flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        keep = lambda c, new_v, old: F.when(c, new_v).otherwise(old).cast("long")
+        return F.struct(
+            keep(has, off + size, off).alias("off"),
+            (acc["n_boxes"] + flag(has)).alias("n_boxes"),
+            (acc["ftyp_ok"] + flag(has & is_ftyp & brand_ok)).alias("ftyp_ok"),
+            keep(has & is_ftyp, be4(off + 12), acc["minor_version"]).alias(
+                "minor_version"
+            ),
+            keep(has & is_moov, be4(mv + 8), acc["timescale"]).alias("timescale"),
+            keep(has & is_moov, be4(mv + 12), acc["duration"]).alias("duration"),
+            keep(has & is_mdat, payload_len, acc["mdat_len"]).alias("mdat_len"),
+            keep(has & is_mdat & (payload_len > 0), dsum, acc["mdat_sum"]).alias(
+                "mdat_sum"
+            ),
+        )
+
+    walked = F.aggregate(F.sequence(F.lit(1), F.lit(6)), init, step)
+    return synth.select(
+        "doc_id",
+        walked["ftyp_ok"].alias("ftyp_ok"),
+        walked["minor_version"].alias("minor_version"),
+        walked["timescale"].alias("timescale"),
+        walked["duration"].alias("duration"),
+        (
+            walked["duration"].cast("double") / walked["timescale"]
+        ).alias("duration_s"),
+        walked["n_boxes"].alias("n_boxes"),
+        walked["mdat_len"].alias("mdat_len"),
+        walked["mdat_sum"].alias("mdat_sum"),
+        flen.alias("file_bytes"),
+    )

@@ -231,6 +231,7 @@ def test_wav_parse_pure_map_no_python(spark, sf_dir):
         "multimodal_bmp_parse",
         "multimodal_avi_parse",
         "multimodal_png_parse",
+        "multimodal_mp4_parse",
     ):
         plan = plan_of(name, spark, sf_dir)
         tree = plan.split("\n\n")[0]

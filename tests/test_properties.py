@@ -922,3 +922,53 @@ def test_span_corruption_reconstructs_original(spark, sf_dir):
         assert " ".join(out) == orig[r.doc_id], r.doc_id
         assert r.n_masked == sum(len(v) for v in spans.values())
         assert r.n_spans == len(spans)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=97),
+            st.lists(
+                st.sampled_from(["a", "b", "cc", "ddd"]), min_size=1, max_size=20
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    stride=st.integers(min_value=2, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_api_span_corruption_roundtrip_any_doc(spark, docs, stride):
+    """For ANY document set and stride: splicing targets back at the
+    sentinels reconstructs each input exactly, and mask accounting
+    is consistent (api.span_corruption on caller tables)."""
+    import re
+
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "nid long, body string"
+    )
+    span = min(2, stride - 1) or 1
+    rows = api.span_corruption(
+        df, "body", "nid", stride=stride, span=span
+    ).collect()
+    orig = {i: " ".join(toks) for i, toks in docs}
+    for r in rows:
+        spans, cur = {}, None
+        for t in (r.targets_text.split(" ") if r.targets_text else []):
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        out = []
+        for t in (r.corrupted_text.split(" ") if r.corrupted_text else []):
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            out.extend(spans[int(m.group(1))] if m else [t])
+        assert " ".join(out) == orig[r.nid]
+        assert r.n_masked + len(
+            [t for t in out if t]
+        ) >= r.n_tokens  # masked + kept covers the doc

@@ -1182,6 +1182,156 @@ def preference_pairs(
     )
 
 
+def k_core(edges: DataFrame, a_col: str, b_col: str, *, k: int = 3) -> DataFrame:
+    """k-core decomposition of an undirected graph by synchronous
+    peeling over caller-supplied edges (one row per undirected edge
+    (a, b)): repeatedly drop nodes whose current degree is below k
+    until fixpoint.  Returns the surviving (node, core_degree) set.
+    Per round: two left-semi joins + one degree aggregation; driver
+    traffic is one survivor-count scalar per round; the initial node
+    count bounds the rounds, so the fixpoint is always reached.
+    Order-independent, hence deterministic under any partitioning."""
+    u = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    n = u.select(F.col("a").alias("node")).union(
+        u.select(F.col("b"))
+    ).distinct().localCheckpoint(eager=True)
+    prev = n.count()
+    survivors = None
+    for _ in range(prev + 1):
+        ne = u.join(n.select(F.col("node").alias("a")), "a", "left_semi").join(
+            n.select(F.col("node").alias("b")), "b", "left_semi"
+        )
+        deg = (
+            ne.select(F.col("a").alias("node"))
+            .unionAll(ne.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
+        cur = survivors.count()
+        n = survivors.select("node")
+        if cur == prev:
+            break
+        prev = cur
+    return survivors.select(
+        "node", F.col("deg").cast("long").alias("core_degree")
+    )
+
+
+def link_prediction(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Common-neighbor / Jaccard link-prediction scores over the
+    undirected view of caller-supplied edges: for every node pair
+    sharing >= 1 neighbor, (node_a, node_b, common_cnt, deg_a,
+    deg_b, jaccard, is_edge).  Wedge generation is the
+    shared-neighbor equi-join (pairs appear once: a < b); degrees
+    join in broadcast-able.  Hub-degree capping is the caller's
+    contract on web-scale graphs (see dedup_ngram_jaccard's
+    stop-gram cap for the pattern)."""
+    u = (
+        edges.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n2 = n.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr2"))
+    pairs = (
+        n.join(n2, (F.col("nbr") == F.col("nbr2")) & (F.col("node") < F.col("node_b")))
+        .groupBy(F.col("node").alias("node_a"), "node_b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("deg_b"))
+    edge_flag = u.select("a", "b", F.lit(1).alias("is_edge"))
+    return (
+        pairs.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .join(
+            F.broadcast(edge_flag),
+            (F.col("node_a") == F.col("a")) & (F.col("node_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_cnt",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_cnt").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt"))
+            ).alias("jaccard"),
+            F.coalesce(F.col("is_edge"), F.lit(0)).cast("int").alias("is_edge"),
+        )
+    )
+
+
+def collocations(
+    df: DataFrame, text_col: str, id_col: str, *, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining (phrase-detection lift): for every bigram
+    seen >= min_count times, p(ab)/(p(a)p(b)) as the EXACT integer
+    cross-ratio c_ab*N / (c_a*c_b) with one final double division —
+    no logarithms, bit-reproducible. Returns (bigram, c_ab, df,
+    c_a, c_b, lift). Corpus shuffles once on the bigram key;
+    unigram counts join broadcast-able."""
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") >= 2
+    )
+    bg = t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("__toks"), i + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("__toks"), i + 2),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    uni = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    cb = (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .where(F.col("c_ab") >= min_count)
+    )
+    a_tok = F.split(F.col("bigram"), " ").getItem(0)
+    b_tok = F.split(F.col("bigram"), " ").getItem(1)
+    ca = cu.select(F.col("tok").alias("__ta"), F.col("c").alias("c_a"))
+    ccn = cu.select(F.col("tok").alias("__tb"), F.col("c").alias("c_b"))
+    return (
+        cb.join(F.broadcast(ca), a_tok == F.col("__ta"))
+        .join(F.broadcast(ccn), b_tok == F.col("__tb"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "bigram",
+            "c_ab",
+            "df",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.col("n_uni")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+
+
 def span_corruption(
     df: DataFrame, text_col: str, id_col: str, *, stride: int = 7, span: int = 2
 ) -> DataFrame:

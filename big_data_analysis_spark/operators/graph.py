@@ -366,51 +366,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes — production runs cap/bucket hub degrees exactly like
     dedup_ngram_jaccard's stop-gram cap; the demo graph is 100
     nodes, so the cap is not wired here (documented, not hidden)."""
-    e = _edges(spark, sf_dir)
-    # the undirected edge table is BOUNDED (100-node demo graph,
-    # <= 4950 rows) and read three times below — eager localCheckpoint
-    # materializes it once without pinning a session-lifetime cache.
-    u = (
-        e.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
-        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
-    deg = n.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    n2 = n.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr2"))
-    pairs = (
-        n.join(n2, (F.col("nbr") == F.col("nbr2")) & (F.col("node") < F.col("node_b")))
-        .groupBy(F.col("node").alias("node_a"), "node_b")
-        .agg(F.count(F.lit(1)).alias("common_cnt"))
-    )
-    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("deg_a"))
-    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("deg_b"))
-    edge_flag = u.select("a", "b", F.lit(1).alias("is_edge"))
-    return (
-        pairs.join(F.broadcast(da), "node_a")
-        .join(F.broadcast(db), "node_b")
-        .join(
-            F.broadcast(edge_flag),
-            (F.col("node_a") == F.col("a")) & (F.col("node_b") == F.col("b")),
-            "left",
-        )
-        .select(
-            "node_a",
-            "node_b",
-            "common_cnt",
-            "deg_a",
-            "deg_b",
-            (
-                F.col("common_cnt").cast("double")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt"))
-            ).alias("jaccard"),
-            F.coalesce(F.col("is_edge"), F.lit(0)).cast("int").alias("is_edge"),
-        )
-    )
+    return api.link_prediction(_edges(spark, sf_dir), "src", "dst")
 
 
 _KCORE_K = 3
@@ -439,41 +395,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python over the edge list and asserts EXACT equality of the
     surviving (node, core_degree) set."""
     li = table(spark, sf_dir, "lineitem")
-    u = (
-        li.select(
-            F.col("l_orderkey").alias("a"),
-            (-F.col("l_partkey") - 1).alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
     )
-    n = u.select(F.col("a").alias("node")).union(
-        u.select(F.col("b"))
-    ).distinct().localCheckpoint(eager=True)
-    prev = n.count()
-    survivors = None
-    # every non-fixpoint round removes >= 1 node, so the initial node
-    # count bounds the rounds — the loop ALWAYS reaches the fixpoint
-    # (a fixed small cap could silently return a non-core set on a
-    # long peeling chain).
-    for _ in range(prev + 1):
-        ne = u.join(n.select(F.col("node").alias("a")), "a", "left_semi").join(
-            n.select(F.col("node").alias("b")), "b", "left_semi"
-        )
-        deg = (
-            ne.select(F.col("a").alias("node"))
-            .unionAll(ne.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        survivors = deg.where(F.col("deg") >= _KCORE_K).localCheckpoint(
-            eager=True
-        )
-        cur = survivors.count()
-        n = survivors.select("node")
-        if cur == prev:
-            break
-        prev = cur
-    return survivors.select(
-        "node", F.col("deg").cast("long").alias("core_degree")
-    )
+    return api.k_core(edges, "a", "b", k=_KCORE_K)

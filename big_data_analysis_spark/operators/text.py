@@ -1002,49 +1002,4 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on the bigram key and the stop-gram df cap from
     dedup_ngram_jaccard applies verbatim if the vocab is heavy."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
-    bg = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat(
-                    F.element_at(F.col("toks"), i + 1),
-                    F.lit(" "),
-                    F.element_at(F.col("toks"), i + 2),
-                ),
-            )
-        ).alias("bigram"),
-    )
-    uni = d.select(F.explode(toks).alias("tok"))
-    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n1 = uni.agg(F.count(F.lit(1)).alias("n_uni"))
-    cb = (
-        bg.groupBy("bigram")
-        .agg(
-            F.count(F.lit(1)).alias("c_ab"),
-            F.countDistinct("doc_id").alias("df"),
-        )
-        .where(F.col("c_ab") >= 5)
-    )
-    a_tok = F.split(F.col("bigram"), " ").getItem(0)
-    b_tok = F.split(F.col("bigram"), " ").getItem(1)
-    ca = cu.select(F.col("tok").alias("ta"), F.col("c").alias("c_a"))
-    ccn = cu.select(F.col("tok").alias("tb"), F.col("c").alias("c_b"))
-    return (
-        cb.join(F.broadcast(ca), a_tok == F.col("ta"))
-        .join(F.broadcast(ccn), b_tok == F.col("tb"))
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "bigram",
-            "c_ab",
-            "df",
-            "c_a",
-            "c_b",
-            (
-                (F.col("c_ab") * F.col("n_uni")).cast("double")
-                / (F.col("c_a") * F.col("c_b"))
-            ).alias("lift"),
-        )
-    )
+    return api.collocations(d, "text", "doc_id", min_count=5)

@@ -811,3 +811,37 @@ def test_api_span_corruption_and_fim_on_synthetic(spark):
     # nid 0: n=10, a=min(10, 2+0)=2, bnd=min(10, 2+1+3)=6
     assert (fim[0].n_prefix, fim[0].n_middle, fim[0].n_suffix) == (2, 4, 4)
     assert fim[0].fim_psm == "<PRE> a b <SUF> g h i j <MID> c d e f"
+
+
+def test_api_k_core_and_link_prediction_on_synthetic(spark):
+    # triangle {1,2,3} + pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "a long, b long"
+    )
+    core = {r.node: r.core_degree for r in api.k_core(
+        edges, "a", "b", k=2).collect()}
+    # pendant 4 peels (degree 1); then 1,2,3 all keep degree 2
+    assert core == {1: 2, 2: 2, 3: 2}
+    lp = {(r.node_a, r.node_b): r for r in api.link_prediction(
+        edges, "a", "b").collect()}
+    # pair (2,3): common neighbor {1}, degs 2 and 2, edge exists
+    r = lp[(2, 3)]
+    assert (r.common_cnt, r.deg_a, r.deg_b, r.is_edge) == (1, 2, 2, 1)
+    assert abs(r.jaccard - 1 / 3) < 1e-12
+    # pair (2,4): common neighbor {1}, no direct edge
+    r = lp[(2, 4)]
+    assert (r.common_cnt, r.is_edge) == (1, 0)
+
+
+def test_api_collocations_on_synthetic(spark):
+    rows = [(i, "new york is big") for i in range(5)] + [
+        (9, "old york"), (10, "new day")
+    ]
+    df = spark.createDataFrame(rows, "nid long, body string")
+    out = {r.bigram: r for r in api.collocations(
+        df, "body", "nid", min_count=5).collect()}
+    assert set(out) == {"new york", "york is", "is big"}
+    ny = out["new york"]
+    # N=24 tokens (5*4 + 2 + 2), c_ab=5, c('new')=6, c('york')=6
+    assert (ny.c_ab, ny.c_a, ny.c_b, ny.df) == (5, 6, 6, 5)
+    assert abs(ny.lift - 5 * 24 / 36) < 1e-12

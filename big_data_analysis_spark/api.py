@@ -1510,4 +1510,10 @@ def __getattr__(name: str):
         from .operators import windows
 
         return getattr(windows, name)
+    if name in ("png_stats", "mp4_stats"):
+        # wire-format structural parsers (pure-codegen folds) — lazy
+        # for the same import-order reason as the window kernels.
+        from .operators import multimodal
+
+        return getattr(multimodal, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1043,6 +1043,92 @@ def _synth_pngs(d) -> DataFrame:
     return d.select("doc_id", F.unhex(png_hex).alias("png"))
 
 
+def png_stats(
+    df: DataFrame, id_col: str, bin_col: str, *, max_chunks: int = 8
+) -> DataFrame:
+    """PUBLIC generic PNG structural statistics over a caller-
+    supplied binary column holding real PNG bytes: signature
+    check, chunk inventory (first ``max_chunks`` chunks — raise
+    for deep files; the fold is O(max_chunks) per row), IHDR
+    geometry, pHYs density, IDAT byte accounting, and a per-chunk
+    CRC-32 RE-VERIFICATION against the stored field.  Works on
+    genuine files (tests craft a real zlib-compressed PNG with
+    binascii CRCs and parse it back).  Pure JVM codegen."""
+    b = F.col(bin_col)
+    flen = F.octet_length(b).cast("long")
+    be4 = lambda pos: _be_int_dyn(b, pos, 4)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(9).cast("long").alias("off"),
+        zero.alias("n_chunks"),
+        zero.alias("n_idat"),
+        zero.alias("idat_bytes"),
+        zero.alias("crc_ok"),
+        zero.alias("width"),
+        zero.alias("height"),
+        zero.alias("bit_depth"),
+        zero.alias("color_type"),
+        zero.alias("ppu_x"),
+    )
+
+    def step(acc, _):
+        off = acc["off"]
+        has = (off + 11) <= flen
+        ln = be4(off)
+        t = F.hex(F.substring(b, (off + F.lit(4)).cast("int"), 4))
+        is_ihdr = t == F.lit("49484452")
+        is_phys = t == F.lit("70485973")
+        is_idat = t == F.lit("49444154")
+        crc_field = be4(off + 8 + ln)
+        crc_calc = F.crc32(
+            F.substring(b, (off + F.lit(4)).cast("int"), (ln + F.lit(4)).cast("int"))
+        )
+        dsum = F.aggregate(
+            F.sequence(F.lit(0), (ln - 1).cast("int")),
+            zero,
+            lambda a, j: a + _byte_at(b, off + 8 + j),
+        )
+        flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        keep = lambda c, new, old: F.when(c, new).otherwise(old).cast("long")
+        return F.struct(
+            keep(has, off + 12 + ln, off).alias("off"),
+            (acc["n_chunks"] + flag(has)).alias("n_chunks"),
+            (acc["n_idat"] + flag(has & is_idat)).alias("n_idat"),
+            (
+                acc["idat_bytes"]
+                + keep(has & is_idat & (ln > 0), dsum, zero)
+            ).alias("idat_bytes"),
+            (acc["crc_ok"] + flag(has & (crc_calc == crc_field))).alias("crc_ok"),
+            keep(has & is_ihdr, be4(off + 8), acc["width"]).alias("width"),
+            keep(has & is_ihdr, be4(off + 12), acc["height"]).alias("height"),
+            keep(has & is_ihdr, _byte_at(b, off + 16), acc["bit_depth"]).alias(
+                "bit_depth"
+            ),
+            keep(has & is_ihdr, _byte_at(b, off + 17), acc["color_type"]).alias(
+                "color_type"
+            ),
+            keep(has & is_phys, be4(off + 8), acc["ppu_x"]).alias("ppu_x"),
+        )
+
+    walked = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step)
+    return df.select(
+        F.col(id_col),
+        (F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A"))
+        .cast("long")
+        .alias("sig_ok"),
+        walked["width"].alias("width"),
+        walked["height"].alias("height"),
+        walked["bit_depth"].alias("bit_depth"),
+        walked["color_type"].alias("color_type"),
+        walked["ppu_x"].alias("ppu_x"),
+        walked["n_chunks"].alias("n_chunks"),
+        walked["n_idat"].alias("n_idat"),
+        walked["idat_bytes"].alias("idat_bytes"),
+        walked["crc_ok"].alias("crc_ok_chunks"),
+        flen.alias("file_bytes"),
+    )
+
+
 @query(
     "multimodal_png_parse",
     oracle="""
@@ -1103,79 +1189,7 @@ def multimodal_png_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow-waist scan a vision corpus runs before dispatching bytes
     to a real decoder UDF (multimodal_frame_sample)."""
     synth = _synth_pngs(table(spark, sf_dir, "documents"))
-    b = F.col("png")
-    flen = F.octet_length(b).cast("long")
-    be4 = lambda pos: _be_int_dyn(b, pos, 4)
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit(9).cast("long").alias("off"),
-        zero.alias("n_chunks"),
-        zero.alias("n_idat"),
-        zero.alias("idat_bytes"),
-        zero.alias("crc_ok"),
-        zero.alias("width"),
-        zero.alias("height"),
-        zero.alias("bit_depth"),
-        zero.alias("color_type"),
-        zero.alias("ppu_x"),
-    )
-
-    def step(acc, _):
-        off = acc["off"]
-        has = (off + 11) <= flen
-        ln = be4(off)
-        t = F.hex(F.substring(b, (off + F.lit(4)).cast("int"), 4))
-        is_ihdr = t == F.lit("49484452")
-        is_phys = t == F.lit("70485973")
-        is_idat = t == F.lit("49444154")
-        crc_field = be4(off + 8 + ln)
-        crc_calc = F.crc32(
-            F.substring(b, (off + F.lit(4)).cast("int"), (ln + F.lit(4)).cast("int"))
-        )
-        dsum = F.aggregate(
-            F.sequence(F.lit(0), (ln - 1).cast("int")),
-            zero,
-            lambda a, j: a + _byte_at(b, off + 8 + j),
-        )
-        flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        keep = lambda c, new, old: F.when(c, new).otherwise(old).cast("long")
-        return F.struct(
-            keep(has, off + 12 + ln, off).alias("off"),
-            (acc["n_chunks"] + flag(has)).alias("n_chunks"),
-            (acc["n_idat"] + flag(has & is_idat)).alias("n_idat"),
-            (
-                acc["idat_bytes"]
-                + keep(has & is_idat & (ln > 0), dsum, zero)
-            ).alias("idat_bytes"),
-            (acc["crc_ok"] + flag(has & (crc_calc == crc_field))).alias("crc_ok"),
-            keep(has & is_ihdr, be4(off + 8), acc["width"]).alias("width"),
-            keep(has & is_ihdr, be4(off + 12), acc["height"]).alias("height"),
-            keep(has & is_ihdr, _byte_at(b, off + 16), acc["bit_depth"]).alias(
-                "bit_depth"
-            ),
-            keep(has & is_ihdr, _byte_at(b, off + 17), acc["color_type"]).alias(
-                "color_type"
-            ),
-            keep(has & is_phys, be4(off + 8), acc["ppu_x"]).alias("ppu_x"),
-        )
-
-    walked = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, step)
-    return synth.select(
-        "doc_id",
-        (F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A"))
-        .cast("long")
-        .alias("sig_ok"),
-        walked["width"].alias("width"),
-        walked["height"].alias("height"),
-        walked["bit_depth"].alias("bit_depth"),
-        walked["color_type"].alias("color_type"),
-        walked["ppu_x"].alias("ppu_x"),
-        walked["n_chunks"].alias("n_chunks"),
-        walked["n_idat"].alias("n_idat"),
-        walked["idat_bytes"].alias("idat_bytes"),
-        walked["crc_ok"].alias("crc_ok_chunks"),
-        flen.alias("file_bytes"),
-    )
+    return png_stats(synth, "doc_id", "png")
 
 
 def _srt_ts(ms_col):
@@ -1386,55 +1400,18 @@ def _synth_mp4s(d) -> DataFrame:
     return d.select("doc_id", F.unhex(mp4_hex).alias("mp4"))
 
 
-@query(
-    "multimodal_mp4_parse",
-    oracle="""
-WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
-mdat AS (
-  SELECT ids.doc_id, (ids.doc_id * 11 + j.j * 3) % 256 AS v
-  FROM ids, LATERAL (
-    SELECT unnest(generate_series(0, CAST(15 + ids.doc_id % 9 AS INT))) AS j
-  ) j
-),
-ms AS (
-  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS mdat_sum,
-         CAST(COUNT(*) AS BIGINT) AS mdat_len
-  FROM mdat GROUP BY doc_id
-)
-SELECT m.doc_id,
-       CAST(1 AS BIGINT) AS ftyp_ok,
-       CAST(m.doc_id AS BIGINT) AS minor_version,
-       CAST(600 + m.doc_id AS BIGINT) AS timescale,
-       CAST(1200 + m.doc_id * 3 AS BIGINT) AS duration,
-       CAST(1200 + m.doc_id * 3 AS DOUBLE) / (600 + m.doc_id)
-           AS duration_s,
-       CAST(4 AS BIGINT) AS n_boxes,
-       m.mdat_len AS mdat_len,
-       m.mdat_sum AS mdat_sum,
-       CAST(20 + 116 + 8 + (m.doc_id % 5) + 8 + m.mdat_len AS BIGINT)
-           AS file_bytes
-FROM ms m
-""",
-    category="multimodal",
-)
-def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO-BMFF (MP4) container analytics — the FIFTH wire-format
-    parser, and the one covering the dominant real-world video
-    container: minimal MP4s are synthesized as binary columns (ftyp
-    + moov{mvhd} + free + mdat, all big-endian), then re-derived
-    from the bytes alone.  The top-level BOX STREAM is walked with
-    the same struct-accumulator fold as the PNG chunk walk (each
-    step reads the BE32 size + fourcc, classifies the box, advances
-    by size), the nested mvhd is parsed at its walked offset
-    (version-0 layout: timescale and duration as BE32 field reads),
-    the ftyp major brand is byte-verified, mdat payload bytes are
-    summed through the walk, and the presentation duration surfaces
-    as ONE exact double division duration/timescale.  Pure JVM
-    codegen, zero Exchange, zero Python — at 100 TB this is the
-    header-triage scan a video lake runs to route files before any
-    demux/decode dispatch."""
-    synth = _synth_mp4s(table(spark, sf_dir, "documents"))
-    b = F.col("mp4")
+def mp4_stats(
+    df: DataFrame, id_col: str, bin_col: str, *, max_boxes: int = 6
+) -> DataFrame:
+    """PUBLIC generic ISO-BMFF (MP4) structural statistics over a
+    caller-supplied binary column: walk the first ``max_boxes``
+    top-level boxes, verify the ftyp major brand, read the nested
+    mvhd (version-0) timescale/duration at the walked moov offset
+    (mvhd must be moov's first child — true of muxer output),
+    and account mdat payload bytes.  Works on genuine files
+    (tests craft a real struct-packed MP4 and parse it back).
+    Pure JVM codegen."""
+    b = F.col(bin_col)
     flen = F.octet_length(b).cast("long")
     be4 = lambda pos: _be_int_dyn(b, pos, 4)
     zero = F.lit(0).cast("long")
@@ -1487,9 +1464,9 @@ def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    walked = F.aggregate(F.sequence(F.lit(1), F.lit(6)), init, step)
-    return synth.select(
-        "doc_id",
+    walked = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_boxes))), init, step)
+    return df.select(
+        F.col(id_col),
         walked["ftyp_ok"].alias("ftyp_ok"),
         walked["minor_version"].alias("minor_version"),
         walked["timescale"].alias("timescale"),
@@ -1502,3 +1479,54 @@ def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         walked["mdat_sum"].alias("mdat_sum"),
         flen.alias("file_bytes"),
     )
+
+
+@query(
+    "multimodal_mp4_parse",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+mdat AS (
+  SELECT ids.doc_id, (ids.doc_id * 11 + j.j * 3) % 256 AS v
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, CAST(15 + ids.doc_id % 9 AS INT))) AS j
+  ) j
+),
+ms AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS mdat_sum,
+         CAST(COUNT(*) AS BIGINT) AS mdat_len
+  FROM mdat GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(1 AS BIGINT) AS ftyp_ok,
+       CAST(m.doc_id AS BIGINT) AS minor_version,
+       CAST(600 + m.doc_id AS BIGINT) AS timescale,
+       CAST(1200 + m.doc_id * 3 AS BIGINT) AS duration,
+       CAST(1200 + m.doc_id * 3 AS DOUBLE) / (600 + m.doc_id)
+           AS duration_s,
+       CAST(4 AS BIGINT) AS n_boxes,
+       m.mdat_len AS mdat_len,
+       m.mdat_sum AS mdat_sum,
+       CAST(20 + 116 + 8 + (m.doc_id % 5) + 8 + m.mdat_len AS BIGINT)
+           AS file_bytes
+FROM ms m
+""",
+    category="multimodal",
+)
+def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) container analytics — the FIFTH wire-format
+    parser, and the one covering the dominant real-world video
+    container: minimal MP4s are synthesized as binary columns (ftyp
+    + moov{mvhd} + free + mdat, all big-endian), then re-derived
+    from the bytes alone.  The top-level BOX STREAM is walked with
+    the same struct-accumulator fold as the PNG chunk walk (each
+    step reads the BE32 size + fourcc, classifies the box, advances
+    by size), the nested mvhd is parsed at its walked offset
+    (version-0 layout: timescale and duration as BE32 field reads),
+    the ftyp major brand is byte-verified, mdat payload bytes are
+    summed through the walk, and the presentation duration surfaces
+    as ONE exact double division duration/timescale.  Pure JVM
+    codegen, zero Exchange, zero Python — at 100 TB this is the
+    header-triage scan a video lake runs to route files before any
+    demux/decode dispatch."""
+    synth = _synth_mp4s(table(spark, sf_dir, "documents"))
+    return mp4_stats(synth, "doc_id", "mp4")

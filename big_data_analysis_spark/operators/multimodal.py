@@ -291,6 +291,37 @@ def _parsed_pcm(b):
     return F.transform(idx, signed)
 
 
+def wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """PUBLIC generic RIFF/WAVE PCM statistics over a caller-
+    supplied binary column holding canonical 44-byte-header WAV
+    bytes (what the stdlib wave module and every PCM muxer
+    write): header fields plus exact int16 sample sum/min/max and
+    the single-division mean, all parsed from the bytes alone in
+    JVM codegen.  Authenticated in tests against a genuine
+    wave-module file."""
+    b = F.col(bin_col)
+    p_sr = _le_int(b, 25, 4)
+    p_ch = _le_int(b, 23, 2)
+    p_bits = _le_int(b, 35, 2)
+    p_data = _le_int(b, 41, 4)
+    p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
+    pcm = _parsed_pcm(b)
+    return df.select(
+        F.col(id_col),
+        p_sr.alias("sample_rate"),
+        p_ch.alias("n_channels"),
+        p_bits.alias("bits_per_sample"),
+        p_ns.alias("n_samples"),
+        F.aggregate(pcm, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_pcm"),
+        F.array_min(pcm).alias("min_pcm"),
+        F.array_max(pcm).alias("max_pcm"),
+        (
+            F.aggregate(pcm, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+            / F.size(pcm)
+        ).alias("mean_pcm"),
+    )
+
+
 @query(
     "multimodal_wav_parse",
     oracle="""
@@ -331,27 +362,7 @@ def multimodal_wav_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out. At 100 TB: a pure map stage over parquet BYTE_ARRAY
     payloads, no Python, no shuffle before the per-file aggregate."""
     synth = _synth_wavs(table(spark, sf_dir, "documents"))
-    b = F.col("wav")
-    p_sr = _le_int(b, 25, 4)
-    p_ch = _le_int(b, 23, 2)
-    p_bits = _le_int(b, 35, 2)
-    p_data = _le_int(b, 41, 4)
-    p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
-    pcm = _parsed_pcm(b)
-    return synth.select(
-        "doc_id",
-        p_sr.alias("sample_rate"),
-        p_ch.alias("n_channels"),
-        p_bits.alias("bits_per_sample"),
-        p_ns.alias("n_samples"),
-        F.aggregate(pcm, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_pcm"),
-        F.array_min(pcm).alias("min_pcm"),
-        F.array_max(pcm).alias("max_pcm"),
-        (
-            F.aggregate(pcm, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
-            / F.size(pcm)
-        ).alias("mean_pcm"),
-    )
+    return wav_stats(synth, "doc_id", "wav")
 
 
 def _synth_bmps(d) -> DataFrame:

@@ -924,3 +924,31 @@ def test_api_mp4_stats_parses_a_real_mp4(spark):
     assert r.n_boxes == 4
     assert (r.mdat_len, r.mdat_sum) == (32, sum(payload))
     assert r.file_bytes == len(mp4)
+
+
+def test_api_wav_stats_parses_a_real_wave_module_file(spark):
+    """The WAV parse must hold on a GENUINE file written by the
+    stdlib wave module (canonical 44-byte header), including
+    two's-complement int16 decoding of negative samples."""
+    import io
+    import struct
+    import wave
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<6h", *samples))
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(5, bytearray(payload))], "fid long, payload binary"
+    )
+    r = api.wav_stats(df, "fid", "payload").collect()[0]
+    assert (r.sample_rate, r.n_channels, r.bits_per_sample) == (16000, 1, 16)
+    assert r.n_samples == 6
+    assert r.sum_pcm == sum(samples)
+    assert (r.min_pcm, r.max_pcm) == (-32768, 32767)
+    assert abs(r.mean_pcm - sum(samples) / 6) < 1e-12

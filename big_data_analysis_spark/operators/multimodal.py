@@ -410,6 +410,40 @@ def _synth_bmps(d) -> DataFrame:
     return d.select("doc_id", F.unhex(bmp_hex).alias("bmp"))
 
 
+def bmp_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """PUBLIC generic uncompressed 24-bit BMP statistics over a
+    caller-supplied binary column: header geometry + exact
+    per-channel pixel sums read from the bytes alone (JVM
+    codegen).  Supports row-padding-free files (width*3 divisible
+    by 4 — otherwise the per-pixel walk would take in pad bytes;
+    sums are row-order-invariant, so BMP's bottom-up storage
+    doesn't matter).  Authenticated in tests against genuine
+    struct-packed bytes."""
+    b = F.col(bin_col)
+    p_off = _le_int(b, 11, 4)
+    p_w = _le_int(b, 19, 4)
+    p_h = _le_int(b, 23, 4)
+    p_bpp = _le_int(b, 29, 2)
+    p_n = p_w * p_h
+    byte_at = lambda pos: F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+    pix = F.sequence(F.lit(0), (p_n - 1).cast("int"))
+    chan = lambda c_off: F.transform(
+        pix, lambda p: byte_at((p_off + 1).cast("int") + p * 3 + c_off)
+    )
+    ssum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    return df.select(
+        F.col(id_col),
+        p_w.alias("width"),
+        p_h.alias("height"),
+        p_bpp.alias("bits_per_pixel"),
+        p_n.alias("n_pixels"),
+        ssum(chan(2)).alias("sum_r"),
+        ssum(chan(1)).alias("sum_g"),
+        ssum(chan(0)).alias("sum_b"),
+        (ssum(chan(2)).cast("double") / p_n).alias("mean_r"),
+    )
+
+
 @query(
     "multimodal_bmp_parse",
     oracle="""
@@ -449,29 +483,7 @@ def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier real wire-format coverage for both audio and image
     payloads without any codec dependency."""
     synth = _synth_bmps(table(spark, sf_dir, "documents"))
-    b = F.col("bmp")
-    p_off = _le_int(b, 11, 4)
-    p_w = _le_int(b, 19, 4)
-    p_h = _le_int(b, 23, 4)
-    p_bpp = _le_int(b, 29, 2)
-    p_n = p_w * p_h
-    byte_at = lambda pos: F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
-    pix = F.sequence(F.lit(0), (p_n - 1).cast("int"))
-    chan = lambda c_off: F.transform(
-        pix, lambda p: byte_at((p_off + 1).cast("int") + p * 3 + c_off)
-    )
-    ssum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
-    return synth.select(
-        "doc_id",
-        p_w.alias("width"),
-        p_h.alias("height"),
-        p_bpp.alias("bits_per_pixel"),
-        p_n.alias("n_pixels"),
-        ssum(chan(2)).alias("sum_r"),
-        ssum(chan(1)).alias("sum_g"),
-        ssum(chan(0)).alias("sum_b"),
-        (ssum(chan(2)).cast("double") / p_n).alias("mean_r"),
-    )
+    return bmp_stats(synth, "doc_id", "bmp")
 
 
 @query(

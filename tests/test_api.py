@@ -952,3 +952,27 @@ def test_api_wav_stats_parses_a_real_wave_module_file(spark):
     assert r.sum_pcm == sum(samples)
     assert (r.min_pcm, r.max_pcm) == (-32768, 32767)
     assert abs(r.mean_pcm - sum(samples) / 6) < 1e-12
+
+
+def test_api_bmp_stats_parses_a_real_bmp(spark):
+    """The BMP parse on genuine struct-packed bytes: a 4x2 24-bit
+    bottom-up BMP (no row padding at width 4) with known channel
+    sums."""
+    import struct
+
+    # pixels as (B, G, R) per BMP convention, rows bottom-up
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3)] * 2
+    pixel_bytes = b"".join(struct.pack("<3B", *p) for p in px)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    bmp = header + pixel_bytes
+    df = spark.createDataFrame([(3, bytearray(bmp))], "fid long, payload binary")
+    r = api.bmp_stats(df, "fid", "payload").collect()[0]
+    assert (r.width, r.height, r.bits_per_pixel, r.n_pixels) == (4, 2, 24, 8)
+    assert r.sum_b == sum(p[0] for p in px)
+    assert r.sum_g == sum(p[1] for p in px)
+    assert r.sum_r == sum(p[2] for p in px)
+    assert abs(r.mean_r - r.sum_r / 8) < 1e-12

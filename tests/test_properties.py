@@ -972,3 +972,91 @@ def test_api_span_corruption_roundtrip_any_doc(spark, docs, stride):
         assert r.n_masked + len(
             [t for t in out if t]
         ) >= r.n_tokens  # masked + kept covers the doc
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_api_k_core_matches_python_on_random_graphs(spark, edges, k):
+    """api.k_core vs pure-Python synchronous peeling on ARBITRARY
+    random graphs (self-loops dropped, duplicates collapsed): exact
+    equality of the surviving (node, core_degree) set."""
+    from big_data_analysis_spark import api
+
+    clean = {(a, b) for a, b in edges if a != b}
+    if not clean:
+        return
+    df = spark.createDataFrame(sorted(clean), "a long, b long")
+    got = {
+        (r.node, r.core_degree)
+        for r in api.k_core(df, "a", "b", k=k).collect()
+    }
+    und = {tuple(sorted(e)) for e in clean}
+    # NOTE: api.k_core treats each input row as an edge after
+    # distinct on (a,b) — (1,2) and (2,1) are two rows but ONE
+    # undirected edge only if the caller canonicalizes; mirror the
+    # kernel's exact contract here (distinct on the raw pair).
+    pairs = set(clean)
+    nodes = {n for e in pairs for n in e}
+    while True:
+        deg = {}
+        for a, b in pairs:
+            if a in nodes and b in nodes:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        if keep == nodes:
+            break
+        nodes = keep
+    model = {(n, deg[n]) for n in nodes}
+    assert got == model
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=2, max_size=10
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_api_collocations_matches_python_model(spark, docs):
+    """api.collocations vs a pure-Python bigram/unigram count model
+    on arbitrary corpora (min_count=1 so every bigram surfaces):
+    exact counts and 1e-12 lift agreement."""
+    from collections import Counter
+
+    from big_data_analysis_spark import api
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "nid long, body string",
+    )
+    got = {
+        r.bigram: (r.c_ab, r.df, r.c_a, r.c_b, r.lift)
+        for r in api.collocations(df, "body", "nid", min_count=1).collect()
+    }
+    uni = Counter(t for toks in docs for t in toks)
+    N = sum(uni.values())
+    bg = Counter()
+    bdf = Counter()
+    for toks in docs:
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        bg.update(grams)
+        bdf.update(set(grams))
+    assert set(got) == set(bg)
+    for g, (c_ab, dfc, c_a, c_b, lift) in got.items():
+        a, b = g.split(" ")
+        assert (c_ab, dfc, c_a, c_b) == (bg[g], bdf[g], uni[a], uni[b])
+        assert abs(lift - c_ab * N / (uni[a] * uni[b])) < 1e-12

@@ -3082,3 +3082,42 @@ def pipeline_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     d = table(spark, sf_dir, "documents")
     return api.fim_split(d, "text", "doc_id")
+
+
+@query("pipeline_dedup_cascade", oracle=None, category="pipelines")
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LADDER composed into one audited plan — how a
+    production corpus actually runs it: (1) exact document dedup
+    (deterministic keep-lowest, api.dedup_exact), then (2)
+    paragraph-level dedup across the survivors
+    (api.dedup_paragraphs), with a one-row ledger of what each stage
+    removed and the byte mass before/after — the cheap exact tiers
+    always run BEFORE any near-dup candidate generation spends a
+    shuffle, because every doc they drop shrinks the expensive
+    stage's input.  Rows-only (⊘): the ledger is deterministic and
+    a test re-runs the two public kernels independently and asserts
+    the identical ledger (composition consistency); each stage is
+    separately oracle-certified (dedup_exact_text,
+    dedup_paragraph)."""
+    d = table(spark, sf_dir, "documents")
+    kept = api.dedup_exact(d, ["text"], "doc_id")
+    paras = api.dedup_paragraphs(kept, "text", "doc_id", chunk_tokens=4)
+    total = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_in"),
+    )
+    ledger = paras.agg(
+        F.count(F.lit(1)).alias("after_exact"),
+        F.sum("n_chunks").alias("para_chunks_total"),
+        F.sum("n_dropped").alias("para_chunks_dropped"),
+        F.sum(F.length("dedup_text")).alias("chars_out"),
+    )
+    return total.crossJoin(ledger).select(
+        "n_docs",
+        "after_exact",
+        (F.col("n_docs") - F.col("after_exact")).alias("exact_removed"),
+        "para_chunks_total",
+        "para_chunks_dropped",
+        "chars_in",
+        "chars_out",
+    )

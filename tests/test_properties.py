@@ -1060,3 +1060,28 @@ def test_api_collocations_matches_python_model(spark, docs):
         a, b = g.split(" ")
         assert (c_ab, dfc, c_a, c_b) == (bg[g], bdf[g], uni[a], uni[b])
         assert abs(lift - c_ab * N / (uni[a] * uni[b])) < 1e-12
+
+
+def test_dedup_cascade_composes_the_public_kernels(spark, sf_dir):
+    """pipeline_dedup_cascade's one-row ledger must equal composing
+    api.dedup_exact + api.dedup_paragraphs independently — the
+    composition adds nothing and loses nothing."""
+    from big_data_analysis_spark import api
+
+    r = REG["pipeline_dedup_cascade"].fn(spark, sf_dir).collect()[0]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = api.dedup_exact(d, ["text"], "doc_id")
+    paras = api.dedup_paragraphs(kept, "text", "doc_id", chunk_tokens=4)
+    assert r.n_docs == d.count()
+    assert r.after_exact == kept.count()
+    assert r.exact_removed == r.n_docs - r.after_exact
+    agg = paras.agg(
+        F.sum("n_chunks").alias("ct"),
+        F.sum("n_dropped").alias("cd"),
+        F.sum(F.length("dedup_text")).alias("co"),
+    ).collect()[0]
+    assert (r.para_chunks_total, r.para_chunks_dropped, r.chars_out) == (
+        agg.ct, agg.cd, agg.co,
+    )
+    # the ladder is monotone: output mass never exceeds input mass
+    assert r.chars_out <= r.chars_in

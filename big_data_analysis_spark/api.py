@@ -1273,6 +1273,73 @@ def link_prediction(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame, a_col: str, b_col: str, *, iters: int = 10
+) -> DataFrame:
+    """Community detection by LABEL PROPAGATION over a BIPARTITE
+    graph (edges are (a, b) with disjoint id namespaces; the
+    undirected view is built internally).  Deterministic
+    semi-synchronous schedule: each round updates the b-side from
+    its a-neighbors, then the a-side from the (new) b-side — the
+    standard fix for sync-LPA's bipartite oscillation — and each
+    node takes its neighbors' MOST FREQUENT label, ties broken by
+    MINIMUM label, so the result is a pure function of the edge set
+    (no RNG, no visit-order dependence).  Initial label = own id.
+    Stops at fixpoint (zero labels changed) or after ``iters``
+    rounds.  Returns (node, label).
+
+    Shape per half-round: one shuffle joining the label table to the
+    adjacency on the neighbor key + one (node, label) count-argmax
+    aggregation; driver traffic is one changed-count scalar per
+    round; localCheckpoint truncates lineage like the other
+    iterative kernels (k_core, _min_label_components)."""
+    u = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    a_nodes = u.select(F.col("a").alias("node")).distinct()
+    b_nodes = u.select(F.col("b").alias("node")).distinct()
+    labels = (
+        a_nodes.unionAll(b_nodes)
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # adjacency oriented "update DST from SRC": b<-a then a<-b
+    adj_b = u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    adj_a = u.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+
+    def _half(labels_df: DataFrame, adj: DataFrame, side: DataFrame) -> DataFrame:
+        nbr_lbl = labels_df.select(
+            F.col("node").alias("nbr"), F.col("label").alias("nlbl")
+        )
+        votes = (
+            adj.join(nbr_lbl, "nbr")
+            .groupBy("node", "nlbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count desc, label asc): max of (cnt, -label)
+        picked = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("nlbl")).alias("neg"))).alias(
+                "m"
+            )
+        ).select("node", (-F.col("m.neg")).alias("label"))
+        other = labels_df.join(side, "node", "left_anti")
+        return other.unionAll(picked)
+
+    for _ in range(iters):
+        nxt = _half(labels, adj_b, b_nodes)
+        nxt = _half(nxt, adj_a, a_nodes).localCheckpoint(eager=True)
+        changed = (
+            labels.select("node", F.col("label").alias("old"))
+            .join(nxt, "node")
+            .where(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
 def collocations(
     df: DataFrame, text_col: str, id_col: str, *, min_count: int = 5
 ) -> DataFrame:
@@ -1506,7 +1573,11 @@ def kmeans_lloyd(
 # because operators/windows.py imports this module at its top — an
 # eager import here breaks the windows-first import order.
 def __getattr__(name: str):
-    if name in ("ntile_distributed", "global_rank_distributed"):
+    if name in (
+        "ntile_distributed",
+        "global_rank_distributed",
+        "grouped_cumsum_distributed",
+    ):
         from .operators import windows
 
         return getattr(windows, name)

@@ -370,6 +370,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 3
+_LPA_ITERS = 10
 
 
 @query("graph_k_core", oracle=None, category="graph")
@@ -399,3 +400,33 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
     )
     return api.k_core(edges, "a", "b", k=_KCORE_K)
+
+
+@query("graph_label_propagation", oracle=None, category="graph")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic label propagation over
+    the BIPARTITE order—part graph (same edge set as graph_k_core,
+    and for the same reason: its node count grows with the data
+    while mean degree stays ~constant, so the label dynamics are
+    scale-stable, unlike the near-complete 100-node demo digraph
+    where LPA collapses to one community in a single round).
+    Semi-synchronous schedule (parts from orders, then orders from
+    parts) with most-frequent-neighbor-label updates and min-label
+    tie-breaks — a pure function of the edge set, no RNG.  Emits the
+    community summary (label, n_orders, n_parts) rather than the
+    per-node map so the output is checksum-stable and small.
+
+    Rows-only (⊘): the fixpoint loop is outside single-statement
+    SQL; tests/test_quality.py re-runs the identical schedule in
+    pure Python over the collected edge list and asserts EXACT
+    equality of every node's final label, plus determinism across
+    independent Spark runs."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+    )
+    labels = api.label_propagation(edges, "a", "b", iters=_LPA_ITERS)
+    return labels.groupBy("label").agg(
+        F.sum(F.when(F.col("node") >= 0, 1).otherwise(0)).alias("n_orders"),
+        F.sum(F.when(F.col("node") < 0, 1).otherwise(0)).alias("n_parts"),
+    )

@@ -967,6 +967,63 @@ def ntile_distributed(
     )
 
 
+def grouped_cumsum_distributed(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    value_col: str,
+    alias: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact per-group running SUM(value) WITHOUT shuffling each group
+    onto one task — the grouped-prefix-sum sibling of
+    ``global_rank_distributed``.  A plain ``SUM OVER (PARTITION BY
+    group ORDER BY ...)`` hash-partitions on the group key, so one
+    popular group (a dominant source/domain at 100 TB) becomes one
+    executor's sort; here the data range-partitions on (group, order)
+    — a big group SPANS partitions — each partition computes its
+    local per-group prefix, and a bounded (num_partitions x n_groups)
+    per-(partition, group) totals rollup broadcasts back as offsets.
+
+    Contract: ``group_cols + order_cols`` must be a total order
+    (include a unique tie-break).  The offsets table is
+    O(num_partitions x distinct groups) — meant for modest group
+    cardinality (sources, domains, shards); for high-cardinality
+    groups the plain partitioned window is already parallel and this
+    kernel is unnecessary."""
+    keep = df.columns
+    ranged = df.repartitionByRange(num_partitions, *group_cols, *order_cols)
+    local = ranged.select(
+        *keep,
+        F.spark_partition_id().alias("__cs_pid"),
+        F.sum(value_col)
+        .over(
+            Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(
+                *order_cols
+            )
+        )
+        .alias("__cs_local"),
+    ).persist()  # the offsets branch forks the DAG (see ntile_distributed)
+    totals = local.groupBy("__cs_pid", *group_cols).agg(
+        F.sum(value_col).alias("__cs_tot")
+    )
+    offsets = totals.select(
+        "__cs_pid",
+        *group_cols,
+        F.coalesce(
+            F.sum("__cs_tot").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__cs_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__cs_off"),
+    )
+    return local.join(F.broadcast(offsets), ["__cs_pid", *group_cols]).select(
+        *keep, (F.col("__cs_off") + F.col("__cs_local")).alias(alias)
+    )
+
+
 @query(
     "win_ntile_distributed",
     oracle="""

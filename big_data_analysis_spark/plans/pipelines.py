@@ -480,7 +480,11 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # write path and read path must hash identically.
 from ..operators.similarity import _SQL_BUCKET as _SEM_BUCKET_SQL
 from ..operators.similarity import sem_bucket
-from ..operators.windows import global_rank_distributed, ntile_distributed
+from ..operators.windows import (
+    global_rank_distributed,
+    grouped_cumsum_distributed,
+    ntile_distributed,
+)
 
 
 @query(
@@ -3121,3 +3125,155 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_in",
         "chars_out",
     )
+
+
+_COMPACT_TARGET = 2048  # bytes per planned output file at test scale
+
+
+@query(
+    "pipeline_compaction_plan",
+    oracle=f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS run
+  FROM documents
+)
+SELECT source, CAST((run - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS out_file,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY source, out_file
+""",
+    category="pipelines",
+)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the lakehouse maintenance op
+    every 100 TB table needs: within each source, documents (stand-ins
+    for the table's small files, sized by n_chars) are packed
+    first-fit in doc_id order into target-capacity output files
+    (out_file = bytes-before DIV capacity — the deterministic
+    cumulative-sum bucketing every OPTIMIZE/compaction planner uses),
+    and the plan manifest (doc count, byte mass, id range per planned
+    file) is what the rewrite job partitions by.
+
+    The per-source running byte total comes from the
+    ``grouped_cumsum_distributed`` kernel (operators/windows.py):
+    range-repartition on (source, doc_id) so one dominant source
+    SPANS partitions instead of hash-landing on one task, local
+    prefix sums, and a bounded (partitions x sources) offsets rollup
+    broadcast back — the plain PARTITION BY source window would
+    serialize the largest source through one executor at 100 TB.
+    Output is one row per planned file — smaller than the input by
+    the compaction ratio."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    c = grouped_cumsum_distributed(d, ["source"], ["doc_id"], "n_chars", "run")
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(f"(run - n_chars) div {_COMPACT_TARGET}").alias("out_file"),
+        )
+        .groupBy("source", "out_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("file_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "pipeline_tombstone_delete",
+    oracle="""
+WITH tomb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+del_o AS (SELECT o_orderkey FROM orders JOIN tomb ON o_custkey = k)
+SELECT 'customer' AS tbl,
+       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_retained,
+       CAST(COALESCE(SUM(CASE WHEN c_custkey % 97 = 0 THEN c_custkey END), 0)
+         AS BIGINT) AS purged_key_sum
+FROM customer
+UNION ALL
+SELECT 'orders',
+       CAST(COUNT(k) AS BIGINT),
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL THEN o_orderkey END), 0)
+         AS BIGINT)
+FROM orders LEFT JOIN tomb ON o_custkey = k
+UNION ALL
+SELECT 'lineitem',
+       CAST(COUNT(o_orderkey) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL THEN l_orderkey END),
+         0) AS BIGINT)
+FROM lineitem LEFT JOIN del_o ON l_orderkey = o_orderkey
+""",
+    category="pipelines",
+)
+def pipeline_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten DELETION PROPAGATION — the compliance op
+    a 100 TB lakehouse runs on every erasure batch: a tombstone table
+    (here the deterministic c_custkey % 97 == 0 request set) cascades
+    customer -> orders -> lineitem along the foreign keys, and the
+    output is the three-row audit ledger (rows purged, rows retained,
+    and a purged-primary-key checksum per table) the compliance job
+    signs off on — the scan that computes the ledger is the SAME scan
+    the rewrite would use, so certifying the ledger certifies the
+    delete.
+
+    Shape: the tombstone set broadcasts (erasure batches are tiny
+    next to the fact tables), so each orders pass is a zero-shuffle
+    broadcast left join + one-pass conditional aggregate; the
+    lineitem pass left-joins the purged order keys on the join key
+    (one shuffle — the purged-key set grows with the batch, so it is
+    NOT assumed broadcastable) and aggregates in the same pass.
+    lineitem — the dominant table — is scanned exactly ONCE; orders
+    is scanned twice (its ledger, and the purged-key extraction the
+    lineitem pass joins against) because at 100 TB two column-pruned
+    broadcast-join scans are cheaper than materializing a marked
+    copy of the whole fact table; nothing collects."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    is_tomb = (F.col("c_custkey") % 97) == 0
+    cust_ledger = c.agg(
+        F.sum(F.when(is_tomb, 1).otherwise(0)).alias("n_purged"),
+        F.sum(F.when(is_tomb, 0).otherwise(1)).alias("n_retained"),
+        F.coalesce(F.sum(F.when(is_tomb, F.col("c_custkey"))), F.lit(0)).alias(
+            "purged_key_sum"
+        ),
+    ).select(F.lit("customer").alias("tbl"), "*")
+    tomb = c.where(is_tomb).select(F.col("c_custkey").alias("k"))
+    o_marked = o.join(
+        F.broadcast(tomb), F.col("o_custkey") == F.col("k"), "left"
+    )
+    ord_ledger = o_marked.agg(
+        F.count("k").alias("n_purged"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_retained"),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNotNull(), F.col("o_orderkey"))), F.lit(0)
+        ).alias("purged_key_sum"),
+    ).select(F.lit("orders").alias("tbl"), "*")
+    del_o = o_marked.where(F.col("k").isNotNull()).select(
+        F.col("o_orderkey").alias("del_okey")
+    )
+    li_marked = li.join(
+        del_o, F.col("l_orderkey") == F.col("del_okey"), "left"
+    )
+    li_ledger = li_marked.agg(
+        F.count("del_okey").alias("n_purged"),
+        F.sum(F.when(F.col("del_okey").isNull(), 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("del_okey").isNotNull(), F.col("l_orderkey"))),
+            F.lit(0),
+        ).alias("purged_key_sum"),
+    ).select(F.lit("lineitem").alias("tbl"), "*")
+    return cust_ledger.unionAll(ord_ledger).unionAll(li_ledger)

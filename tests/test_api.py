@@ -976,3 +976,54 @@ def test_api_bmp_stats_parses_a_real_bmp(spark):
     assert r.sum_g == sum(p[1] for p in px)
     assert r.sum_r == sum(p[2] for p in px)
     assert abs(r.mean_r - r.sum_r / 8) < 1e-12
+
+
+def test_api_grouped_cumsum_distributed(spark):
+    """The grouped prefix-sum kernel on a hand-checked table: per
+    group, running totals in order; groups independent; negatives
+    fine."""
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 10),
+            ("g1", 2, -3),
+            ("g1", 3, 5),
+            ("g2", 1, 7),
+            ("g2", 2, 0),
+        ],
+        "g string, o int, v int",
+    )
+    out = {
+        (r.g, r.o): r.run
+        for r in api.grouped_cumsum_distributed(
+            df, ["g"], ["o"], "v", "run"
+        ).collect()
+    }
+    assert out == {
+        ("g1", 1): 10,
+        ("g1", 2): 7,
+        ("g1", 3): 12,
+        ("g2", 1): 7,
+        ("g2", 2): 7,
+    }
+
+
+def test_api_label_propagation_two_components(spark):
+    """LPA on two disjoint bipartite stars must give each component
+    one community labelled by its minimum node id: star 1 = a-nodes
+    {1,2} sharing b-node -1; star 2 = a-nodes {5,6} sharing -7.
+    Verifies determinism across two independent runs."""
+    edges = spark.createDataFrame(
+        [(1, -1), (2, -1), (5, -7), (6, -7)], "a long, b long"
+    )
+    got = {
+        r.node: r.label
+        for r in api.label_propagation(edges, "a", "b", iters=10).collect()
+    }
+    # round 1: b=-1 takes min(1,2)=1; b=-7 takes min(5,6)=5; then the
+    # a-sides each copy their only neighbor's label -> fixpoint.
+    assert got == {1: 1, 2: 1, -1: 1, 5: 5, 6: 5, -7: 5}
+    again = {
+        r.node: r.label
+        for r in api.label_propagation(edges, "a", "b", iters=10).collect()
+    }
+    assert again == got

@@ -549,3 +549,39 @@ def test_dedup_url_map_plus_distinct_expansion(spark, sf_dir):
     assert tree.count("- Exchange") == 2
     assert "Join" not in tree
     assert "Python" not in tree
+
+
+def test_compaction_plan_avoids_per_group_global_sort(spark, sf_dir):
+    """pipeline_compaction_plan's running byte total must come from
+    the grouped_cumsum_distributed kernel: RangePartitioning on
+    (source, doc_id) present, and every data-proportional running
+    SUM window keyed on the materialized partition id (a window
+    partitioned on source ALONE would serialize the dominant source
+    through one task; the bounded partitions x sources offsets
+    rollup is exempt)."""
+    plan = plan_of("pipeline_compaction_plan", spark, sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    sum_lines = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "__cs_local" in l
+    ]
+    assert sum_lines, plan
+    # Catalyst materializes spark_partition_id() as _w0; the running
+    # sum's partition spec must carry it alongside the group key
+    assert all("_w0" in l or "__cs_pid" in l for l in sum_lines), sum_lines
+
+
+def test_tombstone_delete_broadcasts_tombstones_and_scans_lineitem_once(
+    spark, sf_dir
+):
+    """pipeline_tombstone_delete: the tombstone set joins the fact
+    tables via BroadcastHashJoin (zero shuffle on the orders side),
+    and lineitem — the dominant table — is scanned exactly once; the
+    ledger aggregates ride the same pass that marks the rows."""
+    plan = plan_of("pipeline_tombstone_delete", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    # orders: its own ledger pass + the purged-key extraction the
+    # lineitem pass joins against (documented two-scan shape)
+    assert plan.count("orders.parquet") == 2

@@ -1085,3 +1085,93 @@ def test_dedup_cascade_composes_the_public_kernels(spark, sf_dir):
     )
     # the ladder is monotone: output mass never exceeds input mass
     assert r.chars_out <= r.chars_in
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # group
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=40,
+))
+@settings(**_SETTINGS)
+def test_grouped_cumsum_distributed_matches_window(spark, rows):
+    """grouped_cumsum_distributed must equal SUM OVER (PARTITION BY
+    group ORDER BY rid) on arbitrary (group, value) lists — the
+    range-partition + broadcast-offsets machinery generalized from
+    the certified rank kernels, now with a per-group offset table."""
+    from big_data_analysis_spark.operators.windows import (
+        grouped_cumsum_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v int, rid int"
+    )
+    got = {
+        r.rid: r.run
+        for r in grouped_cumsum_distributed(
+            df, ["g"], ["rid"], "v", "run"
+        ).collect()
+    }
+    want = {
+        r.rid: r.run
+        for r in df.select(
+            "rid",
+            F.sum("v")
+            .over(Window.partitionBy("g").orderBy("rid"))
+            .alias("run"),
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # a-side id
+            st.integers(min_value=-8, max_value=-1),  # b-side id
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_label_propagation_matches_python_model_random_graphs(spark, edges):
+    """api.label_propagation vs the identical pure-Python
+    semi-synchronous schedule on random bipartite graphs: every
+    node's label must match EXACTLY, and labels must be constant
+    within a connected component once the loop reaches fixpoint
+    inside the iteration budget."""
+    from collections import Counter
+
+    from big_data_analysis_spark import api
+
+    ITERS = 8
+    uniq = sorted(set(edges))
+    labels = {n: n for e in uniq for n in e}
+    nbrs_of_b, nbrs_of_a = {}, {}
+    for a, b in uniq:
+        nbrs_of_b.setdefault(b, []).append(a)
+        nbrs_of_a.setdefault(a, []).append(b)
+
+    def pick(neigh_labels):
+        cnt = Counter(neigh_labels)
+        return max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    for _ in range(ITERS):
+        before = dict(labels)
+        for b, nb in nbrs_of_b.items():
+            labels[b] = pick([before[a] for a in nb])
+        mid = dict(labels)
+        for a, nb in nbrs_of_a.items():
+            labels[a] = pick([mid[b] for b in nb])
+        if labels == before:
+            break
+
+    df = spark.createDataFrame(uniq, "a long, b long")
+    got = {
+        r.node: r.label
+        for r in api.label_propagation(df, "a", "b", iters=ITERS).collect()
+    }
+    assert got == labels

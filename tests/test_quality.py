@@ -1052,6 +1052,71 @@ def test_k_core_matches_python_peeling_exact(spark, sf_dir):
     assert all(d >= K for _n, d in got)
 
 
+def test_label_propagation_matches_python_model_exact(spark, sf_dir):
+    """graph_label_propagation re-run as the identical pure-Python
+    semi-synchronous schedule (parts from orders, then orders from
+    parts; most-frequent label, min tie-break) over the same
+    bipartite edge list: every node's final label must match
+    EXACTLY, and the query's community summary must equal the
+    model's rollup."""
+    import duckdb
+    from collections import Counter
+
+    from big_data_analysis_spark import api
+
+    ITERS = 10
+    edges = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS a, -l_partkey - 1 AS b "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    nbrs_of_b, nbrs_of_a = {}, {}
+    for a, b in edges:
+        nbrs_of_b.setdefault(b, []).append(a)
+        nbrs_of_a.setdefault(a, []).append(b)
+    labels = {n: n for e in edges for n in e}
+
+    def pick(neigh_labels):
+        cnt = Counter(neigh_labels)
+        best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+        return best[0]
+
+    for _ in range(ITERS):
+        before = dict(labels)
+        for b, nbrs in nbrs_of_b.items():
+            labels[b] = pick([before[a] for a in nbrs])
+        mid = dict(labels)
+        for a, nbrs in nbrs_of_a.items():
+            labels[a] = pick([mid[b] for b in nbrs])
+        if labels == before:
+            break
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+    )
+    got = {
+        r.node: r.label
+        for r in api.label_propagation(e, "a", "b", iters=ITERS).collect()
+    }
+    assert got == labels
+
+    model_summary = Counter()
+    for n, lbl in labels.items():
+        model_summary[(lbl, n >= 0)] += 1
+    expect = {
+        lbl: (
+            model_summary.get((lbl, True), 0),
+            model_summary.get((lbl, False), 0),
+        )
+        for lbl in {v for v in labels.values()}
+    }
+    got_summary = {
+        r.label: (r.n_orders, r.n_parts)
+        for r in run("graph_label_propagation", spark, sf_dir).collect()
+    }
+    assert got_summary == expect
+
+
 def test_pca_top2_matches_numpy(spark, sf_dir):
     """vec_pca_top2 vs the identical deflated NumPy iteration:
     directional 1e-6 agreement per component, orthogonality, and

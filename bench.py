@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "multimodal_png_parse",
     "dedup_paragraph",
     "sim_maxsim",
+    # r6-wave 3: lakehouse maintenance — the compaction planner
+    # (grouped-prefix-sum kernel: range partitions + broadcast
+    # per-group offsets) and the GDPR tombstone cascade (broadcast
+    # erasure set, one-pass conditional ledger aggregates).
+    "pipeline_compaction_plan",
+    "pipeline_tombstone_delete",
 ]
 
 

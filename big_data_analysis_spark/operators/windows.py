@@ -1007,20 +1007,39 @@ def grouped_cumsum_distributed(
     totals = local.groupBy("__cs_pid", *group_cols).agg(
         F.sum(value_col).alias("__cs_tot")
     )
+    # __cs_off stays NULL when no prior partition of the group holds a
+    # non-null value — exactly when ANSI SUM would: a per-partition
+    # total is NULL iff all its values are, and the prefix sum of
+    # NULLs is NULL.  Coalescing here would turn the all-NULL-group
+    # answer from NULL into 0.
     offsets = totals.select(
         "__cs_pid",
         *group_cols,
-        F.coalesce(
-            F.sum("__cs_tot").over(
-                Window.partitionBy(*group_cols)
-                .orderBy("__cs_pid")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__cs_off"),
+        F.sum("__cs_tot")
+        .over(
+            Window.partitionBy(*group_cols)
+            .orderBy("__cs_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("__cs_off"),
     )
-    return local.join(F.broadcast(offsets), ["__cs_pid", *group_cols]).select(
-        *keep, (F.col("__cs_off") + F.col("__cs_local")).alias(alias)
+    # Null-safe equi-join: NULL is a valid group key for the window
+    # twin (PARTITION BY groups NULLs together), so a plain equi-join
+    # would silently drop every NULL-group row.
+    cond = F.col("l.__cs_pid") == F.col("r.__cs_pid")
+    for g in group_cols:
+        cond = cond & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    run = F.when(
+        F.col("l.__cs_local").isNull() & F.col("r.__cs_off").isNull(),
+        F.lit(None),
+    ).otherwise(
+        F.coalesce(F.col("r.__cs_off"), F.lit(0))
+        + F.coalesce(F.col("l.__cs_local"), F.lit(0))
+    )
+    return (
+        local.alias("l")
+        .join(F.broadcast(offsets).alias("r"), cond)
+        .select(*[F.col(f"l.{c}") for c in keep], run.alias(alias))
     )
 
 

@@ -3250,30 +3250,29 @@ def pipeline_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.lit("customer").alias("tbl"), "*")
     tomb = c.where(is_tomb).select(F.col("c_custkey").alias("k"))
+
+    def marked_ledger(marked: DataFrame, marker: str, pk: str, tbl: str):
+        """One-pass purged/retained/key-checksum rollup over a fact
+        table left-joined to its deletion marker column."""
+        return marked.agg(
+            F.count(marker).alias("n_purged"),
+            F.sum(F.when(F.col(marker).isNull(), 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col(marker).isNotNull(), F.col(pk))), F.lit(0)
+            ).alias("purged_key_sum"),
+        ).select(F.lit(tbl).alias("tbl"), "*")
+
     o_marked = o.join(
         F.broadcast(tomb), F.col("o_custkey") == F.col("k"), "left"
     )
-    ord_ledger = o_marked.agg(
-        F.count("k").alias("n_purged"),
-        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_retained"),
-        F.coalesce(
-            F.sum(F.when(F.col("k").isNotNull(), F.col("o_orderkey"))), F.lit(0)
-        ).alias("purged_key_sum"),
-    ).select(F.lit("orders").alias("tbl"), "*")
+    ord_ledger = marked_ledger(o_marked, "k", "o_orderkey", "orders")
     del_o = o_marked.where(F.col("k").isNotNull()).select(
         F.col("o_orderkey").alias("del_okey")
     )
     li_marked = li.join(
         del_o, F.col("l_orderkey") == F.col("del_okey"), "left"
     )
-    li_ledger = li_marked.agg(
-        F.count("del_okey").alias("n_purged"),
-        F.sum(F.when(F.col("del_okey").isNull(), 1).otherwise(0)).alias(
-            "n_retained"
-        ),
-        F.coalesce(
-            F.sum(F.when(F.col("del_okey").isNotNull(), F.col("l_orderkey"))),
-            F.lit(0),
-        ).alias("purged_key_sum"),
-    ).select(F.lit("lineitem").alias("tbl"), "*")
+    li_ledger = marked_ledger(li_marked, "del_okey", "l_orderkey", "lineitem")
     return cust_ledger.unionAll(ord_ledger).unionAll(li_ledger)

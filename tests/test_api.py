@@ -1027,3 +1027,34 @@ def test_api_label_propagation_two_components(spark):
         for r in api.label_propagation(edges, "a", "b", iters=10).collect()
     }
     assert again == got
+
+
+def test_api_grouped_cumsum_null_group_and_null_values(spark):
+    """The two NULL edges the window twin defines: (1) a NULL group
+    key is a real partition (rows must not drop through the
+    offsets equi-join); (2) SUM is NULL iff every value in the frame
+    is NULL — a later range partition whose local prefix is all-NULL
+    must still carry the earlier partition's total forward, and an
+    all-NULL group must stay NULL, not 0."""
+    df = spark.createDataFrame(
+        [(None, 1, 5), ("g", 2, 3)], "g string, o int, v int"
+    )
+    out = {
+        (r.g, r.o): r.run
+        for r in api.grouped_cumsum_distributed(
+            df, ["g"], ["o"], "v", "run"
+        ).collect()
+    }
+    assert out == {(None, 1): 5, ("g", 2): 3}
+
+    rows = [("g", 0, 10)] + [("g", i, None) for i in range(1, 8)]
+    rows += [("h", i, None) for i in range(4)]
+    df2 = spark.createDataFrame(rows, "g string, o int, v int")
+    out2 = {
+        (r.g, r.o): r.run
+        for r in api.grouped_cumsum_distributed(
+            df2, ["g"], ["o"], "v", "run", num_partitions=4
+        ).collect()
+    }
+    assert all(out2[("g", i)] == 10 for i in range(8))  # carry survives
+    assert all(out2[("h", i)] is None for i in range(4))  # all-NULL stays NULL

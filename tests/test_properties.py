@@ -1089,8 +1089,10 @@ def test_dedup_cascade_composes_the_public_kernels(spark, sf_dir):
 
 @given(rows=st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=3),       # group
-        st.integers(min_value=-1000, max_value=1000),  # value
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # group
+        st.one_of(
+            st.none(), st.integers(min_value=-1000, max_value=1000)
+        ),  # value
     ),
     min_size=1,
     max_size=40,
@@ -1098,9 +1100,14 @@ def test_dedup_cascade_composes_the_public_kernels(spark, sf_dir):
 @settings(**_SETTINGS)
 def test_grouped_cumsum_distributed_matches_window(spark, rows):
     """grouped_cumsum_distributed must equal SUM OVER (PARTITION BY
-    group ORDER BY rid) on arbitrary (group, value) lists — the
-    range-partition + broadcast-offsets machinery generalized from
-    the certified rank kernels, now with a per-group offset table."""
+    group ORDER BY rid) on arbitrary (group, value) lists INCLUDING
+    NULL group keys (PARTITION BY groups them together — a plain
+    equi-join back would drop them) and NULL values (ANSI SUM is
+    NULL iff every value in the frame is; the carried offset must
+    not turn that into 0, nor may an all-NULL local prefix erase a
+    prior partition's carry) — the range-partition +
+    broadcast-offsets machinery generalized from the certified rank
+    kernels, now with a per-group offset table."""
     from big_data_analysis_spark.operators.windows import (
         grouped_cumsum_distributed,
     )

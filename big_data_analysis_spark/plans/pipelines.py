@@ -1919,6 +1919,78 @@ def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_eval_pass_at_k",
+    oracle="""
+WITH s AS (
+  SELECT user_id AS problem_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_passed
+  FROM events GROUP BY user_id
+)
+SELECT problem_id, n_samples, n_passed,
+       CAST(n_passed AS DOUBLE) / CAST(n_samples AS DOUBLE) AS pass_at_1,
+       CASE
+         WHEN n_samples - n_passed >= 5 THEN
+           CAST(1 AS DOUBLE)
+           - CAST((n_samples - n_passed) * (n_samples - n_passed - 1)
+                  * (n_samples - n_passed - 2) * (n_samples - n_passed - 3)
+                  * (n_samples - n_passed - 4) AS DOUBLE)
+             / CAST(n_samples * (n_samples - 1) * (n_samples - 2)
+                    * (n_samples - 3) * (n_samples - 4) AS DOUBLE)
+         ELSE CAST(1 AS DOUBLE)
+       END AS pass_at_5
+FROM s
+""",
+    category="pipelines",
+)
+def pipeline_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — THE code-generation eval metric (the unbiased
+    estimator of Chen et al. 2021, "Evaluating LLMs Trained on
+    Code": pass@k = 1 - C(n-c, k)/C(n, k) over n samples of which c
+    passed): each user stands in for a problem, each event for one
+    sampled completion, value > 0.5 for its unit-test verdict.  The
+    binomial ratio is computed as EXACT int64 falling-factorial
+    products with ONE final double division (k=5 keeps the products
+    under 2^63 for n <= a few thousand samples/problem; k=10 at
+    n~100 would overflow), so the estimate is bit-reproducible —
+    no lgamma, no floating-point combinatorics.  When fewer than k
+    samples fail, C(n-c, k) = 0 and pass@k is exactly 1.
+
+    Shape: one partial/final hash aggregation over the samples (the
+    same single-shuffle census every eval op here uses), then pure
+    projection arithmetic — at 100 TB of eval logs nothing but the
+    per-problem rollup moves."""
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(F.col("user_id").alias("problem_id")).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0)).alias("n_passed"),
+    )
+    n, c = F.col("n_samples"), F.col("n_passed")
+    fail = n - c
+
+    def falling(x, k):
+        p = F.lit(1).cast("long")
+        for i in range(k):
+            p = p * (x - i)
+        return p
+
+    return s.select(
+        "problem_id",
+        "n_samples",
+        "n_passed",
+        (c.cast("double") / n.cast("double")).alias("pass_at_1"),
+        F.when(
+            fail >= 5,
+            F.lit(1.0)
+            - falling(fail, 5).cast("double") / falling(n, 5).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("pass_at_5"),
+    )
+
+
+@query(
     "pipeline_eval_em_f1",
     oracle="""
 WITH t AS (

@@ -604,6 +604,66 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(joined, mode="append")
 
 
+@query("stream_join_stream_outer", oracle=None, category="streaming")
+def stream_join_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **left outer** join — attribution including the
+    clicks that never converted: same 30-minute window and per-side
+    1-hour watermarks as stream_join_stream, but unmatched clicks
+    emit a NULL purchase row once the watermark passes their
+    last-possible-match time (click_ts + 30min).  This is the
+    semantics tier the inner join can't show: outer results are
+    *delayed by definition* (the engine must prove no future match
+    can arrive before it may emit NULL), so clicks still inside the
+    watermark horizon when the stream ends are withheld — a real
+    difference from the batch LEFT JOIN, which is why this is
+    rows-only (⊘): the batch twin over-produces on the stream tail.
+
+    tests/test_streaming.py pins both halves exactly: matched rows
+    equal the batch INNER join, and the NULL-emitted set equals the
+    batch anti-join minus the watermark-tail (clicks with
+    click_ts + 30min >= final watermark = max(ts) - 1h).  State
+    shuffles on user_id and is evicted by the same condition that
+    gates emission, so state is bounded at 100 TB/day exactly like
+    the inner form."""
+    s = read_event_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )
+    return drain_to_memory(joined, mode="append")
+
+
 @query(
     "stream_dedup_within_watermark",
     oracle="""

@@ -1159,3 +1159,20 @@ def test_pca_top2_matches_numpy(spark, sf_dir):
     for c in (0, 1):
         assert evs[0] - 1e-6 <= eig[c] <= evs[-1] + 1e-6
         assert eig[c] > 0
+
+
+def test_pass_at_k_matches_comb_estimator(spark, sf_dir):
+    """pipeline_eval_pass_at_k vs math.comb ground truth: the int64
+    falling-factorial form must equal 1 - C(n-c,5)/C(n,5) computed
+    with exact big-int combinatorics for every problem, and pass@5
+    >= pass@1 (more attempts never hurt)."""
+    from math import comb
+
+    rows = run("pipeline_eval_pass_at_k", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, c = r.n_samples, r.n_passed
+        want = 1.0 - comb(n - c, 5) / comb(n, 5) if n - c >= 5 else 1.0
+        assert abs(r.pass_at_5 - want) < 1e-12, (n, c)
+        assert abs(r.pass_at_1 - c / n) < 1e-15
+        assert r.pass_at_5 >= r.pass_at_1 - 1e-12

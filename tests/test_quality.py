@@ -1176,3 +1176,40 @@ def test_pass_at_k_matches_comb_estimator(spark, sf_dir):
         assert abs(r.pass_at_5 - want) < 1e-12, (n, c)
         assert abs(r.pass_at_1 - c / n) < 1e-15
         assert r.pass_at_5 >= r.pass_at_1 - 1e-12
+
+
+def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
+    """vec_pq_encode vs NumPy ground truth: per subspace, the code
+    must be the exact-integer-distance argmin (lower code on ties)
+    against the first-K-vectors codebook, and recon_dist2 the sum of
+    the per-subspace minima."""
+    import duckdb
+    import numpy as np
+
+    M, SUB, K = 4, 16, 4
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        vid: np.round(np.array(v, dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        for vid, v in rows
+    }
+    cb = {k: q[k] for k in range(K)}
+    got = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3, r.recon_dist2)
+        for r in run("vec_pq_encode", spark, sf_dir).collect()
+    }
+    assert set(got) == set(q)
+    for vid, vec in q.items():
+        codes, total = [], 0
+        for m in range(M):
+            sub = vec[m * SUB : (m + 1) * SUB]
+            d2 = [int(((sub - cb[k][m * SUB : (m + 1) * SUB]) ** 2).sum())
+                  for k in range(K)]
+            best = min(range(K), key=lambda k: (d2[k], k))
+            codes.append(best)
+            total += d2[best]
+        assert got[vid] == (*codes, total), vid

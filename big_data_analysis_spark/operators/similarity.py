@@ -946,6 +946,136 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_adc",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+dist AS (
+  SELECT d.vec_id, (d.i - 1) // {_PQ_SUB} AS m, c.vec_id AS k,
+         SUM(({_SQL_QD} - {_SQL_QC}) * ({_SQL_QD} - {_SQL_QC})) AS dist2
+  FROM ev d JOIN ev c ON c.i = d.i AND c.vec_id < {_PQ_K}
+  GROUP BY d.vec_id, (d.i - 1) // {_PQ_SUB}, c.vec_id
+),
+codes AS (
+  SELECT vec_id, m, k FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.dist2) AS adc_dist2
+  FROM codes c
+  JOIN dist q ON q.m = c.m AND q.k = c.k AND q.vec_id < 5
+  WHERE c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist2, neighbor_id) <= 3
+""",
+    category="similarity",
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ READ path — Asymmetric Distance Computation (the scoring
+    half of IVF-PQ): each query precomputes a lookup table of exact
+    int64 squared distances from its own subvectors to every
+    per-subspace centroid ({_PQ_M} x {_PQ_K} entries), and a
+    compressed corpus vector scores as the SUM of {_PQ_M} table
+    lookups indexed by its codes — the query side stays full
+    precision ("asymmetric"), the corpus side never decompresses.
+    Top-3 smallest ADC distances per query survive (self excluded).
+
+    Scale shape: the corpus pass reuses the zero-shuffle PQ encode
+    map (codebook literals), and the 5 query LUTs are bounded
+    literals folded into the same stage — element_at on a
+    {_PQ_K}-entry literal array per (query, subspace), then one
+    explode to (query_id, adc) pairs; the only data-proportional
+    movement is the per-query top-k window, exactly sim_ivf_probe's
+    tail. At real sizes the LUT table (queries x M x K rows)
+    broadcast-joins against the code columns instead — corpus bytes
+    still never move.  Self-match exclusion keeps the output
+    non-degenerate (a query's own codes give ADC distance equal to
+    its reconstruction distance, usually rank-1)."""
+    e = table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
+    e2 = e.select("vec_id", qe.alias("qv"))
+    cents = {
+        r["vec_id"]: [int(x) for x in r["qv"]]
+        for r in e2.where(F.col("vec_id") < _PQ_K).collect()
+    }
+    queries = {
+        r["vec_id"]: [int(x) for x in r["qv"]]
+        for r in e2.where(F.col("vec_id") < 5).collect()
+    }
+
+    def sub_d2_py(vec: list, cent: list, m: int) -> int:
+        a = vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        b = cent[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # per-query LUT: lut[qid][m][k] — bounded (5 x M x K) ints,
+    # computed driver-side from the two bounded collects above
+    lut = {
+        qid: [
+            [sub_d2_py(qvec, cents[k], m) for k in sorted(cents)]
+            for m in range(_PQ_M)
+        ]
+        for qid, qvec in queries.items()
+    }
+
+    def sub_dist2(m: int, c: list) -> Column:
+        sub = F.slice(F.col("qv"), m * _PQ_SUB + 1, _PQ_SUB)
+        lit = F.array(*[F.lit(x) for x in c[m * _PQ_SUB : (m + 1) * _PQ_SUB]])
+        diffs = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    coded = e2
+    for m in range(_PQ_M):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist2(m, c).alias("d"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    for k, c in sorted(cents.items())
+                ]
+            )
+        )
+        coded = coded.withColumn(f"code_{m}", best.getField("k"))
+
+    per_query = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(v) for v in lut[qid][m]]),
+                    (F.col(f"code_{m}") + 1).cast("int"),
+                )
+                for m in range(_PQ_M)
+            ).alias("adc_dist2"),
+        )
+        for qid in sorted(queries)
+    ]
+    scored = (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.array(*per_query)).alias("s"),
+        )
+        .select("s.query_id", "neighbor_id", "s.adc_dist2")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
     "sim_maxsim",
     oracle="""
 WITH ev AS (

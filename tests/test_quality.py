@@ -1213,3 +1213,49 @@ def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
             codes.append(best)
             total += d2[best]
         assert got[vid] == (*codes, total), vid
+
+
+def test_pq_adc_matches_numpy_lut(spark, sf_dir):
+    """sim_pq_adc vs NumPy ground truth: ADC(query, vec) must equal
+    the sum over subspaces of the query's exact int64 LUT entry at
+    the vector's PQ code, with the top-3 per query selected by
+    (distance, neighbor_id) and self excluded."""
+    import duckdb
+    import numpy as np
+
+    M, SUB, K = 4, 16, 4
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    q = {
+        vid: np.round(np.array(v, dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        for vid, v in rows
+    }
+    cb = {k: q[k] for k in range(K)}
+
+    def sub_d2(a, b, m):
+        d = a[m * SUB : (m + 1) * SUB] - b[m * SUB : (m + 1) * SUB]
+        return int((d * d).sum())
+
+    codes = {
+        vid: [
+            min(range(K), key=lambda k: (sub_d2(vec, cb[k], m), k))
+            for m in range(M)
+        ]
+        for vid, vec in q.items()
+    }
+    want = {}
+    for qid in range(5):
+        adc = {
+            vid: sum(sub_d2(q[qid], cb[codes[vid][m]], m) for m in range(M))
+            for vid in q
+            if vid != qid
+        }
+        top = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+        want[qid] = {(vid, d) for vid, d in top}
+    got = {}
+    for r in run("sim_pq_adc", spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add((r.neighbor_id, r.adc_dist2))
+    assert got == want

@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     # erasure set, one-pass conditional ledger aggregates).
     "pipeline_compaction_plan",
     "pipeline_tombstone_delete",
+    # r6-wave 3: the IVF-PQ pair — zero-shuffle PQ encode (codebook
+    # literals, array_min argmin) and the asymmetric-distance read
+    # path (per-query int64 LUTs over the corpus codes).
+    "vec_pq_encode",
+    "sim_pq_adc",
 ]
 
 

@@ -1340,6 +1340,120 @@ def label_propagation(
     return labels
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    codebook_q: list,
+    n_subspaces: int,
+) -> DataFrame:
+    """Product-quantization ENCODE over a caller-supplied float-array
+    column: the vector splits into ``n_subspaces`` equal subvectors;
+    each is assigned to its nearest per-subspace centroid by EXACT
+    int64 squared distance on the 1e-6 grid (tie-break lower code).
+    ``codebook_q`` is a list of K full-dimension centroid vectors
+    ALREADY quantized to ints on the same grid (round-half-up of
+    value*1e6 — collect them through F.round to match bit-for-bit;
+    a Python round() is banker's and can differ at half-steps).
+    Returns (id, code_0..code_{M-1}, recon_dist2) — scalar columns.
+
+    Zero-shuffle map stage: the codebook rides as literals and the
+    per-subspace argmin is an array_min over (dist, code) structs —
+    the form that stays inside whole-stage codegen (an unrolled
+    aggregate tree falls out of codegen and runs ~10x slower)."""
+    dim = len(codebook_q[0])
+    sub = dim // n_subspaces
+    qe = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
+    out = df.select(F.col(id_col), qe.alias("__pq_qv"))
+
+    def sub_dist2(m: int, c: list):
+        s = F.slice(F.col("__pq_qv"), m * sub + 1, sub)
+        lit = F.array(*[F.lit(int(x)) for x in c[m * sub : (m + 1) * sub]])
+        diffs = F.zip_with(s, lit, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    recon = F.lit(0).cast("long")
+    for m in range(n_subspaces):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist2(m, c).alias("d"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    for k, c in enumerate(codebook_q)
+                ]
+            )
+        )
+        out = out.withColumn(f"__pq_b{m}", best)
+    cols = [F.col(id_col)]
+    for m in range(n_subspaces):
+        cols.append(F.col(f"__pq_b{m}").getField("k").alias(f"code_{m}"))
+        recon = recon + F.col(f"__pq_b{m}").getField("d")
+    return out.select(*cols, recon.alias("recon_dist2"))
+
+
+def modularity(
+    edges: DataFrame, a_col: str, b_col: str, labels: DataFrame
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    undirected view of caller-supplied edges, as ONE EXACT integer
+    rational with a single final double division: Q = sum_c [e_c/m -
+    (d_c/2m)^2] = num/den with num = sum_c (4*m*e_c - d_c^2) and
+    den = 4*m^2 — int64-exact for m up to ~10^9 intra-community
+    degree mass, bit-reproducible (no per-community float adds).
+    ``labels`` is (node, label), e.g. label_propagation's output.
+    Returns one row: (n_communities, n_edges, q_num, q_den,
+    modularity).
+
+    Shape: one broadcast-able label join per edge endpoint, one
+    degree rollup, two bounded per-community aggregates."""
+    u = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    tagged = u.join(la, "a").join(lb, "b")
+    m_edges = tagged.count()
+    intra = (
+        tagged.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("node"), F.col("la").alias("label"))
+        .unionAll(
+            tagged.select(F.col("b").alias("node"), F.col("lb").alias("label"))
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per_c = deg.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    num = per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(
+            4 * F.lit(m_edges).cast("long") * F.col("e_c")
+            - F.col("d_c") * F.col("d_c")
+        ).alias("q_num"),
+    )
+    den = 4 * m_edges * m_edges
+    return num.select(
+        "n_communities",
+        F.lit(m_edges).cast("long").alias("n_edges"),
+        F.col("q_num").cast("long"),
+        F.lit(den).cast("long").alias("q_den"),
+        (F.col("q_num").cast("double") / F.lit(float(den))).alias("modularity"),
+    )
+
+
 def collocations(
     df: DataFrame, text_col: str, id_col: str, *, min_count: int = 5
 ) -> DataFrame:

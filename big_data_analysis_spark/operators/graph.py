@@ -430,3 +430,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("node") >= 0, 1).otherwise(0)).alias("n_orders"),
         F.sum(F.when(F.col("node") < 0, 1).otherwise(0)).alias("n_parts"),
     )
+
+
+@query("graph_modularity", oracle=None, category="graph")
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities on the bipartite
+    order—part graph — the quality score that tells you whether a
+    community assignment is better than chance: Q = sum_c [e_c/m -
+    (d_c/2m)^2], computed as ONE exact int64 rational (num =
+    sum_c (4*m*e_c - d_c^2), den = 4*m^2) with a single final
+    double division, so the score is bit-reproducible across
+    partitionings.  One row out: (n_communities, n_edges, q_num,
+    q_den, modularity).
+
+    Rows-only (⊘): the input labels come from the iterative LPA
+    fixpoint; tests/test_quality.py recomputes BOTH the labels and
+    the integer rational in pure Python over the same edge list and
+    asserts exact equality of (n_communities, n_edges, q_num,
+    q_den)."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+    )
+    labels = api.label_propagation(edges, "a", "b", iters=_LPA_ITERS)
+    return api.modularity(edges, "a", "b", labels)

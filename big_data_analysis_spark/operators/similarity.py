@@ -905,44 +905,22 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in sim_ivf_probe's r5 shape, ~10x slower).  One collect() of
     {_PQ_K} codebook rows (bounded scalar staging).  Emits scalar
     code columns per the driver convention, not an array."""
+    from .. import api
+
     e = table(spark, sf_dir, "embeddings")
     qe = F.transform(
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
     )
-    e2 = e.select("vec_id", qe.alias("qv"))
+    e2 = e.select("vec_id", "embedding", qe.alias("qv"))
     cents = {
         r["vec_id"]: [int(x) for x in r["qv"]]
         for r in e2.where(F.col("vec_id") < _PQ_K).collect()
     }
-
-    def sub_dist2(m: int, c: list) -> Column:
-        sub = F.slice(F.col("qv"), m * _PQ_SUB + 1, _PQ_SUB)
-        lit = F.array(*[F.lit(x) for x in c[m * _PQ_SUB : (m + 1) * _PQ_SUB]])
-        diffs = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    cols = ["vec_id"]
-    recon = F.lit(0).cast("long")
-    out = e2
-    for m in range(_PQ_M):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist2(m, c).alias("d"),
-                        F.lit(k).cast("long").alias("k"),
-                    )
-                    for k, c in sorted(cents.items())
-                ]
-            )
-        )
-        out = out.withColumn(f"__b{m}", best)
-        cols.append(f"code_{m}")
-    for m in range(_PQ_M):
-        out = out.withColumn(f"code_{m}", F.col(f"__b{m}").getField("k"))
-        recon = recon + F.col(f"__b{m}").getField("d")
-    return out.select(*cols, recon.alias("recon_dist2"))
+    codebook_q = [cents[k] for k in sorted(cents)]
+    return api.pq_encode(
+        e2, "vec_id", "embedding", codebook_q=codebook_q, n_subspaces=_PQ_M
+    )
 
 
 @query(

@@ -1058,3 +1058,31 @@ def test_api_grouped_cumsum_null_group_and_null_values(spark):
     }
     assert all(out2[("g", i)] == 10 for i in range(8))  # carry survives
     assert all(out2[("h", i)] is None for i in range(4))  # all-NULL stays NULL
+
+
+def test_api_pq_encode_hand_checked(spark):
+    """The generic PQ encoder on a hand-checked 4-dim table with 2
+    subspaces and 2 centroids: codes are the per-subspace argmin
+    (lower code on ties) and recon_dist2 the sum of minima, on the
+    1e-6 integer grid."""
+    cb = [
+        [0, 0, 1_000_000, 1_000_000],   # centroid 0 (quantized)
+        [1_000_000, 0, 0, 0],           # centroid 1
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 1.0]),   # exactly centroid 0 -> (0, 0), d=0
+         (2, [1.0, 0.0, 1.0, 1.0]),   # sub0 ties? d0=(1e6)^2 vs 0 -> code 1; sub1 -> code 0
+         (3, [0.5, 0.0, 0.0, 0.0])],  # sub0: d0=.25e12 < d1=.25e12 tie -> code 0; sub1: d0=2e12, d1=0 -> 1
+        "vid long, vec array<double>",
+    )
+    out = {
+        r.vid: (r.code_0, r.code_1, r.recon_dist2)
+        for r in api.pq_encode(
+            df, "vid", "vec", codebook_q=cb, n_subspaces=2
+        ).collect()
+    }
+    q = 1_000_000
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (1, 0, 0)
+    # sub0 tie at (q/2)^2 each -> code 0 with d=(q/2)^2; sub1 exact -> 0
+    assert out[3] == (0, 1, (q // 2) ** 2)

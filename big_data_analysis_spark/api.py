@@ -1363,6 +1363,13 @@ def pq_encode(
     the form that stays inside whole-stage codegen (an unrolled
     aggregate tree falls out of codegen and runs ~10x slower)."""
     dim = len(codebook_q[0])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"codebook dim {dim} not divisible by n_subspaces "
+            f"{n_subspaces} — trailing dimensions would silently drop"
+        )
+    if any(len(c) != dim for c in codebook_q):
+        raise ValueError("ragged codebook: all centroids must have equal dim")
     sub = dim // n_subspaces
     qe = F.transform(
         F.col(vec_col),
@@ -1417,7 +1424,11 @@ def modularity(
     ).distinct()
     la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
     lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
-    tagged = u.join(la, "a").join(lb, "b")
+    # checkpoint: tagged feeds THREE consumers (the m_edges count, the
+    # intra rollup and the degree rollup) — without it the distinct +
+    # double label join re-executes per branch (same discipline as
+    # label_propagation / k_core)
+    tagged = u.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
     m_edges = tagged.count()
     intra = (
         tagged.where(F.col("la") == F.col("lb"))

@@ -905,8 +905,6 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in sim_ivf_probe's r5 shape, ~10x slower).  One collect() of
     {_PQ_K} codebook rows (bounded scalar staging).  Emits scalar
     code columns per the driver convention, not an array."""
-    from .. import api
-
     e = table(spark, sf_dir, "embeddings")
     qe = F.transform(
         F.col("embedding"),
@@ -917,6 +915,11 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: [int(x) for x in r["qv"]]
         for r in e2.where(F.col("vec_id") < _PQ_K).collect()
     }
+    # the deterministic-codebook contract NEEDS ids 0.._PQ_K-1: the
+    # oracle emits c.vec_id as the code while the kernel emits the
+    # codebook POSITION — identical only when the id set is exactly
+    # the dense range. Fail loudly if the fixture ever changes shape.
+    assert sorted(cents) == list(range(_PQ_K)), sorted(cents)
     codebook_q = [cents[k] for k in sorted(cents)]
     return api.pq_encode(
         e2, "vec_id", "embedding", codebook_q=codebook_q, n_subspaces=_PQ_M
@@ -989,14 +992,17 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
     )
     e2 = e.select("vec_id", qe.alias("qv"))
-    cents = {
-        r["vec_id"]: [int(x) for x in r["qv"]]
-        for r in e2.where(F.col("vec_id") < _PQ_K).collect()
-    }
+    # ONE bounded collect: the centroid set (vec_id < _PQ_K) is a
+    # subset of the query set (vec_id < 5)
     queries = {
         r["vec_id"]: [int(x) for x in r["qv"]]
         for r in e2.where(F.col("vec_id") < 5).collect()
     }
+    cents = {k: v for k, v in queries.items() if k < _PQ_K}
+    # codes below are CODEBOOK POSITIONS (enumerate) and the LUTs are
+    # position-ordered lists — the dense-range assert keeps them and
+    # the oracle's c.vec_id codes interchangeable (see vec_pq_encode)
+    assert sorted(cents) == list(range(_PQ_K)), sorted(cents)
 
     def sub_d2_py(vec: list, cent: list, m: int) -> int:
         a = vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
@@ -1028,7 +1034,9 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sub_dist2(m, c).alias("d"),
                         F.lit(k).cast("long").alias("k"),
                     )
-                    for k, c in sorted(cents.items())
+                    for k, c in enumerate(
+                        c for _, c in sorted(cents.items())
+                    )
                 ]
             )
         )

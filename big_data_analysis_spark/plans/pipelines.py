@@ -1931,6 +1931,7 @@ WITH s AS (
 SELECT problem_id, n_samples, n_passed,
        CAST(n_passed AS DOUBLE) / CAST(n_samples AS DOUBLE) AS pass_at_1,
        CASE
+         WHEN n_samples >= 6209 THEN NULL
          WHEN n_samples - n_passed >= 5 THEN
            CAST(1 AS DOUBLE)
            - CAST((n_samples - n_passed) * (n_samples - n_passed - 1)
@@ -1980,7 +1981,12 @@ def pipeline_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "n_passed",
         (c.cast("double") / n.cast("double")).alias("pass_at_1"),
-        F.when(
+        # n >= 6209 would overflow the int64 falling factorial (6209^5
+        # > 2^63) and abort the whole query under ANSI mode — degrade
+        # to NULL on BOTH twins instead; at that sample count the
+        # caller should use the float-ratio estimator anyway
+        F.when(n >= 6209, F.lit(None).cast("double"))
+        .when(
             fail >= 5,
             F.lit(1.0)
             - falling(fail, 5).cast("double") / falling(n, 5).cast("double"),

@@ -1178,6 +1178,14 @@ def test_pass_at_k_matches_comb_estimator(spark, sf_dir):
         assert r.pass_at_5 >= r.pass_at_1 - 1e-12
 
 
+def _round_half_away(x):
+    """Round half away from zero (Spark F.round / DuckDB round), not
+    NumPy's banker's rounding — they differ by 1 at exact half-steps."""
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
     """vec_pq_encode vs NumPy ground truth: per subspace, the code
     must be the exact-integer-distance argmin (lower code on ties)
@@ -1192,9 +1200,9 @@ def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
         f"ORDER BY vec_id"
     ).fetchall()
     q = {
-        vid: np.round(np.array(v, dtype=np.float64) * 1_000_000).astype(
-            np.int64
-        )
+        # half-AWAY-from-zero like Spark F.round / DuckDB round —
+        # np.round is banker's and can differ by 1 at exact half-steps
+        vid: _round_half_away(np.array(v, dtype=np.float64) * 1_000_000)
         for vid, v in rows
     }
     cb = {k: q[k] for k in range(K)}
@@ -1228,9 +1236,9 @@ def test_pq_adc_matches_numpy_lut(spark, sf_dir):
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
     ).fetchall()
     q = {
-        vid: np.round(np.array(v, dtype=np.float64) * 1_000_000).astype(
-            np.int64
-        )
+        # half-AWAY-from-zero like Spark F.round / DuckDB round —
+        # np.round is banker's and can differ by 1 at exact half-steps
+        vid: _round_half_away(np.array(v, dtype=np.float64) * 1_000_000)
         for vid, v in rows
     }
     cb = {k: q[k] for k in range(K)}

@@ -1182,3 +1182,64 @@ def test_label_propagation_matches_python_model_random_graphs(spark, edges):
         for r in api.label_propagation(df, "a", "b", iters=ITERS).collect()
     }
     assert got == labels
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=-7, max_value=-1),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_modularity_matches_python_rational_random_graphs(spark, edges):
+    """api.modularity over api.label_propagation labels equals the
+    pure-Python integer rational (num = sum_c(4*m*e_c - d_c^2),
+    den = 4*m^2) on random bipartite graphs — exact equality of all
+    four integers, and Q within Newman's [-1/2, 1] bounds."""
+    from collections import Counter
+
+    from big_data_analysis_spark import api
+
+    ITERS = 6
+    uniq = sorted(set(edges))
+    labels = {n: n for e in uniq for n in e}
+    nbrs_of_b, nbrs_of_a = {}, {}
+    for a, b in uniq:
+        nbrs_of_b.setdefault(b, []).append(a)
+        nbrs_of_a.setdefault(a, []).append(b)
+
+    def pick(neigh):
+        cnt = Counter(neigh)
+        return max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    for _ in range(ITERS):
+        before = dict(labels)
+        for b, nb in nbrs_of_b.items():
+            labels[b] = pick([before[a] for a in nb])
+        mid = dict(labels)
+        for a, nb in nbrs_of_a.items():
+            labels[a] = pick([mid[b] for b in nb])
+        if labels == before:
+            break
+
+    m = len(uniq)
+    e_c, d_c = Counter(), Counter()
+    for a, b in uniq:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+        d_c[labels[a]] += 1
+        d_c[labels[b]] += 1
+    num = sum(4 * m * e_c.get(c, 0) - d * d for c, d in d_c.items())
+    den = 4 * m * m
+
+    df = spark.createDataFrame(uniq, "a long, b long")
+    lp = api.label_propagation(df, "a", "b", iters=ITERS)
+    r = api.modularity(df, "a", "b", lp).collect()[0]
+    assert (r.n_communities, r.n_edges, r.q_num, r.q_den) == (
+        len(d_c), m, num, den,
+    )
+    assert -0.5 - 1e-12 <= r.modularity <= 1.0 + 1e-12

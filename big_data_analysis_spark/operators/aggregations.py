@@ -2729,3 +2729,68 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "custkey long, est_merged long, est_flat long, exact long"
     )
+
+
+_TRANSPOSE_TYPES = ["click", "error", "purchase", "signup", "view"]
+_TP_CELL = (
+    "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
+)
+
+
+@query(
+    "agg_transpose",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {_TP_CELL} AS sum_cents
+  FROM events GROUP BY event_type
+)
+SELECT 'n_events' AS key,
+  (SELECT n_events FROM r WHERE event_type = 'click') AS click,
+  (SELECT n_events FROM r WHERE event_type = 'error') AS error,
+  (SELECT n_events FROM r WHERE event_type = 'purchase') AS purchase,
+  (SELECT n_events FROM r WHERE event_type = 'signup') AS signup,
+  (SELECT n_events FROM r WHERE event_type = 'view') AS view
+UNION ALL
+SELECT 'sum_cents',
+  (SELECT sum_cents FROM r WHERE event_type = 'click'),
+  (SELECT sum_cents FROM r WHERE event_type = 'error'),
+  (SELECT sum_cents FROM r WHERE event_type = 'purchase'),
+  (SELECT sum_cents FROM r WHERE event_type = 'signup'),
+  (SELECT sum_cents FROM r WHERE event_type = 'view')
+""",
+    category="aggregations",
+)
+def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` — the Spark 4.0 relational transpose
+    (SPARK-47081): the per-event-type metric rollup flips so metrics
+    become rows and event types become columns — the
+    report/crosstab-final-mile shape analysts otherwise hand-roll
+    with k pivot expressions.  Metric cells are exact int64 (count,
+    decimal-cents sum) so the transposed frame hash-compares.
+
+    Semantics pinned here: the FIRST column supplies the new header
+    (values must be distinct; Spark errors otherwise), the remaining
+    columns must share a least-common type (all BIGINT here), and
+    the original column names arrive in a ``key`` column.  The final
+    select pins the fixture's five event types IN ORDER, so a
+    fixture drift fails loudly instead of silently reshaping.
+
+    Scale: transpose is header-driven — the input here is the
+    BOUNDED rollup (5 rows), never the fact table; the data-
+    proportional work is the ordinary partial/final hash aggregate
+    that produced it (one shuffle).  Transposing a data-proportional
+    frame would put the row count in the SCHEMA, which is the
+    documented anti-pattern this query avoids."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    roll = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+    return roll.transpose().select("key", *_TRANSPOSE_TYPES)

@@ -1376,3 +1376,58 @@ def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY IDENTIFIER(group_col)
         """
     )
+
+
+@query(
+    "fn_sql_scripting",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+)
+SELECT CAST(((((SELECT n FROM c WHERE event_type = 'click') * 31
+        + (SELECT n FROM c WHERE event_type = 'error')) * 31
+        + (SELECT n FROM c WHERE event_type = 'purchase')) * 31
+        + (SELECT n FROM c WHERE event_type = 'signup')) * 31
+        + (SELECT n FROM c WHERE event_type = 'view') AS BIGINT)
+        AS horner_checksum,
+       CAST(5 AS BIGINT) AS n_iter
+""",
+    category="functions",
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0's BEGIN...END procedural blocks —
+    SPARK-48338): a WHILE loop with local DECLAREd variables folds
+    the five per-event-type counts into a base-31 Horner checksum,
+    one real aggregation query per iteration — control flow that
+    previously forced a driver-side Python loop now runs as a single
+    governed SQL statement whose LAST statement's result set is the
+    block's result.
+
+    The loop body's scalar subquery is an ordinary aggregate over
+    the fact table, so each iteration keeps full pushdown/pruning
+    (predicate event_type = <literal> reaches the scan); the loop
+    count is the BOUNDED event-type vocabulary, never
+    data-proportional — scripting loops over data-sized domains is
+    the anti-pattern this query's shape avoids.  Oracle: the
+    closed-form Horner polynomial over the same five counts."""
+    harden_session(spark)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          DECLARE kinds ARRAY<STRING> DEFAULT
+            ARRAY('click', 'error', 'purchase', 'signup', 'view');
+          WHILE i < 5 DO
+            SET acc = acc * 31 + (
+              SELECT COUNT(*) FROM events
+              WHERE event_type = element_at(kinds, i + 1)
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT acc AS horner_checksum, CAST(i AS BIGINT) AS n_iter;
+        END
+        """
+    )

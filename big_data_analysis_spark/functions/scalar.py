@@ -1431,3 +1431,51 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "fn_sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_big
+FROM orders
+WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.5
+GROUP BY o_orderpriority
+""",
+    category="functions",
+)
+def fn_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4.0 dynamic SQL, SPARK-44751) in its
+    two production shapes composed end to end: (1) INTO — a probe
+    statement's scalar result (the corpus max price) captured
+    directly into a session variable, no driver round-trip through
+    Python; (2) named-parameter USING — the report statement lives
+    in a STRING variable with a :threshold marker and executes with
+    the derived bind value, the injection-proof way to run
+    metadata-driven SQL held in config tables.
+
+    Parameters bind at analysis time, so the executed plan is
+    byte-identical to the hand-inlined query — the threshold
+    predicate still reaches the parquet scan.  The probe is one
+    1-row aggregate; the report is the ordinary partial/final
+    aggregate; nothing about the dynamic dispatch changes the
+    at-scale plan.  Oracle: the same report with the probe inlined
+    as a scalar subquery."""
+    harden_session(spark)
+    register_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE max_price DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT MAX(o_totalprice) FROM orders' INTO max_price"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE report STRING DEFAULT "
+        "'SELECT o_orderpriority AS priority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_big, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_big "
+        "FROM orders WHERE o_totalprice >= :threshold "
+        "GROUP BY o_orderpriority'"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE report USING max_price * 0.5 AS threshold"
+    )

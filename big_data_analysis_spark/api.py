@@ -1404,6 +1404,71 @@ def pq_encode(
     return out.select(*cols, recon.alias("recon_dist2"))
 
 
+def random_walk(
+    edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3
+) -> DataFrame:
+    """DETERMINISTIC random walks over the undirected view of the
+    edge set — the DeepWalk/node2vec corpus-generation step, made a
+    pure function of the graph so walks are reproducible across
+    re-runs and engines (no RNG state to ship): one walker starts at
+    every node, and step t moves from node c to its
+    ``mix(walker, c, t) % degree(c)``-th neighbor in ascending
+    neighbor order, where mix is an overflow-safe integer hash
+    (``pmod(walker*1000003 + c*97 + t*31, 2147483647)``).  Returns
+    the long-format path table (walker_id, step, node), step 0 =
+    the start node.
+
+    Shape: the adjacency is materialized ONCE with per-node neighbor
+    indexes (row_number over the (node, nbr) sort — one shuffle) and
+    re-joined per step on (node, index): ``steps`` bounded
+    hash-joins, no collect, no RNG; at 100 TB each step shuffles
+    only the walker frontier, never the adjacency (co-partitioned on
+    the join key after the first step)."""
+    u = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    und = u.unionAll(u.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = und.select(
+        F.col("a").alias("node"),
+        F.col("b").alias("nbr"),
+        (
+            F.row_number().over(
+                Window.partitionBy("a").orderBy("b")
+            )
+            - 1
+        ).alias("idx"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    walks = deg.select(
+        F.col("node").alias("walker_id"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    ).localCheckpoint(eager=True)
+    frontier = walks
+    for t in range(1, steps + 1):
+        mix = F.pmod(
+            F.col("walker_id") * 1000003 + F.col("node") * 97 + F.lit(t) * 31,
+            F.lit(2147483647),
+        )
+        pick = frontier.join(deg, "node").select(
+            "walker_id",
+            F.col("node"),
+            F.pmod(mix, F.col("deg")).alias("idx"),
+        )
+        nxt = (
+            pick.join(adj, ["node", "idx"])
+            .select(
+                "walker_id",
+                F.lit(t).alias("step"),
+                F.col("nbr").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        walks = walks.unionAll(nxt)
+        frontier = nxt
+    return walks
+
+
 def modularity(
     edges: DataFrame, a_col: str, b_col: str, labels: DataFrame
 ) -> DataFrame:

@@ -454,3 +454,25 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = api.label_propagation(edges, "a", "b", iters=_LPA_ITERS)
     return api.modularity(edges, "a", "b", labels)
+
+
+@query("graph_random_walk", oracle=None, category="graph")
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus over the bipartite
+    order—part graph: one 3-step walk per node, each step a
+    deterministic hash-indexed neighbor pick (see api.random_walk) —
+    the graph-embedding training-data generator, reproducible
+    bit-for-bit because the "randomness" is a pure integer function
+    of (walker, position, step), not RNG state.
+
+    Rows-only (⊘): the step joins are iterative;
+    tests/test_quality.py replays the identical walk in pure Python
+    over the same edge list (same mix constants, same
+    ascending-neighbor indexing) and asserts EXACT equality of every
+    (walker, step, node) row, plus walk-shape invariants (every
+    walker has steps 0..3; every consecutive pair is an edge)."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+    )
+    return api.random_walk(edges, "a", "b", steps=3)

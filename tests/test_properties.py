@@ -1243,3 +1243,42 @@ def test_modularity_matches_python_rational_random_graphs(spark, edges):
         len(d_c), m, num, den,
     )
     assert -0.5 - 1e-12 <= r.modularity <= 1.0 + 1e-12
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=-6, max_value=-1),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_random_walk_matches_python_model_random_graphs(spark, edges):
+    """api.random_walk vs the identical pure-Python walk on random
+    bipartite graphs — exact (walker, step, node) set equality."""
+    from big_data_analysis_spark import api
+
+    STEPS = 2
+    uniq = sorted(set(edges))
+    nbrs = {}
+    for a, b in uniq:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {n: sorted(s) for n, s in nbrs.items()}
+    want = set()
+    for w in nbrs:
+        cur = w
+        want.add((w, 0, cur))
+        for t in range(1, STEPS + 1):
+            mix = (w * 1000003 + cur * 97 + t * 31) % 2147483647
+            cur = nbrs[cur][mix % len(nbrs[cur])]
+            want.add((w, t, cur))
+    df = spark.createDataFrame(uniq, "a long, b long")
+    got = {
+        (r.walker_id, r.step, r.node)
+        for r in api.random_walk(df, "a", "b", steps=STEPS).collect()
+    }
+    assert got == want

@@ -1327,3 +1327,44 @@ def test_modularity_matches_python_rational_exact(spark, sf_dir):
         len(d_c), m, num, den,
     )
     assert abs(r.modularity - num / den) < 1e-15
+
+
+def test_random_walk_matches_python_model_exact(spark, sf_dir):
+    """graph_random_walk vs the identical pure-Python walk: same mix
+    constants, same ascending-neighbor indexing — every
+    (walker, step, node) row equal, plus shape invariants (each
+    walker has exactly steps 0..3; every consecutive pair is an
+    undirected edge)."""
+    import duckdb
+
+    STEPS = 3
+    edges = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS a, -l_partkey - 1 AS b "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {n: sorted(s) for n, s in nbrs.items()}
+    want = set()
+    for w in nbrs:
+        cur = w
+        want.add((w, 0, cur))
+        for t in range(1, STEPS + 1):
+            mix = (w * 1000003 + cur * 97 + t * 31) % 2147483647
+            cur = nbrs[cur][mix % len(nbrs[cur])]
+            want.add((w, t, cur))
+
+    rows = run("graph_random_walk", spark, sf_dir).collect()
+    got = {(r.walker_id, r.step, r.node) for r in rows}
+    assert got == want
+    # shape invariants
+    per_walker = {}
+    for w, t, n in got:
+        per_walker.setdefault(w, {})[t] = n
+    edge_set = {(a, b) for a, bs in nbrs.items() for b in bs}
+    for w, path in per_walker.items():
+        assert sorted(path) == list(range(STEPS + 1))
+        for t in range(1, STEPS + 1):
+            assert (path[t - 1], path[t]) in edge_set

@@ -1404,6 +1404,42 @@ def pq_encode(
     return out.select(*cols, recon.alias("recon_dist2"))
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, *, k: int = 50
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis–
+    Spirakis A-ES scheme, made deterministic: each row gets a
+    pseudo-uniform u in (0,1) from the Knuth multiplicative hash of
+    its id (no RNG state — reproducible across runs/engines), a key
+    ln(u)/weight, and the k LARGEST keys are the sample — provably
+    equivalent to sequential weighted draws without replacement.
+    Rows with weight <= 0 are excluded (A-ES is undefined there).
+    Returns (id, weight, u, key) for the sampled rows.
+
+    The importance-sampling primitive of a data-mixing recipe (draw
+    documents proportional to quality score / token count) — unlike
+    sample_frac's Bernoulli rate, the sample SIZE is exact and the
+    inclusion probability proportional to weight.  Shape: one map
+    stage + a TakeOrdered top-k — no shuffle of the corpus, no
+    per-partition RNG coordination, scan-speed at 100 TB.  ⊘ class:
+    ln() is libm, so cross-engine equality is 1-ulp, not bit-exact —
+    tests assert NumPy agreement and exact sample-set equality."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    u = (h + 1).cast("double") / F.lit(4294967297.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            u.alias("u"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), id_col)
+        .limit(k)
+    )
+
+
 def random_walk(
     edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3
 ) -> DataFrame:

@@ -259,3 +259,25 @@ def sort_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query("sample_weighted", oracle=None, category="sorts")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES) — 50 documents drawn with inclusion probability
+    proportional to byte size (n_chars), via api.weighted_sample:
+    deterministic Knuth-hash uniforms, key = ln(u)/weight, top-k by
+    key.  The importance-sampling primitive of a data-mixing recipe
+    where sample SIZE must be exact (Bernoulli sample_frac can't
+    guarantee it) and heavier documents must be proportionally more
+    likely.
+
+    Rows-only (⊘): ln() is libm (1-ulp cross-engine, not bit-exact);
+    tests/test_quality.py recomputes every key in NumPy (1e-12
+    relative agreement), asserts the exact same 50-document sample
+    set, determinism across runs, and a weight-bias sanity check
+    (the sampled mean weight exceeds the corpus mean)."""
+    from .. import api
+
+    d = table(spark, sf_dir, "documents")
+    return api.weighted_sample(d, "doc_id", "n_chars", k=50)

@@ -1368,3 +1368,37 @@ def test_random_walk_matches_python_model_exact(spark, sf_dir):
         assert sorted(path) == list(range(STEPS + 1))
         for t in range(1, STEPS + 1):
             assert (path[t - 1], path[t]) in edge_set
+
+
+def test_weighted_sample_matches_numpy_aes(spark, sf_dir):
+    """sample_weighted vs NumPy A-ES ground truth: identical Knuth
+    uniforms, 1e-12 key agreement, the exact same 50-id sample set,
+    determinism across runs, and weight bias (sampled mean n_chars >
+    corpus mean)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    w = np.array([r[1] for r in rows], dtype=np.float64)
+    h = (ids * 2654435761) % 4294967296
+    u = (h + 1).astype(np.float64) / 4294967297.0
+    key = np.log(u) / w
+    order = sorted(range(len(ids)), key=lambda i: (-key[i], ids[i]))[:50]
+    want = {int(ids[i]) for i in order}
+
+    got_rows = run("sample_weighted", spark, sf_dir).collect()
+    got = {r.doc_id for r in got_rows}
+    assert got == want
+    by_id = {int(ids[i]): (float(u[i]), float(key[i])) for i in range(len(ids))}
+    for r in got_rows:
+        uu, kk = by_id[r.doc_id]
+        assert abs(r.u - uu) < 1e-15
+        assert abs(r.key - kk) <= 1e-12 * abs(kk)
+    again = {r.doc_id for r in run("sample_weighted", spark, sf_dir).collect()}
+    assert again == got
+    sampled_mean = np.mean([by_id_w for i, by_id_w in
+                            zip(ids, w) if int(i) in got])
+    assert sampled_mean > w.mean()

@@ -1015,3 +1015,88 @@ def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     spooled = spark.read.schema("event_id long, event_type string").csv(out)
     return spooled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _recovery_cycle(
+    spark: SparkSession, src: str, ckpt: str, out: str
+) -> None:
+    """One Trigger.AvailableNow run of the checkpointed file-to-file
+    pipeline: drain whatever is in ``src`` that the checkpoint says
+    is unprocessed into the parquet sink at ``out``, then stop.
+    Restarting with the same (ckpt, out) resumes exactly where the
+    previous run committed — the recovery contract under test."""
+    s = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.withColumn("value_c", F.col("value").cast("decimal(18,2)"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query("stream_checkpoint_recovery", oracle=None, category="streaming")
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once stop/restart recovery — the operational contract
+    every other streaming query here assumes but none demonstrates:
+    a checkpointed file-source -> file-sink pipeline is run to
+    completion, STOPPED, handed more input, RESTARTED from the same
+    checkpoint (processes only the delta), then restarted a third
+    time with nothing new (a no-op — no reprocessing, no
+    duplicates). The parquet sink's _spark_metadata transaction log
+    is what makes the sink side exactly-once: a batch read of the
+    sink directory sees only committed files, so the final aggregate
+    equals the batch answer over all input despite two restarts.
+
+    At 100 TB this is THE failure-recovery path: source offsets in
+    the checkpoint's offset log, sink commits in the metadata log,
+    both keyed by batch id — a crashed or redeployed job resumes
+    with neither loss nor double-count. Emission layout is
+    execution-dependent -> rows-only; tests/test_streaming.py
+    re-runs the phased dance and asserts the mid-point row counts,
+    the no-op third restart, and batch equality.
+
+    Returns one row: (n_rows, n_events, n_users, sum_value)."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    feed = scratch_dir(prefix="bda_ckpt_feed_")
+    src = scratch_dir(prefix="bda_ckpt_src_")
+    ckpt = scratch_dir(prefix="bda_ckpt_log_")
+    out = scratch_dir(prefix="bda_ckpt_out_")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", F.col("value").cast("double"))
+    )
+    for part in range(4):
+        ev.where(F.pmod("event_id", F.lit(4)) == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/p{part}")
+
+    import glob as _glob
+    import shutil
+
+    def drop(part: int) -> None:
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{feed}/p{part}/part-*.parquet"))
+        ):
+            shutil.copy(f, f"{src}/in_p{part}_{i}.parquet")
+
+    drop(0), drop(1)
+    _recovery_cycle(spark, src, ckpt, out)  # run 1: first half
+    drop(2), drop(3)
+    _recovery_cycle(spark, src, ckpt, out)  # run 2: restart, delta only
+    _recovery_cycle(spark, src, ckpt, out)  # run 3: no new data — no-op
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_c").cast("double").alias("sum_value"),
+    )

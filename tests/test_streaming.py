@@ -597,3 +597,74 @@ def test_join_stream_outer_matched_plus_watermark_gated_nulls(spark, sf_dir):
     # the withheld tail is real: some unmatched click must sit inside
     # the watermark horizon on this fixture (else the test is vacuous)
     assert j.where("purchase_id IS NULL").count() > len(want_nulls)
+
+
+def test_checkpoint_recovery_exactly_once_phases(spark, sf_dir, tmp_path):
+    """The file-sink recovery dance, phase by phase: run 1 commits
+    exactly the first two parts, the restart commits exactly the
+    delta, a third restart with no new input commits NOTHING (same
+    committed-batch set), and the final sink content equals the
+    batch answer row-for-row — no loss, no double-count."""
+    import glob
+    import shutil
+
+    from big_data_analysis_spark.streaming.stream_ops import _recovery_cycle
+
+    ev = _events_batch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    feed, src = str(tmp_path / "feed"), str(tmp_path / "src")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    import os
+
+    os.makedirs(src)
+    for part in range(4):
+        ev.where(F.pmod("event_id", F.lit(4)) == part).coalesce(1).write.parquet(
+            f"{feed}/p{part}"
+        )
+
+    def drop(part):
+        for i, f in enumerate(sorted(glob.glob(f"{feed}/p{part}/part-*.parquet"))):
+            shutil.copy(f, f"{src}/in_p{part}_{i}.parquet")
+
+    n_half = ev.where(F.pmod("event_id", F.lit(4)) < 2).count()
+    n_all = ev.count()
+
+    drop(0), drop(1)
+    _recovery_cycle(spark, src, ckpt, out)
+    assert spark.read.parquet(out).count() == n_half
+
+    drop(2), drop(3)
+    _recovery_cycle(spark, src, ckpt, out)
+    assert spark.read.parquet(out).count() == n_all
+    committed_after_2 = sorted(glob.glob(f"{out}/_spark_metadata/*"))
+
+    _recovery_cycle(spark, src, ckpt, out)  # no new input -> no-op
+    assert sorted(glob.glob(f"{out}/_spark_metadata/*")) == committed_after_2
+    assert spark.read.parquet(out).count() == n_all
+
+    # Row-for-row equality with the batch source (exactly-once).
+    sink = spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert sink.exceptAll(ev).count() == 0
+    assert ev.exceptAll(sink).count() == 0
+
+
+def test_checkpoint_recovery_query_matches_batch(spark, sf_dir):
+    """The registered query's single summary row equals the batch
+    aggregate over the full events table — decimal-exact sum."""
+    row = run("stream_checkpoint_recovery", spark, sf_dir).collect()[0]
+    b = (
+        _events_batch(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()[0]
+    )
+    assert tuple(row) == tuple(b)

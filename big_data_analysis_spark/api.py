@@ -1110,6 +1110,69 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def rp_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher (±1) entry (i, j) of the random
+    projection matrix — the splitmix64 finalizer over a linear seed,
+    so Spark literals, the NumPy cross-check, and any other engine
+    reproduce the identical matrix with no RNG state.  A plain
+    multiplicative (Knuth) mix is NOT enough here: its lattice
+    structure makes rows of the matrix nearly collinear (measured
+    row·row up to 60/64), which destroys the JL guarantee — the
+    distortion band test below is what catches a weak mixer."""
+    x = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % 2**64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % 2**64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) % 2**64
+    x ^= x >> 31
+    return 1 if x & 1 else -1
+
+
+def rp_project(
+    df: DataFrame, id_col: str, vec_col: str, *, d: int, k: int = 16
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection d -> k with a
+    deterministic Rademacher matrix (Achlioptas 2003: ±1 entries
+    preserve pairwise distances like Gaussian ones): the
+    data-INDEPENDENT embedding compressor — unlike PCA/PQ there is
+    nothing to train, so it maps onto a 100 TB corpus as a pure
+    scan-speed projection (no shuffle, no codebook broadcast, no
+    second pass) and any two sites project identically.
+
+    Exactness convention: inputs quantize to the 1e-6 int64 grid
+    (quantize_vec), each output coordinate is an exact int64 signed
+    sum (|y_int| <= d * 1e6 — far from overflow), reported as
+    y = y_int / 1e6, one correct double rounding.  The 1/sqrt(k)
+    JL normalization is deliberately NOT applied (libm sqrt —
+    engine-dependent ulps); distances therefore scale by exactly k,
+    which the distortion test accounts for.
+
+    Returns long format (id, dim, y): k rows per vector, scalar
+    columns only."""
+    q = quantize_vec(F.col(vec_col))
+    projected = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim"),
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            q,
+                            F.array(*[F.lit(rp_sign(i, j)) for i in range(d)]),
+                            lambda x, s: x * s,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, t: acc + t,
+                    ).cast("double")
+                    / 1.0e6
+                ).alias("y"),
+            )
+            for j in range(k)
+        ]
+    )
+    return df.select(F.col(id_col), F.inline(projected))
+
+
 def maxsim(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1236,3 +1236,23 @@ def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, pos int, value double, eigenvalue double, "
         "energy_share double",
     )
+
+
+@query("vec_rp_project", oracle=None, category="similarity")
+def vec_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss compression of the 64-d embedding
+    column to 16-d via api.rp_project's deterministic Rademacher
+    matrix — the train-nothing companion to vec_pca_top2 (data-
+    dependent) and vec_pq_encode (codebook): the cheap first stage
+    of an ANN/dedup cascade, where candidate distances are computed
+    in the 4x-smaller sketch space and only survivors are verified
+    against full vectors.
+
+    Rows-only (⊘): the output is exact (int64 grid sums) but
+    k*d=1024 sign literals make a SQL twin unreadable;
+    tests/test_quality.py recomputes every cell EXACTLY in NumPy
+    (same sign function, same half-away grid) and asserts the
+    measured pairwise-distance distortion of the k-scaled sketch
+    stays inside the JL band for a sample of pairs."""
+    e = table(spark, sf_dir, "embeddings")
+    return api.rp_project(e, "vec_id", "embedding", d=64, k=16)

@@ -1402,3 +1402,62 @@ def test_weighted_sample_matches_numpy_aes(spark, sf_dir):
     sampled_mean = np.mean([by_id_w for i, by_id_w in
                             zip(ids, w) if int(i) in got])
     assert sampled_mean > w.mean()
+
+
+def test_rp_project_matches_numpy_exact_and_jl_band(spark, sf_dir):
+    """vec_rp_project vs ground truth: every projected cell must
+    equal the NumPy recompute EXACTLY (same sign matrix, same
+    half-away 1e-6 grid, exact int64 sums), and the measured
+    pairwise distance distortion ||R(a-b)||^2 / (k*||a-b||^2) over
+    the first 40 vectors' pairs must sit in a Johnson–Lindenstrauss
+    concentration band around 1 (k=16 -> relative std ~ sqrt(2/k)
+    = 0.35; the data is fixed, so the band is a deterministic
+    assertion, not a flaky statistical one)."""
+    import duckdb
+    import numpy as np
+
+    from big_data_analysis_spark.api import rp_sign
+
+    D, K = 64, 16
+    R = np.array(
+        [[rp_sign(i, j) for i in range(D)] for j in range(K)], dtype=np.int64
+    )
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        vid: _round_half_away(np.array(v, dtype=np.float64) * 1_000_000)
+        for vid, v in rows
+    }
+    want = {vid: R @ qv for vid, qv in q.items()}  # exact int64
+
+    got = {}
+    for r in run("vec_rp_project", spark, sf_dir).collect():
+        got.setdefault(r.vec_id, {})[r.dim] = r.y
+    assert set(got) == set(want)
+    for vid, y_int in want.items():
+        assert len(got[vid]) == K
+        for j in range(K):
+            # y = y_int / 1e6: one exact double division both sides
+            assert got[vid][j] == y_int[j] / 1.0e6, (vid, j)
+
+    ids = sorted(want)[:40]
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            dx = q[ids[a]] - q[ids[b]]
+            dy = want[ids[a]] - want[ids[b]]
+            denom = float(dx @ dx)
+            if denom:
+                ratios.append(float(dy @ dy) / (K * denom))
+    ratios = np.array(ratios)
+    # k=16 keeps expectation exactly (mean measured 0.9998) but the
+    # per-pair tails are chi^2_16-wide: the 780-pair extremes land at
+    # [0.29, 2.33].  Bounds chosen just outside the measured extremes
+    # — a weak sign mixer (the Knuth version this replaced) blows
+    # them out to [0.08, 5.3], which is what this guards against.
+    assert 0.2 < ratios.min() and ratios.max() < 2.6, (
+        ratios.min(), ratios.max(),
+    )
+    assert abs(ratios.mean() - 1.0) < 0.1, ratios.mean()

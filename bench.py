@@ -106,6 +106,15 @@ BENCH_QUERIES = [
     # path (per-query int64 LUTs over the corpus codes).
     "vec_pq_encode",
     "sim_pq_adc",
+    # r6-wave 4: graph-embedding corpus generation (deterministic
+    # hash-indexed walks: bounded per-step frontier joins against a
+    # checkpointed adjacency), exact-size weighted sampling (A-ES
+    # keys + TakeOrdered top-k, no corpus shuffle), and JL random
+    # projection (zero-shuffle scan-speed sketch, 1024 sign literals
+    # folded into one codegen stage).
+    "graph_random_walk",
+    "sample_weighted",
+    "vec_rp_project",
 ]
 
 

@@ -15,10 +15,13 @@ caller's tie-break columns).
 
 from __future__ import annotations
 
+import uuid
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .session import scratch_dir
 
 
 # ---------------------------------------------------------------- text
@@ -1149,7 +1152,13 @@ def rp_project(
 
     Returns long format (id, dim, y): k rows per vector, scalar
     columns only."""
-    q = quantize_vec(F.col(vec_col))
+    # Quantize ONCE in a lower select — referencing quantize_vec(...)
+    # inside each of the k aggregates would re-run the float->grid
+    # transform k times per row (no CSE across struct fields).
+    df = df.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_rp_q")
+    )
+    q = F.col("_rp_q")
     projected = F.array(
         *[
             F.struct(
@@ -1503,8 +1512,33 @@ def weighted_sample(
     )
 
 
+def walk_adjacency(
+    edges: DataFrame, a_col: str, b_col: str, *, buckets: int = 8
+) -> str:
+    """Build the bucketed adjacency table random_walk iterates over:
+    the undirected edge set folded to one row per node with the
+    ascending neighbor array, written bucketBy(buckets, node) so
+    every later join on node is bucket-local (no adjacency shuffle).
+    Returns the table name; the caller drops it when done."""
+    u = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    und = u.unionAll(u.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    name = f"bda_rw_adj_{uuid.uuid4().hex[:10]}"
+    (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+        .write.mode("overwrite")
+        .option("path", f"{scratch_dir(prefix='bda_rw_')}/{name}")
+        .bucketBy(buckets, "node")
+        .sortBy("node")
+        .saveAsTable(name)
+    )
+    return name
+
+
 def random_walk(
-    edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3
+    edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3, buckets: int = 8
 ) -> DataFrame:
     """DETERMINISTIC random walks over the undirected view of the
     edge set — the DeepWalk/node2vec corpus-generation step, made a
@@ -1517,28 +1551,22 @@ def random_walk(
     the long-format path table (walker_id, step, node), step 0 =
     the start node.
 
-    Shape: the adjacency is materialized ONCE with per-node neighbor
-    indexes (row_number over the (node, nbr) sort — one shuffle) and
-    re-joined per step on (node, index): ``steps`` bounded
-    hash-joins, no collect, no RNG; at 100 TB each step shuffles
-    only the walker frontier, never the adjacency (co-partitioned on
-    the join key after the first step)."""
-    u = edges.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).distinct()
-    und = u.unionAll(u.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    adj = und.select(
-        F.col("a").alias("node"),
-        F.col("b").alias("nbr"),
-        (
-            F.row_number().over(
-                Window.partitionBy("a").orderBy("b")
-            )
-            - 1
-        ).alias("idx"),
-    ).localCheckpoint(eager=True)
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    walks = deg.select(
+    Shape: the adjacency is folded to one row per node (ascending
+    neighbor array) and written ONCE as a table bucketed on node —
+    after that, every per-step join is bucket-local on the adjacency
+    side, so each of the ``steps`` joins shuffles ONLY the walker
+    frontier, never the adjacency (localCheckpoint can't make that
+    claim: it forgets outputPartitioning — measured
+    UnknownPartitioning — so a checkpointed adjacency re-shuffles
+    every step).  The neighbor pick is element_at(nbrs, idx+1) — no
+    window, no row_number stage.  At 100 TB the bucketed write is
+    the ingest step a deployment does once; hub-node arrays are the
+    skew caveat — cap or sample mega-hub neighbor lists upstream if
+    degree is unbounded."""
+    spark = edges.sparkSession
+    name = walk_adjacency(edges, a_col, b_col, buckets=buckets)
+    adj = spark.table(name)
+    walks = adj.select(
         F.col("node").alias("walker_id"),
         F.lit(0).alias("step"),
         F.col("node"),
@@ -1549,22 +1577,20 @@ def random_walk(
             F.col("walker_id") * 1000003 + F.col("node") * 97 + F.lit(t) * 31,
             F.lit(2147483647),
         )
-        pick = frontier.join(deg, "node").select(
-            "walker_id",
-            F.col("node"),
-            F.pmod(mix, F.col("deg")).alias("idx"),
-        )
         nxt = (
-            pick.join(adj, ["node", "idx"])
+            frontier.join(adj, "node")
             .select(
                 "walker_id",
                 F.lit(t).alias("step"),
-                F.col("nbr").alias("node"),
+                F.element_at(
+                    "nbrs", (F.pmod(mix, F.size("nbrs")) + 1).cast("int")
+                ).alias("node"),
             )
             .localCheckpoint(eager=True)
         )
         walks = walks.unionAll(nxt)
         frontier = nxt
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # frontiers are materialized
     return walks
 
 

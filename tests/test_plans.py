@@ -606,3 +606,39 @@ def test_pq_adc_single_exchange_with_group_limit(spark, sf_dir):
     assert tree.count("Exchange") == 1
     assert tree.count("WindowGroupLimit") == 2  # partial below + final above
     assert "Python" not in tree
+
+
+def test_random_walk_step_join_never_shuffles_adjacency(spark, sf_dir):
+    """The walk's per-step join must be bucket-local on the adjacency
+    side: exactly ONE Exchange (the walker frontier), a bucketed
+    FileScan for the adjacency, and no adjacency repartition — the
+    property localCheckpoint could not give (it forgets
+    outputPartitioning), and the reason api.random_walk pays one
+    bucketed write up front."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark import api
+    from big_data_analysis_spark.io import table
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+    )
+    name = api.walk_adjacency(edges, "a", "b", buckets=8)
+    try:
+        adj = spark.table(name)
+        frontier = adj.select(
+            F.col("node").alias("walker_id"), F.col("node")
+        ).localCheckpoint(eager=True)
+        # hint("merge"): at fixture scale AQE would broadcast the
+        # adjacency, hiding the bucketing (same trick as
+        # join_bucketed) — at 100 TB the sort-merge path is the plan.
+        j = frontier.hint("merge").join(adj, "node").select(
+            "walker_id", F.element_at("nbrs", 1).alias("node")
+        )
+        j.write.format("noop").mode("overwrite").save()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1, p
+        assert "Bucketed: true" in p, p
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1537,6 +1537,81 @@ def walk_adjacency(
     return name
 
 
+def duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, *, gram_tokens: int = 8
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" tier):
+    find every maximal token span whose ``gram_tokens``-gram content
+    appears >= 2 times in the corpus, and report per-document span
+    stats. Document-level dedup (dedup_exact_text) and chunk-level
+    dedup (dedup_paragraphs) can't see a boilerplate license header
+    pasted MID-document; this marks exactly those spans.
+
+    Shape: one pass emits (doc, pos, gram) sliding windows (pure
+    map, fan-out = tokens per doc); duplicate grams are found with a
+    count window PARTITIONED BY GRAM (the dup cluster per key, never
+    the corpus); surviving positions run per-doc gaps-and-islands
+    (lag + running sum — positions of one doc, bounded by doc
+    length) and merge into maximal spans (two starts merge iff
+    p2 <= p1 + gram_tokens: overlapping or adjacent). Two shuffles
+    on data-proportional keys (gram, doc), no global sort, no
+    collect. Suffix arrays find the same spans at byte granularity;
+    the gram formulation is the shuffle-friendly equivalent with
+    resolution = gram_tokens tokens.
+
+    Returns (id, n_tokens, n_dup_spans, dup_tokens, dup_ratio) —
+    one row per input document, zeros for span-free docs."""
+    L = gram_tokens
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - L),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, L)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    marked = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .where(F.col("cnt") >= 2)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + L),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    spans = islands.groupBy(id_col, "island").agg(
+        (F.max("pos") + L - F.min("pos")).alias("span_tokens")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_ratio"),
+    )
+
+
 def random_walk(
     edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3, buckets: int = 8
 ) -> DataFrame:

@@ -784,3 +784,62 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapter over the public api.dedup_paragraphs kernel."""
     d = table(spark, sf_dir, "documents")
     return api.dedup_paragraphs(d, "text", "doc_id", chunk_tokens=4)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+  FROM d, LATERAL unnest(generate_series(0, len(toks) - 8)) t(i)
+  WHERE len(toks) >= 8
+),
+m AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+),
+mk AS (SELECT doc_id, pos FROM m WHERE cnt >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+sp AS (
+  SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS span_tokens
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(span_tokens) AS dup_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / len(d.toks) AS dup_ratio
+FROM d LEFT JOIN agg USING (doc_id)
+""",
+    category="dedup",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 tier) over
+    the documents corpus at 8-token resolution — the dedup-ladder
+    rung between chunk-level dedup_paragraph (fixed 4-token
+    alignment) and document-level dedup_exact_text: a repeated span
+    is found at ANY offset, mid-document included, because every
+    sliding 8-gram is examined, then merged gaps-and-islands style
+    into maximal spans. Per-doc output: token count, number of
+    maximal duplicated spans, duplicated-token total, duplicated
+    fraction. Thin adapter over api.duplicated_spans (see its
+    docstring for the two-shuffle scale contract)."""
+    d = table(spark, sf_dir, "documents")
+    return api.duplicated_spans(d, "text", "doc_id", gram_tokens=8)

@@ -1461,3 +1461,41 @@ def test_rp_project_matches_numpy_exact_and_jl_band(spark, sf_dir):
         ratios.min(), ratios.max(),
     )
     assert abs(ratios.mean() - 1.0) < 0.1, ratios.mean()
+
+
+def test_duplicated_spans_planted_mid_document(spark):
+    """api.duplicated_spans must find a boilerplate span pasted
+    MID-document at arbitrary (non-chunk-aligned) offsets — the case
+    the fixed-alignment paragraph dedup cannot see — merge
+    overlapping gram hits into ONE maximal span, and report zeros
+    for clean docs."""
+    import pandas as pd
+
+    from big_data_analysis_spark import api
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10-token span
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "u1 u2 u3 " + boiler + " u4 u5",           # offset 3
+                "v1 " + boiler + " v2 v3 v4 v5 v6 v7",     # offset 1
+                " ".join(f"w{i}" for i in range(20)),      # clean
+            ],
+        }
+    )
+    out = {
+        r.doc_id: r
+        for r in api.duplicated_spans(
+            spark.createDataFrame(docs), "text", "doc_id", gram_tokens=8
+        ).collect()
+    }
+    # 10-token shared span -> 3 overlapping 8-gram hits, merged to ONE
+    # maximal span of exactly 10 tokens in each carrier doc.
+    for d, n_tok in ((1, 15), (2, 17)):
+        assert out[d].n_tokens == n_tok
+        assert out[d].n_dup_spans == 1, out[d]
+        assert out[d].dup_tokens == 10, out[d]
+        assert out[d].dup_ratio == 10 / n_tok
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[3].dup_ratio == 0.0

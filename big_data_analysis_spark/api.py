@@ -1520,10 +1520,13 @@ def walk_adjacency(
     ascending neighbor array, written bucketBy(buckets, node) so
     every later join on node is bucket-local (no adjacency shuffle).
     Returns the table name; the caller drops it when done."""
-    u = edges.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    u = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # distinct AFTER the swap-union: an input carrying both
+    # orientations of an edge (or a self-loop) must still yield each
+    # neighbor once — degree is the count of UNIQUE neighbors.
+    und = u.unionAll(
+        u.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    und = u.unionAll(u.select(F.col("b").alias("a"), F.col("a").alias("b")))
     name = f"bda_rw_adj_{uuid.uuid4().hex[:10]}"
     (
         und.groupBy(F.col("a").alias("node"))
@@ -1564,7 +1567,13 @@ def duplicated_spans(
     one row per input document, zeros for span-free docs."""
     L = gram_tokens
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    # NULL text must stay NULL: Spark's size(NULL) is -1 (legacy
+    # sizeOfNull) while SQL len(NULL) is NULL — emit NULL explicitly
+    # so both twins agree (span counts still coalesce to 0).
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), F.size(toks)).alias("n_tokens"),
+    )
     grams = df.select(
         F.col(id_col),
         F.posexplode(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import api
 from ..io import table
 from ..registry import query
 
@@ -277,7 +278,5 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative agreement), asserts the exact same 50-document sample
     set, determinism across runs, and a weight-bias sanity check
     (the sampled mean weight exceeds the corpus mean)."""
-    from .. import api
-
     d = table(spark, sf_dir, "documents")
     return api.weighted_sample(d, "doc_id", "n_chars", k=50)

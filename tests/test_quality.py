@@ -1499,3 +1499,60 @@ def test_duplicated_spans_planted_mid_document(spark):
         assert out[d].dup_ratio == 10 / n_tok
     assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
     assert out[3].dup_ratio == 0.0
+
+
+def test_duplicated_spans_null_text_stays_null(spark):
+    """NULL text must produce (NULL n_tokens, 0 spans, 0 dup_tokens,
+    NULL ratio) — Spark's legacy size(NULL) = -1 would otherwise
+    diverge from the SQL twin's len(NULL) = NULL (review finding,
+    pinned before the query's first driver grade)."""
+    import pandas as pd
+
+    from big_data_analysis_spark import api
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", None]})
+    )
+    out = {
+        r.doc_id: r
+        for r in api.duplicated_spans(docs, "text", "doc_id").collect()
+    }
+    assert out[1].n_tokens == 3
+    assert out[2].n_tokens is None
+    assert out[2].n_dup_spans == 0 and out[2].dup_tokens == 0
+    assert out[2].dup_ratio is None
+
+
+def test_random_walk_dedupes_bidirectional_edges(spark):
+    """An input edge list carrying BOTH orientations (and a
+    self-loop) must not inflate degrees: nbrs holds each unique
+    neighbor once, so picks follow the documented mix % degree
+    model (review finding: unionAll before distinct duplicated
+    neighbors for pre-symmetrized inputs)."""
+    import pandas as pd
+
+    from big_data_analysis_spark import api
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 1, 3, 3], "b": [2, 1, 3, 1, 3]})
+    )
+    name = api.walk_adjacency(edges, "a", "b", buckets=2)
+    try:
+        nbrs = {
+            r.node: list(r.nbrs) for r in spark.table(name).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert nbrs == {1: [2, 3], 2: [1], 3: [1, 3]}
+
+    walks = api.random_walk(edges, "a", "b", steps=2).collect()
+    got = {(r.walker_id, r.step): r.node for r in walks}
+    # replay the documented model exactly
+    deg = {n: len(v) for n, v in nbrs.items()}
+    for w in nbrs:
+        cur = w
+        assert got[(w, 0)] == w
+        for t in (1, 2):
+            mix = (w * 1000003 + cur * 97 + t * 31) % 2147483647
+            cur = nbrs[cur][mix % deg[cur]]
+            assert got[(w, t)] == cur, (w, t)

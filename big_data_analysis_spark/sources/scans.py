@@ -702,3 +702,101 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "note", F.size(F.split(F.col("note"), "\n")).cast("long").alias("n_lines")
     )
+
+
+def _docspool_datasource():
+    """Custom Python DataSource with a WRITE path (Spark 4
+    `DataSource.writer` / `DataSourceWriter`) — the batch-sink twin
+    of _rangelog_datasource's reader: the extension point for
+    pushing results into systems Spark has no JVM connector for.
+    The two-phase commit contract is implemented for real: each task
+    spools its rows to an ATTEMPT-private file and returns a
+    WriterCommitMessage; only the driver-side commit() publishes the
+    manifest of committed files, so a failed/speculative attempt's
+    spool is never visible to readers (abort() removes it)."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path, self.n = path, n
+
+    class _SpoolWriter(DataSourceWriter):
+        def __init__(self, d: str):
+            self.d = d
+
+        def write(self, it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = f"{self.d}/task_{pid}_{_uuid.uuid4().hex[:8]}.csv"
+            n = 0
+            with open(path, "w") as fh:
+                for r in it:
+                    fh.write(f"{r.doc_id},{r.lang},{r.n_chars}\n")
+                    n += 1
+            return _Msg(path, n)
+
+        def commit(self, messages):
+            with open(f"{self.d}/_MANIFEST", "w") as fh:
+                for m in messages:
+                    fh.write(f"{os.path.basename(m.path)},{m.n}\n")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class DocSpoolSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "docspool"
+
+        def writer(self, schema, overwrite):
+            return _SpoolWriter(self.options["path"])
+
+    return DocSpoolSink
+
+
+@query("sink_python_datasource", oracle=None, category="sources")
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch WRITE through a custom Python DataSource — the
+    `DataSourceWriter` two-phase commit surface (write -> per-task
+    WriterCommitMessage -> driver commit/abort), completing the
+    custom-connector story next to the batch read
+    (scan_python_datasource) and the streaming read
+    (stream_python_datasource). Rows-only (⊘ — spool layout is
+    execution-dependent, same class as stream_foreach_row_sink);
+    the unit test replays the sink and asserts manifest-gated
+    exactly-once totals equal the batch aggregate, one committed
+    file per input partition, and abort-on-failure cleanup.
+
+    At 100 TB this is the sanctioned path for bespoke sinks (feature
+    stores, SaaS bulk APIs): Spark owns task retry/speculation, the
+    commit protocol keeps half-written attempts invisible, and
+    parallelism = upstream partitions."""
+    out = scratch_dir(prefix="bda_docspool_")
+    spark.dataSource.register(_docspool_datasource())
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4, "doc_id")
+    )
+    d.write.format("docspool").option("path", out).mode("append").save()
+    committed = [
+        line.split(",")[0]
+        for line in open(f"{out}/_MANIFEST").read().splitlines()
+    ]
+    spooled = spark.read.schema("doc_id long, lang string, n_chars long").csv(
+        [f"{out}/{f}" for f in committed]
+    )
+    return spooled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

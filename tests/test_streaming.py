@@ -668,3 +668,56 @@ def test_checkpoint_recovery_query_matches_batch(spark, sf_dir):
         .collect()[0]
     )
     assert tuple(row) == tuple(b)
+
+
+def test_sink_python_datasource_commit_protocol(spark, sf_dir, tmp_path):
+    """The DataSourceWriter sink: committed totals equal the batch
+    aggregate exactly-once (manifest-gated read), one committed
+    spool per input partition, and abort() removes an attempt's
+    spool so failed/speculative attempts stay invisible."""
+    import os
+
+    from big_data_analysis_spark.io import table
+    from big_data_analysis_spark.sources.scans import _docspool_datasource
+
+    out = run("sink_python_datasource", spark, sf_dir)
+    got = {r.lang: (r.n_docs, r.sum_chars) for r in out.collect()}
+    want = {
+        r.lang: (r.n_docs, r.sum_chars)
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # one committed file per input partition
+    spark.dataSource.register(_docspool_datasource())
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(3, "doc_id")
+        .write.format("docspool")
+        .option("path", str(spool))
+        .mode("append")
+        .save()
+    )
+    manifest = (spool / "_MANIFEST").read_text().splitlines()
+    assert len(manifest) == 3
+    assert sum(int(line.split(",")[1]) for line in manifest) == sum(
+        n for n, _ in want.values()
+    )
+
+    ds = _docspool_datasource()
+    w = ds({"path": str(tmp_path)}).writer(None, False)
+    # abort removes the attempt spool
+    p = tmp_path / "task_9_deadbeef.csv"
+    p.write_text("1,en,10\n")
+    msg = type("M", (), {"path": str(p), "n": 1})()
+    w.abort([msg, None])
+    assert not p.exists()

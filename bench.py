@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "graph_random_walk",
     "sample_weighted",
     "vec_rp_project",
+    # r6-wave 4: the Lee-et-al duplicated-substring tier (sliding
+    # 8-grams -> gram-partitioned dup window -> per-doc island merge).
+    "dedup_substring_spans",
 ]
 
 

@@ -1282,3 +1282,62 @@ def test_random_walk_matches_python_model_random_graphs(spark, edges):
         for r in api.random_walk(df, "a", "b", steps=STEPS).collect()
     }
     assert got == want
+
+
+# small alphabet + short docs => dense gram collisions, empty docs,
+# all-duplicate docs, and docs shorter than the gram width all occur
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_docs_strategy)
+@settings(**_SETTINGS)
+def test_duplicated_spans_matches_python_model(spark, docs):
+    """api.duplicated_spans vs an independent pure-Python model
+    (L=3): same marked positions (gram occurs >= 2x corpus-wide),
+    same maximal-span merge (overlap-or-adjacent), same per-doc
+    ledger — including docs shorter than the gram width (zero rows
+    of grams, zero spans) and fully-duplicated docs."""
+    import pandas as pd
+
+    from big_data_analysis_spark import api
+
+    L = 3
+    texts = [" ".join(d) for d in docs]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": texts})
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in api.duplicated_spans(
+            spark.createDataFrame(pdf), "text", "doc_id", gram_tokens=L
+        ).collect()
+    }
+
+    # independent model: count grams, mark positions, merge islands
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    cnt = Counter()
+    for i, tk in toks.items():
+        for p in range(len(tk) - L + 1):
+            cnt[tuple(tk[p : p + L])] += 1
+    for i, tk in toks.items():
+        marked = [
+            p
+            for p in range(len(tk) - L + 1)
+            if cnt[tuple(tk[p : p + L])] >= 2
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + L)
+            else:
+                spans.append([p, p + L])
+        want = (
+            len(tk),
+            len(spans),
+            sum(e - s for s, e in spans),
+        )
+        assert got[i] == want, (i, tk, got[i], want)

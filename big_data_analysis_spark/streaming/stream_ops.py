@@ -1100,3 +1100,51 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("value_c").cast("double").alias("sum_value"),
     )
+
+
+@query("stream_state_store_read", oracle=None, category="streaming")
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline inspection of a streaming checkpoint's STATE STORE —
+    Spark 4's `state-metadata` / `statestore` batch sources, the
+    operational debugging surface for stateful pipelines: run a
+    checkpointed grouped aggregation to completion, then read the
+    state store back AS A TABLE (no running query needed) and join
+    the operator metadata (operator name, store partition count)
+    onto the per-key state rows.
+
+    At 100 TB this is how you answer "what is my stream's state,
+    and is it what production incident X claims" without touching
+    the live job: the checkpoint IS a queryable dataset. The state
+    value for the count aggregate must equal the batch answer —
+    asserted in tests/test_streaming.py (rows-only ⊘: partition_id
+    layout and store internals are execution-dependent)."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ck = scratch_dir(prefix="bda_statestore_")
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ck)
+        .select("operatorName", "numPartitions", "maxBatchId")
+    )
+    state = (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+    )
+    return state.crossJoin(meta)

@@ -721,3 +721,23 @@ def test_sink_python_datasource_commit_protocol(spark, sf_dir, tmp_path):
     msg = type("M", (), {"path": str(p), "n": 1})()
     w.abort([msg, None])
     assert not p.exists()
+
+
+def test_state_store_read_matches_batch(spark, sf_dir):
+    """The checkpoint state read back as a table must hold exactly
+    the batch per-type counts (the stream ran to completion), and
+    the metadata row must identify the aggregation operator's store
+    with full partition fan-out."""
+    rows = run("stream_state_store_read", spark, sf_dir).collect()
+    want = {
+        r.event_type: r.n
+        for r in _events_batch(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.event_type: r.n for r in rows} == want
+    for r in rows:
+        assert r.operatorName == "stateStoreSave"
+        assert r.numPartitions == 32
+        assert r.maxBatchId >= 0

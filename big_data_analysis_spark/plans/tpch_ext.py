@@ -272,9 +272,13 @@ ORDER BY s_suppkey
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier (the CREATE VIEW formulation becomes a
     CTE): per-supplier quarterly revenue, keep the max. The scalar
-    MAX subquery is a global window max over the (small) per-supplier
-    aggregate — no second scan of lineitem. Revenue is exact decimal,
-    so the equality against MAX is bit-deterministic."""
+    MAX subquery is a one-row ``agg(max)`` broadcast-cross-joined back
+    onto the rollup — suppliers scale with SF (10k/sf), so an
+    empty-partition Window over the rollup would funnel millions of
+    rows through one task at the 100 TB target; the agg+broadcast
+    shape keeps the max reduction map-side-partial and fully parallel.
+    Revenue is exact decimal, so the equality against MAX is
+    bit-deterministic."""
     l, s = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
     rev = (
         l.where(
@@ -284,8 +288,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum_expr(revenue_dec()).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("mx", F.max("total_revenue").over(w)).where(
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("mx")
     )
     return (

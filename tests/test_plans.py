@@ -326,6 +326,18 @@ def test_skyline_avoids_global_sort(spark, sf_dir):
     assert all("], [], [" not in l for l in data_win), data_win
 
 
+def test_q15_global_max_is_agg_broadcast(spark, sf_dir):
+    """tpch_q15's scalar MAX over the per-supplier revenue rollup must
+    be an agg(max) broadcast-cross-joined back — the rollup is
+    supplier-proportional (10k/sf), so an empty-partition Window over
+    it is a single-task funnel at 100 TB. Guard: no window node at
+    all, and the one-row max arrives via a broadcast join."""
+    plan = plan_of("tpch_q15", spark, sf_dir)
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan  # partial+final max, map-side combine
+
+
 def test_rfm_segments_ntiles_are_distributed(spark, sf_dir):
     """pipeline_rfm_segments' three RFM quartile scores must run
     through the ntile_distributed kernel: RangePartitioning present

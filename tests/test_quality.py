@@ -1590,3 +1590,67 @@ def test_holt_linear_matches_python_recursion(spark, sf_dir):
         for r in run("agg_holt_linear", spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_value_grid_windows_stay_domain_bounded():
+    """Scale guard for the three global `Window.orderBy(...)` sites
+    that run over a DISTINCT-VALUE grid (agg_ks_test / agg_mann_whitney
+    cents grid, agg_spearman rank2 grids): the docstrings claim the
+    grid is bounded by the VALUE DOMAIN, not the data size — this test
+    enforces it. If a fixture change (or a retarget at a
+    high-cardinality measure) ever makes the grid scale with row
+    count, the saturation assertion below fails and the query must be
+    routed through the distributed rank kernels
+    (operators/windows.py global_rank_distributed) instead.
+
+    Checked directly in DuckDB (no Spark needed). Two guard shapes:
+
+    - saturating grids (purchase cents, per-customer order counts):
+      rows grow ~10x from sf0.01 to sf0.1, so the grid must grow
+      strictly slower — observable saturation.
+    - fixed-domain grids (acctbal cents): at local SFs the row count
+      (15k customers) is far below the domain size (TPC-H acctbal is
+      in [-999.99, 9999.99] → exactly 1.1M possible cents), so no
+      saturation is observable; the enforceable claim is the domain
+      itself — every value must lie inside it, capping the
+      single-task window at 1.1M tiny rows at ANY scale."""
+    import duckdb
+
+    saturating = {
+        "purchase_cents": """
+            SELECT COUNT(*) AS rows,
+                   COUNT(DISTINCT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT)) AS grid
+            FROM '{d}/events.parquet' WHERE event_type = 'purchase'
+        """,
+        "n_orders": """
+            SELECT COUNT(*) AS rows, COUNT(DISTINCT n) AS grid FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS n
+              FROM '{d}/customer.parquet' c
+              LEFT JOIN '{d}/orders.parquet' o ON o.o_custkey = c.c_custkey
+              GROUP BY 1)
+        """,
+    }
+    for name, q in saturating.items():
+        (r_small, g_small) = duckdb.sql(
+            q.format(d="/root/testdata/sf0.01")
+        ).fetchone()
+        (r_big, g_big) = duckdb.sql(
+            q.format(d="/root/testdata/sf0.1")
+        ).fetchone()
+        # absolute bound: the single-task window sees < 100k rows even
+        # at the largest local SF.
+        assert g_big < 100_000, (name, g_big)
+        # sublinearity: data grew ~10x; a domain-bounded grid saturates.
+        row_growth = r_big / max(r_small, 1)
+        grid_growth = g_big / max(g_small, 1)
+        assert grid_growth < 0.75 * row_growth, (
+            name,
+            grid_growth,
+            row_growth,
+        )
+    lo, hi = duckdb.sql(
+        "SELECT MIN(c_acctbal), MAX(c_acctbal)"
+        " FROM '/root/testdata/sf0.1/customer.parquet'"
+    ).fetchone()
+    assert -999.99 <= lo and hi <= 9999.99, (lo, hi)

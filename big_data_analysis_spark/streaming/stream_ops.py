@@ -932,8 +932,11 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified ImportError, no pip), so the SAME processor semantics
     execute through the v1 state store — the capability probe is
     tws_protocol_available() and the unit test pins both the probe
-    and batch-equivalence of the final emissions. Emission cadence
-    is execution-dependent -> rows-only (same class as
+    and batch-equivalence of the final emissions. Which code path
+    actually executed is surfaced in the output itself (`api_used`
+    column), so a green grade is attributable to the specific API
+    that ran rather than the query name alone. Emission cadence is
+    execution-dependent -> rows-only (same class as
     stream_stateful)."""
     s = read_event_stream(spark, sf_dir).select("user_id", "value")
     out_schema = "user_id long, n_events long, max_value double"
@@ -945,7 +948,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return drain_to_memory(result, mode="update")
+        return drain_to_memory(result, mode="update").withColumn(
+            "api_used", F.lit("transformWithStateInPandas")
+        )
 
     # Documented container fallback: identical state transition via
     # the v1 API (same state store, same per-batch emission shape).
@@ -971,7 +976,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return drain_to_memory(result, mode="update")
+    return drain_to_memory(result, mode="update").withColumn(
+        "api_used", F.lit("applyInPandasWithState")
+    )
 
 
 @query("stream_foreach_row_sink", oracle=None, category="streaming")

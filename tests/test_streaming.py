@@ -506,6 +506,18 @@ def test_transform_with_state_final_matches_batch(spark, sf_dir):
     exists, documented v1 fallback here) must land on the batch
     aggregate — same guarantee as stream_stateful."""
     rows = run("stream_transform_with_state", spark, sf_dir).collect()
+    # the output must self-report which API executed, and it must
+    # agree with the capability probe (grades stay attributable).
+    from big_data_analysis_spark.streaming.stream_ops import (
+        tws_protocol_available,
+    )
+
+    want_api = (
+        "transformWithStateInPandas"
+        if tws_protocol_available()
+        else "applyInPandasWithState"
+    )
+    assert {r.api_used for r in rows} == {want_api}
     final = {}
     for r in rows:
         final[r.user_id] = (r.n_events, r.max_value)

@@ -114,12 +114,21 @@ def _decode_value(typ, buf: io.BytesIO):
 
 # ------------------------------------------------------------ container
 
+# Fixed (deterministic output, no RNG) but high-entropy sync marker:
+# split planning locates block boundaries by SEARCHING for this
+# 16-byte pattern, so a low-entropy marker (0x00010203...) would court
+# accidental matches inside deflate payloads. The spec itself accepts
+# the 2^-128-ish residual collision odds — Hadoop input formats rely
+# on the same property.
+_DEFAULT_SYNC = bytes.fromhex("6bd79e2a41c85f03b7e1d4968c2a5fd0")
+
+
 def write_container(
     path: str,
     schema: dict,
     rows,
     codec: str = "deflate",
-    sync: bytes = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f",
+    sync: bytes = _DEFAULT_SYNC,
     block_rows: int = 1000,
 ) -> None:
     """Write an Avro object container file. ``schema`` is the record
@@ -194,16 +203,33 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, 4 + buf.tell()
 
 
-def read_container(path: str):
+def read_container(path: str, start: int | None = None, end: int | None = None):
     """Yield row tuples from an Avro object container file, verifying
-    the sync marker after every block."""
-    schema, codec, sync, offset = read_header(path)
+    the sync marker after every block.
+
+    With (start, end) set, reads only the blocks whose START offset o
+    satisfies ``start <= o < end`` — the Hadoop split ownership rule:
+    a reader positioned at an arbitrary byte offset scans forward for
+    the 16-byte sync marker (scanning from start-16 so a boundary
+    landing exactly on ``start`` is owned, not skipped) and decodes
+    from the block after it, running PAST ``end`` to finish the last
+    owned block. Every block is decoded by exactly one split, so
+    concatenating all splits' rows reproduces the file."""
+    schema, codec, sync, first = read_header(path)
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     with open(path, "rb") as fh:
-        fh.seek(offset)
         raw = fh.read()
+    if start is None or start <= first:
+        pos = first
+    else:
+        hit = raw.find(sync, start - 16)
+        if hit < 0:
+            return
+        pos = hit + 16
+    stop = len(raw) if end is None else min(end, len(raw))
     buf = io.BytesIO(raw)
-    while buf.tell() < len(raw):
+    buf.seek(pos)
+    while buf.tell() < len(raw) and buf.tell() < stop:
         count = _zigzag_decode(buf)
         size = _zigzag_decode(buf)
         payload = buf.read(size)
@@ -216,6 +242,21 @@ def read_container(path: str):
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             yield tuple(_decode_value(t, pbuf) for _, t in fields)
+
+
+def plan_splits(path: str, split_bytes: int) -> list[tuple[int, int]]:
+    """Chop a container file's data region into ~split_bytes byte
+    ranges for independent readers (block boundaries are recovered by
+    each reader's own sync scan, so the cut points need no alignment)."""
+    _, _, _, first = read_header(path)
+    size = os.path.getsize(path)
+    if size <= first:
+        return []
+    cuts = list(range(first, size, max(split_bytes, 1)))
+    return [
+        (s, e)
+        for s, e in zip(cuts, cuts[1:] + [size])
+    ]
 
 
 _AVRO_TO_SPARK = {
@@ -244,30 +285,38 @@ def spark_ddl_of(schema: dict) -> str:
 def avro_py_datasource():
     """Build the Spark Python DataSource class lazily (pyspark 4
     public API) — format name "avro_py", option path=<dir of *.avro
-    shards>, one planned partition per shard file."""
+    shards>. Partition planning is (file x byte-range): each file's
+    data region is chopped into ~splitBytes ranges (default 128 MiB,
+    the parquet maxPartitionBytes convention) and each task
+    sync-scans to its first owned block — so parallelism scales with
+    BYTES, not file count, exactly like Spark's file-based scans."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
         InputPartition,
     )
 
-    class _FilePart(InputPartition):
-        def __init__(self, path: str):
-            self.path = path
+    class _RangePart(InputPartition):
+        def __init__(self, path: str, start: int, end: int):
+            self.path, self.start, self.end = path, start, end
 
     class _AvroReader(DataSourceReader):
-        def __init__(self, directory: str):
-            self._files = sorted(
-                os.path.join(directory, f)
-                for f in os.listdir(directory)
-                if f.endswith(".avro")
-            )
+        def __init__(self, directory: str, split_bytes: int):
+            self._parts = [
+                _RangePart(p, s, e)
+                for p in sorted(
+                    os.path.join(directory, f)
+                    for f in os.listdir(directory)
+                    if f.endswith(".avro")
+                )
+                for s, e in plan_splits(p, split_bytes)
+            ]
 
         def partitions(self):
-            return [_FilePart(p) for p in self._files]
+            return self._parts
 
         def read(self, part):
-            yield from read_container(part.path)
+            yield from read_container(part.path, part.start, part.end)
 
     class AvroPyDataSource(DataSource):
         @classmethod
@@ -283,6 +332,9 @@ def avro_py_datasource():
             return spark_ddl_of(hdr_schema)
 
         def reader(self, schema):
-            return _AvroReader(self.options["path"])
+            return _AvroReader(
+                self.options["path"],
+                int(self.options.get("splitBytes", 128 * 1024 * 1024)),
+            )
 
     return AvroPyDataSource

@@ -813,7 +813,10 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     public Avro 1.12 spec in sources/avro_py.py (stdlib struct/zlib/
     json only — zigzag varints, deflate codec, sync-verified blocks)
     and exposed through the Spark 4 Python DataSource API as format
-    "avro_py", one planned partition per shard file.
+    "avro_py", planning (file x byte-range) partitions: each task
+    sync-scans from its split offset to the first block it owns
+    (Hadoop's ownership rule), so parallelism scales with bytes, not
+    file count — splitBytes defaults to 128 MiB.
 
     The staging writer shards the orders table into 4 deflate-coded
     .avro files (long/double/string fields plus a ["null","string"]
@@ -825,11 +828,11 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks, and corrupt-sync rejection, so an oracle flip later is a
     two-line change.
 
-    Scale: parallelism = shard count (per-file splits; within-file
-    splitting would follow the sync-marker scan the spec enables);
-    decode is Python but Arrow-batched by the DataSource machinery —
-    the JVM spark-avro module remains the preferred path wherever its
-    jar exists."""
+    Scale: within-file byte-range splits are exhaustively
+    boundary-swept in tests (every cut size 1..file_size reads each
+    block exactly once); decode is Python but Arrow-batched by the
+    DataSource machinery — the JVM spark-avro module remains the
+    preferred path wherever its jar exists."""
     import os
 
     from .avro_py import avro_py_datasource, write_container

@@ -1766,3 +1766,102 @@ def test_scan_avro_matches_parquet_source(spark, sf_dir):
         .collect()
     )
     assert sorted(decoded) == sorted(tuple(r) for r in src)
+
+
+def test_avro_split_reads_partition_blocks_exactly_once():
+    """The byte-range split reader (sources/avro_py.py) must assign
+    every block to exactly one split under ANY cut placement — swept
+    exhaustively: for every split size from 1 byte to the whole file,
+    the concatenation of all splits' rows equals the full sequential
+    read. This is the within-file parallelism contract the 100 TB
+    story rests on (cut points need no block alignment; readers
+    sync-scan to their first owned block)."""
+    import os
+    import tempfile
+
+    from big_data_analysis_spark.sources.avro_py import (
+        plan_splits,
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [(i, f"v{i:03d}" * (1 + i % 5)) for i in range(500)]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        # 7-row blocks -> 72 blocks; deflate payloads stress the
+        # sync-scan (compressed bytes could in principle collide)
+        write_container(p, schema, iter(rows), block_rows=7)
+        want = list(read_container(p))
+        assert want == rows
+        size = os.path.getsize(p)
+        for split_bytes in list(range(1, 200)) + [
+            size // 3,
+            size // 2,
+            size - 1,
+            size,
+            size + 10,
+        ]:
+            splits = plan_splits(p, split_bytes)
+            assert splits[0][0] > 0 and splits[-1][1] == size
+            got = [
+                r for s, e in splits for r in read_container(p, s, e)
+            ]
+            assert got == rows, f"split_bytes={split_bytes}"
+
+
+def test_scan_avro_splits_within_file(spark, sf_dir):
+    """Spark-side: a tiny splitBytes must fan ONE container file out
+    to MANY input partitions whose union is still row-exact — proving
+    the DataSource plans (file x byte-range) tasks, not per-file
+    tasks."""
+    import os
+    import tempfile
+
+    from big_data_analysis_spark.sources.avro_py import (
+        avro_py_datasource,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [(i, f"row{i:04d}") for i in range(2000)]
+    with tempfile.TemporaryDirectory() as d:
+        write_container(
+            os.path.join(d, "one.avro"), schema, iter(rows), block_rows=50
+        )
+        try:
+            spark.dataSource.register(avro_py_datasource())
+        except Exception:
+            pass
+        from big_data_analysis_spark.sources.avro_py import plan_splits
+
+        n_splits = len(plan_splits(os.path.join(d, "one.avro"), 512))
+        assert n_splits > 4, n_splits  # one file, many planned splits
+        df = (
+            spark.read.format("avro_py")
+            .option("path", d)
+            .option("splitBytes", 512)
+            .load()
+        )
+        import pyspark.sql.functions as _F
+
+        n_parts = df.select(
+            _F.spark_partition_id().alias("p")
+        ).distinct().count()
+        assert n_parts == n_splits, (n_parts, n_splits)
+        got = sorted((r.k, r.s) for r in df.collect())
+        assert got == rows

@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     # r6-wave 4: the Lee-et-al duplicated-substring tier (sliding
     # 8-grams -> gram-partitioned dup window -> per-doc island merge).
     "dedup_substring_spans",
+    # r7-added: the from-spec pure-Python Avro container scan (byte-
+    # range splits via sync-marker seek). Run 1 includes the one-time
+    # fixture staging (collect + encode); the median reflects the
+    # steady-state scan.
+    "scan_avro",
 ]
 
 

@@ -805,7 +805,17 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AVRO_STAGE_CACHE: dict[str, str] = {}
 
 
-@query("scan_avro", oracle=None, category="sources")
+@query(
+    "scan_avro",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    category="sources",
+)
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro object-container ingestion WITHOUT the spark-avro jar
     (absent from this classpath, no network — and no Python avro
@@ -822,11 +832,14 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     .avro files (long/double/string fields plus a ["null","string"]
     union column), and the scan reads them back through the
     DataSource; the result is grouped to per-status totals in exact
-    cents. Rows-only ⊘ while the r6 oracle-addition freeze drains the
-    grading backlog — the unit tests assert row-for-row round-trip
-    equality against the parquet source, external-decoder framing
-    checks, and corrupt-sync rejection, so an oracle flip later is a
-    two-line change.
+    cents. Oracle: DuckDB reconstructs the expected totals from the
+    parquet orders table the staged bytes derive from — the hash
+    grade then certifies the whole write→read→aggregate loop. (Added
+    r7 AFTER the backlog math allowed it: only ~12 ungraded oracle
+    queries remain past the preflighted r7 window vs ~52 r8 slots,
+    so this no longer delays any certified evidence.) The unit tests
+    additionally assert row-for-row round-trip equality, framing, and
+    corrupt-sync rejection.
 
     Scale: within-file byte-range splits are exhaustively
     boundary-swept in tests (every cut size 1..file_size reads each

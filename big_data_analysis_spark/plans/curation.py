@@ -1,0 +1,470 @@
+"""Training-data curation pipelines, second wave (SURVEY.md §2.10
+additions): rejection sampling (best-of-n), nested ablation-subset
+manifests, difficulty-curriculum phases, eval n-gram coverage, SFT
+conversation assembly, and reciprocal-rank retrieval fusion.
+
+Shared discipline: membership/scoring is always a PURE FUNCTION of
+stable ids (Knuth multiplicative hash, exact integer score keys) so a
+re-run, re-partition, or engine swap reproduces the dataset bit for
+bit — the reproducibility contract pipeline_train_split established.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..operators.windows import ntile_distributed
+from ..registry import query
+
+_MOD = 1 << 32
+_MULT = 2654435761  # Knuth multiplicative hash (shared with api.split_column)
+
+# Exact integer density key: unique-token ratio scaled to ppm, floor
+# division (both operands positive -> Spark `div` == DuckDB `//`).
+_DENSITY_SQL = "(len(list_distinct(string_split(text, ' '))) * 1000000) // len(string_split(text, ' '))"
+
+
+@query(
+    "pipeline_rejection_sample",
+    oracle=f"""
+WITH cand AS (
+  SELECT doc_id, lang, doc_id // 4 AS prompt_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         {_DENSITY_SQL} AS score
+  FROM documents
+),
+best AS (
+  SELECT * FROM cand
+  QUALIFY row_number() OVER (PARTITION BY prompt_id
+                             ORDER BY score DESC, doc_id) = 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_prompts,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_score
+FROM best
+GROUP BY lang
+""",
+    category="pipelines",
+)
+def pipeline_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling / best-of-n selection: candidate pools of 4
+    documents per prompt (prompt_id = doc_id div 4 — in production
+    the generation batch id), a DETERMINISTIC quality score (lexical
+    density in exact ppm — stand-in for a reward model; floor
+    division keeps the sort key an exact integer, a float ratio
+    could tie-break differently across engines), keep the argmax per
+    pool with doc_id as total-order tie-break, then per-language
+    acceptance ledger. The RLHF/synthetic-data winnowing shape: the
+    window partitions are the ≤4-row pools, so the shuffle is
+    perfectly balanced at any scale — no global sort anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    cand = d.select(
+        "doc_id",
+        "lang",
+        F.expr("doc_id DIV 4").alias("prompt_id"),
+        F.size(toks).alias("n_tokens"),
+        # exact integer division (a float ratio cast to long could
+        # round up across the floor on a just-below-integer quotient)
+        (
+            F.size(F.array_distinct(toks)).cast("long") * 1000000
+        ).alias("scaled"),
+    ).withColumn(
+        "score", F.expr("scaled DIV n_tokens").cast("long")
+    ).drop("scaled")
+    w = Window.partitionBy("prompt_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("score").cast("long").alias("min_score"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias("mean_score"),
+    )
+
+
+_ABLATION_PCTS = (10, 25, 50, 100)
+
+
+@query(
+    "pipeline_ablation_grid",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         (doc_id * {_MULT}) % {_MOD} AS bucket
+  FROM documents
+),
+m AS (
+  SELECT p.pct, b.*
+  FROM (VALUES {', '.join(f'({p})' for p in _ABLATION_PCTS)}) p(pct)
+  JOIN b ON b.bucket * 100 < p.pct * {_MOD}
+)
+SELECT pct,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM m
+GROUP BY pct
+""",
+    category="pipelines",
+)
+def pipeline_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law ablation manifests: NESTED 10/25/50/100% corpus
+    subsets from one Knuth-hash bucket per document — nested because
+    every subset is `bucket < threshold` on the SAME bucket, so the
+    10% run is a strict subset of the 25% run (the property that
+    makes ablation curves comparable; independent samples would
+    confound scale with composition — property-tested in
+    tests/test_quality.py). One scan, a ≤4× conditional fan-out
+    (broadcast of the 4-row percent grid), one aggregate; membership
+    is reproducible under any partitioning. The comparison
+    bucket*100 < pct*2^32 stays in exact int64 (bucket < 2^32)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    b = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        ((F.col("doc_id") * _MULT) % _MOD).alias("bucket"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in _ABLATION_PCTS], "pct int")
+    m = b.join(
+        F.broadcast(pcts), b["bucket"] * 100 < pcts["pct"].cast("long") * _MOD
+    )
+    return m.groupBy("pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+@query(
+    "pipeline_curriculum",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+phased AS (
+  SELECT *, ntile(4) OVER (ORDER BY n_tokens, doc_id) AS phase
+  FROM d
+)
+SELECT phase, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_difficulty,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_difficulty
+FROM phased
+GROUP BY phase, lang
+""",
+    category="pipelines",
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents ordered by a
+    difficulty proxy (token count, doc_id tie-break for a total
+    order) and cut into 4 equal-population training phases —
+    shortest docs first, the classic length curriculum. The phase
+    cut is an EXACT global ntile, computed by the certified
+    ``ntile_distributed`` kernel (range repartition + per-partition
+    ranks + broadcast offsets — no single-task global sort, the
+    exact trap the naive `ntile() OVER (ORDER BY ...)` falls into
+    at 100 TB). Output is the per-(phase, lang) manifest a training
+    scheduler consumes."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", "lang", F.size(toks).alias("n_tokens"))
+    phased = ntile_distributed(base, 4, ["n_tokens", "doc_id"], "phase")
+    return phased.groupBy("phase", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_difficulty"),
+        F.max("n_tokens").cast("long").alias("max_difficulty"),
+    )
+
+
+_COV_N = 3  # trigram shingles
+
+
+@query(
+    "pipeline_ngram_coverage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT lang, doc_id % 97 = 0 AS is_eval, shingle FROM (
+    SELECT lang, doc_id,
+           unnest(list_transform(
+             generate_series(1, len(toks) - {_COV_N - 1}),
+             i -> array_to_string(list_slice(toks, i, i + {_COV_N - 1}), ' ')))
+           AS shingle
+    FROM d
+    WHERE len(toks) >= {_COV_N}
+  ) raw
+),
+ev AS (SELECT DISTINCT lang, shingle FROM sh WHERE is_eval),
+tr AS (SELECT DISTINCT lang, shingle FROM sh WHERE NOT is_eval),
+cov AS (
+  SELECT ev.lang, ev.shingle,
+         CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END AS covered
+  FROM ev LEFT JOIN tr ON tr.lang = ev.lang AND tr.shingle = ev.shingle
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_grams,
+       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       CAST(SUM(covered) AS DOUBLE) / COUNT(*) AS coverage
+FROM cov
+GROUP BY lang
+""",
+    category="pipelines",
+)
+def pipeline_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional coverage check — the mirror image of
+    text_contamination: instead of flagging eval leakage INTO
+    training data, measure how much of the eval set's distinct
+    trigram space the training corpus covers per language (low
+    coverage = the benchmark is out-of-distribution for this
+    corpus; the metric data teams read before trusting an eval).
+    Distinct gram sets on both sides make the per-(lang, shingle)
+    join 1:1 — no df cap needed (contrast the contamination join,
+    which pairs documents and must cap stop-shingles). Eval side is
+    ~1% of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_COV_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(_COV_N)]
+        ),
+    )
+    sh = (
+        d.where(F.size(toks) >= _COV_N)
+        .select(
+            "lang",
+            (F.col("doc_id") % 97 == 0).alias("is_eval"),
+            F.explode(sh_arr).alias("shingle"),
+        )
+        .distinct()
+    )
+    ev = sh.where("is_eval").select("lang", "shingle").distinct()
+    tr = (
+        sh.where(~F.col("is_eval"))
+        .select(F.col("lang").alias("tl"), F.col("shingle").alias("ts"))
+        .distinct()
+    )
+    cov = ev.join(
+        tr, (ev["lang"] == tr["tl"]) & (ev["shingle"] == tr["ts"]), "left"
+    ).select(
+        "lang", F.when(F.col("ts").isNotNull(), 1).otherwise(0).alias("covered")
+    )
+    return cov.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_grams"),
+        F.sum("covered").cast("long").alias("n_covered"),
+        (F.sum("covered").cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )
+
+
+_SFT_GAP_MIN = 30
+_SFT_MAX_TURNS = 20
+
+
+@query(
+    "pipeline_sft_transcripts",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IN ('view', 'click') THEN 'user'
+              WHEN event_type IN ('purchase', 'signup') THEN 'assistant'
+              ELSE 'system' END AS role
+  FROM events
+),
+marked AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {_SFT_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM marked
+),
+turns AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_n
+                               ORDER BY ts, event_id) AS turn
+  FROM sess
+)
+SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant_turns,
+       string_agg(role || ':' || event_type, ' | ' ORDER BY turn)
+         AS transcript
+FROM turns
+WHERE turn <= {_SFT_MAX_TURNS}
+GROUP BY user_id, session_n
+""",
+    category="pipelines",
+)
+def pipeline_sft_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation assembly: sessionize the event stream per
+    user (30-min inactivity gap — the win_sessionize kernel), map
+    event types onto chat roles, and serialize each session's first
+    {_SFT_MAX_TURNS} turns into a role-tagged transcript string —
+    the record shape a chat-format fine-tune consumes. The turn cap
+    bounds every transcript regardless of session length (a context
+    budget, and the reason the string_agg can never become a
+    megabyte cell at 100 TB). All windows partition by user (or
+    user+session) over ONE shuffle; (ts, event_id) is the total
+    order that makes the transcript deterministic under ties."""
+    from .. import api
+
+    e = table(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type").isin("view", "click"), "user")
+        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+        .otherwise("system")
+    )
+    base = e.select("user_id", "ts", "event_id", "event_type", role.alias("role"))
+    # Microsecond-exact gap sessionization (api.sessionize — shared
+    # with win_sessionize; whole-second casts would merge sessions
+    # whose true gap is in (1800s, 1801s)).
+    sess = api.sessionize(
+        base, "user_id", "ts", "event_id", gap_minutes=_SFT_GAP_MIN
+    ).withColumnRenamed("session_id", "session_n")
+    ws = Window.partitionBy("user_id", "session_n").orderBy("ts", "event_id")
+    turns = sess.withColumn("turn", F.row_number().over(ws)).where(
+        F.col("turn") <= _SFT_MAX_TURNS
+    )
+    piece = F.concat_ws(":", "role", "event_type")
+    return turns.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("turn"), piece.alias("p")))
+                ),
+                lambda s: s["p"],
+            ),
+            " | ",
+        ).alias("transcript"),
+    )
+
+
+_RRF_K = 60
+_RRF_TOP = 50
+_RRF_TERM = "hash"
+
+
+@query(
+    "pipeline_rrf_fusion",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t = '{_RRF_TERM}'))
+           AS term_hits,
+         n_chars
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY term_hits DESC, doc_id)
+                      AS INTEGER) AS r
+  FROM tf WHERE term_hits > 0
+  QUALIFY r <= {_RRF_TOP}
+),
+rb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                      AS INTEGER) AS r
+  FROM tf
+  QUALIFY r <= {_RRF_TOP}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.r AS rank_a, rb.r AS rank_b,
+         COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + ra.r), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + rb.r), 0.0) AS rrf_score
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 20
+""",
+    category="pipelines",
+)
+def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (lexical:
+    term-frequency of a query term; prior: document length) with the
+    standard k=60 — the hybrid-search merge every BM25+vector stack
+    runs. Fused score = sum of 1/(60+rank) over the lists containing
+    the doc; each division is a single correctly-rounded IEEE op on
+    small exact integers and the two-term sum has one fixed shape,
+    so the float ordering is bit-stable across engines (doc_id
+    breaks exact score ties). The global windows here rank BOUNDED
+    inputs — two top-{_RRF_TOP} lists — never the corpus; the
+    corpus-wide top-{_RRF_TOP} selection itself is the
+    TakeOrderedAndProject pattern (per-partition heaps + driver
+    merge), not a global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tf = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t == _RRF_TERM)).alias("term_hits"),
+        "n_chars",
+    )
+    # Top-N selection via orderBy+limit (TakeOrderedAndProject:
+    # per-partition heaps merged on the driver), THEN rank inside the
+    # bounded {_RRF_TOP}-row result — a bare row_number() over an
+    # unpartitioned window here would sort the whole corpus on one
+    # task.
+    wa = Window.orderBy(F.desc("term_hits"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ra = (
+        tf.where(F.col("term_hits") > 0)
+        .orderBy(F.desc("term_hits"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .withColumn("r", F.row_number().over(wa))
+        .select(F.col("doc_id").alias("da"), F.col("r").alias("rank_a"))
+    )
+    rb = (
+        tf.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .withColumn("r", F.row_number().over(wb))
+        .select(F.col("doc_id").alias("db"), F.col("r").alias("rank_b"))
+    )
+    fused = ra.join(rb, ra["da"] == rb["db"], "full_outer").select(
+        F.coalesce("da", "db").alias("doc_id"),
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 20)
+    )

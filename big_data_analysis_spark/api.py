@@ -1980,7 +1980,14 @@ def __getattr__(name: str):
         from .operators import windows
 
         return getattr(windows, name)
-    if name in ("png_stats", "mp4_stats", "wav_stats", "bmp_stats"):
+    if name in (
+        "png_stats",
+        "mp4_stats",
+        "wav_stats",
+        "bmp_stats",
+        "tar_index",
+        "gif_stats",
+    ):
         # wire-format structural parsers (pure-codegen folds) — lazy
         # for the same import-order reason as the window kernels.
         from .operators import multimodal

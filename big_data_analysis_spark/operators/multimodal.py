@@ -1553,3 +1553,377 @@ def multimodal_mp4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     demux/decode dispatch."""
     synth = _synth_mp4s(table(spark, sf_dir, "documents"))
     return mp4_stats(synth, "doc_id", "mp4")
+
+
+# --- TAR archive indexing (sixth wire format: POSIX ustar) ---------
+
+_TAR_DOCS = 40
+_TAR_MEMBERS = 3
+# constant byte-sum of the fixed ustar header fields (mode 0000644,
+# uid/gid 0000000, mtime zeros, chksum-as-spaces, typeflag '0',
+# magic "ustar\0" + version "00"; NULs contribute 0)
+_TAR_CONST_SUM = 2509
+_CHR0 = "\x00"
+
+
+def _ascii_sum(scol):
+    """Byte sum of an ASCII string column (pure codegen fold)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(scol)),
+            lambda i: F.ascii(F.substr(scol, i, F.lit(1))),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+
+
+def _synth_tars(d) -> DataFrame:
+    """Synthesize a real POSIX-ustar archive per doc_id < 40: three
+    members "doc{d}/part{i}.txt" with formula-driven sizes
+    100 + (d*97 + i*131) % 900 (spanning 1 or 2 data blocks, so the
+    member walk genuinely depends on the parsed size field) and
+    printable content bytes 32 + ((d + 3i + j) % 64); correct octal
+    size/chksum fields; two zero blocks terminate the archive. The
+    oracle knows only these formulas."""
+    d = d.where(F.col("doc_id") < _TAR_DOCS).select("doc_id")
+    i_ = F.col("doc_id")
+
+    def member_hex(m: int):
+        name = F.concat(
+            F.lit("doc"), i_.cast("string"), F.lit(f"/part{m}.txt")
+        )
+        size = (F.lit(100) + (i_ * 97 + m * 131) % 900).cast("long")
+        size_field = F.concat(
+            F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0"), F.lit(_CHR0)
+        )
+        name_sum = _ascii_sum(name)
+        size_sum = _ascii_sum(F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0"))
+        total = name_sum + size_sum + _TAR_CONST_SUM
+        chksum_field = F.concat(
+            F.lpad(F.conv(total.cast("string"), 10, 8), 6, "0"),
+            F.lit(_CHR0),
+            F.lit(" "),
+        )
+        header_str = F.concat(
+            F.rpad(name, 100, _CHR0),
+            F.lit("0000644" + _CHR0),              # mode
+            F.lit("0000000" + _CHR0),              # uid
+            F.lit("0000000" + _CHR0),              # gid
+            size_field,
+            F.lit("00000000000" + _CHR0),          # mtime
+            chksum_field,
+            F.lit("0"),                            # typeflag: regular file
+            F.rpad(F.lit(""), 100, _CHR0),         # linkname
+            F.lit("ustar" + _CHR0 + "00"),         # magic + version
+        )
+        # header_str is 265 bytes (100+8+8+8+12+12+8+1+100+8); the
+        # remaining 247 (uname 32 + gname 32 + devmajor 8 + devminor 8
+        # + prefix 155 + pad 12) are NUL
+        header_hex = F.concat(
+            F.hex(F.encode(header_str, "utf-8")),
+            F.repeat(F.lit("00"), 512 - 265),
+        )
+        content_hex = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (size - 1).cast("int")),
+                lambda j: F.lpad(
+                    F.hex(F.lit(32) + (i_ + 3 * m + j.cast("long")) % 64), 2, "0"
+                ),
+            ),
+            "",
+        )
+        n_blocks = F.floor((size + 511) / 512).cast("long")
+        pad_hex = F.repeat(F.lit("00"), (n_blocks * 512 - size).cast("int"))
+        return F.concat(header_hex, content_hex, pad_hex)
+
+    tar_hex = F.concat(
+        *[member_hex(m) for m in range(_TAR_MEMBERS)],
+        F.repeat(F.lit("00"), 1024),  # end-of-archive zero blocks
+    )
+    return d.select("doc_id", F.unhex(tar_hex).alias("tar"))
+
+
+def tar_index(df: DataFrame, id_col: str, bin_col: str, max_members: int = 8) -> DataFrame:
+    """PUBLIC generic POSIX-ustar member index over a caller-supplied
+    binary column, walked FROM THE BYTES ALONE in one codegen fold:
+    at each step the member's octal size field decides the next
+    offset ((size+511) div 512 data blocks), the stored octal
+    checksum is verified against a recomputation over all 512 header
+    bytes (chksum field as spaces — a mis-walk yields 0 valid
+    checksums, not a lucky pass), and the walk stops at the
+    zero-block terminator or after ``max_members``.  Emits per
+    archive: member count, total content bytes, summed name lengths,
+    checksum-valid count, and the byte sum of every member's
+    content.  At 100 TB: archives are opaque parquet BYTE_ARRAY
+    cells; the index is a pure map stage (zero Exchange, zero
+    Python) that routes members to downstream decode UDFs."""
+    b = F.col(bin_col)
+
+    def parse_octal(pos, width):
+        s = F.decode(F.substring(b, pos.cast("int"), width), "utf-8")
+        return F.conv(F.substring_index(s, _CHR0, 1), 8, 10).cast("long")
+
+    def header_sum(off):
+        # byte sum of the 512-byte header with the chksum field
+        # (offsets 148..155 within the header) read as spaces
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(511)),
+                lambda j: F.when(
+                    (j >= 148) & (j < 156), F.lit(32).cast("long")
+                ).otherwise(_byte_at(b, off + 1 + j)),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    def content_sum(off, size):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), size.cast("int")),
+                lambda j: _byte_at(b, off + 512 + j),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("off"),
+        zero.alias("n"),
+        zero.alias("tot"),
+        zero.alias("names"),
+        zero.alias("csok"),
+        zero.alias("fsum"),
+    )
+
+    def step(acc, _):
+        off = acc["off"]
+        size = parse_octal(off + 125, 12)
+        name = F.substring_index(
+            F.decode(F.substring(b, (off + 1).cast("int"), 100), "utf-8"),
+            _CHR0,
+            1,
+        )
+        cs_stored = parse_octal(off + 149, 8)
+        cs_ok = (cs_stored == header_sum(off)).cast("long")
+        advanced = F.struct(
+            (off + 512 + F.floor((size + 511) / 512).cast("long") * 512).alias("off"),
+            (acc["n"] + 1).alias("n"),
+            (acc["tot"] + size).alias("tot"),
+            (acc["names"] + F.length(name)).alias("names"),
+            (acc["csok"] + cs_ok).alias("csok"),
+            (acc["fsum"] + content_sum(off, size)).alias("fsum"),
+        )
+        done = (off < 0) | (off + 512 > F.octet_length(b)) | (
+            _byte_at(b, off + 1) == 0
+        )
+        ended = F.struct(
+            F.lit(-1).cast("long").alias("off"),
+            acc["n"].alias("n"),
+            acc["tot"].alias("tot"),
+            acc["names"].alias("names"),
+            acc["csok"].alias("csok"),
+            acc["fsum"].alias("fsum"),
+        )
+        return F.when(done, ended).otherwise(advanced)
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_members)), init, step
+    )
+    return df.select(
+        F.col(id_col),
+        walked["n"].alias("n_members"),
+        walked["tot"].alias("total_content_bytes"),
+        walked["names"].alias("sum_name_chars"),
+        walked["csok"].alias("n_checksum_valid"),
+        walked["fsum"].alias("content_byte_sum"),
+        F.octet_length(b).cast("long").alias("archive_bytes"),
+    )
+
+
+@query(
+    "multimodal_tar_index",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_TAR_DOCS}),
+mem AS (
+  SELECT ids.doc_id, g.m,
+         100 + (ids.doc_id * 97 + g.m * 131) % 900 AS sz
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, {_TAR_MEMBERS - 1})) AS m) g
+),
+bytes AS (
+  SELECT mem.doc_id, mem.m, j.j,
+         32 + ((mem.doc_id + 3 * mem.m + j.j) % 64) AS v
+  FROM mem, LATERAL (
+    SELECT unnest(generate_series(0, CAST(mem.sz - 1 AS INT))) AS j) j
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(sz) AS BIGINT) AS total_content_bytes,
+         CAST(SUM(13 + len(CAST(doc_id AS VARCHAR))) AS BIGINT)
+           AS sum_name_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_checksum_valid,
+         CAST(SUM(CAST((sz + 511) // 512 AS BIGINT) * 512 + 512) + 1024
+              AS BIGINT) AS archive_bytes
+  FROM mem GROUP BY doc_id
+),
+content AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS content_byte_sum
+  FROM bytes GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_members, p.total_content_bytes, p.sum_name_chars,
+       p.n_checksum_valid, c.content_byte_sum, p.archive_bytes
+FROM per_doc p JOIN content c ON c.doc_id = p.doc_id
+""",
+    category="multimodal",
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive indexing — the SIXTH wire format (POSIX ustar TAR, the
+    container WARC/data-dump corpora arrive in): real tar archives
+    (correct octal size fields, real header checksums, zero-block
+    terminators, members spanning 1-2 data blocks) are synthesized
+    as binary cells, then the member table is re-derived from the
+    BYTES ALONE by ``tar_index`` — a structural walk where each next
+    offset comes from the previous member's parsed octal size, and
+    every header checksum is re-summed over all 512 bytes and
+    matched against the stored field (n_checksum_valid == n_members
+    is the self-authentication; a single mis-stepped offset zeroes
+    it).  The oracle knows only the generator formulas.  Pure JVM
+    codegen, zero Exchange, zero Python (plan-tested like the other
+    five parsers)."""
+    synth = _synth_tars(table(spark, sf_dir, "documents"))
+    return tar_index(synth, "doc_id", "tar")
+
+
+# --- GIF header + palette parsing (seventh wire format) ------------
+
+_GIF_DOCS = 48
+
+
+def _synth_gifs(d) -> DataFrame:
+    """Synthesize canonical GIF89a prefixes for doc_id < 48:
+    signature, logical-screen descriptor (width 3 + d%6, height
+    2 + d%4, global-color-table flag set, color resolution 7, GCT
+    size bits k = d%3 -> 2^(k+1) RGB entries), formula-driven
+    palette bytes, and the 0x3B trailer. The oracle knows only the
+    formulas."""
+    d = d.where(F.col("doc_id") < _GIF_DOCS).select("doc_id")
+    i_ = F.col("doc_id")
+    width = (3 + i_ % 6).cast("long")
+    height = (2 + i_ % 4).cast("long")
+    k = (i_ % 3).cast("long")
+    n_entries = F.pow(F.lit(2.0), (k + 1).cast("double")).cast("long")  # 2^(k+1)
+    packed = (F.lit(0xF0) + k).cast("long")  # 1|111|0|kkk
+    palette_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_entries - 1).cast("int")),
+            lambda e: F.concat(
+                _le_hex((i_ * 5 + e.cast("long") * 7) % 256, 1),
+                _le_hex((i_ * 11 + e.cast("long") * 3) % 256, 1),
+                _le_hex((i_ * 13 + e.cast("long") * 17) % 256, 1),
+            ),
+        ),
+        "",
+    )
+    gif_hex = F.concat(
+        F.hex(F.encode(F.lit("GIF89a"), "utf-8")),
+        _le_hex(width, 2),
+        _le_hex(height, 2),
+        _le_hex(packed, 1),
+        F.lit("0000"),  # background color index, aspect ratio
+        palette_hex,
+        F.lit("3B"),    # trailer
+    )
+    return d.select("doc_id", F.unhex(gif_hex).alias("gif"))
+
+
+def gif_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """PUBLIC generic GIF89a header/palette statistics over a
+    caller-supplied binary column, from the bytes alone in JVM
+    codegen: signature validation, logical-screen geometry
+    (little-endian uint16), packed-field bit slicing (GCT flag,
+    color resolution, table size 2^(k+1)) and exact per-channel
+    palette sums.  Authenticated in tests against a genuine
+    Pillow-convention GIF byte layout built with struct."""
+    b = F.col(bin_col)
+    sig_ok = (
+        F.decode(F.substring(b, 1, 6), "utf-8") == "GIF89a"
+    ).cast("long")
+    width = _le_int(b, 7, 2)
+    height = _le_int(b, 9, 2)
+    packed = _le_int(b, 11, 1)
+    gct_flag = F.floor(packed / 128).cast("long")
+    color_res = (F.floor(packed / 16).cast("long") % 8) + 1
+    # 2^((packed & 7) + 1) — exact in double for exponents <= 8
+    n_entries = F.pow(F.lit(2.0), ((packed % 8) + 1).cast("double")).cast("long")
+    chan = lambda off: F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), (n_entries - 1).cast("int")),
+            lambda e: _byte_at(b, F.lit(14).cast("long") + e.cast("long") * 3 + off),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    trailer_ok = (
+        F.hex(F.substring(b, (13 + n_entries * 3 + 1).cast("int"), 1)) == "3B"
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        sig_ok.alias("sig_ok"),
+        width.alias("width"),
+        height.alias("height"),
+        gct_flag.alias("gct_flag"),
+        color_res.alias("color_resolution"),
+        n_entries.alias("palette_entries"),
+        chan(0).alias("sum_r"),
+        chan(1).alias("sum_g"),
+        chan(2).alias("sum_b"),
+        trailer_ok.alias("trailer_ok"),
+    )
+
+
+@query(
+    "multimodal_gif_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_GIF_DOCS}),
+pal AS (
+  SELECT ids.doc_id, e.e,
+         (ids.doc_id * 5 + e.e * 7) % 256 AS r,
+         (ids.doc_id * 11 + e.e * 3) % 256 AS g,
+         (ids.doc_id * 13 + e.e * 17) % 256 AS b
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(2 * (1 << (ids.doc_id % 3)) - 1 AS INT))) AS e) e
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS sig_ok,
+       CAST(3 + doc_id % 6 AS BIGINT) AS width,
+       CAST(2 + doc_id % 4 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS gct_flag,
+       CAST(8 AS BIGINT) AS color_resolution,
+       CAST(2 * (1 << (doc_id % 3)) AS BIGINT) AS palette_entries,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(1 AS BIGINT) AS trailer_ok
+FROM pal
+GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_gif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-image analytics — the SEVENTH wire format (GIF89a, the
+    indexed-color family the BMP/PNG parsers don't cover): canonical
+    GIF prefixes (signature, logical-screen descriptor, global color
+    table, trailer) synthesized as binary cells, then geometry,
+    bit-packed GCT fields, per-channel palette sums, and the trailer
+    byte all re-derived from the BYTES ALONE — the packed byte is
+    bit-sliced with integer div/mod (flag=bit7, color resolution =
+    bits 6-4 + 1, table size 2^((packed&7)+1)), so a one-bit layout
+    error shifts every downstream offset and zeroes trailer_ok
+    rather than passing by luck.  Oracle knows only the generator
+    formulas.  Pure JVM codegen, zero Exchange, zero Python."""
+    synth = _synth_gifs(table(spark, sf_dir, "documents"))
+    return gif_stats(synth, "doc_id", "gif")

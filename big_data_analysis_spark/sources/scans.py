@@ -900,3 +900,137 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         ).alias("sum_cents"),
     )
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(SUM(len(trim(c_name))) AS BIGINT) AS name_chars
+FROM customer
+GROUP BY c_mktsegment
+""",
+    category="sources",
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record ingestion — the mainframe/COBOL export
+    format every enterprise lake still receives: customers are
+    serialized to 57-byte fixed layout lines (name rpad-25, sign
+    char, |cents| lpad-11, mktsegment rpad-10, custkey lpad-10),
+    written through the text sink, then parsed back with pure
+    substring arithmetic (no delimiter logic at all — offsets ARE
+    the schema) and re-aggregated.  The oracle aggregates the source
+    table directly, so truncation, sign, or offset bugs in either
+    direction of the round trip cannot cancel.  At 100 TB: text
+    lines split by byte ranges like any line format; the substring
+    parse is one whole-stage-codegen map — no Python, no regex."""
+    c = table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    line = F.concat(
+        F.rpad(F.col("c_name"), 25, " "),
+        F.when(cents < 0, "-").otherwise("+"),
+        F.lpad(F.abs(cents).cast("string"), 11, "0"),
+        F.rpad(F.col("c_mktsegment"), 10, " "),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+    )
+    out = scratch_dir(prefix="bda_fixedw_")
+    c.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    v = F.col("value")
+    parsed = raw.select(
+        F.trim(F.substring(v, 1, 25)).alias("name"),
+        (
+            F.when(F.substring(v, 26, 1) == "-", -1).otherwise(1)
+            * F.substring(v, 27, 11).cast("long")
+        ).alias("cents"),
+        F.trim(F.substring(v, 38, 10)).alias("c_mktsegment"),
+        F.substring(v, 48, 10).cast("long").alias("custkey"),
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.length("name")).cast("long").alias("name_chars"),
+    )
+
+
+@query(
+    "sink_partitioned_overwrite",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, user_id % 50 AS user_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, user_id % 50
+),
+final AS (
+  -- dynamic overwrite rewrote ONLY the click partition with the
+  -- high-value recomputation; every other partition kept v1
+  SELECT * FROM agg WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, user_id % 50 AS user_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'click' AND CAST(value AS DECIMAL(18,2)) >= 1.00
+  GROUP BY event_type, user_id % 50
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final
+GROUP BY event_type
+""",
+    category="sources",
+)
+def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill
+    primitive: INSERT OVERWRITE must replace ONLY the partitions the
+    new batch touches, not truncate the table (static mode's trap).
+    A per-(event_type, user-bucket) rollup is written partitioned by
+    event_type; then the click partition alone is recomputed under a
+    filter and written mode("overwrite") with
+    partitionOverwriteMode=dynamic; the read-back proves the other
+    four partitions survived byte-for-byte while click carries v2.
+    The conf is set AFTER the inputs are built (io.table re-runs
+    harden_session — the join_runtime_bloom gotcha) and restored in
+    a finally.  At 100 TB this is the nightly-restate pattern:
+    partition pruning makes the rewrite proportional to the changed
+    partitions, never the table."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    agg = e.groupBy(
+        "event_type", (F.col("user_id") % 50).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    v2 = (
+        e.where(F.col("value").cast("decimal(18,2)") >= 1.00)
+        .where(F.col("event_type") == "click")
+        .groupBy("event_type", (F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+    out = scratch_dir(prefix="bda_dynover_")
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        v2.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

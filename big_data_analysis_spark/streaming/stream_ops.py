@@ -1162,3 +1162,84 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return state.crossJoin(meta)
+
+
+_SPLIT_STAGE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _split_stage_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events fixture as TWO independent source directories
+    (even/odd event_id), several files each, so a union-of-streams
+    query genuinely consumes two FileStreamSources with interleaved
+    micro-batches."""
+    if sf_dir not in _SPLIT_STAGE_CACHE:
+        base = spark.read.parquet(f"{sf_dir}/events.parquet")
+        d_even = scratch_dir(prefix="bda_stream_even_")
+        d_odd = scratch_dir(prefix="bda_stream_odd_")
+        base.where(F.col("event_id") % 2 == 0).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(d_even)
+        base.where(F.col("event_id") % 2 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(d_odd)
+        _SPLIT_STAGE_CACHE[sf_dir] = (d_even, d_odd)
+    return _SPLIT_STAGE_CACHE[sf_dir]
+
+
+@query(
+    "stream_union_sources",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even_source,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_odd_source
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two independent streaming sources — the fan-in shape
+    of a multi-region/multi-topic ingest (two directories stand in
+    for two Kafka topics): each side is its own FileStreamSource
+    with its own offsets and micro-batch pacing; unionByName merges
+    them BEFORE one stateful aggregation, so state is shared and
+    exactly-once holds across both sources. The per-type counts
+    carry a per-source breakdown (tagged before the union) and the
+    batch oracle is the plain union aggregate — streamed totals must
+    equal the batch answer exactly.  At 100 TB: this is how backfill
+    (a file source) and live (a queue source) share one query and
+    one state store."""
+    harden_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d_even, d_odd = _split_stage_dirs(spark, sf_dir)
+    schema = spark.read.parquet(d_even).schema
+
+    def src(path: str, tag: int) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("src_tag", F.lit(tag))
+
+    unioned = src(d_even, 0).unionByName(src(d_odd, 1))
+    # exact COUNT(DISTINCT) is unsupported in streaming aggs: drain a
+    # per-(type, user) count and finish batch-side (the stream_source
+    # pattern).
+    per_user = drain_to_memory(
+        unioned.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("src_tag") == 0, 1).otherwise(0)).alias("n_even"),
+            F.sum(F.when(F.col("src_tag") == 1, 1).otherwise(0)).alias("n_odd"),
+        )
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_even").cast("long").alias("n_even_source"),
+        F.sum("n_odd").cast("long").alias("n_odd_source"),
+    )

@@ -1086,3 +1086,73 @@ def test_api_pq_encode_hand_checked(spark):
     assert out[2] == (1, 0, 0)
     # sub0 tie at (q/2)^2 each -> code 0 with d=(q/2)^2; sub1 exact -> 0
     assert out[3] == (0, 1, (q // 2) ** 2)
+
+
+def test_api_tar_index_parses_a_real_tarfile_module_archive(spark):
+    """The ustar walk must hold on a GENUINE archive written by the
+    stdlib tarfile module (PAX/ustar format, real checksums), with
+    member sizes that span multiple 512-byte blocks."""
+    import io
+    import tarfile
+
+    contents = [b"a" * 10, bytes(range(256)) * 3, b"xyz" * 200]
+    names = ["alpha.txt", "dir/beta.bin", "gamma.dat"]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for n, c in zip(names, contents):
+            info = tarfile.TarInfo(n)
+            info.size = len(c)
+            tf.addfile(info, io.BytesIO(c))
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame([(3, bytearray(payload))], "fid long, payload binary")
+    r = api.tar_index(df, "fid", "payload").collect()[0]
+    assert r.n_members == 3
+    assert r.total_content_bytes == sum(len(c) for c in contents)
+    assert r.sum_name_chars == sum(len(n) for n in names)
+    assert r.n_checksum_valid == 3  # real tarfile checksums re-verified
+    assert r.content_byte_sum == sum(sum(c) for c in contents)
+    assert r.archive_bytes == len(payload)
+
+
+def test_api_tar_index_rejects_corrupt_checksum(spark):
+    """Flipping one content-adjacent header byte must drop
+    n_checksum_valid (the walk self-authenticates)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo("x.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"abcd"))
+    raw = bytearray(buf.getvalue())
+    raw[0] = ord("y")  # corrupt first byte of the name field
+    df = spark.createDataFrame([(1, raw)], "fid long, payload binary")
+    r = api.tar_index(df, "fid", "payload").collect()[0]
+    assert r.n_members == 1 and r.n_checksum_valid == 0
+
+
+def test_api_gif_stats_parses_a_real_gif_layout(spark):
+    """The GIF parse on genuine struct-packed bytes: GIF89a
+    signature, LE16 geometry, packed GCT descriptor, 4-entry
+    palette, trailer."""
+    import struct
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    packed = 0x80 | (0x7 << 4) | 0x01  # GCT flag, color res 8, size 2^2
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 640, 480)
+        + bytes([packed, 0, 0])
+        + b"".join(bytes(p) for p in palette)
+        + b"\x3b"
+    )
+    df = spark.createDataFrame([(9, bytearray(gif))], "fid long, payload binary")
+    r = api.gif_stats(df, "fid", "payload").collect()[0]
+    assert r.sig_ok == 1 and r.trailer_ok == 1
+    assert (r.width, r.height) == (640, 480)
+    assert (r.gct_flag, r.color_resolution, r.palette_entries) == (1, 8, 4)
+    assert r.sum_r == sum(p[0] for p in palette)
+    assert r.sum_g == sum(p[1] for p in palette)
+    assert r.sum_b == sum(p[2] for p in palette)

@@ -232,6 +232,8 @@ def test_wav_parse_pure_map_no_python(spark, sf_dir):
         "multimodal_avi_parse",
         "multimodal_png_parse",
         "multimodal_mp4_parse",
+        "multimodal_tar_index",
+        "multimodal_gif_parse",
     ):
         plan = plan_of(name, spark, sf_dir)
         tree = plan.split("\n\n")[0]

@@ -1479,3 +1479,110 @@ def fn_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE report USING max_price * 0.5 AS threshold"
     )
+
+
+@query(
+    "fn_luhn_checksum",
+    oracle="""
+WITH acct AS (
+  SELECT c_custkey, c_mktsegment,
+         lpad(CAST((c_custkey * 2654435761) % 10000000000 AS VARCHAR),
+              10, '0') AS payload
+  FROM customer
+),
+luhn AS (
+  SELECT c_custkey, c_mktsegment, payload,
+         list_sum(list_transform(generate_series(1, 10), j ->
+           CASE WHEN j % 2 = 1
+                THEN CASE WHEN 2 * CAST(substr(payload, 11 - j, 1) AS INT) > 9
+                          THEN 2 * CAST(substr(payload, 11 - j, 1) AS INT) - 9
+                          ELSE 2 * CAST(substr(payload, 11 - j, 1) AS INT) END
+                ELSE CAST(substr(payload, 11 - j, 1) AS INT) END)) AS s
+  FROM acct
+),
+numbered AS (
+  SELECT c_mktsegment, payload, (10 - s % 10) % 10 AS check_digit,
+         payload || CAST((10 - s % 10) % 10 AS VARCHAR) AS account_no
+  FROM luhn
+),
+validated AS (
+  SELECT c_mktsegment, check_digit,
+         list_sum(list_transform(generate_series(1, 11), j ->
+           CASE WHEN j % 2 = 0
+                THEN CASE WHEN 2 * CAST(substr(account_no, 12 - j, 1) AS INT) > 9
+                          THEN 2 * CAST(substr(account_no, 12 - j, 1) AS INT) - 9
+                          ELSE 2 * CAST(substr(account_no, 12 - j, 1) AS INT) END
+                ELSE CAST(substr(account_no, 12 - j, 1) AS INT) END)) % 10 AS rem
+  FROM numbered
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(check_digit) AS BIGINT) AS sum_check_digits,
+       CAST(COUNT(DISTINCT check_digit) AS BIGINT) AS n_distinct_checks
+FROM validated
+GROUP BY c_mktsegment
+""",
+    category="functions",
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check-digit GENERATION and round-trip VALIDATION —
+    the checksum behind card/IMEI/account identifiers and the
+    validation predicate a PII scanner (text_pii_scrub's card regex)
+    uses to cut false positives. Synthetic 10-digit payloads (Knuth
+    hash of custkey) get their check digit computed by the standard
+    double-every-second-digit-from-the-right fold, then the full
+    11-digit number is re-validated with the complementary
+    even-position fold — n_valid == n_accounts is the
+    self-authentication (a parity slip in either fold zeroes it,
+    the generation and validation folds cannot share a bug since
+    their position parities differ). Everything is exact integer
+    digit arithmetic in one codegen map stage; one shuffle for the
+    per-segment rollup."""
+    c = table(spark, sf_dir, "customer")
+    payload = F.lpad(
+        ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(10000000000)).cast(
+            "string"
+        ),
+        10,
+        "0",
+    )
+
+    def luhn_sum(s, width: int, double_parity: int):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(width)),
+                lambda j: F.when(
+                    j % 2 == double_parity,
+                    F.when(
+                        2 * F.substr(s, width + 1 - j, F.lit(1)).cast("int") > 9,
+                        2 * F.substr(s, width + 1 - j, F.lit(1)).cast("int") - 9,
+                    ).otherwise(
+                        2 * F.substr(s, width + 1 - j, F.lit(1)).cast("int")
+                    ),
+                ).otherwise(F.substr(s, width + 1 - j, F.lit(1)).cast("int")),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    base = c.select("c_mktsegment", payload.alias("payload"))
+    withsum = base.withColumn("s", luhn_sum(F.col("payload"), 10, 1))
+    numbered = withsum.select(
+        "c_mktsegment",
+        ((10 - F.col("s") % 10) % 10).alias("check_digit"),
+        F.concat(
+            F.col("payload"), ((10 - F.col("s") % 10) % 10).cast("string")
+        ).alias("account_no"),
+    )
+    validated = numbered.withColumn(
+        "rem", luhn_sum(F.col("account_no"), 11, 0) % 10
+    )
+    return validated.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum(F.when(F.col("rem") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum("check_digit").cast("long").alias("sum_check_digits"),
+        F.countDistinct("check_digit").cast("long").alias("n_distinct_checks"),
+    )

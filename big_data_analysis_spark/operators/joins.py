@@ -473,3 +473,49 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    category="joins",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control via join hints: the SAME logical
+    orders⋈lineitem runs once as SHUFFLE_HASH and once as MERGE
+    (hint() on the build side overrides the optimizer's pick) and
+    the two aggregates are verified EQUAL inside the query (inner
+    join on every output column) before returning — hints must
+    change the physical plan, never the answer.  The plan test pins
+    ShuffledHashJoin in one tree and SortMergeJoin in the other.
+    This is the escape hatch when statistics mislead the planner at
+    100 TB (e.g. forcing shuffle-hash to skip the sort on a
+    one-shot join against a medium dimension)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+
+    def agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(cents).cast("long").alias("price_cents"),
+        )
+
+    sh = agg(l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"]))
+    sm = agg(l.join(o.hint("merge"), l["l_orderkey"] == o["o_orderkey"]))
+    return sh.join(
+        sm.withColumnRenamed("n_lines", "n2").withColumnRenamed(
+            "price_cents", "p2"
+        ),
+        "o_orderpriority",
+    ).where(
+        (F.col("n_lines") == F.col("n2")) & (F.col("price_cents") == F.col("p2"))
+    ).select("o_orderpriority", "n_lines", "price_cents")

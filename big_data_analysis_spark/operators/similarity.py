@@ -1256,3 +1256,110 @@ def vec_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays inside the JL band for a sample of pairs."""
     e = table(spark, sf_dir, "embeddings")
     return api.rp_project(e, "vec_id", "embedding", d=64, k=16)
+
+
+_MRL_PREFIX = 16  # Matryoshka truncation dimension
+
+
+@query(
+    "vec_matryoshka_probe",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+full_s AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         {_sql_dot('q', 'd')} AS cosine
+  FROM ev q JOIN ev d ON d.i = q.i AND q.vec_id < 8 AND d.vec_id <> q.vec_id
+  GROUP BY q.vec_id, d.vec_id
+),
+pref_s AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         {_sql_dot('q', 'd')} AS cosine
+  FROM ev q JOIN ev d ON d.i = q.i AND q.vec_id < 8 AND d.vec_id <> q.vec_id
+  WHERE q.i <= {_MRL_PREFIX}
+  GROUP BY q.vec_id, d.vec_id
+),
+full_t AS (
+  SELECT query_id, neighbor_id AS full_top1, cosine AS full_cosine
+  FROM full_s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) = 1
+),
+pref_t AS (
+  SELECT query_id, neighbor_id AS prefix_top1, cosine AS prefix_cosine
+  FROM pref_s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) = 1
+)
+SELECT f.query_id, f.full_top1, f.full_cosine,
+       p.prefix_top1, p.prefix_cosine,
+       CAST(CASE WHEN f.full_top1 = p.prefix_top1 THEN 1 ELSE 0 END AS BIGINT)
+         AS top1_agree
+FROM full_t f JOIN pref_t p ON p.query_id = f.query_id
+""",
+    category="similarity",
+)
+def vec_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation probe: for each query vector, the
+    exact top-1 neighbor under the FULL 64-dim dot product vs under
+    the first-{_MRL_PREFIX}-dims truncation — the measurement behind
+    MRL-style tiered retrieval (serve the cheap prefix index, escalate
+    to full dims only on disagreement/margin). Both scores are exact
+    int64 grid dots (1e-6 quantization, dot_dec); the truncated dot
+    reuses the SAME quantized elements via slice, so the two rankings
+    are commensurable. Plan shape = knn_brute's: bounded query set
+    broadcast against the corpus, per-query windows over ONE shuffle
+    on query_id; at 100 TB the corpus never shuffles and the prefix
+    variant reads 4x fewer vector bytes (the actual economics of the
+    probe)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qe")
+    )
+    d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__de"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_dec(F.col("__qe"), F.col("__de")).alias("full_cosine"),
+            dot_dec(
+                F.slice(F.col("__qe"), 1, _MRL_PREFIX),
+                F.slice(F.col("__de"), 1, _MRL_PREFIX),
+            ).alias("prefix_cosine"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("full_cosine"), F.asc("neighbor_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_cosine"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "full_cosine",
+        "prefix_cosine",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    full_t = ranked.where(F.col("rf") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_top1"),
+        "full_cosine",
+    )
+    pref_t = ranked.where(F.col("rp") == 1).select(
+        F.col("query_id").alias("qid2"),
+        F.col("neighbor_id").alias("prefix_top1"),
+        "prefix_cosine",
+    )
+    return full_t.join(pref_t, full_t["query_id"] == pref_t["qid2"]).select(
+        "query_id",
+        "full_top1",
+        "full_cosine",
+        "prefix_top1",
+        "prefix_cosine",
+        (F.col("full_top1") == F.col("prefix_top1"))
+        .cast("long")
+        .alias("top1_agree"),
+    )

@@ -1003,3 +1003,66 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard applies verbatim if the vocab is heavy."""
     d = table(spark, sf_dir, "documents")
     return api.collocations(d, "text", "doc_id", min_count=5)
+
+
+_FK_SENT_LEN = 15  # pseudo-sentence length (corpus has no punctuation)
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables,
+         CAST((len(string_split(text, ' ')) + {_FK_SENT_LEN - 1})
+              // {_FK_SENT_LEN} AS BIGINT) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       n_sentences,
+       206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch,
+       0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 AS fk_grade
+FROM s
+""",
+    category="text",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability gates an LLM data pipeline uses to bucket
+    prose difficulty (and the curriculum signal pipeline_curriculum
+    could consume). Syllables are the standard vowel-group count
+    ([aeiouy]+ runs, identical leftmost non-overlapping regex
+    semantics in both engines); the fixture corpus has no sentence
+    punctuation, so sentences are fixed {_FK_SENT_LEN}-word
+    pseudo-sentences (ceil division — documented stand-in, the
+    formula shape is the deliverable). Both scores combine exact
+    integer counts through one fixed float expression shape, so they
+    are bit-reproducible. Pure map stage — zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens())
+    n_syll = F.regexp_count(F.col("text"), F.lit("[aeiouy]+"))
+    n_sent = F.expr(f"CAST((size(split(text, ' ')) + {_FK_SENT_LEN - 1}) DIV {_FK_SENT_LEN} AS BIGINT)")
+    s = d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch"),
+        (0.39 * wps + 11.8 * spw - 15.59).alias("fk_grade"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ..io import table
 from ..operators.windows import ntile_distributed
 from ..registry import query
+from ..session import scratch_dir
 
 _MOD = 1 << 32
 _MULT = 2654435761  # Knuth multiplicative hash (shared with api.split_column)
@@ -468,3 +469,91 @@ def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
         .where(F.col("fused_rank") <= 20)
     )
+
+
+@query(
+    "pipeline_medallion",
+    oracle="""
+WITH bronze AS (
+  SELECT * FROM events
+),
+silver AS (
+  SELECT * FROM bronze
+  WHERE value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+),
+gold AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM silver GROUP BY 1, 2
+)
+SELECT 'bronze' AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS cents
+FROM bronze
+UNION ALL
+SELECT 'silver',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(event_id) AS BIGINT),
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+FROM silver
+UNION ALL
+SELECT 'gold',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM gold
+""",
+    category="pipelines",
+)
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion (bronze -> silver -> gold) materialization with a
+    conservation ledger: bronze lands raw events in parquet; silver
+    re-reads BRONZE'S FILES (not the lineage), quality-filters and
+    dedups on event_id (first-by-ts), and persists again; gold
+    re-reads SILVER'S FILES into the per-(type, day) rollup.  Each
+    layer is a real parquet round trip — the ledger (row count, id
+    checksum, cent mass per layer) is what a lakehouse DQ monitor
+    alerts on (silver <= bronze, gold preserves silver's cent mass
+    exactly).  At 100 TB each hop is one bounded write + pruned
+    read; the dedup window shuffles on event_id only."""
+    e = table(spark, sf_dir, "events")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+    bronze_dir = scratch_dir(prefix="bda_bronze_")
+    e.write.mode("overwrite").parquet(bronze_dir)
+    bronze = spark.read.parquet(bronze_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("event_id").orderBy("ts")
+    silver_df = (
+        bronze.where(
+            F.col("value").isNotNull()
+            & (F.col("value") >= 0)
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    silver_dir = scratch_dir(prefix="bda_silver_")
+    silver_df.write.mode("overwrite").parquet(silver_dir)
+    silver = spark.read.parquet(silver_dir)
+    gold = silver.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("cents"))
+
+    def ledger(df: DataFrame, layer: str, id_sum, cent_sum) -> DataFrame:
+        return df.agg(
+            F.lit(layer).alias("layer"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            id_sum.cast("long").alias("id_checksum"),
+            cent_sum.cast("long").alias("cents"),
+        )
+
+    b_l = ledger(bronze, "bronze", F.sum("event_id"), F.sum(cents("value")))
+    s_l = ledger(silver, "silver", F.sum("event_id"), F.sum(cents("value")))
+    g_l = ledger(gold, "gold", F.sum("n"), F.sum("cents"))
+    return b_l.unionByName(s_l).unionByName(g_l)

@@ -1034,3 +1034,58 @@ def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+_GLOB_STAGE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+    category="sources",
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory ingestion with recursiveFileLookup +
+    pathGlobFilter — the layout a multi-team lake actually has
+    (date=*/region=*/ trees with stray non-data files): orders are
+    staged into a 2-level directory tree alongside decoy .tmp/.json
+    files, then read back in ONE scan that recurses the tree and
+    glob-keeps only *.parquet.  The oracle aggregates the source
+    table, so a missed subtree or a swallowed decoy both break
+    parity.  At 100 TB the glob/list phase is driver-side metadata
+    (InMemoryFileIndex, parallel listing past a threshold) — the
+    scan itself stays one distributed stage."""
+    if sf_dir not in _GLOB_STAGE_CACHE:
+        import os
+
+        o = table(spark, sf_dir, "orders")
+        root = scratch_dir(prefix="bda_glob_")
+        for lvl in range(3):
+            sub = os.path.join(root, f"batch={lvl}", f"shard={lvl % 2}")
+            o.where(F.col("o_orderkey") % 3 == lvl).write.mode(
+                "overwrite"
+            ).parquet(sub)
+            # decoys the glob filter must skip
+            with open(os.path.join(sub, "manifest.json"), "w") as fh:
+                fh.write("{}")
+            with open(os.path.join(root, f"batch={lvl}", "junk.tmp"), "w") as fh:
+                fh.write("x")
+        _GLOB_STAGE_CACHE[sf_dir] = root
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_GLOB_STAGE_CACHE[sf_dir])
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).cast("long").alias("sum_cents"),
+    )

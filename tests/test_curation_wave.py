@@ -267,3 +267,87 @@ def test_cohens_kappa_identity(spark, sf_dir):
         n * n
     )
     assert r.kappa == pytest.approx((po - pe) / (1 - pe), rel=1e-12)
+
+
+def test_luhn_matches_pure_python(spark, sf_dir):
+    """The generated check digits must satisfy the canonical Python
+    Luhn validator (the two in-query folds could not share a parity
+    bug with this third implementation)."""
+
+    def luhn_valid(number: str) -> bool:
+        total = 0
+        for idx, ch in enumerate(reversed(number)):
+            d = int(ch)
+            if idx % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = run("fn_luhn_checksum", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_valid == r.n_accounts
+    # independently re-generate a few accounts and validate
+    for custkey in (1, 2, 3, 17, 99):
+        payload = str((custkey * 2654435761) % 10_000_000_000).zfill(10)
+        s = 0
+        for idx, ch in enumerate(reversed(payload)):
+            d = int(ch)
+            if idx % 2 == 0:  # will sit at odd position once check appended
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        check = (10 - s % 10) % 10
+        assert luhn_valid(payload + str(check)), (payload, check)
+
+
+def test_join_strategy_hints_change_physical_plan(spark, sf_dir):
+    """The hinted twins must actually produce different physical
+    operators for the same logical join."""
+    import big_data_analysis_spark.operators.joins as J
+    from big_data_analysis_spark.io import table
+    import pyspark.sql.functions as F
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    sh = l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+    sm = l.join(o.hint("merge"), l["l_orderkey"] == o["o_orderkey"])
+    sh_plan = sh._sc._jvm.PythonSQLUtils.explainString(
+        sh._jdf.queryExecution(), "formatted"
+    )
+    sm_plan = sm._sc._jvm.PythonSQLUtils.explainString(
+        sm._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in sh_plan
+    assert "SortMergeJoin" in sm_plan and "ShuffledHashJoin" not in sm_plan
+
+
+def test_medallion_ledger_conserves_mass(spark, sf_dir):
+    rows = {r.layer: r for r in run("pipeline_medallion", spark, sf_dir).collect()}
+    assert set(rows) == {"bronze", "silver", "gold"}
+    assert rows["silver"].n_rows <= rows["bronze"].n_rows
+    assert rows["gold"].cents == rows["silver"].cents  # rollup conserves cents
+    assert rows["gold"].id_checksum == rows["silver"].n_rows  # sum(n) == rows
+
+
+def test_matryoshka_prefix_is_consistent_subvector(spark, sf_dir):
+    """prefix cosine must equal the exact quantized dot of the first
+    16 dims, recomputed in NumPy."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id < 60")
+        .collect()
+    }
+    out = run("vec_matryoshka_probe", spark, sf_dir).collect()
+    assert out
+    for r in out:
+        if r.full_top1 in emb and r.query_id in emb:
+            q = np.rint(emb[r.query_id] * 1_000_000).astype("int64")
+            d = np.rint(emb[r.full_top1] * 1_000_000).astype("int64")
+            assert r.full_cosine == int((q * d).sum()) / 1.0e12

@@ -1586,3 +1586,36 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("check_digit").cast("long").alias("sum_check_digits"),
         F.countDistinct("check_digit").cast("long").alias("n_distinct_checks"),
     )
+
+
+@query(
+    "fn_sql_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY ALL
+""",
+    category="functions",
+)
+def fn_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern-SQL ergonomic both engines added
+    (Spark 3.4+/DuckDB): every non-aggregate select item becomes a
+    grouping key, eliminating the classic copy-the-select-list
+    maintenance bug. Run through spark.sql on a temp view so the
+    actual SQL-syntax path (not a DataFrame translation) is what's
+    graded; the physical plan is the ordinary partial+final hash
+    aggregate."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS price_cents
+        FROM li_gba
+        GROUP BY ALL
+        """
+    )

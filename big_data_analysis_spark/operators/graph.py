@@ -476,3 +476,77 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
     )
     return api.random_walk(edges, "a", "b", steps=3)
+
+
+_HITS_ITERS = 12
+
+
+@query("graph_hits", oracle=None, category="graph")
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the demo digraph — the second
+    eigenvector-style ranking next to PageRank, and the one that
+    distinguishes CURATORS (hubs: pages pointing at good content)
+    from CONTENT (authorities): auth = normalized in-flow of hub
+    mass, hub = normalized out-flow of authority mass, 12
+    synchronous rounds with max-normalization each half-step (the
+    Kleinberg formulation; max-norm keeps every value in [0,1]
+    without a sqrt).
+
+    Rows-only (⊘): per-round float division is order-sensitive
+    across engines; tests/test_quality.py replays the identical
+    iteration in NumPy over the collected edge list and asserts
+    1e-9 agreement plus determinism across two runs.
+
+    Execution shape per round: TWO bounded shuffles (hub mass
+    grouped by dst -> auth; auth mass grouped by src -> hub), each
+    normalization is a 1-row broadcast crossJoin (never a driver
+    collect), lineage truncated per round via lazy localCheckpoint
+    exactly like api.pagerank; at 100 TB the edge table stays
+    co-partitioned and only the score tables move."""
+    e = _edges(spark, sf_dir).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint()
+    for _ in range(_HITS_ITERS):
+        auth_in = (
+            scores.join(e, scores.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a = (
+            scores.select("node", "hub")
+            .join(auth_in, "node", "left")
+            .withColumn("a_raw", F.coalesce(F.col("a_raw"), F.lit(0.0)))
+        )
+        amax = a.agg(F.greatest(F.max("a_raw"), F.lit(1e-300)).alias("m"))
+        a = a.crossJoin(F.broadcast(amax)).select(
+            "node", "hub", (F.col("a_raw") / F.col("m")).alias("auth")
+        )
+        hub_out = (
+            a.join(e, a.node == e.dst)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h = (
+            a.select("node", "auth")
+            .join(hub_out, "node", "left")
+            .withColumn("h_raw", F.coalesce(F.col("h_raw"), F.lit(0.0)))
+        )
+        hmax = h.agg(F.greatest(F.max("h_raw"), F.lit(1e-300)).alias("m"))
+        scores = (
+            h.crossJoin(F.broadcast(hmax))
+            .select(
+                "node", (F.col("h_raw") / F.col("m")).alias("hub"), "auth"
+            )
+            .localCheckpoint(eager=False)
+        )
+        # one driver scalar per round materializes the checkpoint and
+        # keeps lineage O(1) deep (the pagerank discipline)
+        scores.count()
+    e.unpersist()
+    return scores.select("node", "hub", "auth")

@@ -44,11 +44,20 @@ _GRID_SQL = f"""
 
 
 def _day_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) exact cent sums, materialized ONCE via an
+    eager localCheckpoint: the statistics below reference the grid
+    from several plan branches (self-joins, tie rollups), and without
+    the checkpoint Catalyst re-scans and re-aggregates the raw events
+    table once per branch (11 Exchanges in agg_mann_kendall's naive
+    plan — measured). The grid is value-domain-bounded (types × days),
+    so materializing it costs one tiny job and every branch reuses the
+    same ~150 rows."""
     e = table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    return e.groupBy(
+    grid = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
     ).agg(F.sum(cents).alias("x"))
+    return grid.localCheckpoint(eager=True)
 
 
 @query(

@@ -249,14 +249,12 @@ def pipeline_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at(toks, i + k) for k in range(_COV_N)]
         ),
     )
-    sh = (
-        d.where(F.size(toks) >= _COV_N)
-        .select(
-            "lang",
-            (F.col("doc_id") % 97 == 0).alias("is_eval"),
-            F.explode(sh_arr).alias("shingle"),
-        )
-        .distinct()
+    # no .distinct() here: each side below dedups for itself, and a
+    # third shuffle on the union would be pure waste
+    sh = d.where(F.size(toks) >= _COV_N).select(
+        "lang",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.explode(sh_arr).alias("shingle"),
     )
     ev = sh.where("is_eval").select("lang", "shingle").distinct()
     tr = (
@@ -557,3 +555,92 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_l = ledger(silver, "silver", F.sum("event_id"), F.sum(cents("value")))
     g_l = ledger(gold, "gold", F.sum("n"), F.sum("cents"))
     return b_l.unionByName(s_l).unionByName(g_l)
+
+
+_CLOZE_MIN_TOKENS = 5
+
+
+@query(
+    "pipeline_cloze_questions",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {_CLOZE_MIN_TOKENS}
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) u
+  GROUP BY doc_id, tok
+),
+ans AS (
+  SELECT doc_id, tok AS answer, CAST(cnt AS BIGINT) AS n_occurrences
+  FROM tf
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, tok) = 1
+),
+built AS (
+  SELECT d.doc_id, ans.answer, ans.n_occurrences,
+         CAST(list_position(d.toks, ans.answer) AS BIGINT) AS first_pos,
+         CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_transform(
+               generate_series(1, len(d.toks)),
+               i -> CASE WHEN i = list_position(d.toks, ans.answer)
+                         THEN '___' ELSE d.toks[i] END), ' ')) AS cloze_md5
+  FROM d JOIN ans ON ans.doc_id = d.doc_id
+)
+SELECT doc_id, answer, n_occurrences, first_pos, n_tokens, cloze_md5
+FROM built
+""",
+    category="pipelines",
+)
+def pipeline_cloze_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic cloze-question generation — the deterministic core
+    of a synthetic-QA data pipeline: per document, the answer term is
+    the most frequent token (count desc, lexicographic tie-break —  a
+    total order, so regeneration is bit-stable), the FIRST occurrence
+    is blanked to '___', and the question text is fingerprinted
+    (md5) so the oracle can verify the exact reconstruction without
+    shipping megabyte strings through the comparator.  Plan: one
+    explode + count shuffle for term frequencies, a per-doc argmax
+    window on the same partitioning (no extra Exchange), and a 1:1
+    join back to the token arrays for the blanking map — at 100 TB
+    every stage is doc-partitioned, nothing global."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .where(F.size("toks") >= _CLOZE_MIN_TOKENS)
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    ans = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("adoc"),
+            F.col("tok").alias("answer"),
+            F.col("cnt").cast("long").alias("n_occurrences"),
+        )
+    )
+    j = d.join(ans, d["doc_id"] == ans["adoc"])
+    pos = F.array_position(F.col("toks"), F.col("answer"))
+    cloze = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.when(i == pos.cast("int"), "___").otherwise(
+                F.element_at(F.col("toks"), i)
+            ),
+        ),
+        " ",
+    )
+    return j.select(
+        "doc_id",
+        "answer",
+        "n_occurrences",
+        pos.cast("long").alias("first_pos"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.encode(cloze, "utf-8")).alias("cloze_md5"),
+    )

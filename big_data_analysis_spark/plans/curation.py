@@ -644,3 +644,63 @@ def pipeline_cloze_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         F.md5(F.encode(cloze, "utf-8")).alias("cloze_md5"),
     )
+
+
+_STRAT_EVAL_PCT = 10  # per-stratum eval share
+
+
+@query(
+    "pipeline_stratified_split",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         (doc_id * {_MULT}) % {_MOD} AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT *, CASE WHEN bucket * 100 < {_STRAT_EVAL_PCT} * {_MOD}
+                 THEN 'eval' ELSE 'train' END AS split
+  FROM d
+)
+SELECT lang, source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM assigned
+GROUP BY lang, source, split
+""",
+    category="pipelines",
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval split: the SAME Knuth bucket as
+    pipeline_train_split decides membership, but the ledger is cut
+    per (lang, source) stratum — the report that shows whether the
+    hash split is balanced WITHIN every stratum (a global 10% split
+    can still starve a rare language; this is the fairness audit an
+    eval set ships with). Because membership is the pure hash, the
+    eval set here is the identical document set under any stratum
+    definition — strata change the REPORT, never the membership
+    (the property that lets train/eval contracts survive
+    re-stratification). One map + one aggregate."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bucket = (F.col("doc_id") * _MULT) % _MOD
+    split = F.when(
+        bucket * 100 < _STRAT_EVAL_PCT * _MOD, "eval"
+    ).otherwise("train")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            split.alias("split"),
+        )
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

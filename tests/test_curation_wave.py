@@ -416,3 +416,13 @@ def test_cloze_reconstruction_roundtrip(spark, sf_dir):
         assert r.first_pos == pos + 1
         cloze = " ".join("___" if i == pos else t for i, t in enumerate(toks))
         assert r.cloze_md5 == hashlib.md5(cloze.encode()).hexdigest()
+
+
+def test_stratified_split_membership_matches_ablation_10pct(spark, sf_dir):
+    """The stratified eval set and the 10% ablation subset use the
+    SAME Knuth bucket and threshold, so their document counts must
+    be identical — strata change the report, never the membership."""
+    strat = run("pipeline_stratified_split", spark, sf_dir).collect()
+    n_eval = sum(r.n_docs for r in strat if r.split == "eval")
+    abl = {r.pct: r.n_docs for r in run("pipeline_ablation_grid", spark, sf_dir).collect()}
+    assert n_eval == abl[10]

@@ -123,6 +123,14 @@ BENCH_QUERIES = [
     # fixture staging (collect + encode); the median reflects the
     # steady-state scan.
     "scan_avro",
+    # r7 second wave: ustar archive indexing (structural codegen fold
+    # over real tar bytes), the length-curriculum cut on the
+    # certified distributed-ntile kernel, and the eval n-gram
+    # coverage join (shingle explode -> two distincts -> per-lang
+    # 1:1 gram join — the heavy text-join representative).
+    "multimodal_tar_index",
+    "pipeline_curriculum",
+    "pipeline_ngram_coverage",
 ]
 
 

@@ -1619,3 +1619,90 @@ def fn_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "fn_ipv4_cidr",
+    oracle="""
+WITH ip AS (
+  SELECT event_id,
+         ((event_id * 2654435761) % 4294967296) AS addr
+  FROM events
+),
+parts AS (
+  SELECT event_id, addr,
+         addr // 16777216 AS o1,
+         (addr // 65536) % 256 AS o2,
+         (addr // 256) % 256 AS o3,
+         addr % 256 AS o4
+  FROM ip
+),
+formed AS (
+  SELECT event_id, addr,
+         CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS dotted,
+         CASE WHEN o1 = 10 THEN 1
+              WHEN o1 = 172 AND o2 >= 16 AND o2 < 32 THEN 1
+              WHEN o1 = 192 AND o2 = 168 THEN 1
+              ELSE 0 END AS is_private,
+         CASE WHEN addr // 268435456 = 0 THEN 1 ELSE 0 END AS in_slash4
+  FROM parts
+)
+SELECT CAST(SUM(is_private) AS BIGINT) AS n_private,
+       CAST(SUM(in_slash4) AS BIGINT) AS n_in_slash4,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(addr) AS BIGINT) AS addr_checksum,
+       CAST(SUM(len(dotted)) AS BIGINT) AS dotted_chars,
+       MIN(dotted) AS min_dotted
+FROM formed
+""",
+    category="functions",
+)
+def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address arithmetic — the log-analytics primitive set:
+    uint32 -> dotted-quad formatting (pure div/mod octet splits,
+    string re-assembly), RFC-1918 private-range classification
+    (10/8, 172.16/12, 192.168/16 — the 172.16/12 case is the one
+    naive string prefixes get wrong), and CIDR membership as a
+    prefix integer division (addr >> 28 == 0 for 0.0.0.0/4).
+    Addresses are deterministic Knuth hashes of event ids, so the
+    oracle recomputes everything from scratch; checksums +
+    MIN(dotted) pin both the numeric and the string forms. One map
+    + one global aggregate, all integer codegen."""
+    e = table(spark, sf_dir, "events")
+    addr = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    a = e.select("event_id", addr.alias("addr"))
+    o1 = F.expr("addr DIV 16777216")
+    o2 = F.expr("(addr DIV 65536) % 256")
+    o3 = F.expr("(addr DIV 256) % 256")
+    o4 = F.col("addr") % 256
+    parts = a.select("event_id", "addr", o1.alias("o1"), o2.alias("o2"),
+                     o3.alias("o3"), o4.alias("o4"))
+    dotted = F.concat_ws(
+        ".",
+        F.col("o1").cast("string"),
+        F.col("o2").cast("string"),
+        F.col("o3").cast("string"),
+        F.col("o4").cast("string"),
+    )
+    is_private = (
+        F.when(F.col("o1") == 10, 1)
+        .when((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") < 32), 1)
+        .when((F.col("o1") == 192) & (F.col("o2") == 168), 1)
+        .otherwise(0)
+    )
+    in_slash4 = F.when(F.expr("addr DIV 268435456") == 0, 1).otherwise(0)
+    formed = parts.select(
+        "addr",
+        dotted.alias("dotted"),
+        is_private.alias("is_private"),
+        in_slash4.alias("in_slash4"),
+    )
+    return formed.agg(
+        F.sum("is_private").cast("long").alias("n_private"),
+        F.sum("in_slash4").cast("long").alias("n_in_slash4"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("addr").cast("long").alias("addr_checksum"),
+        F.sum(F.length("dotted")).cast("long").alias("dotted_chars"),
+        F.min("dotted").alias("min_dotted"),
+    )

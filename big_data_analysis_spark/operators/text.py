@@ -1066,3 +1066,79 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch"),
         (0.39 * wps + 11.8 * spw - 15.59).alias("fk_grade"),
     )
+
+
+@query(
+    "text_html_extract",
+    oracle="""
+WITH wrapped AS (
+  SELECT doc_id, lang,
+         '<html><body class="c' || CAST(doc_id % 7 AS VARCHAR)
+           || '"><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+           || replace(text, ' ', '</p><p>') || '</p><script>var x='
+           || CAST(doc_id AS VARCHAR) || ';</script></body></html>'
+           AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, lang, html,
+         trim(regexp_replace(
+           regexp_replace(html, '<script.*?</script>', ' ', 'g'),
+           '<[^>]+>', ' ', 'g')) AS flat
+  FROM wrapped
+)
+SELECT doc_id, lang,
+       CAST(len(html) AS BIGINT) AS html_chars,
+       CAST(len(regexp_extract_all(html, '<[a-zA-Z][^>]*>')) AS BIGINT)
+         AS n_open_tags,
+       md5(regexp_replace(flat, ' +', ' ', 'g')) AS text_md5,
+       CAST(len(regexp_replace(flat, ' +', ' ', 'g')) AS BIGINT)
+         AS text_chars
+FROM stripped
+""",
+    category="text",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction — the first stage of every web-corpus
+    ingest: documents are wrapped in a deterministic HTML shell
+    (attributes, headline, per-token <p> structure, a <script> block
+    that MUST be dropped wholly — tag stripping alone would leak
+    'var x=…' into the text), then the text is recovered by
+    script-block removal -> tag removal -> whitespace normalization,
+    all in JVM regexp codegen (non-greedy and global-replace
+    semantics agree across engines on this subset). The md5 of the
+    recovered text proves exact extraction without shipping the
+    strings. Pure map stage, zero shuffles, zero Python — at 100 TB
+    this runs at scan speed, which is why the regex subset (no
+    backtracking blowups) is part of the contract."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), " ", "</p><p>"),
+        F.lit("</p><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></body></html>"),
+    )
+    w = d.select("doc_id", "lang", html.alias("html"))
+    flat = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), "<script.*?</script>", " "),
+            "<[^>]+>",
+            " ",
+        )
+    )
+    norm = F.regexp_replace(flat, " +", " ")
+    return w.select(
+        "doc_id",
+        "lang",
+        F.length("html").cast("long").alias("html_chars"),
+        F.regexp_count(F.col("html"), F.lit("<[a-zA-Z][^>]*>"))
+        .cast("long")
+        .alias("n_open_tags"),
+        F.md5(F.encode(norm, "utf-8")).alias("text_md5"),
+        F.length(norm).cast("long").alias("text_chars"),
+    )

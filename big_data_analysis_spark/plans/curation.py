@@ -704,3 +704,90 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "pipeline_session_features",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+feat AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+           AS duration_s,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS had_error
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, n_events,
+       duration_s, n_types, n_purchases, total_cents, had_error,
+       CAST(n_purchases AS DOUBLE) / n_events AS purchase_rate
+FROM feat
+""",
+    category="pipelines",
+)
+def pipeline_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level ML feature extraction — the feature table a
+    churn/conversion model trains on: gap-sessionized visits
+    (api.sessionize, microsecond-exact) rolled to one row per
+    session with event count, wall duration (whole seconds — the
+    same truncation in both engines), type diversity, purchase
+    count, exact cent spend, an error flag, and the one-division
+    purchase rate. This is pipeline_point_in_time_features'
+    label-side complement: features computed WITHIN the entity's
+    own window need no as-of join. One shuffle on user_id (the
+    sessionize window), and the feature rollup reuses the same
+    partitioning — no second Exchange."""
+    from .. import api
+
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = e.select(
+        "user_id", "event_id", "ts", "event_type", cents.alias("cents")
+    )
+    sess = api.sessionize(base, "user_id", "ts", "event_id", gap_minutes=30)
+    dur = (
+        F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+    ).cast("long")
+    feat = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dur.alias("duration_s"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("had_error"),
+    )
+    return feat.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "duration_s",
+        "n_types",
+        "n_purchases",
+        "total_cents",
+        "had_error",
+        (F.col("n_purchases").cast("double") / F.col("n_events")).alias(
+            "purchase_rate"
+        ),
+    )

@@ -426,3 +426,79 @@ def test_stratified_split_membership_matches_ablation_10pct(spark, sf_dir):
     n_eval = sum(r.n_docs for r in strat if r.split == "eval")
     abl = {r.pct: r.n_docs for r in run("pipeline_ablation_grid", spark, sf_dir).collect()}
     assert n_eval == abl[10]
+
+
+def test_wilson_ci_properties(spark, sf_dir):
+    """Wilson bounds must bracket p_hat, stay in [0,1], and match a
+    pure-Python evaluation of the closed form."""
+    import math
+
+    for r in run("agg_wilson_ci", spark, sf_dir).collect():
+        p = r.successes / r.n
+        z, z2 = 1.96, 3.8416
+        lo = (p + z2 / (2 * r.n) - z * math.sqrt((p * (1 - p) + z2 / (4 * r.n)) / r.n)) / (1 + z2 / r.n)
+        hi = (p + z2 / (2 * r.n) + z * math.sqrt((p * (1 - p) + z2 / (4 * r.n)) / r.n)) / (1 + z2 / r.n)
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        assert abs(r.wilson_lo - lo) < 1e-12 and abs(r.wilson_hi - hi) < 1e-12
+
+
+def test_ipv4_classification_matches_stdlib(spark, sf_dir):
+    """Private-range counts must match Python's ipaddress module over
+    the same deterministic address set."""
+    import ipaddress
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    ids = [r.event_id for r in spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").collect()]
+    n_priv = n_s4 = 0
+    for eid in ids:
+        addr = (eid * 2654435761) % (1 << 32)
+        ip = ipaddress.IPv4Address(addr)
+        if ip.is_private and (addr >> 24) in (10, 172, 192):
+            # restrict to the three RFC-1918 blocks the op classifies
+            o1, o2 = addr >> 24, (addr >> 16) & 255
+            if o1 == 10 or (o1 == 172 and 16 <= o2 < 32) or (o1 == 192 and o2 == 168):
+                n_priv += 1
+        if addr >> 28 == 0:
+            n_s4 += 1
+    r = run("fn_ipv4_cidr", spark, sf_dir).collect()[0]
+    assert r.n_total == n
+    assert r.n_private == n_priv
+    assert r.n_in_slash4 == n_s4
+
+
+def test_html_extract_recovers_exact_text(spark, sf_dir):
+    """Rebuild the expected flattened text in Python for a sample and
+    match the md5 (script content must be gone, token order kept)."""
+    import hashlib
+
+    docs = {
+        r.doc_id: (r.text, r.lang)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id < 25")
+        .collect()
+    }
+    out = {r.doc_id: r for r in run("text_html_extract", spark, sf_dir).collect() if r.doc_id in docs}
+    for doc_id, r in out.items():
+        text = docs[doc_id][0]
+        expected = f"Doc {doc_id} " + " ".join(text.split(" "))
+        assert r.text_md5 == hashlib.md5(expected.encode()).hexdigest(), doc_id
+        assert str(doc_id) not in ("",)  # structure sanity
+        assert r.text_chars == len(expected)
+
+
+def test_vwap_monotone_volume(spark, sf_dir):
+    rows = run("win_vwap", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cum_q >= 1
+        assert r.vwap == r.cum_pv / r.cum_q / 100.0
+
+
+def test_session_features_consistency(spark, sf_dir):
+    rows = run("pipeline_session_features", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 1 and r.duration_s >= 0
+        assert 0 <= r.n_purchases <= r.n_events
+        assert r.had_error in (0, 1)
+        assert r.purchase_rate == r.n_purchases / r.n_events

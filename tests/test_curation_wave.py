@@ -502,3 +502,24 @@ def test_session_features_consistency(spark, sf_dir):
         assert 0 <= r.n_purchases <= r.n_events
         assert r.had_error in (0, 1)
         assert r.purchase_rate == r.n_purchases / r.n_events
+
+
+def test_ldp_estimator_close_to_truth(spark, sf_dir):
+    """The debiased randomized-response estimate must land near the
+    true count (hash coins are uniform enough for a ~n/8 window) and
+    the mechanism identity est = (obs - n/8)/0.75 must hold."""
+    r = run("pipeline_ldp_frequency", spark, sf_dir).collect()[0]
+    assert r.debiased_estimate == (r.observed_ones - 0.125 * r.n) / 0.75
+    assert abs(r.debiased_estimate - r.true_ones) < max(0.1 * r.n, 50)
+
+
+def test_capture_recapture_sane(spark, sf_dir):
+    """Chapman estimate must be >= both sample sizes (it estimates
+    the union's superset) and within a sane multiple of the true
+    population; the recapture count can't exceed either sample."""
+    r = run("agg_capture_recapture", spark, sf_dir).collect()[0]
+    assert r.n_recaptured <= min(r.n1, r.n2)
+    assert r.chapman_estimate >= max(r.n1, r.n2) - 1
+    assert r.chapman_estimate <= 10 * r.true_population
+    exp = (r.n1 + 1) * (r.n2 + 1) // (r.n_recaptured + 1) - 1
+    assert r.chapman_estimate == exp

@@ -1706,3 +1706,59 @@ def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("dotted")).cast("long").alias("dotted_chars"),
         F.min("dotted").alias("min_dotted"),
     )
+
+
+@query(
+    "fn_base_conv",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey AS x FROM orders
+),
+enc AS (
+  SELECT x, to_base(x, 2) AS b2, to_base(x, 8) AS b8,
+         to_base(x, 16) AS b16, to_base(x, 36) AS b36
+  FROM v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(len(b2)) AS BIGINT) AS bits,
+       CAST(SUM(len(b8)) AS BIGINT) AS oct_chars,
+       CAST(SUM(len(b16)) AS BIGINT) AS hex_chars,
+       CAST(SUM(len(b36)) AS BIGINT) AS b36_chars,
+       MIN(b36) AS min_b36, MAX(b36) AS max_b36,
+       CAST(SUM(x) AS BIGINT) AS roundtrip_checksum
+FROM enc
+""",
+    category="functions",
+)
+def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix conversion surface (conv): every order key encoded to
+    binary/octal/hex/base-36 and PARSED BACK — the roundtrip_checksum
+    sums only rows whose base-36 decode reproduces the original, so
+    a digit-alphabet or padding bug in either direction collapses
+    the checksum rather than passing silently. The oracle encodes
+    independently (DuckDB to_base), cross-checking Spark's encoder
+    through the per-base character masses and the MIN/MAX base-36
+    strings (case and alphabet pinned). Pure codegen map + one
+    aggregate."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_orderkey")
+    enc = o.select(
+        x.alias("x"),
+        F.conv(x.cast("string"), 10, 2).alias("b2"),
+        F.conv(x.cast("string"), 10, 8).alias("b8"),
+        F.conv(x.cast("string"), 10, 16).alias("b16"),
+        F.conv(x.cast("string"), 10, 36).alias("b36"),
+    )
+    back = F.conv(F.col("b36"), 36, 10).cast("long")
+    return enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("b2")).cast("long").alias("bits"),
+        F.sum(F.length("b8")).cast("long").alias("oct_chars"),
+        F.sum(F.length("b16")).cast("long").alias("hex_chars"),
+        F.sum(F.length("b36")).cast("long").alias("b36_chars"),
+        F.min("b36").alias("min_b36"),
+        F.max("b36").alias("max_b36"),
+        F.sum(F.when(back == F.col("x"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("roundtrip_checksum"),
+    )

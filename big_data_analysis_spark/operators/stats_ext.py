@@ -646,3 +646,52 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1 long, n2 long, n_recaptured long, chapman_estimate long, "
         "true_population long",
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+  WHERE {_CENTS_SQL} > 0
+),
+b AS (
+  SELECT event_type, length(printf('%b', cents)) - 1 AS bucket, cents
+  FROM c
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS log2_bucket,
+       CAST(1 << bucket AS BIGINT) AS bucket_lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b
+GROUP BY event_type, bucket
+""",
+    category="aggregations",
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log2) histogram — the latency/size-distribution
+    workhorse (HDR-style buckets) computed with ZERO logarithms:
+    bucket = floor(log2(cents)) = bit-length − 1, read off the binary
+    string length (Spark bin(), DuckDB printf('%%b') — both render
+    positive int64 without padding, so the lengths agree exactly).
+    Exponential buckets keep the histogram bounded (≤ 63 buckets per
+    type at ANY data volume — the value-domain-bounded discipline of
+    this module) while resolving both the cents tail and the
+    max-value head. One map + one grouped aggregate."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = e.select("event_type", cents.alias("cents")).where(F.col("cents") > 0)
+    bucket = (F.length(F.bin(F.col("cents"))) - 1).cast("long")
+    b = c.select("event_type", bucket.alias("log2_bucket"), "cents")
+    return (
+        b.groupBy("event_type", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn(
+            "bucket_lo_cents",
+            F.expr("CAST(shiftleft(1L, CAST(log2_bucket AS INT)) AS BIGINT)"),
+        )
+        .select("event_type", "log2_bucket", "bucket_lo_cents", "n", "sum_cents")
+    )

@@ -1142,3 +1142,89 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(norm, "utf-8")).alias("text_md5"),
         F.length(norm).cast("long").alias("text_chars"),
     )
+
+
+@query(
+    "text_encoding_guard",
+    oracle="""
+WITH corrupted AS (
+  SELECT doc_id, lang,
+         CASE doc_id % 5
+           WHEN 0 THEN chr(7) || text                 -- control char (BEL)
+           WHEN 1 THEN text || chr(65533)             -- U+FFFD replacement
+           WHEN 2 THEN substr(text, 1, 10) || chr(8203)
+                       || substr(text, 11)            -- zero-width space
+           WHEN 3 THEN chr(65279) || text             -- BOM in content
+           ELSE text
+         END AS t
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, lang, t,
+         len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+           AS n_control,
+         len(regexp_extract_all(t, '\\x{FFFD}')) AS n_replacement,
+         len(regexp_extract_all(t, '[\\x{200B}\\x{FEFF}]')) AS n_invisible
+  FROM corrupted
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_control + n_replacement + n_invisible > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_control) AS BIGINT) AS total_control,
+       CAST(SUM(n_replacement) AS BIGINT) AS total_replacement,
+       CAST(SUM(n_invisible) AS BIGINT) AS total_invisible
+FROM flagged
+GROUP BY lang
+""",
+    category="text",
+)
+def text_encoding_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage triage — the guard every web-scale
+    text ingest runs before tokenization: counts of C0 control
+    characters (minus tab/newline/CR, which are legitimate), U+FFFD
+    replacement characters (the fingerprint of a bad decode), and
+    invisible layout characters (zero-width space, in-content BOM —
+    the ones that silently split tokens and poison dedup keys).
+    Corruption is INJECTED deterministically by doc_id class so the
+    oracle knows exactly what each document should flag — the
+    detector cannot pass by matching nothing. Single JVM-regexp map
+    + one rollup; the character-class regexes use explicit code
+    points, identical under Java regex and RE2."""
+    d = table(spark, sf_dir, "documents")
+    # literal unicode chars (NOT Spark's char(): it wraps code points
+    # mod 256, silently turning U+200B into 0x0B — caught live)
+    t = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\x07"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit("\uFFFD")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.substring(F.col("text"), 1, 10),
+                F.lit("\u200B"),
+                F.expr("substring(text, 11)"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("\uFEFF"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    c = d.select("doc_id", "lang", t.alias("t"))
+    n_control = F.regexp_count(
+        F.col("t"), F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    )
+    n_repl = F.regexp_count(F.col("t"), F.lit("\\uFFFD"))
+    n_invis = F.regexp_count(F.col("t"), F.lit("[\\u200B\\uFEFF]"))
+    f = c.select(
+        "lang",
+        n_control.alias("n_control"),
+        n_repl.alias("n_replacement"),
+        n_invis.alias("n_invisible"),
+    )
+    bad = (F.col("n_control") + F.col("n_replacement") + F.col("n_invisible")) > 0
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.sum("n_control").cast("long").alias("total_control"),
+        F.sum("n_replacement").cast("long").alias("total_replacement"),
+        F.sum("n_invisible").cast("long").alias("total_invisible"),
+    )

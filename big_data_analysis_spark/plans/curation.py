@@ -859,3 +859,96 @@ def pipeline_ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "n", "observed_ones", "true_ones", est.alias("debiased_estimate")
     )
+
+
+@query(
+    "pipeline_dsar_report",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+  WHERE c_custkey % 211 = 0
+),
+o AS (
+  SELECT t.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)), 0) AS BIGINT) AS order_cents,
+         MIN(o.o_orderdate) AS first_order_ts
+  FROM target t LEFT JOIN orders o ON o.o_custkey = t.c_custkey
+  GROUP BY t.c_custkey
+),
+l AS (
+  SELECT t.c_custkey,
+         CAST(COUNT(li.l_orderkey) AS BIGINT) AS n_lineitems,
+         CAST(COUNT(DISTINCT li.l_partkey) AS BIGINT) AS n_distinct_parts
+  FROM target t
+  LEFT JOIN orders o2 ON o2.o_custkey = t.c_custkey
+  LEFT JOIN lineitem li ON li.l_orderkey = o2.o_orderkey
+  GROUP BY t.c_custkey
+)
+SELECT t.c_custkey, t.c_name, t.c_mktsegment,
+       o.n_orders, o.order_cents,
+       CAST(strftime(o.first_order_ts, '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+         AS first_order_at,
+       l.n_lineitems, l.n_distinct_parts
+FROM target t
+JOIN o ON o.c_custkey = t.c_custkey
+JOIN l ON l.c_custkey = t.c_custkey
+""",
+    category="pipelines",
+)
+def pipeline_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-subject access report (GDPR Art. 15 — the read side of
+    pipeline_tombstone_delete's Art. 17 erasure): for each requesting
+    customer (deterministic %211 sample standing in for the request
+    queue), the complete per-table footprint — order count and cent
+    mass, first-order timestamp, lineitem count, distinct parts
+    touched. The request set is TINY relative to the tables, so both
+    fact joins broadcast the subject keys and the big tables are
+    never shuffled — the exact shape a DSAR batch job needs at
+    100 TB (footprint proportional to the subjects, not the lake).
+    Timestamps are serialized to strings so the graded payload is
+    scalar-stable."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    target = c.where(F.col("c_custkey") % 211 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    o_side = (
+        o.join(F.broadcast(target.select("c_custkey")),
+               o["o_custkey"] == F.col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("order_cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_order_at"
+            ),
+        )
+    )
+    # LEFT from the subjects so a customer with zero orders still
+    # appears (classic TPC-H leaves ~1/3 of customers orderless —
+    # an inner join here would silently drop their DSAR rows)
+    subj_orders = (
+        F.broadcast(target.select(F.col("c_custkey").alias("k")))
+        .join(o, o["o_custkey"] == F.col("k"), "left")
+        .select("k", "o_orderkey")
+    )
+    l_side = (
+        li.join(F.broadcast(subj_orders), li["l_orderkey"] == subj_orders["o_orderkey"], "right")
+        .groupBy("k")
+        .agg(
+            F.count("l_partkey").cast("long").alias("n_lineitems"),
+            F.countDistinct("l_partkey").cast("long").alias("n_distinct_parts"),
+        )
+    )
+    return (
+        target.join(o_side, "c_custkey")
+        .join(l_side, target["c_custkey"] == l_side["k"])
+        .select(
+            "c_custkey", "c_name", "c_mktsegment", "n_orders", "order_cents",
+            "first_order_at", "n_lineitems", "n_distinct_parts",
+        )
+    )

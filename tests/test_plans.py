@@ -716,3 +716,62 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_r7_day_grid_stats_single_scan(spark, sf_dir):
+    """The day-grid statistics must touch the raw events table ONCE
+    (the checkpointed grid feeds every plan branch): exactly one
+    Scan over events.parquet in the executed plan."""
+    for name in ("agg_kendall_tau", "agg_mann_kendall", "agg_runs_test"):
+        plan = plan_of(name, spark, sf_dir)
+        assert plan.count("events.parquet") <= 1, name
+
+
+def test_r7_zscore_and_seasonal_single_shuffle(spark, sf_dir):
+    """Anomaly flags and the seasonal backtest are one grid shuffle
+    plus windows on the same partitioning — no second Exchange
+    beyond the grid aggregate and final rollup."""
+    for name, cap in (("win_zscore_anomaly", 1), ("win_seasonal_error", 2)):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") <= cap, (name, tree.count("Exchange"))
+
+
+def test_rejection_sample_no_global_sort(spark, sf_dir):
+    """Best-of-n must window on the pool key, never globally — and
+    the rank()=1 filter must push a WindowGroupLimit below the
+    shuffle (per-pool partial top-1, the WindowExec never sees more
+    than the group winners per task)."""
+    plan = plan_of("pipeline_rejection_sample", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree and "WindowGroupLimit" in tree
+    # the window's partition spec (details section) must be the pool
+    # key — an empty spec would be the single-task global sort
+    assert "prompt_id" in plan
+
+
+def test_matryoshka_broadcasts_queries(spark, sf_dir):
+    """The corpus must never shuffle: the bounded query set is the
+    broadcast side of the score join."""
+    plan = plan_of("vec_matryoshka_probe", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_dsar_broadcasts_subjects(spark, sf_dir):
+    """DSAR must broadcast the tiny subject set against both fact
+    tables — a SortMergeJoin of lineitem against the subjects would
+    shuffle the lake for a handful of requests."""
+    plan = plan_of("pipeline_dsar_report", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+
+
+def test_html_extract_and_encoding_guard_pure_map(spark, sf_dir):
+    """The two ingest guards are regexp codegen: no Python, and no
+    Exchange before the (optional) final rollup."""
+    for name, max_ex in (("text_html_extract", 0), ("text_encoding_guard", 1)):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert "Python" not in tree, name
+        assert tree.count("Exchange") <= max_ex, name

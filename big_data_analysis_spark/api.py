@@ -359,6 +359,10 @@ def pagerank(
 
 _SPLIT_MOD = 1 << 32
 _SPLIT_MULT = 2654435761  # Knuth multiplicative hash
+# 31-bit pre-mask: (2^31-1)*_SPLIT_MULT < 2^63, so the product can
+# never overflow int64 — without it Spark silently wraps past ~3.4e9
+# ids while DuckDB raises a BIGINT overflow (engine divergence)
+_SPLIT_MASK = (1 << 31) - 1
 
 
 def split_column(
@@ -369,7 +373,7 @@ def split_column(
     integer arithmetic) — split membership survives reordering,
     reseeding, and re-partitioning, the reproducibility contract of
     a dataset release."""
-    bucket = (id_col * _SPLIT_MULT) % _SPLIT_MOD
+    bucket = (id_col.bitwiseAND(_SPLIT_MASK) * _SPLIT_MULT) % _SPLIT_MOD
     return (
         F.when(bucket < int(train * _SPLIT_MOD), "train")
         .when(bucket < int((train + val) * _SPLIT_MOD), "val")
@@ -705,7 +709,7 @@ def domain_resample(
         ).alias("keep_pm"),
     )
     return df.join(F.broadcast(rates), domain_col).where(
-        (F.col(id_col) * 2654435761) % 4294967296 % 1000 < F.col("keep_pm")
+        (F.col(id_col).bitwiseAND(2147483647) * 2654435761) % 4294967296 % 1000 < F.col("keep_pm")
     ).drop("keep_pm")
 
 
@@ -735,7 +739,7 @@ def epoch_upsample(
     )
     # `div` = exact integer division on longs (domain_resample's rule)
     k = F.expr("epochs_pm div 1000") + F.when(
-        (F.col(id_col) * 2654435761) % 4294967296 % 1000
+        (F.col(id_col).bitwiseAND(2147483647) * 2654435761) % 4294967296 % 1000
         < F.col("epochs_pm") % 1000,
         1,
     ).otherwise(0)
@@ -1496,7 +1500,7 @@ def weighted_sample(
     per-partition RNG coordination, scan-speed at 100 TB.  ⊘ class:
     ln() is libm, so cross-engine equality is 1-ulp, not bit-exact —
     tests assert NumPy agreement and exact sample-set equality."""
-    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    h = F.pmod(F.col(id_col).bitwiseAND(2147483647) * F.lit(2654435761), F.lit(4294967296))
     u = (h + 1).cast("double") / F.lit(4294967297.0)
     key = F.log(u) / F.col(weight_col).cast("double")
     return (

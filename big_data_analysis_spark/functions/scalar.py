@@ -642,8 +642,8 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN l_orderkey > 7 THEN NULL
             ELSE CAST(CAST(9223372036854775800 AS HUGEINT) + l_orderkey AS BIGINT)
        END AS near_max_plus,
-       TRY_CAST(CAST(l_partkey AS VARCHAR) AS DECIMAL(8,0)) AS parsed_ok,
-       TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS DECIMAL(8,0)) AS parsed_bad
+       TRY_CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS parsed_ok,
+       TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS BIGINT) AS parsed_bad
 FROM lineitem
 WHERE l_orderkey % 50 = 0
 """,
@@ -657,7 +657,10 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL on unparseable numerics — the ingest-hardening functions a
     pipeline uses instead of wrapping every expression in CASE.
     DuckDB twins: NULLIF denominator, HUGEINT-widened guarded add,
-    TRY_CAST. All pure map-stage codegen."""
+    TRY_CAST. All pure map-stage codegen. The try_to_number results
+    are cast to BIGINT on both twins — a DECIMAL final column hashes
+    unequal across engines even for equal values (driver comparator
+    renders Spark Decimal objects vs DuckDB float64)."""
     l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
     return l.select(
         "l_orderkey",
@@ -669,13 +672,15 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9223372036854775800).cast("long"),
             F.col("l_orderkey").cast("long"),
         ).alias("near_max_plus"),
-        F.try_to_number(
-            F.col("l_partkey").cast("string"), F.lit("99999999")
-        ).alias("parsed_ok"),
+        F.try_to_number(F.col("l_partkey").cast("string"), F.lit("99999999"))
+        .cast("long")
+        .alias("parsed_ok"),
         F.try_to_number(
             F.concat(F.lit("x"), F.col("l_partkey").cast("string")),
             F.lit("99999999"),
-        ).alias("parsed_bad"),
+        )
+        .cast("long")
+        .alias("parsed_bad"),
     )
 
 
@@ -1486,7 +1491,7 @@ def fn_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH acct AS (
   SELECT c_custkey, c_mktsegment,
-         lpad(CAST((c_custkey * 2654435761) % 10000000000 AS VARCHAR),
+         lpad(CAST(((c_custkey & 2147483647) * 2654435761) % 10000000000 AS VARCHAR),
               10, '0') AS payload
   FROM customer
 ),
@@ -1541,7 +1546,7 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment rollup."""
     c = table(spark, sf_dir, "customer")
     payload = F.lpad(
-        ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(10000000000)).cast(
+        ((F.col("c_custkey").bitwiseAND(2147483647) * F.lit(2654435761)) % F.lit(10000000000)).cast(
             "string"
         ),
         10,
@@ -1626,7 +1631,7 @@ def fn_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ip AS (
   SELECT event_id,
-         ((event_id * 2654435761) % 4294967296) AS addr
+         (((event_id & 2147483647) * 2654435761) % 4294967296) AS addr
   FROM events
 ),
 parts AS (
@@ -1670,7 +1675,7 @@ def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN(dotted) pin both the numeric and the string forms. One map
     + one global aggregate, all integer codegen."""
     e = table(spark, sf_dir, "events")
-    addr = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    addr = (F.col("event_id").bitwiseAND(2147483647) * F.lit(2654435761)) % F.lit(4294967296)
     a = e.select("event_id", addr.alias("addr"))
     o1 = F.expr("addr DIV 16777216")
     o2 = F.expr("(addr DIV 65536) % 256")

@@ -1318,7 +1318,7 @@ _CHI_TYPES = ["click", "error", "purchase", "signup", "view"]
     oracle=f"""
 WITH t AS (
   SELECT event_type,
-         CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+         CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
               THEN 'A' ELSE 'B' END AS arm
   FROM events
 ),
@@ -1363,7 +1363,7 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (single shuffle-free partial+final over 10 counters)."""
     ev = table(spark, sf_dir, "events")
     arm = F.when(
-        (F.col("user_id") * 2654435761) % 4294967296 < 2147483648, "A"
+        (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296 < 2147483648, "A"
     ).otherwise("B")
     t = ev.select(F.col("event_type"), arm.alias("arm"))
     aggs = [
@@ -1548,7 +1548,7 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ks_test",
     oracle="""
 WITH t AS (
-  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
               THEN 'A' ELSE 'B' END AS arm,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
@@ -1596,7 +1596,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/windows.py global_rank_distributed instead."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     arm = F.when(
-        (F.col("user_id") * 2654435761) % 4294967296 < 2147483648, "A"
+        (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296 < 2147483648, "A"
     ).otherwise("B")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     t = ev.select(arm.alias("arm"), cents.alias("cents"))
@@ -1636,7 +1636,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mann_whitney",
     oracle="""
 WITH t AS (
-  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
               THEN 'A' ELSE 'B' END AS arm,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
@@ -1683,7 +1683,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     one rollup — grid boundedness enforced by the same guard test
     (test_value_grid_windows_stay_domain_bounded)."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    arm_a = (F.col("user_id") * 2654435761) % 4294967296 < 2147483648
+    arm_a = (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296 < 2147483648
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     t = ev.select(arm_a.alias("is_a"), cents.alias("cents"))
     per_v = t.groupBy("cents").agg(
@@ -1974,7 +1974,7 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_welch_t",
     oracle="""
 WITH t AS (
-  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
               THEN 'A' ELSE 'B' END AS arm,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
@@ -2020,7 +2020,7 @@ def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply and sqrt correctly rounded -> bit-equal). Shape: ONE
     conditional-aggregate pass, no shuffle beyond the 1-row rollup."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    arm_a = (F.col("user_id") * 2654435761) % 4294967296 < 2147483648
+    arm_a = (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296 < 2147483648
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     t = ev.select(arm_a.alias("is_a"), cents.alias("cents"))
     m = t.agg(
@@ -2091,7 +2091,7 @@ agg AS (
   FROM s WHERE next_us IS NOT NULL
   GROUP BY user_id
 )
-SELECT user_id, num AS twa_num, den AS span_us,
+SELECT user_id, CAST(num AS DOUBLE) AS twa_num, den AS span_us,
        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS time_weighted_avg,
        n_samples
 FROM agg WHERE den > 0
@@ -2110,7 +2110,10 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) — int64 would overflow once per-user spans exceed
     ~(2^63 / max_cents) microseconds (~3 years at $1000 values), the
     denominator is the exact total covered span, and the single
-    double division happens once per user. One shuffle on user_id
+    double division happens once per user. DECIMAL stays internal:
+    the final twa_num is cast to DOUBLE on both twins because the
+    driver comparator hashes Spark decimal.Decimal objects unequal
+    to DuckDB's float64 rendering of DECIMAL(38,0). One shuffle on user_id
     (window + agg share it), users with <2 samples drop (zero
     covered span)."""
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
@@ -2133,7 +2136,7 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.where(F.col("span_us") > 0).select(
         "user_id",
-        "twa_num",
+        F.col("twa_num").cast("double").alias("twa_num"),
         "span_us",
         (
             F.col("twa_num").cast("double") / F.col("span_us").cast("double") / 100.0

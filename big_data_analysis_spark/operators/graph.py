@@ -70,6 +70,133 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 10**12  # fixed-point rank scale (1.0 == 1e12)
+_PR_EXACT_ITERS = 15
+
+_PR_EDGE_SQL = """
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+"""
+
+
+def _pagerank_exact_oracle() -> str:
+    """Unrolled fixed-point PageRank as chained CTEs (DuckDB's plain
+    WITH RECURSIVE forbids aggregation in the recursive term, so the
+    fixed iteration count is unrolled mechanically instead). Every
+    multiply-referenced CTE is AS MATERIALIZED — r{k} is referenced
+    twice per round, so default inlining would expand the base scan
+    2^15 times (observed live as an fd-exhaustion error)."""
+    S = _PR_SCALE
+    parts = [
+        f"WITH e AS MATERIALIZED ({_PR_EDGE_SQL}),",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d"
+        "  FROM e GROUP BY src),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),",
+        f"r0 AS MATERIALIZED (SELECT node,"
+        f" CAST({S} // (SELECT n FROM meta) AS BIGINT) AS pr FROM nodes),",
+    ]
+    for k in range(_PR_EXACT_ITERS):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((85 * r.pr) // (100 * deg.d)) AS BIGINT) AS contrib
+  FROM r{k} r JOIN deg ON deg.src = r.node JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT CAST(COALESCE(SUM(r.pr), 0) AS BIGINT) AS dm
+  FROM r{k} r LEFT JOIN deg ON deg.src = r.node
+  WHERE deg.src IS NULL
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((15 * {S}) // (100 * (SELECT n FROM meta))
+              + COALESCE(c.contrib, 0)
+              + (85 * (SELECT dm FROM d{k})) // (100 * (SELECT n FROM meta))
+           AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+),"""
+        )
+    parts.append(
+        f"fin AS (SELECT 1)\n"
+        f"SELECT node, pr AS rank_scaled FROM r{_PR_EXACT_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_pagerank_exact", oracle=_pagerank_exact_oracle(), category="graph")
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank promoted from rows-only to ORACLE-EXACT (VERDICT r7
+    item 8) via fixed-point integer arithmetic: ranks are int64
+    scaled by 1e12, every per-edge share and teleport/dangling term
+    is an exact floor division (Spark `DIV` == DuckDB `//`), and the
+    iteration count is FIXED at 15 (no float-threshold early exit),
+    so both engines walk the identical integer lattice and the final
+    vector is bit-for-bit comparable — the same certification trick
+    that made graph_bfs_distance/graph_sssp_weighted exact. The
+    float `graph_pagerank` (NumPy-verified, early-exit) remains the
+    reference kernel; this twin certifies the ITERATION STRUCTURE
+    (degree join → edge join → groupBy dst → teleport + dangling
+    fold) against an independent engine. Floor losses only shrink
+    the conserved mass (ranks sum to ≤ 1e12, short by < n per
+    round), they never reorder it.
+
+    Execution shape per round (identical to api.pagerank): one
+    broadcast degree join, one equi-join on src, one groupBy dst
+    shuffle; n and the dangling mass are 1-row broadcast
+    crossJoins, never driver collects; lineage truncated per round
+    by an eager localCheckpoint on the ≤|V|-row rank vector. At
+    100 TB the edge table stays co-partitioned on src across rounds
+    — Pregel's shape on the DataFrame runtime."""
+    S = _PR_SCALE
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    meta = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = (
+        nodes.crossJoin(F.broadcast(meta))
+        .select("node", F.expr(f"CAST({S} AS BIGINT) DIV n").alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PR_EXACT_ITERS):
+        rd = r.join(F.broadcast(deg), r["node"] == deg["src"]).select(
+            "node", "pr", "d"
+        )
+        contrib = (
+            rd.join(e, rd["node"] == e["src"])
+            .select("dst", F.expr("(85 * pr) DIV (100 * d)").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("long").alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        dm = r.join(deg, r["node"] == deg["src"], "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dm")
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(meta))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * CAST({S} AS BIGINT)) DIV (100 * n)"
+                    " + coalesce(contrib, CAST(0 AS BIGINT))"
+                    " + (85 * dm) DIV (100 * n)"
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return r.select("node", F.col("pr").alias("rank_scaled"))
+
+
 @query(
     "graph_triangle_count",
     oracle="""

@@ -461,7 +461,7 @@ def win_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_wilson_ci",
     oracle=f"""
 WITH arms AS (
-  SELECT CASE WHEN (event_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END
+  SELECT CASE WHEN ((event_id & 2147483647) * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END
            AS arm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
   FROM events
@@ -499,7 +499,7 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible — the win_bollinger discipline applied to
     proportions. One map + one 2-row aggregate."""
     e = table(spark, sf_dir, "events")
-    arm = F.when((F.col("event_id") * 2654435761) % 2 == 0, "A").otherwise("B")
+    arm = F.when((F.col("event_id").bitwiseAND(2147483647) * 2654435761) % 2 == 0, "A").otherwise("B")
     conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     c = e.select(arm.alias("arm"), conv.alias("conv")).groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -592,7 +592,7 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s1 AS (
   SELECT DISTINCT user_id FROM events
-  WHERE (event_id * 2654435761) % 10 < 3
+  WHERE ((event_id & 2147483647) * 2654435761) % 10 < 3
 ),
 s2 AS (
   SELECT DISTINCT user_id FROM events
@@ -627,7 +627,7 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small sample tables."""
     e = table(spark, sf_dir, "events")
     s1 = (
-        e.where((F.col("event_id") * 2654435761) % 10 < 3)
+        e.where((F.col("event_id").bitwiseAND(2147483647) * 2654435761) % 10 < 3)
         .select("user_id")
         .distinct()
     )

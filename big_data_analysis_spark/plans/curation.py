@@ -22,6 +22,9 @@ from ..session import scratch_dir
 
 _MOD = 1 << 32
 _MULT = 2654435761  # Knuth multiplicative hash (shared with api.split_column)
+# 31-bit pre-mask so id*_MULT can never overflow int64 (Spark would
+# silently wrap while DuckDB raises — engine divergence past ~3.4e9 ids)
+_MASK = (1 << 31) - 1
 
 # Exact integer density key: unique-token ratio scaled to ppm, floor
 # division (both operands positive -> Spark `div` == DuckDB `//`).
@@ -99,7 +102,7 @@ _ABLATION_PCTS = (10, 25, 50, 100)
 WITH b AS (
   SELECT doc_id, lang, n_chars,
          len(string_split(text, ' ')) AS n_tokens,
-         (doc_id * {_MULT}) % {_MOD} AS bucket
+         ((doc_id & {_MASK}) * {_MULT}) % {_MOD} AS bucket
   FROM documents
 ),
 m AS (
@@ -135,7 +138,7 @@ def pipeline_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.size(toks).alias("n_tokens"),
-        ((F.col("doc_id") * _MULT) % _MOD).alias("bucket"),
+        ((F.col("doc_id").bitwiseAND(_MASK) * _MULT) % _MOD).alias("bucket"),
     )
     pcts = spark.createDataFrame([(p,) for p in _ABLATION_PCTS], "pct int")
     m = b.join(
@@ -655,7 +658,7 @@ _STRAT_EVAL_PCT = 10  # per-stratum eval share
 WITH d AS (
   SELECT doc_id, lang, source,
          len(string_split(text, ' ')) AS n_tokens,
-         (doc_id * {_MULT}) % {_MOD} AS bucket
+         ((doc_id & {_MASK}) * {_MULT}) % {_MOD} AS bucket
   FROM documents
 ),
 assigned AS (
@@ -685,7 +688,7 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-stratification). One map + one aggregate."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    bucket = (F.col("doc_id") * _MULT) % _MOD
+    bucket = (F.col("doc_id").bitwiseAND(_MASK) * _MULT) % _MOD
     split = F.when(
         bucket * 100 < _STRAT_EVAL_PCT * _MOD, "eval"
     ).otherwise("train")
@@ -803,8 +806,8 @@ _LDP_KEEP_MOD = 4  # keep if hash % 4 < 3
 WITH r AS (
   SELECT event_type,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
-         ((event_id * 2654435761) % {_LDP_KEEP_MOD}) < 3 AS keep,
-         ((event_id * 2654435761) // 8) % 2 AS coin
+         (((event_id & 2147483647) * 2654435761) % {_LDP_KEEP_MOD}) < 3 AS keep,
+         (((event_id & 2147483647) * 2654435761) // 8) % 2 AS coin
   FROM events
 ),
 reported AS (
@@ -847,8 +850,8 @@ def pipeline_ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers."""
     e = table(spark, sf_dir, "events")
     truth = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    keep = ((F.col("event_id") * 2654435761) % _LDP_KEEP_MOD) < 3
-    coin = F.expr("((event_id * 2654435761) DIV 8) % 2")
+    keep = ((F.col("event_id").bitwiseAND(2147483647) * 2654435761) % _LDP_KEEP_MOD) < 3
+    coin = F.expr("(((event_id & 2147483647) * 2654435761) DIV 8) % 2")
     bit = F.when(keep, truth).otherwise(coin)
     c = e.select(bit.alias("bit"), truth.alias("truth")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -907,48 +910,70 @@ def pipeline_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact joins broadcast the subject keys and the big tables are
     never shuffled — the exact shape a DSAR batch job needs at
     100 TB (footprint proportional to the subjects, not the lake).
-    Timestamps are serialized to strings so the graded payload is
-    scalar-stable."""
+    Join-shape discipline (r8 fix): Spark REJECTS a broadcast hint
+    on the preserved side of an outer join ("Hint (strategy=
+    broadcast) is not supported" at plan time), silently demoting to
+    SortMergeJoin — so the fact joins are INNER against the
+    broadcast subjects (BuildRight, always legal) and zero-footprint
+    subjects are re-attached by a final left join FROM the tiny
+    target with COALESCE(...,0), where the broadcastable side is the
+    build side. Plan-tested: zero SortMergeJoin, all builds on the
+    subject/aggregate side. Timestamps are serialized to strings so
+    the graded payload is scalar-stable."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     target = c.where(F.col("c_custkey") % 211 == 0).select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    keys = target.select("c_custkey")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     o_side = (
-        o.join(F.broadcast(target.select("c_custkey")),
-               o["o_custkey"] == F.col("c_custkey"), "right")
+        o.join(F.broadcast(keys), o["o_custkey"] == F.col("c_custkey"))
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").cast("long").alias("n_orders"),
-            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("order_cents"),
+            F.sum(cents).cast("long").alias("order_cents"),
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
                 "first_order_at"
             ),
         )
     )
-    # LEFT from the subjects so a customer with zero orders still
-    # appears (classic TPC-H leaves ~1/3 of customers orderless —
-    # an inner join here would silently drop their DSAR rows)
     subj_orders = (
-        F.broadcast(target.select(F.col("c_custkey").alias("k")))
-        .join(o, o["o_custkey"] == F.col("k"), "left")
-        .select("k", "o_orderkey")
+        o.join(F.broadcast(keys), o["o_custkey"] == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("k"), "o_orderkey")
     )
     l_side = (
-        li.join(F.broadcast(subj_orders), li["l_orderkey"] == subj_orders["o_orderkey"], "right")
+        li.join(
+            F.broadcast(subj_orders),
+            li["l_orderkey"] == subj_orders["o_orderkey"],
+        )
         .groupBy("k")
         .agg(
             F.count("l_partkey").cast("long").alias("n_lineitems"),
             F.countDistinct("l_partkey").cast("long").alias("n_distinct_parts"),
         )
     )
+    # LEFT from the subjects so a customer with zero orders still
+    # appears (classic TPC-H leaves ~1/3 of customers orderless —
+    # the inner fact joins above dropped them on purpose); the
+    # aggregated sides are broadcast (BuildRight is legal for the
+    # non-preserved side of a left join)
     return (
-        target.join(o_side, "c_custkey")
-        .join(l_side, target["c_custkey"] == l_side["k"])
+        target.join(F.broadcast(o_side), "c_custkey", "left")
+        .join(F.broadcast(l_side), target["c_custkey"] == l_side["k"], "left")
         .select(
-            "c_custkey", "c_name", "c_mktsegment", "n_orders", "order_cents",
-            "first_order_at", "n_lineitems", "n_distinct_parts",
+            "c_custkey", "c_name", "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("order_cents"), F.lit(0))
+            .cast("long")
+            .alias("order_cents"),
+            "first_order_at",
+            F.coalesce(F.col("n_lineitems"), F.lit(0))
+            .cast("long")
+            .alias("n_lineitems"),
+            F.coalesce(F.col("n_distinct_parts"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_parts"),
         )
     )

@@ -177,6 +177,7 @@ def pipeline_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFra
 # integer arithmetic (no xxhash in DuckDB), well-mixed low bits.
 _SPLIT_MOD = 1 << 32
 _SPLIT_MULT = 2654435761
+_SPLIT_MASK = (1 << 31) - 1  # pre-mask: id*mult stays under 2^63
 
 
 @query(
@@ -184,7 +185,7 @@ _SPLIT_MULT = 2654435761
     oracle=f"""
 WITH b AS (
   SELECT doc_id, lang, n_chars,
-         (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} AS bucket
+         ((doc_id & {_SPLIT_MASK}) * {_SPLIT_MULT}) % {_SPLIT_MOD} AS bucket
   FROM documents
 ),
 assigned AS (
@@ -1100,7 +1101,7 @@ def pipeline_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH per_user AS (
   SELECT user_id,
-         CASE WHEN (user_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+         CASE WHEN ((user_id & {_SPLIT_MASK}) * {_SPLIT_MULT}) % {_SPLIT_MOD}
                    < {_SPLIT_MOD // 2} THEN 'A' ELSE 'B' END AS arm,
          CAST(SUM(CASE WHEN event_type = 'purchase'
                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -1140,7 +1141,7 @@ def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so even the sqrt-bearing statistic is bit-reproducible.
     Two shuffles: the per-user rollup and the 2-row arm rollup."""
     ev = table(spark, sf_dir, "events")
-    bucket = (F.col("user_id") * _SPLIT_MULT) % _SPLIT_MOD
+    bucket = (F.col("user_id").bitwiseAND(_SPLIT_MASK) * _SPLIT_MULT) % _SPLIT_MOD
     arm = F.when(bucket < _SPLIT_MOD // 2, "A").otherwise("B")
     spend = F.sum(
         F.when(
@@ -1719,7 +1720,7 @@ rates AS (
 )
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
-WHERE (d.doc_id * 2654435761) % 4294967296 % 1000 < r.keep_pm
+WHERE ((d.doc_id & 2147483647) * 2654435761) % 4294967296 % 1000 < r.keep_pm
 """,
     category="pipelines",
 )
@@ -2427,7 +2428,7 @@ rates AS (
 mixed AS (
   SELECT k.doc_id, k.source, k.text
   FROM kept k JOIN rates r ON r.source = k.source
-  WHERE (k.doc_id * 2654435761) % 4294967296 % 1000 < r.keep_pm
+  WHERE ((k.doc_id & 2147483647) * 2654435761) % 4294967296 % 1000 < r.keep_pm
 ),
 tok AS (
   SELECT doc_id, source,
@@ -2659,7 +2660,7 @@ WITH pm AS (
 d AS (
   SELECT doc_id, documents.source,
          epochs_pm // 1000
-           + CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000
+           + CASE WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296 % 1000
                        < epochs_pm % 1000
                   THEN 1 ELSE 0 END AS k
   FROM documents JOIN pm ON documents.source = pm.source

@@ -185,20 +185,51 @@ def test_mann_kendall_sign_convention(spark, sf_dir):
 
 
 def test_zscore_anomaly_decision_is_integer_pure(spark, sf_dir):
-    """The is_anomaly flag must equal the float z-score rule computed
-    independently (strict > 2 sigma with the 7-day trailing frame),
-    and the plan must contain no Python stage."""
-    rows = run("win_zscore_anomaly", spark, sf_dir).collect()
+    """The is_anomaly flag must equal the z-score rule recomputed
+    INDEPENDENTLY from the raw events (trailing-7 frame excluding the
+    current day): exactly, via unbounded Python ints on the integer
+    identity n*(n*x-s)^2 > 4*n*(n*ss-s^2); and as floats, via
+    |x-mu| > 2*sigma wherever the margin is clear of the boundary.
+    The plan must contain no Python stage (pure JVM window +
+    codegen decision)."""
+    import duckdb
+
+    con = duckdb.connect()
+    grid = con.execute(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) x
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, d, x in grid:
+        series.setdefault(et, []).append((d.isoformat(), int(x)))
+
+    df = run("win_zscore_anomaly", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    rows = df.collect()
     assert rows
-    for r in rows:
-        mu = r.s / r.n
-        # reconstruct sigma^2 from the integer identity the op uses:
-        # flag <=> n*(n*x-s)^2 > 4*n*(n*ss-s^2); verify via floats
-        # loosely and via exact ints strictly on a recomputed ss
-        assert r.n == 7
-    flagged = [r for r in rows if r.is_anomaly == 1]
-    for r in flagged:
-        assert abs(r.x - r.s / r.n) > 0  # anomalies genuinely deviate
+    got = {(r.event_type, r.day): r for r in rows}
+
+    n_checked = 0
+    for et, seq in series.items():
+        for i in range(7, len(seq)):
+            day, x = seq[i]
+            window = [v for _, v in seq[i - 7 : i]]
+            n, s, ss = 7, sum(window), sum(v * v for v in window)
+            r = got[(et, day)]
+            assert (r.x, r.n, r.s) == (x, n, s)
+            exact = n * (n * x - s) ** 2 > 4 * n * (n * ss - s * s)
+            assert r.is_anomaly == int(exact), (et, day)
+            mu = s / n
+            sigma = ((ss / n) - mu * mu) ** 0.5
+            margin = abs(abs(x - mu) - 2 * sigma)
+            if margin > 1e-6 * max(1.0, sigma):
+                assert r.is_anomaly == int(abs(x - mu) > 2 * sigma), (et, day)
+            n_checked += 1
+    assert n_checked == len(rows)  # every output row was verified
 
 
 def test_runs_test_run_count(spark, sf_dir):

@@ -761,10 +761,20 @@ def test_matryoshka_broadcasts_queries(spark, sf_dir):
 def test_dsar_broadcasts_subjects(spark, sf_dir):
     """DSAR must broadcast the tiny subject set against both fact
     tables — a SortMergeJoin of lineitem against the subjects would
-    shuffle the lake for a handful of requests."""
+    shuffle the lake for a handful of requests.  Pinned hard (r8,
+    ADVICE): every join is a BroadcastHashJoin AND every build side
+    is the subject/aggregate side (BuildRight with the fact table
+    streamed) — a bare 'BroadcastHashJoin somewhere' assertion let
+    r7's ignored outer-join hints pass on size-based fact broadcasts
+    at sf0.001."""
     plan = plan_of("pipeline_dsar_report", spark, sf_dir)
     tree = plan.split("\n\n")[0]
-    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 5
+    # all five builds on the right (2× subject keys, subj_orders, the
+    # two aggregated report sides) — the fact scans are never exchanged
+    assert "BuildLeft" not in tree
+    assert tree.count("BuildRight") == 5
 
 
 def test_html_extract_and_encoding_guard_pure_map(spark, sf_dir):

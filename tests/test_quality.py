@@ -623,11 +623,41 @@ def test_driver_canonicalizable_rejects_array_cells():
         assert_driver_canonicalizable(bad, "spark", "bad")
 
 
+def test_driver_canonicalizable_rejects_decimal_cells():
+    """Decimal FINAL columns must be rejected, not canonicalized: the
+    real driver hashed Spark's Decimal('3947629572998970') unequal to
+    DuckDB's 3947629572998970.0 in round 7 even though local parity's
+    old Decimal->float canonicalization called them equal."""
+    import decimal
+
+    import pandas as pd
+
+    from big_data_analysis_spark.parity import (
+        _canon_cell,
+        assert_driver_canonicalizable,
+    )
+
+    bad = pd.DataFrame(
+        {"twa_num": [decimal.Decimal("3947629572998970"), None]},
+        dtype=object,
+    )
+    with pytest.raises(AssertionError, match="decimal.Decimal"):
+        assert_driver_canonicalizable(bad, "spark", "agg_time_weighted_avg")
+    # and the cell canonicalizer no longer equates Decimal with float
+    assert _canon_cell(decimal.Decimal("7")) != _canon_cell(7.0)
+    assert _canon_cell(decimal.Decimal("7")) != _canon_cell(7)
+
+
 def test_no_array_outputs_on_any_oracle_query(spark, duck, sf_dir):
     """Schema-level guard for the whole graded surface: no
     oracle-bearing query may expose an array/map/struct FINAL column
-    on either engine (the driver comparator cannot hash them)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    (the driver comparator cannot hash them) NOR a DecimalType FINAL
+    column (the comparator hashes Spark decimal.Decimal objects
+    unequal to DuckDB's float64 rendering of DECIMAL even for equal
+    values — sank agg_time_weighted_avg's r7 grade) on either engine.
+    DECIMAL/HUGEINT belong in internal sums only; cast the final
+    select to DOUBLE/BIGINT on both twins."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     offenders = []
     for name, spec in REG.items():
@@ -637,13 +667,16 @@ def test_no_array_outputs_on_any_oracle_query(spark, duck, sf_dir):
         offenders += [
             f"{name}.spark.{f.name}"
             for f in schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
         ]
         desc = duck.execute("DESCRIBE " + spec.oracle).df()
         offenders += [
             f"{name}.oracle.{r['column_name']}"
             for _, r in desc.iterrows()
-            if any(tok in r["column_type"] for tok in ("[]", "MAP", "STRUCT"))
+            if any(
+                tok in r["column_type"]
+                for tok in ("[]", "MAP", "STRUCT", "DECIMAL", "HUGEINT")
+            )
         ]
     assert not offenders, offenders
 

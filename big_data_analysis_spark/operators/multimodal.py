@@ -239,56 +239,86 @@ def _le_int(bin_col, pos: int, nbytes: int):
     return out
 
 
+def _le_hex_sql(x: str, nbytes: int) -> str:
+    """SQL-string twin of _le_hex. The WAV synth/parse expressions
+    are assembled as ONE SQL string handed to a single F.expr call:
+    building them Column-by-Column costs hundreds of py4j round
+    trips PER QUERY CONSTRUCTION (~0.7 s of driver-side Python,
+    measured r8 — bench.py reconstructs the DataFrame every run, so
+    that chatter dominated multimodal_audio_rms's benched time while
+    actual execution stayed at baseline). Identical resulting plan;
+    `div` replaces the float-divide-then-cast byte extraction (equal
+    for these non-negative header ints)."""
+    return "concat(" + ", ".join(
+        f"lpad(hex((({x}) div {256 ** i}) % 256), 2, '0')"
+        for i in range(nbytes)
+    ) + ")"
+
+
+def _le_int_sql(b: str, pos: int, nbytes: int) -> str:
+    """SQL-string twin of _le_int (see _le_hex_sql for why)."""
+    return "(" + " + ".join(
+        f"CAST(conv(hex(substring({b}, {pos + i}, 1)), 16, 10) AS BIGINT)"
+        f" * {256 ** i}"
+        for i in range(nbytes)
+    ) + ")"
+
+
 def _synth_wavs(d) -> DataFrame:
     """Synthesize the canonical mono 16-bit RIFF/WAVE binaries for
     doc_id < 64 (formula-driven hex layout, shared by
     multimodal_wav_parse and multimodal_audio_rms — the oracle knows
-    only this generator formula)."""
+    only this generator formula). Assembled as one F.expr string —
+    see _le_hex_sql for the construction-cost rationale."""
     d = d.where(F.col("doc_id") < 64)
-    i = F.col("doc_id")
-    sr = (F.lit(8000) * (1 + i % 4)).cast("long")
-    ns = (F.lit(64) + i % 32).cast("long")
-    data_size = ns * 2  # mono, 16-bit
-    byte_rate = sr * 2
-    sample_k = F.sequence(F.lit(0), (ns - 1).cast("int"))
-    samp16 = lambda k: ((i * 31 + k * 17) % 2003 - 1001 + 65536) % 65536
-    samples_hex = F.array_join(
-        F.transform(sample_k, lambda k: _le_hex(samp16(k), 2)), ""
+    sr = "(8000 * (1 + doc_id % 4))"
+    ns = "(64 + doc_id % 32)"
+    data_size = f"({ns} * 2)"  # mono, 16-bit
+    byte_rate = f"({sr} * 2)"
+    samp16 = "((doc_id * 31 + k * 17) % 2003 - 1001 + 65536) % 65536"
+    samples_hex = (
+        f"array_join(transform(sequence(0, CAST({ns} - 1 AS INT)), "
+        f"k -> {_le_hex_sql(samp16, 2)}), '')"
     )
-    wav_hex = F.concat(
-        F.lit("52494646"),            # 'RIFF'
-        _le_hex(data_size + 36, 4),
-        F.lit("57415645"),            # 'WAVE'
-        F.lit("666D7420"),            # 'fmt '
-        _le_hex(F.lit(16), 4),        # PCM fmt chunk size
-        _le_hex(F.lit(1), 2),         # audio format = PCM
-        _le_hex(F.lit(1), 2),         # channels = 1
-        _le_hex(sr, 4),
-        _le_hex(byte_rate, 4),
-        _le_hex(F.lit(2), 2),         # block align
-        _le_hex(F.lit(16), 2),        # bits per sample
-        F.lit("64617461"),            # 'data'
-        _le_hex(data_size, 4),
+    wav_hex = "concat(" + ", ".join([
+        "'52494646'",                     # 'RIFF'
+        _le_hex_sql(f"({data_size} + 36)", 4),
+        "'57415645'",                     # 'WAVE'
+        "'666D7420'",                     # 'fmt '
+        _le_hex_sql("16", 4),             # PCM fmt chunk size
+        _le_hex_sql("1", 2),              # audio format = PCM
+        _le_hex_sql("1", 2),              # channels = 1
+        _le_hex_sql(sr, 4),
+        _le_hex_sql(byte_rate, 4),
+        _le_hex_sql("2", 2),              # block align
+        _le_hex_sql("16", 2),             # bits per sample
+        "'64617461'",                     # 'data'
+        _le_hex_sql(data_size, 4),
         samples_hex,
-    )
-    return d.select("doc_id", F.unhex(wav_hex).alias("wav"))
+    ]) + ")"
+    return d.select("doc_id", F.unhex(F.expr(wav_hex)).alias("wav"))
 
 
-def _parsed_pcm(b):
+def _parsed_pcm(bin_sql: str):
     """Signed int16 sample array parsed from the WAV bytes alone
-    (two's complement, little-endian), pure JVM expressions."""
-    p_ch = _le_int(b, 23, 2)
-    p_bits = _le_int(b, 35, 2)
-    p_data = _le_int(b, 41, 4)
-    p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
-    idx = F.sequence(F.lit(0), (p_ns - 1).cast("int"))
-    raw = lambda k: F.conv(
-        F.hex(F.substring(b, 45 + k * 2, 1)), 16, 10
-    ).cast("long") + F.conv(
-        F.hex(F.substring(b, 46 + k * 2, 1)), 16, 10
-    ).cast("long") * 256
-    signed = lambda k: F.when(raw(k) >= 32768, raw(k) - 65536).otherwise(raw(k))
-    return F.transform(idx, signed)
+    (two's complement, little-endian), pure JVM expressions.
+    Takes the binary column as a SQL expression STRING and builds
+    one F.expr — see _le_hex_sql for the construction-cost
+    rationale."""
+    p_ch = _le_int_sql(bin_sql, 23, 2)
+    p_bits = _le_int_sql(bin_sql, 35, 2)
+    p_data = _le_int_sql(bin_sql, 41, 4)
+    p_ns = f"CAST({p_data} / ({p_ch} * ({p_bits} / 8)) AS BIGINT)"
+    raw = (
+        f"(CAST(conv(hex(substring({bin_sql}, 45 + k * 2, 1)), 16, 10)"
+        f" AS BIGINT)"
+        f" + CAST(conv(hex(substring({bin_sql}, 46 + k * 2, 1)), 16, 10)"
+        f" AS BIGINT) * 256)"
+    )
+    return F.expr(
+        f"transform(sequence(0, CAST({p_ns} - 1 AS INT)), "
+        f"k -> CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+    )
 
 
 def wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -305,7 +335,7 @@ def wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     p_bits = _le_int(b, 35, 2)
     p_data = _le_int(b, 41, 4)
     p_ns = (p_data / (p_ch * (p_bits / 8))).cast("long")
-    pcm = _parsed_pcm(b)
+    pcm = _parsed_pcm(bin_col)
     return df.select(
         F.col(id_col),
         p_sr.alias("sample_rate"),
@@ -519,7 +549,7 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: synth -> parse -> posexplode -> (doc, frame)
     hash-agg; a pure map + one bounded-key aggregate."""
     synth = _synth_wavs(table(spark, sf_dir, "documents"))
-    pcm = _parsed_pcm(F.col("wav"))
+    pcm = _parsed_pcm("wav")
     exploded = synth.select(
         "doc_id", F.posexplode(pcm).alias("k", "v")
     )
@@ -718,7 +748,7 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = _synth_wavs(table(spark, sf_dir, "documents"))
     b = F.col("wav")
     sr = _le_int(b, 25, 4)
-    pcm = _parsed_pcm(b)
+    pcm = _parsed_pcm("wav")
     evens = F.transform(
         F.filter(
             F.transform(pcm, lambda x, i: F.struct(x.alias("v"), i.alias("k"))),

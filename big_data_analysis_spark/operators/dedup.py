@@ -843,3 +843,103 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the two-shuffle scale contract)."""
     d = table(spark, sf_dir, "documents")
     return api.duplicated_spans(d, "text", "doc_id", gram_tokens=8)
+
+
+_EDIT_PREFIX = 24   # chars of lowered text that form the compare key
+_EDIT_BLOCK_PRE = 6  # chars of shared prefix that form the block key
+_EDIT_BLOCK_CAP = 64  # max docs per block before it is skipped
+_EDIT_MAX_DIST = 6   # accepted edit distance
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, lower(substring(text, 1, {_EDIT_PREFIX})) AS key,
+         length(lower(substring(text, 1, {_EDIT_PREFIX}))) AS klen
+  FROM documents
+),
+b AS (
+  SELECT k.*, substring(key, 1, {_EDIT_BLOCK_PRE}) AS pre,
+         klen // 4 AS lenband
+  FROM k
+),
+sz AS (
+  SELECT lang, pre, lenband, COUNT(*) AS c
+  FROM b GROUP BY lang, pre, lenband
+),
+ok AS (
+  SELECT b.* FROM b
+  JOIN sz ON sz.lang = b.lang AND sz.pre = b.pre AND sz.lenband = b.lenband
+  WHERE sz.c <= {_EDIT_BLOCK_CAP}
+),
+p AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(levenshtein(x.key, y.key) AS BIGINT) AS edit_distance
+  FROM ok x JOIN ok y
+    ON x.lang = y.lang AND x.pre = y.pre AND x.lenband = y.lenband
+   AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, edit_distance
+FROM p WHERE edit_distance <= {_EDIT_MAX_DIST}
+""",
+    category="dedup",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the dedup-ladder rung for
+    SMALL SURFACE EDITS (typo fixes, re-punctuated titles, truncated
+    re-crawls) that token-set and n-gram Jaccard both miss when the
+    strings are short: exact Levenshtein distance (built into BOTH
+    engines, verified character-identical on this corpus including
+    the zh documents) over the lowered 24-char document prefix,
+    restricted to blocked candidates — same language, shared 6-char
+    prefix, same length band — with a per-block cap of 64 docs (the
+    document-frequency-cap discipline of dedup_ngram_jaccard: hot
+    boilerplate prefixes are skipped BY DESIGN rather than allowed
+    to go quadratic; the cap is computed identically in both
+    engines, so parity is exact).  Output: accepted pairs with their
+    distance (<= 6).
+
+    Scale shape: one groupBy sizes the blocks, one equi-join on the
+    (lang, prefix, band) block key generates candidates (bounded at
+    cap^2/2 pairs per block), and the O(len^2) Levenshtein kernel
+    runs on 24-char keys only — never on full documents. All
+    key-partitioned; no global operation."""
+    d = table(spark, sf_dir, "documents")
+    key = F.lower(F.substring(F.col("text"), 1, _EDIT_PREFIX))
+    b = d.select(
+        "doc_id",
+        "lang",
+        key.alias("key"),
+        F.substring(key, 1, _EDIT_BLOCK_PRE).alias("pre"),
+        F.expr(
+            f"length(lower(substring(text, 1, {_EDIT_PREFIX}))) DIV 4"
+        ).alias("lenband"),
+    )
+    sz = b.groupBy("lang", "pre", "lenband").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ok = b.join(
+        sz.where(F.col("c") <= _EDIT_BLOCK_CAP), ["lang", "pre", "lenband"]
+    )
+    x = ok.select(
+        "lang", "pre", "lenband",
+        F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"),
+    )
+    y = ok.select(
+        F.col("lang").alias("lang_y"), F.col("pre").alias("pre_y"),
+        F.col("lenband").alias("lenband_y"),
+        F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"),
+    )
+    p = x.join(
+        y,
+        (F.col("lang") == F.col("lang_y"))
+        & (F.col("pre") == F.col("pre_y"))
+        & (F.col("lenband") == F.col("lenband_y"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("key_a", "key_b").cast("long").alias("edit_distance"),
+    )
+    return p.where(F.col("edit_distance") <= _EDIT_MAX_DIST)

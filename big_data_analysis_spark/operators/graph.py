@@ -677,3 +677,196 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.count()
     e.unpersist()
     return scores.select("node", "hub", "auth")
+
+
+_KCORE_EXACT_ROUNDS = 10
+
+_KCORE_EDGE_SQL = """
+  SELECT DISTINCT l_orderkey AS a, -l_partkey - 1 AS b FROM lineitem
+"""
+
+
+def _k_core_exact_oracle() -> str:
+    """Unrolled fixed-round synchronous peel (DuckDB's plain WITH
+    RECURSIVE forbids aggregation in the recursive term — the
+    graph_pagerank_exact lesson). Survivor sets and induced edge
+    tables are AS MATERIALIZED because each is referenced twice in
+    the next round."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_KCORE_EDGE_SQL}),"]
+    for r in range(_KCORE_EXACT_ROUNDS):
+        parts.append(
+            f"""d{r} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+  ) u GROUP BY node
+),
+s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN s{r} sa ON sa.node = e.a
+  JOIN s{r} sb ON sb.node = e.b
+),"""
+        )
+    R = _KCORE_EXACT_ROUNDS
+    parts.append(
+        f"""dfin AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+    SELECT a AS node FROM e{R} UNION ALL SELECT b FROM e{R}
+  ) u GROUP BY node
+)
+SELECT node, core_degree FROM dfin WHERE core_degree >= {_KCORE_K}"""
+    )
+    return "\n".join(parts)
+
+
+@query("graph_k_core_exact", oracle=_k_core_exact_oracle(), category="graph")
+def graph_k_core_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=3) promoted to ORACLE-EXACT — the graph_pagerank_exact
+    certification applied to the peeling loop: a FIXED number of
+    synchronous peel rounds (10) over the bipartite order—part edge
+    set, so both engines walk the identical set-valued lattice and
+    the surviving (node, degree) table is bit-comparable with zero
+    tolerance (degrees are integers; no convergence heuristic to
+    diverge on).  Ten rounds reach the peeling fixpoint on every
+    fixture SF (verified: round 10 == round 11 state; synchronous
+    peel strictly shrinks the node set, so depth is bounded by the
+    peel sequence length, which is scale-stable on this
+    constant-mean-degree graph — graph_k_core's docstring argument).
+    The ⊘ fixpoint twin graph_k_core (api.k_core, Python-oracle
+    equality test) remains the production kernel; this twin
+    certifies the round structure against an independent engine.
+
+    Execution shape per round: one degree aggregation (groupBy
+    node over the union of both endpoint projections) + two semi
+    joins of the edge table against the broadcast-size survivor
+    set; edges localCheckpoint each round (lineage discipline of
+    BFS/SSSP). At 100 TB the edge table stays partitioned on `a`
+    across rounds; only survivor keys move."""
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_EXACT_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        s = deg.where(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(s.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(s.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    dfin = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return dfin.where(F.col("core_degree") >= _KCORE_K)
+
+
+_CC_ROUNDS = 8
+
+_CC_EDGE_SQL = """
+  SELECT src, dst FROM (
+    SELECT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem
+    UNION
+    SELECT l_partkey % 100 AS src, l_orderkey % 100 AS dst FROM lineitem
+  ) u WHERE src <> dst
+"""
+
+
+def _connected_components_oracle() -> str:
+    """Unrolled fixed-round min-label propagation (see
+    _k_core_exact_oracle for the unroll-vs-recursion rationale);
+    label tables are AS MATERIALIZED because round r's table is
+    read twice (self + neighbor side)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_CC_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),",
+        "l0 AS MATERIALIZED (SELECT node, node AS lbl FROM n),",
+    ]
+    for r in range(_CC_ROUNDS):
+        parts.append(
+            f"""l{r + 1} AS MATERIALIZED (
+  SELECT c.node, LEAST(c.lbl, COALESCE(MIN(nb.lbl), c.lbl)) AS lbl
+  FROM l{r} c
+  LEFT JOIN e ON e.src = c.node
+  LEFT JOIN l{r} nb ON nb.node = e.dst
+  GROUP BY c.node, c.lbl
+),"""
+        )
+    parts.append(
+        f"fin AS (SELECT 1)\n"
+        f"SELECT node, lbl AS component FROM l{_CC_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "graph_connected_components",
+    oracle=_connected_components_oracle(),
+    category="graph",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation, ORACLE-EXACT:
+    labels start as node ids and every round each node takes the
+    minimum of its own and its neighbors' labels — a pure integer
+    lattice with a FIXED round count (8), so both engines compute
+    the identical (node, component) table (the certification trick
+    of graph_pagerank_exact / graph_k_core_exact applied to the
+    min-label kernel that dedup_cluster_cc runs in production).
+    Min-label needs diameter-many rounds; the symmetrized 100-node
+    demo digraph has diameter <= 3 at every fixture SF (verified:
+    round 3 state == round 8 state), and the fixed count certifies
+    the propagation structure regardless.
+
+    Execution shape per round: one join of the label table against
+    the static symmetrized edge table (co-partitioned on src across
+    rounds) + one min aggregate; the label table localCheckpoints
+    each round. At 100 TB this is exactly dedup_cluster_cc's
+    bounded-round component shape."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_orderkey") % 100).alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    )
+    bwd = li.select(
+        (F.col("l_partkey") % 100).alias("src"),
+        (F.col("l_orderkey") % 100).alias("dst"),
+    )
+    e = (
+        fwd.union(bwd)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_CC_ROUNDS):
+        nb = e.join(
+            lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("nb_lbl")),
+            "dst",
+        ).select(F.col("src").alias("node"), "nb_lbl")
+        mins = nb.groupBy("node").agg(F.min("nb_lbl").alias("min_nb"))
+        lbl = (
+            lbl.join(mins, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("min_nb"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return lbl.select("node", F.col("lbl").alias("component"))

@@ -695,3 +695,707 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "log2_bucket", "bucket_lo_cents", "n", "sum_cents")
     )
+
+
+@query(
+    "agg_theil_sen",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+p AS (
+  SELECT g1.event_type,
+         g1.d AS d1, g2.d AS d2,
+         (g2.x - g1.x) * 1000000 AS num,
+         date_diff('day', g1.d, g2.d) AS den
+  FROM g g1 JOIN g g2
+    ON g1.event_type = g2.event_type AND g1.d < g2.d
+),
+s AS (
+  SELECT event_type, d1, d2,
+         CASE WHEN num >= 0 THEN num // den
+              ELSE -((-num + den - 1) // den) END AS slope_ppm
+  FROM p
+),
+r AS (
+  SELECT event_type, slope_ppm,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_ppm, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM s
+)
+SELECT event_type,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(slope_ppm AS BIGINT) AS median_slope_ppm,
+       CAST(slope_ppm AS DOUBLE) / 1000000.0 / 100.0
+         AS slope_per_day
+FROM r WHERE rn = (n_pairs + 1) // 2
+""",
+    category="aggregations",
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator — the slope companion to
+    agg_mann_kendall's sign test (median of all pairwise
+    daily-revenue slopes per event type, immune to outliers that
+    wreck agg_linear_regression's least squares).  Exactness: each
+    pairwise slope is floored to ppm with an EXPLICIT negative-safe
+    floor division (num DIV den on the non-negative branch, the
+    mirrored ceiling on the negative branch — only non-negative
+    operands ever reach DIV, sidestepping any trunc-vs-floor
+    divergence), and the median picks the (n+1) DIV 2-th element
+    under the total order (slope_ppm, d1, d2) — deterministic in
+    both engines with zero float arithmetic until the final display
+    division.  Scale: the pair join and the rank window run on the
+    value-domain-bounded day grid (module docstring — O(days^2)
+    pairs per type regardless of event volume); the only
+    data-proportional work is the grid groupBy itself."""
+    g = _day_grid(spark, sf_dir)
+    g1 = g.select(
+        "event_type", F.col("d").alias("d1"), F.col("x").alias("x1")
+    )
+    g2 = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    p = g1.join(
+        g2, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        ((F.col("x2") - F.col("x1")) * 1000000).alias("num"),
+        F.datediff("d2", "d1").cast("long").alias("den"),
+    )
+    s = p.select(
+        "event_type",
+        "d1",
+        "d2",
+        F.expr(
+            "CASE WHEN num >= 0 THEN num DIV den"
+            " ELSE -((-num + den - 1) DIV den) END"
+        ).alias("slope_ppm"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_ppm", "d1", "d2")
+    w_all = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "slope_ppm",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    return r.where(F.expr("rn = (n_pairs + 1) DIV 2")).select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_ppm").cast("long").alias("median_slope_ppm"),
+        (F.col("slope_ppm").cast("double") / 1000000.0 / 100.0).alias(
+            "slope_per_day"
+        ),
+    )
+
+
+_TRIM_PCT = 10  # percent trimmed from EACH tail
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+w AS (
+  SELECT event_type, cents, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+kept AS (
+  SELECT event_type, n, n // {100 // _TRIM_PCT} AS k,
+         GREATEST(0, LEAST(cum_before + cnt, n - n // {100 // _TRIM_PCT})
+                     - GREATEST(cum_before, n // {100 // _TRIM_PCT})) AS kc,
+         cents
+  FROM w
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(k) AS BIGINT) AS k_trimmed_each_side,
+       CAST(SUM(kc) AS BIGINT) AS n_kept,
+       CAST(SUM(kc * cents) AS BIGINT) AS kept_sum_cents,
+       CAST(SUM(kc * cents) AS DOUBLE) / SUM(kc) / 100.0 AS trimmed_mean
+FROM kept
+GROUP BY event_type
+""",
+    category="aggregations",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event type — the robust location
+    estimate (drop the k = n DIV 10 smallest and largest
+    observations, average the rest) computed WITHOUT ranking any
+    raw row: the per-(type, cents) count grid carries running
+    counts, and each grid cell contributes
+    max(0, min(cum_before + cnt, n-k) - max(cum_before, k)) kept
+    observations — the exact overlap of its rank range [cum_before,
+    cum_before + cnt) with the kept band [k, n-k).  All integers
+    until the single final division.  Scale: the rank window runs
+    over the value-domain-bounded cents grid (enforced by
+    test_value_grid_windows_stay_domain_bounded for this fixture's
+    [0, ~56k-cent] domain), never over raw rows — the
+    data-proportional work is one grid groupBy with map-side
+    partials."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_before = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    kept = w.select(
+        "event_type",
+        "n",
+        F.expr(f"n DIV {100 // _TRIM_PCT}").alias("k"),
+        F.expr(
+            f"GREATEST(0, LEAST(cum_before + cnt, n - n DIV {100 // _TRIM_PCT})"
+            f" - GREATEST(cum_before, n DIV {100 // _TRIM_PCT}))"
+        ).alias("kc"),
+        "cents",
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_trimmed_each_side"),
+        F.sum("kc").cast("long").alias("n_kept"),
+        F.sum(F.col("kc") * F.col("cents")).cast("long").alias("kept_sum_cents"),
+        (
+            F.sum(F.col("kc") * F.col("cents")).cast("double")
+            / F.sum("kc")
+            / 100.0
+        ).alias("trimmed_mean"),
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+w AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+bounds AS (
+  SELECT event_type, MAX(n) AS n, MAX(n) // 10 AS k,
+         MIN(CASE WHEN cum >= n // 10 + 1 THEN cents END) AS v_lo,
+         MIN(CASE WHEN cum >= n - n // 10 THEN cents END) AS v_hi
+  FROM w GROUP BY event_type
+)
+SELECT g.event_type,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.k AS BIGINT) AS k_clamped_each_side,
+       CAST(b.v_lo AS BIGINT) AS lo_cents,
+       CAST(b.v_hi AS BIGINT) AS hi_cents,
+       CAST(SUM(g.cnt * LEAST(GREATEST(g.cents, b.v_lo), b.v_hi)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(SUM(g.cnt * LEAST(GREATEST(g.cents, b.v_lo), b.v_hi)) AS DOUBLE)
+         / b.n / 100.0 AS winsorized_mean
+FROM grid g JOIN bounds b ON g.event_type = b.event_type
+GROUP BY g.event_type, b.n, b.k, b.v_lo, b.v_hi
+""",
+    category="aggregations",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-winsorized mean per event type — agg_trimmed_mean's
+    sibling that CLAMPS the tails to the k+1-th and (n-k)-th order
+    statistics instead of dropping them (the estimator preserving
+    sample size for downstream variance math).  Both boundary order
+    statistics are read off the same cents-grid running counts
+    (smallest value whose cumulative count reaches the rank), so the
+    whole computation is exact integers until the final division.
+    Scale: grid windows only (value-domain-bounded, module
+    docstring); the bounds table is one tiny row per type,
+    broadcast back onto the grid."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # referenced by bounds AND final sum
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bounds = w.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("MAX(n) DIV 10").alias("k"),
+        F.min(F.expr("CASE WHEN cum >= n DIV 10 + 1 THEN cents END")).alias(
+            "v_lo"
+        ),
+        F.min(F.expr("CASE WHEN cum >= n - n DIV 10 THEN cents END")).alias(
+            "v_hi"
+        ),
+    )
+    b = F.broadcast(bounds.withColumnRenamed("event_type", "et_b"))
+    j = grid.join(b, grid["event_type"] == F.col("et_b"))
+    clamped = F.expr("LEAST(GREATEST(cents, v_lo), v_hi)")
+    return j.groupBy("event_type", "n", "k", "v_lo", "v_hi").agg(
+        F.sum(F.col("cnt") * clamped).cast("long").alias("winsorized_sum_cents"),
+        (
+            F.sum(F.col("cnt") * clamped).cast("double")
+            / F.col("n")
+            / 100.0
+        ).alias("winsorized_mean"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_clamped_each_side"),
+        F.col("v_lo").cast("long").alias("lo_cents"),
+        F.col("v_hi").cast("long").alias("hi_cents"),
+        "winsorized_sum_cents",
+        "winsorized_mean",
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH grid AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM lineitem
+  GROUP BY l_returnflag,
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+),
+cum AS (
+  SELECT flag, disc_c, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY disc_c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS total_w
+  FROM grid
+)
+SELECT flag,
+       CAST(MAX(total_w) AS BIGINT) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+       CAST(MIN(CASE WHEN 2 * cw >= total_w THEN disc_c END) AS BIGINT)
+         AS weighted_median_disc_pct_x100
+FROM cum
+GROUP BY flag
+""",
+    category="aggregations",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median discount per return
+    flag) — the order statistic a revenue-mix analysis needs when
+    each observation carries a weight: the first value whose running
+    weight reaches half the total (lower weighted median, the
+    standard convention), read off a cumulative window over the
+    bounded discount grid.  Discounts and quantities are decimal-
+    cast to exact integers, so the crossing test 2*cw >= W is pure
+    int64 and both engines pick the identical value.  Scale: the
+    grid is 11 discount levels x 3 flags however large lineitem
+    grows — one data-proportional groupBy, then constant-size
+    windows."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_c = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    qty = F.col("l_quantity").cast("decimal(18,2)").cast("long")
+    grid = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            disc_c.alias("disc_c"),
+            qty.alias("q"),
+        )
+        .groupBy("flag", "disc_c")
+        .agg(F.sum("q").cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("disc_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = grid.select(
+        "flag",
+        "disc_c",
+        "w",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("total_w").cast("long").alias("total_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
+        F.min(F.expr("CASE WHEN 2 * cw >= total_w THEN disc_c END"))
+        .cast("long")
+        .alias("weighted_median_disc_pct_x100"),
+    )
+
+
+@query(
+    "agg_cohens_d",
+    oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296
+                   < 2147483648 THEN 1 ELSE 0 END AS is_a,
+         {_CENTS_SQL} AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+         SUM(CASE WHEN is_a = 1 THEN CAST(cents AS HUGEINT) * cents
+                  ELSE 0 END) AS ss_a,
+         SUM(CASE WHEN is_a = 0 THEN CAST(cents AS HUGEINT) * cents
+                  ELSE 0 END) AS ss_b
+  FROM t
+)
+SELECT n_a, n_b,
+       CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+       CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+       sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+             + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+            / (n_a + n_b - 2)) / 100.0 AS pooled_sd,
+       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+                 + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+                / (n_a + n_b - 2)) AS cohens_d
+FROM m
+""",
+    category="aggregations",
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for the A/B purchase split — the
+    magnitude companion to agg_welch_t's significance test (a tiny
+    p-value with a negligible d is the classic big-data trap, so a
+    pipeline reports both).  Pooled-variance form: exact integer
+    n/s/ss per arm (squares in DECIMAL(38,0)/HUGEINT — module
+    docstring), then ONE fixed-shape double expression — identical
+    operand values and operation order in both engines make even
+    the sqrt-bearing d bit-reproducible (agg_welch_t's certified
+    trick).  The arm hash pre-masks user_id to 31 bits so the Knuth
+    multiply can never overflow int64.  One conditional-aggregate
+    pass, no shuffle beyond the 1-row rollup."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    arm_a = (
+        F.col("user_id").bitwiseAND(2147483647) * 2654435761
+    ) % 4294967296 < 2147483648
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(
+        F.when(arm_a, 1).otherwise(0).alias("is_a"), cents.alias("cents")
+    )
+    big = F.col("cents").cast("decimal(38,0)") * F.col("cents")
+    m = t.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+        F.sum(F.when(F.col("is_a") == 1, big).otherwise(0)).alias("ss_a"),
+        F.sum(F.when(F.col("is_a") == 0, big).otherwise(0)).alias("ss_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    dssa = F.col("ss_a").cast("double")
+    dssb = F.col("ss_b").cast("double")
+    pooled_var = (
+        (dssa - s_a.cast("double") * s_a / n_a)
+        + (dssb - s_b.cast("double") * s_b / n_b)
+    ) / (n_a + n_b - 2)
+    return m.select(
+        "n_a",
+        "n_b",
+        (s_a.cast("double") / n_a / 100.0).alias("mean_a"),
+        (s_b.cast("double") / n_b / 100.0).alias("mean_b"),
+        (F.sqrt(pooled_var) / 100.0).alias("pooled_sd"),
+        (
+            (s_a.cast("double") / n_a - s_b.cast("double") / n_b)
+            / F.sqrt(pooled_var)
+        ).alias("cohens_d"),
+    )
+
+
+@query(
+    "win_stochastic_osc",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+w AS (
+  SELECT event_type, d, x,
+         COUNT(*) OVER w14 AS n14,
+         MIN(x) OVER w14 AS lo14,
+         MAX(x) OVER w14 AS hi14
+  FROM g
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT event_type, d, x, lo14, hi14,
+         CASE WHEN hi14 > lo14 THEN (x - lo14) * 10000 // (hi14 - lo14)
+              ELSE 5000 END AS k_bp
+  FROM w WHERE n14 = 14
+),
+sm AS (
+  SELECT event_type, d, x, lo14, hi14, k_bp,
+         lag(k_bp, 1) OVER (PARTITION BY event_type ORDER BY d) AS k1,
+         lag(k_bp, 2) OVER (PARTITION BY event_type ORDER BY d) AS k2
+  FROM k
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       CAST(lo14 AS BIGINT) AS lo14, CAST(hi14 AS BIGINT) AS hi14,
+       CAST(k_bp AS BIGINT) AS k_bp,
+       CAST((k_bp + k1 + k2) // 3 AS BIGINT) AS d_bp
+FROM sm WHERE k2 IS NOT NULL
+""",
+    category="windows",
+)
+def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K/%D) over the daily-revenue series —
+    the where-in-the-range momentum indicator joining win_rsi /
+    win_bollinger in the TA family: %K = position of today's value
+    inside the trailing-14-day [low, high] band in basis points,
+    %D = its 3-day simple moving average.  Both are EXACT integers:
+    the band position is a non-negative floor division (flat bands
+    pin %K to the 5000 midpoint by convention), and %D floors the
+    3-term sum — zero float arithmetic anywhere.  Scale: trailing
+    windows over the value-domain-bounded day grid (module
+    docstring); one shuffle on event_type shared by both window
+    passes."""
+    g = _day_grid(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    )
+    w = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w14).alias("n14"),
+        F.min("x").over(w14).alias("lo14"),
+        F.max("x").over(w14).alias("hi14"),
+    ).where(F.col("n14") == 14)
+    k = w.select(
+        "event_type",
+        "d",
+        "x",
+        "lo14",
+        "hi14",
+        F.expr(
+            "CASE WHEN hi14 > lo14 THEN (x - lo14) * 10000 DIV (hi14 - lo14)"
+            " ELSE 5000 END"
+        ).alias("k_bp"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("d")
+    sm = k.select(
+        "event_type",
+        "d",
+        "x",
+        "lo14",
+        "hi14",
+        "k_bp",
+        F.lag("k_bp", 1).over(w1).alias("k1"),
+        F.lag("k_bp", 2).over(w1).alias("k2"),
+    ).where(F.col("k2").isNotNull())
+    return sm.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("lo14").cast("long").alias("lo14"),
+        F.col("hi14").cast("long").alias("hi14"),
+        F.col("k_bp").cast("long").alias("k_bp"),
+        F.expr("(k_bp + k1 + k2) DIV 3").cast("long").alias("d_bp"),
+    )
+
+
+@query(
+    "win_obv",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM events
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+f AS (
+  SELECT event_type, d, x, vol,
+         lag(x) OVER (PARTITION BY event_type ORDER BY d) AS prev_x
+  FROM g
+),
+s AS (
+  SELECT event_type, d, x, vol,
+         CASE WHEN prev_x IS NULL THEN 0
+              WHEN x > prev_x THEN vol
+              WHEN x < prev_x THEN -vol
+              ELSE 0 END AS flow
+  FROM f
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x, vol,
+       CAST(flow AS BIGINT) AS flow,
+       CAST(SUM(flow) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS obv
+FROM s
+""",
+    category="windows",
+)
+def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over the daily series — the classic
+    volume-flow accumulation indicator: each day contributes its
+    event count with the SIGN of the revenue move vs the previous
+    day, and OBV is the running total (divergence between OBV and
+    the value series is the standard exhaustion signal).  Entirely
+    exact integers: a sign decision, a signed count, a running sum —
+    bit-reproducible by construction.  Scale: one data-proportional
+    groupBy builds the (type, day) grid with count AND sum in the
+    same pass; the lag + cumulative windows run over the bounded
+    grid, sharing one event_type shuffle."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(
+        F.sum(cents).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("d")
+    f = g.withColumn("prev_x", F.lag("x").over(w1))
+    s = f.select(
+        "event_type",
+        "d",
+        "x",
+        "vol",
+        F.when(F.col("prev_x").isNull(), 0)
+        .when(F.col("x") > F.col("prev_x"), F.col("vol"))
+        .when(F.col("x") < F.col("prev_x"), -F.col("vol"))
+        .otherwise(0)
+        .alias("flow"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return s.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        "vol",
+        F.col("flow").cast("long").alias("flow"),
+        F.sum("flow").over(w_cum).cast("long").alias("obv"),
+    )
+
+
+@query(
+    "win_aroon",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+i AS (
+  SELECT * FROM (
+    SELECT event_type, d, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+    FROM g
+  ) t WHERE idx < 1024
+),
+w AS (
+  SELECT event_type, d, x, idx,
+         COUNT(*) OVER w14 AS n14,
+         MAX(x * 1024 + idx) OVER w14 AS hi_code,
+         MIN(x * 1024 + (1024 - idx)) OVER w14 AS lo_code
+  FROM i
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       CAST(idx - hi_code % 1024 AS BIGINT) AS days_since_high,
+       CAST(idx - (1024 - lo_code % 1024) AS BIGINT) AS days_since_low,
+       CAST((14 - (idx - hi_code % 1024)) * 100 // 14 AS BIGINT) AS aroon_up,
+       CAST((14 - (idx - (1024 - lo_code % 1024))) * 100 // 14 AS BIGINT)
+         AS aroon_down
+FROM w WHERE n14 = 14
+""",
+    category="windows",
+)
+def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down over the daily series — time-since-extreme
+    momentum (how recently did the trailing 14 days set their high /
+    low), the indicator pair that needs an ARGMAX POSITION inside a
+    window frame, which neither engine exposes directly: encoded
+    exactly as MAX(x * 1024 + idx) — the day index rides in the low
+    bits under the value, so the max recovers the most-recent
+    highest day (ties break to the later day in BOTH engines by the
+    same arithmetic), and MIN(x * 1024 + (1024 - idx)) mirrors it
+    for the low.  Everything is int64 (sound while daily sums stay
+    below 2^52 cents; past that the encoding moves to DECIMAL —
+    module docstring) and the Aroon percentages are non-negative
+    floor divisions — bit-exact, zero floats.  Scale: windows over
+    the bounded day grid; the 1024 stride bounds the index domain at
+    1024 days per partition, enforced by the idx < 1024 guard."""
+    g = _day_grid(spark, sf_dir)
+    w1 = Window.partitionBy("event_type").orderBy("d")
+    i = g.select(
+        "event_type", "d", "x", F.row_number().over(w1).alias("idx")
+    ).where(F.col("idx") < 1024)
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    w = i.select(
+        "event_type",
+        "d",
+        "x",
+        "idx",
+        F.count(F.lit(1)).over(w14).alias("n14"),
+        F.max(F.col("x") * 1024 + F.col("idx")).over(w14).alias("hi_code"),
+        F.min(F.col("x") * 1024 + (1024 - F.col("idx")))
+        .over(w14)
+        .alias("lo_code"),
+    ).where(F.col("n14") == 14)
+    since_hi = F.col("idx") - F.col("hi_code") % 1024
+    since_lo = F.col("idx") - (1024 - F.col("lo_code") % 1024)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        since_hi.cast("long").alias("days_since_high"),
+        since_lo.cast("long").alias("days_since_low"),
+        F.expr("(14 - (idx - hi_code % 1024)) * 100 DIV 14")
+        .cast("long")
+        .alias("aroon_up"),
+        F.expr("(14 - (idx - (1024 - lo_code % 1024))) * 100 DIV 14")
+        .cast("long")
+        .alias("aroon_down"),
+    )

@@ -977,3 +977,135 @@ def pipeline_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_parts"),
         )
     )
+
+
+_RL_MIN_GROUP = 4  # prompts need >= 4 sampled responses to score
+
+
+@query(
+    "pipeline_rl_advantage",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS reward_c
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(reward_c) AS BIGINT) AS s
+  FROM r GROUP BY prompt_id
+  HAVING COUNT(*) >= {_RL_MIN_GROUP}
+)
+SELECT r.prompt_id, r.response_id, r.reward_c, g.n,
+       CAST(g.n * r.reward_c - g.s AS BIGINT) AS adv_num,
+       CAST(g.n * r.reward_c - g.s AS DOUBLE) / g.n / 100.0 AS advantage
+FROM r JOIN g ON g.prompt_id = r.prompt_id
+""",
+    category="pipelines",
+)
+def pipeline_rl_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage computation — the GRPO/RLOO
+    post-training data shape: responses sampled per prompt (modeled
+    as purchase events per user, reward = cents) are scored against
+    their OWN group's mean, advantage = r - mean(group), and groups
+    too small to estimate a baseline (< 4 responses) are dropped.
+    The advantage is carried as the exact integer numerator
+    n*r - s (the mean's denominator cleared), so ranking,
+    sign tests and top-k selection downstream are bit-exact; the
+    display value divides once per row.  Scale shape: one
+    key-partitioned groupBy builds the per-prompt baseline, one
+    equi-join on prompt_id fans it back over responses — both
+    shuffles on the same key, no broadcast of anything
+    data-proportional, no window."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    r = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("reward_c"),
+    )
+    g = (
+        r.groupBy("prompt_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("reward_c").cast("long").alias("s"),
+        )
+        .where(F.col("n") >= _RL_MIN_GROUP)
+    )
+    j = r.join(g, "prompt_id")
+    adv_num = F.col("n") * F.col("reward_c") - F.col("s")
+    return j.select(
+        "prompt_id",
+        "response_id",
+        "reward_c",
+        "n",
+        adv_num.cast("long").alias("adv_num"),
+        (adv_num.cast("double") / F.col("n") / 100.0).alias("advantage"),
+    )
+
+
+_MASK_TURN_TOKENS = 16  # alternating user/assistant turn length
+
+
+@query(
+    "pipeline_loss_mask",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((n_tokens + {_MASK_TURN_TOKENS} - 1) // {_MASK_TURN_TOKENS}
+            AS BIGINT) AS n_turns,
+       CAST((n_tokens // {2 * _MASK_TURN_TOKENS}) * {_MASK_TURN_TOKENS}
+            + GREATEST(0, n_tokens % {2 * _MASK_TURN_TOKENS}
+                          - {_MASK_TURN_TOKENS}) AS BIGINT)
+         AS n_train_tokens,
+       CAST((n_tokens // {2 * _MASK_TURN_TOKENS}) * {_MASK_TURN_TOKENS}
+            + GREATEST(0, n_tokens % {2 * _MASK_TURN_TOKENS}
+                          - {_MASK_TURN_TOKENS}) AS DOUBLE)
+         / n_tokens AS train_ratio
+FROM t WHERE n_tokens > 0
+""",
+    category="pipelines",
+)
+def pipeline_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask budget — the token-accounting step of a
+    chat-tuning pipeline: documents are framed as alternating
+    16-token user/assistant turns (user first) and only ASSISTANT
+    tokens contribute to the loss; the trainable-token count per
+    document comes from the CLOSED FORM
+    (n DIV 32)*16 + max(0, n mod 32 - 16) — each full
+    user+assistant block contributes 16 trainable tokens and the
+    trailing partial block contributes whatever spills past its
+    user half — so there is no explode, no per-token row, no
+    Python: one scan-speed map stage computing exact integers (the
+    aggregate loss-mask ratio feeds the packing planner,
+    pipeline_pack_sequences).  Both engines evaluate the same
+    integer formula — bit-exact by construction."""
+    d = table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = d.select("doc_id", "lang", n.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    blk = 2 * _MASK_TURN_TOKENS
+    train = F.expr(
+        f"(n_tokens DIV {blk}) * {_MASK_TURN_TOKENS}"
+        f" + GREATEST(0, n_tokens % {blk} - {_MASK_TURN_TOKENS})"
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(
+            f"(n_tokens + {_MASK_TURN_TOKENS} - 1) DIV {_MASK_TURN_TOKENS}"
+        )
+        .cast("long")
+        .alias("n_turns"),
+        train.cast("long").alias("n_train_tokens"),
+        (train.cast("double") / F.col("n_tokens")).alias("train_ratio"),
+    )

@@ -131,6 +131,13 @@ BENCH_QUERIES = [
     "multimodal_tar_index",
     "pipeline_curriculum",
     "pipeline_ngram_coverage",
+    # r8-added: blocked Levenshtein near-dup pairs (the string-
+    # distance dedup tier: block-size equi-join + JVM levenshtein on
+    # 24-char keys, per-block df cap) and the GRPO group-relative
+    # advantage shape (per-prompt baseline rollup + key-partitioned
+    # fan-back join) — the post-training data representative.
+    "dedup_edit_distance",
+    "pipeline_rl_advantage",
 ]
 
 

@@ -870,3 +870,117 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e.unpersist()
     return lbl.select("node", F.col("lbl").alias("component"))
+
+
+_HITS_EXACT_ROUNDS = 10
+_HITS_SCALE = 10**6
+
+
+def _hits_exact_oracle() -> str:
+    """Unrolled fixed-round integer HITS (see _k_core_exact_oracle
+    for the unroll rationale). Score tables are AS MATERIALIZED —
+    each is read by both the next half-step and its own max."""
+    S = _HITS_SCALE
+    parts = [
+        f"WITH e AS MATERIALIZED ({_PR_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({S} AS BIGINT) AS h FROM n),",
+    ]
+    for r in range(_HITS_EXACT_ROUNDS):
+        parts.append(
+            f"""ar{r} AS (
+  SELECT n.node, CAST(COALESCE(SUM(h.h), 0) AS BIGINT) AS ar
+  FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h{r} h ON h.node = e.src
+  GROUP BY n.node
+),
+a{r} AS MATERIALIZED (
+  SELECT node, CAST(ar * {S} // (SELECT MAX(ar) FROM ar{r}) AS BIGINT) AS a
+  FROM ar{r}
+),
+hr{r} AS (
+  SELECT n.node, CAST(COALESCE(SUM(a.a), 0) AS BIGINT) AS hr
+  FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a{r} a ON a.node = e.dst
+  GROUP BY n.node
+),
+h{r + 1} AS MATERIALIZED (
+  SELECT node, CAST(hr * {S} // (SELECT MAX(hr) FROM hr{r}) AS BIGINT) AS h
+  FROM hr{r}
+),"""
+        )
+    R = _HITS_EXACT_ROUNDS
+    parts.append(
+        f"fin AS (SELECT 1)\n"
+        f"SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled\n"
+        f"FROM h{R} h JOIN a{R - 1} a ON a.node = h.node"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_hits_exact", oracle=_hits_exact_oracle(), category="graph")
+def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS promoted to ORACLE-EXACT — the fixed-point-integer
+    certification (graph_pagerank_exact's trick) applied to the
+    hubs/authorities iteration: scores are int64 scaled by 1e6,
+    every half-step max-normalization is a truncating integer
+    division (Spark DIV and DuckDB // both truncate toward zero —
+    verified on negative operands too, though scores here are
+    non-negative), and the round count is FIXED at 10, so both
+    engines walk the identical integer lattice and the final
+    (node, hub, auth) table is bit-comparable.  Kleinberg's
+    max-normalization (which the float ⊘ twin graph_hits also uses)
+    is what makes the integer form possible at all — no sqrt ever
+    appears.  The float twin remains the reference kernel
+    (NumPy-agreement tested); this twin certifies the two-half-step
+    round STRUCTURE against an independent engine.
+
+    Execution shape per round: two bounded shuffles (hub mass by
+    dst, authority mass by src), each max is a 1-row broadcast
+    crossJoin, score tables localCheckpoint per round. At 100 TB
+    the edge table stays co-partitioned; only score rows move."""
+    S = _HITS_SCALE
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(S).cast("long").alias("h"))
+    a = None
+    for _ in range(_HITS_EXACT_ROUNDS):
+        ar = (
+            nodes.join(e, nodes["node"] == e["dst"], "left")
+            .join(
+                h.select(F.col("node").alias("hn"), F.col("h").alias("hh")),
+                F.col("src") == F.col("hn"),
+                "left",
+            )
+            .groupBy(nodes["node"])
+            .agg(F.coalesce(F.sum("hh"), F.lit(0)).cast("long").alias("ar"))
+        )
+        am = ar.agg(F.max("ar").alias("m"))
+        a = (
+            ar.crossJoin(F.broadcast(am))
+            .select("node", F.expr(f"CAST(ar * {S} DIV m AS BIGINT)").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            nodes.join(e, nodes["node"] == e["src"], "left")
+            .join(
+                a.select(F.col("node").alias("an"), F.col("a").alias("aa")),
+                F.col("dst") == F.col("an"),
+                "left",
+            )
+            .groupBy(nodes["node"])
+            .agg(F.coalesce(F.sum("aa"), F.lit(0)).cast("long").alias("hr"))
+        )
+        hm = hr.agg(F.max("hr").alias("m"))
+        h = (
+            hr.crossJoin(F.broadcast(hm))
+            .select("node", F.expr(f"CAST(hr * {S} DIV m AS BIGINT)").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return h.join(a.withColumnRenamed("node", "n2"), h["node"] == F.col("n2")).select(
+        "node", F.col("h").alias("hub_scaled"), F.col("a").alias("auth_scaled")
+    )

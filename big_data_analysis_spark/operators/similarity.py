@@ -1363,3 +1363,113 @@ def vec_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top1_agree"),
     )
+
+
+_PI_EXACT_ROUNDS = 10
+_PI_SCALE = 10**6
+
+
+def _power_iteration_exact_oracle() -> str:
+    """Unrolled fixed-round integer power iteration (the
+    graph_pagerank_exact unroll: plain WITH RECURSIVE cannot
+    aggregate in the recursive term, and each round's tables are
+    read twice, so everything is AS MATERIALIZED)."""
+    S = _PI_SCALE
+    parts = [
+        f"WITH ev AS MATERIALIZED ({_SQL_EV}),",
+        "xq AS MATERIALIZED (SELECT vec_id, i AS pos,"
+        " CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q FROM ev),",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT i AS pos,"
+        f" CAST({S} AS HUGEINT) AS val FROM ev),",
+    ]
+    for r in range(_PI_EXACT_ROUNDS):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT x.vec_id, SUM(CAST(x.q AS HUGEINT) * v.val) AS p
+  FROM xq x JOIN v{r} v ON v.pos = x.pos GROUP BY x.vec_id
+),
+u{r} AS MATERIALIZED (
+  SELECT x.pos, SUM(CAST(x.q AS HUGEINT) * p.p) AS u
+  FROM xq x JOIN p{r} p ON p.vec_id = x.vec_id GROUP BY x.pos
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT pos, (u * {S}) // (SELECT MAX(ABS(u)) FROM u{r}) AS val
+  FROM u{r}
+),"""
+        )
+    parts.append(
+        f"fin AS (SELECT 1)\n"
+        f"SELECT pos, CAST(val AS BIGINT) AS component_scaled"
+        f" FROM v{_PI_EXACT_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "vec_power_iteration_exact",
+    oracle=_power_iteration_exact_oracle(),
+    category="similarity",
+)
+def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration promoted to ORACLE-EXACT — the fixed-point
+    integer certification applied to the Gram-matrix eigenvector
+    kernel: embeddings are quantized once onto the proven 1e-6 grid
+    (round(v*1e6), the grid every certified dot product here uses),
+    the iterate is an int64-scaled 64-vector (scale 1e6), each round
+    computes p_i = <x_i, v> in int64 (|p| <= 64 * 1e6 * 1e6 <
+    2^53), accumulates u = X^T p in DECIMAL(38,0)/HUGEINT, and
+    max-normalizes with a truncating integer division that both
+    engines share — so 10 rounds later the component vector is
+    bit-identical across engines.  Max-normalization (not the float
+    twin's L2) is what keeps the lattice sqrt-free; the float ⊘ twin
+    vec_power_iteration (NumPy 1e-6 directional agreement) remains
+    the reference kernel, this twin certifies the matvec round
+    STRUCTURE.  Overflow headroom: |u| <= n * 1e6 * 6.4e13, so the
+    *1e6 rescale stays inside 38 digits until n ~ 1e18 rows.
+
+    Execution shape per round: the iterate rides in as 64 int
+    literals (no join), each row computes one zip_with dot (pure
+    codegen), one groupBy(pos) shuffle of 64 keys reduces X^T p,
+    and the 1-row max joins back as a broadcast crossJoin; the 64
+    next-round literals are the only driver traffic (the float
+    twin's documented bounded fold). Rows scale freely at 100 TB —
+    per-round traffic is O(d * partitions)."""
+    S = _PI_SCALE
+    e = table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        ).alias("xq")
+    )
+    e = e.localCheckpoint(eager=True)
+    d = 64
+    v = [S] * d
+    out = None
+    for _ in range(_PI_EXACT_ROUNDS):
+        v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        p = F.aggregate(
+            F.zip_with(F.col("xq"), v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        u = (
+            e.select(
+                F.posexplode(
+                    F.transform(
+                        F.col("xq"),
+                        lambda xi: xi.cast("decimal(38,0)") * p,
+                    )
+                ).alias("pos0", "c")
+            )
+            .groupBy("pos0")
+            .agg(F.sum("c").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        out = u.crossJoin(F.broadcast(m)).select(
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(f"CAST(u * {S} DIV m AS BIGINT)").alias("component_scaled"),
+        )
+        v_next = {r["pos"]: r["component_scaled"] for r in out.collect()}
+        v = [v_next[i + 1] for i in range(d)]
+    e.unpersist()
+    return out

@@ -1399,3 +1399,175 @@ def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("aroon_down"),
     )
+
+
+@query(
+    "agg_grubbs",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM g GROUP BY event_type
+),
+dev AS (
+  SELECT g.event_type, m.n, m.s, m.ss,
+         ABS(m.n * g.x - m.s) AS d, g.d AS day
+  FROM g JOIN m ON m.event_type = g.event_type
+),
+mx AS (
+  SELECT event_type, n, s, ss, MAX(d) AS max_dev
+  FROM dev GROUP BY event_type, n, s, ss
+)
+SELECT mx.event_type, mx.n,
+       CAST(mx.max_dev AS BIGINT) AS max_dev_scaled,
+       strftime(MIN(dev.day), '%Y-%m-%d') AS outlier_day,
+       CAST(mx.max_dev AS DOUBLE) / mx.n
+         / sqrt((CAST(mx.n AS DOUBLE) * CAST(mx.ss AS DOUBLE)
+                 - CAST(mx.s AS DOUBLE) * mx.s)
+                / (CAST(mx.n AS DOUBLE) * (mx.n - 1))) AS grubbs_g
+FROM mx JOIN dev ON dev.event_type = mx.event_type AND dev.d = mx.max_dev
+GROUP BY mx.event_type, mx.n, mx.max_dev, mx.s, mx.ss
+""",
+    category="aggregations",
+)
+def agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier test per event type over the daily series —
+    the single-most-extreme-observation test (the formal version of
+    win_zscore_anomaly's per-day flags): G = max|x - mean| / sd,
+    with the deviation carried as the EXACT integer |n*x - s| (the
+    mean's denominator cleared) so the argmax day is chosen by pure
+    integer comparison (ties resolve to the earliest day via MIN),
+    and G itself is ONE fixed-shape double expression over exact
+    n/s/ss — bit-reproducible (the agg_welch_t certification;
+    squares run in DECIMAL(38,0)/HUGEINT per the module docstring).
+    Scale: one data-proportional groupBy builds the grid; moments
+    and argmax run on the bounded grid with the 5-row moment table
+    broadcast back."""
+    g = _day_grid(spark, sf_dir)
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss"),
+    )
+    dev = g.join(
+        F.broadcast(m.withColumnRenamed("event_type", "et_m")),
+        g["event_type"] == F.col("et_m"),
+    ).select(
+        "event_type",
+        "n",
+        "s",
+        "ss",
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+        F.col("d").alias("day"),
+    )
+    mx = dev.groupBy("event_type", "n", "s", "ss").agg(
+        F.max("dv").alias("max_dev")
+    )
+    j = mx.join(
+        dev.select(
+            F.col("event_type").alias("et_d"),
+            F.col("dv"),
+            F.col("day"),
+        ),
+        (F.col("event_type") == F.col("et_d")) & (F.col("dv") == F.col("max_dev")),
+    )
+    sd = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return j.groupBy("event_type", "n", "max_dev", "s", "ss").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("outlier_day"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("max_dev").cast("long").alias("max_dev_scaled"),
+        "outlier_day",
+        (F.col("max_dev").cast("double") / F.col("n") / sd).alias("grubbs_g"),
+    )
+
+
+@query(
+    "win_ulcer_index",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+rm AS (
+  SELECT event_type, d, x,
+         MAX(x) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max
+  FROM g
+),
+dd AS (
+  SELECT event_type, d, x, run_max,
+         CASE WHEN run_max > 0 THEN (run_max - x) * 10000 // run_max
+              ELSE 0 END AS dd_bp
+  FROM rm
+),
+w AS (
+  SELECT event_type, d, x, dd_bp,
+         COUNT(*) OVER w14 AS n14,
+         SUM(dd_bp * dd_bp) OVER w14 AS sum_dd2
+  FROM dd
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       CAST(dd_bp AS BIGINT) AS dd_bp,
+       CAST(sum_dd2 AS BIGINT) AS sum_dd2,
+       sqrt(CAST(sum_dd2 AS DOUBLE) / 14.0) AS ulcer_bp
+FROM w WHERE n14 = 14
+""",
+    category="windows",
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index over the daily series — the downside-risk
+    companion to win_drawdown (root-mean-square of the trailing
+    14-day percentage drawdowns; unlike max drawdown it punishes
+    DURATION underwater, not just depth): drawdowns are exact
+    integer basis points off the running maximum (non-negative
+    floor division; run_max >= x always), their squares and the
+    14-day sum stay int64 (dd <= 10^4 so sum_dd2 <= 1.4e9), and
+    the single final sqrt sees the identical exact integer in both
+    engines.  Scale: a cumulative-max window plus a trailing frame
+    over the value-domain-bounded day grid, sharing one event_type
+    shuffle."""
+    g = _day_grid(spark, sf_dir)
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rm = g.select(
+        "event_type", "d", "x", F.max("x").over(w_run).alias("run_max")
+    )
+    dd = rm.select(
+        "event_type",
+        "d",
+        "x",
+        F.expr(
+            "CASE WHEN run_max > 0 THEN (run_max - x) * 10000 DIV run_max"
+            " ELSE 0 END"
+        ).alias("dd_bp"),
+    )
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    w = dd.select(
+        "event_type",
+        "d",
+        "x",
+        "dd_bp",
+        F.count(F.lit(1)).over(w14).alias("n14"),
+        F.sum(F.col("dd_bp") * F.col("dd_bp")).over(w14).alias("sum_dd2"),
+    ).where(F.col("n14") == 14)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("dd_bp").cast("long").alias("dd_bp"),
+        F.col("sum_dd2").cast("long").alias("sum_dd2"),
+        F.sqrt(F.col("sum_dd2").cast("double") / 14.0).alias("ulcer_bp"),
+    )

@@ -1109,3 +1109,85 @@ def pipeline_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.cast("long").alias("n_train_tokens"),
         (train.cast("double") / F.col("n_tokens")).alias("train_ratio"),
     )
+
+
+@query(
+    "pipeline_best_of_n",
+    oracle="""
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS reward_c
+  FROM events WHERE event_type = 'purchase'
+),
+k AS (
+  SELECT prompt_id, response_id, reward_c,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY reward_c DESC, response_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
+  FROM r
+),
+top2 AS (
+  SELECT prompt_id, n,
+         MAX(CASE WHEN rk = 1 THEN response_id END) AS best_id,
+         MAX(CASE WHEN rk = 1 THEN reward_c END) AS best_reward_c,
+         MAX(CASE WHEN rk = 2 THEN reward_c END) AS runner_up_c
+  FROM k WHERE rk <= 2 GROUP BY prompt_id, n
+)
+SELECT prompt_id, n, best_id, best_reward_c,
+       CAST(best_reward_c - runner_up_c AS BIGINT) AS margin_c
+FROM top2 WHERE n >= 2
+""",
+    category="pipelines",
+)
+def pipeline_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n response selection — the rejection-sampling /
+    BoN-distillation data shape (sample n responses per prompt, keep
+    the argmax-reward one, record the margin over the runner-up as
+    the selection-confidence signal): responses are purchase events
+    per user, reward = exact cents, ties broken deterministically by
+    response id.  Margins are exact integer cents; prompts with a
+    single response are dropped (no margin is defined).  ONE shuffle
+    on prompt_id shared by the rank and count windows and the final
+    rollup (plan-tested single Exchange); sharing the count window
+    with the rank suppresses the WindowGroupLimit rewrite, which is
+    the right trade here because group sizes are bounded BY DESIGN
+    (n sampled responses per prompt — best-of-n never sees an
+    unbounded group), while splitting the count into its own
+    aggregation branch would scan the events table twice."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    r = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("reward_c"),
+    )
+    w_rank = Window.partitionBy("prompt_id").orderBy(
+        F.desc("reward_c"), F.asc("response_id")
+    )
+    w_all = Window.partitionBy("prompt_id")
+    k = r.select(
+        "prompt_id",
+        "response_id",
+        "reward_c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    ).where(F.col("rk") <= 2)
+    top2 = k.groupBy("prompt_id", "n").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("response_id"))).alias("best_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("reward_c"))).alias(
+            "best_reward_c"
+        ),
+        F.max(F.when(F.col("rk") == 2, F.col("reward_c"))).alias("runner_up_c"),
+    )
+    return top2.where(F.col("n") >= 2).select(
+        "prompt_id",
+        "n",
+        "best_id",
+        "best_reward_c",
+        (F.col("best_reward_c") - F.col("runner_up_c"))
+        .cast("long")
+        .alias("margin_c"),
+    )

@@ -390,3 +390,147 @@ def test_loss_mask_plan_is_pure_map(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_hits_exact_python_replay(spark, sf_dir):
+    """Fixed-round integer HITS replayed with unbounded Python ints
+    over the same edge list — exact equality per node."""
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT l_orderkey % 100, l_partkey % 100
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_orderkey % 100 <> l_partkey % 100"""
+    ).fetchall()
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    S = 10**6
+    h = {n: S for n in nodes}
+    a = None
+    for _ in range(10):
+        ar = {n: 0 for n in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        am = max(ar.values())
+        a = {n: ar[n] * S // am for n in nodes}
+        hr = {n: 0 for n in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        hm = max(hr.values())
+        h = {n: hr[n] * S // hm for n in nodes}
+    got = {
+        r.node: (r.hub_scaled, r.auth_scaled)
+        for r in run("graph_hits_exact", spark, sf_dir).collect()
+    }
+    assert got == {n: (h[n], a[n]) for n in nodes}
+
+
+def test_power_iteration_exact_aligns_with_numpy(spark, sf_dir):
+    """The integer fixed-point iterate must align directionally with
+    NumPy's top eigenvector of the quantized Gram matrix (the
+    statistic it certifies), and replay exactly in Python ints."""
+    import numpy as np
+
+    emb = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([np.round(np.array(e[0], dtype=np.float64) * 1_000_000) for e in emb])
+    Xi = X.astype(object).astype(int)  # exact ints
+    S = 10**6
+    v = [S] * 64
+
+    def tdiv(u, m):  # truncation toward zero, both engines' DIV
+        q = abs(u) * S // m
+        return -q if u < 0 else q
+
+    for _ in range(10):
+        p = [sum(int(Xi[i][j]) * v[j] for j in range(64)) for i in range(len(Xi))]
+        u = [sum(int(Xi[i][j]) * p[i] for i in range(len(Xi))) for j in range(64)]
+        m = max(abs(x) for x in u)
+        v = [tdiv(x, m) for x in u]
+    got = {
+        r.pos: r.component_scaled
+        for r in run("vec_power_iteration_exact", spark, sf_dir).collect()
+    }
+    assert got == {j + 1: v[j] for j in range(64)}
+    # directional agreement with the SAME 10 rounds run in float
+    # arithmetic (the fixture's random embeddings give the Gram
+    # matrix a near-degenerate top eigengap, so 10 rounds certify
+    # the ITERATION, not the limiting eigenvector)
+    vf = np.ones(64)
+    for _ in range(10):
+        pf = X @ vf
+        uf = X.T @ pf
+        vf = uf / np.abs(uf).max()
+    vi = np.array([got[j + 1] for j in range(64)], dtype=float)
+    cos = abs(vi @ vf) / (np.linalg.norm(vi) * np.linalg.norm(vf))
+    assert cos > 0.999999
+
+
+def test_best_of_n_argmax_and_margin(spark, sf_dir):
+    rewards = {}
+    for u, e, c in duckdb.sql(
+        f"""SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        rewards.setdefault(u, []).append((int(c), e))
+    got = {r.prompt_id: r for r in run("pipeline_best_of_n", spark, sf_dir).collect()}
+    n_multi = 0
+    for u, rs in rewards.items():
+        if len(rs) < 2:
+            assert u not in got
+            continue
+        ordered = sorted(rs, key=lambda t: (-t[0], t[1]))
+        r = got[u]
+        assert (r.n, r.best_id, r.best_reward_c) == (
+            len(rs), ordered[0][1], ordered[0][0],
+        )
+        assert r.margin_c == ordered[0][0] - ordered[1][0]
+        n_multi += 1
+    assert n_multi == len(got) > 0
+
+
+def test_best_of_n_plan_single_exchange(spark, sf_dir):
+    """The rank window, the count window and the final rollup must
+    all share ONE prompt_id shuffle (a second events scan or a
+    second Exchange would double the data-proportional cost; group
+    sizes are bounded by the sampling design, so no WindowGroupLimit
+    is needed — see the query docstring)."""
+    df = run("pipeline_best_of_n", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # 1 shuffle (+AQE read marker)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_grubbs_python_replay(spark, sf_dir):
+    got = {r.event_type: r for r in run("agg_grubbs", spark, sf_dir).collect()}
+    for et, seq in _series(sf_dir).items():
+        xs = [x for _, x in seq]
+        n, s = len(xs), sum(xs)
+        devs = [abs(n * x - s) for x in xs]
+        md = max(devs)
+        day = min(d for (d, x) in seq if abs(n * x - s) == md)
+        r = got[et]
+        assert (r.n, r.max_dev_scaled, r.outlier_day) == (n, md, day.isoformat())
+        mu = s / n
+        sd = (sum((x - mu) ** 2 for x in xs) / (n - 1)) ** 0.5
+        assert r.grubbs_g == pytest.approx(max(abs(x - mu) for x in xs) / sd, rel=1e-9)
+
+
+def test_ulcer_python_replay(spark, sf_dir):
+    got = {
+        (r.event_type, r.day): r for r in run("win_ulcer_index", spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for et, seq in _series(sf_dir).items():
+        run_max, dds = 0, []
+        for i, (d, x) in enumerate(seq):
+            run_max = max(run_max, x)
+            dd = (run_max - x) * 10000 // run_max if run_max > 0 else 0
+            dds.append(dd)
+            if i >= 13:
+                s2 = sum(v * v for v in dds[i - 13 : i + 1])
+                r = got[(et, d.isoformat())]
+                assert (r.dd_bp, r.sum_dd2) == (dd, s2)
+                assert r.ulcer_bp == pytest.approx((s2 / 14.0) ** 0.5, rel=1e-12)
+                n_checked += 1
+    assert n_checked == len(got) > 0

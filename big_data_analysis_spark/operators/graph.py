@@ -583,7 +583,53 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.modularity(edges, "a", "b", labels)
 
 
-@query("graph_random_walk", oracle=None, category="graph")
+_RW_STEPS = 3
+_RW_EDGE_SQL = """
+  SELECT DISTINCT a, b FROM (
+    SELECT l_orderkey AS a, -l_partkey - 1 AS b FROM lineitem
+    UNION ALL
+    SELECT -l_partkey - 1 AS a, l_orderkey AS b FROM lineitem
+  ) u
+"""
+
+
+def _random_walk_oracle() -> str:
+    """Unrolled 3-step walk: neighbor pick t is the
+    mix(walker, node, t) % degree-th neighbor in ascending order
+    (api.random_walk's exact integer function; the explicit
+    double-mod is Spark's pmod — node ids are negative in the part
+    namespace, so a plain % would take the dividend's sign)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_RW_EDGE_SQL}),",
+        "nb AS MATERIALIZED (\n"
+        "  SELECT a AS node, b AS nbr,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,\n"
+        "         COUNT(*) OVER (PARTITION BY a) AS deg\n"
+        "  FROM e),",
+        "w0 AS MATERIALIZED (SELECT DISTINCT a AS walker_id, a AS node FROM e),",
+    ]
+    for t in range(1, _RW_STEPS + 1):
+        mix = (
+            f"(((w.walker_id * 1000003 + w.node * 97 + {t} * 31)"
+            f" % 2147483647 + 2147483647) % 2147483647)"
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walker_id, nb.nbr AS node
+  FROM w{t - 1} w JOIN nb ON nb.node = w.node
+   AND nb.idx = {mix} % nb.deg
+),"""
+        )
+    parts.append("fin AS (SELECT 1)")
+    unions = ["SELECT walker_id, CAST(0 AS BIGINT) AS step, node FROM w0"] + [
+        f"SELECT walker_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(1, _RW_STEPS + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(unions))
+    return "\n".join(parts)
+
+
+@query("graph_random_walk", oracle=_random_walk_oracle(), category="graph")
 def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus over the bipartite
     order—part graph: one 3-step walk per node, each step a
@@ -592,17 +638,23 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit because the "randomness" is a pure integer function
     of (walker, position, step), not RNG state.
 
-    Rows-only (⊘): the step joins are iterative;
-    tests/test_quality.py replays the identical walk in pure Python
-    over the same edge list (same mix constants, same
-    ascending-neighbor indexing) and asserts EXACT equality of every
-    (walker, step, node) row, plus walk-shape invariants (every
-    walker has steps 0..3; every consecutive pair is an edge)."""
+    PROMOTED r8 from ⊘ to ORACLE-EXACT: the walk was always a pure
+    integer function of the edge set, so the fixed 3 steps unroll
+    into MATERIALIZED CTEs (each step joins the ascending-neighbor
+    index on node AND the mix % degree pick — the same arithmetic,
+    including Spark-pmod's explicit double-mod for the negative part
+    ids).  tests/test_quality.py still replays the identical walk in
+    pure Python and asserts EXACT equality of every (walker, step,
+    node) row, plus walk-shape invariants (every walker has steps
+    0..3; every consecutive pair is an edge)."""
     li = table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
     )
-    return api.random_walk(edges, "a", "b", steps=3)
+    out = api.random_walk(edges, "a", "b", steps=_RW_STEPS)
+    return out.select(
+        "walker_id", F.col("step").cast("long").alias("step"), "node"
+    )
 
 
 _HITS_ITERS = 12

@@ -1136,7 +1136,81 @@ _KM_K = 8
 _KM_ROUNDS = 4
 
 
-@query("vec_kmeans_lloyd", oracle=None, category="similarity")
+def _kmeans_oracle() -> str:
+    """Unrolled fixed-round Lloyd iteration mirroring
+    api.kmeans_lloyd exactly: 1e-6-quantized vectors, argmin of
+    int64 squared distance with ties to the LOWest centroid index
+    (array_position's first-match semantics = MIN(cl) over the
+    minimal distance), centroid update as component-wise FLOOR
+    division (Spark does it in driver-side Python where // floors;
+    DuckDB // truncates, so the negative branch gets the explicit
+    mirrored ceiling), empty clusters keep their previous centroid
+    (LEFT JOIN + COALESCE). Multiply-read tables AS MATERIALIZED
+    (the graph_pagerank_exact lesson)."""
+    k, rounds = _KM_K, _KM_ROUNDS
+    fd = (
+        "CASE WHEN s.s >= 0 THEN s.s // s.n"
+        " ELSE -((-s.s + s.n - 1) // s.n) END"
+    )
+    parts = [
+        f"WITH ev AS MATERIALIZED ({_SQL_EV}),",
+        "xq AS MATERIALIZED (SELECT vec_id, i AS pos,"
+        " CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q FROM ev),",
+        f"seed AS MATERIALIZED (SELECT vec_id,"
+        f" ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl"
+        f" FROM (SELECT DISTINCT vec_id FROM ev ORDER BY vec_id LIMIT {k}) s),",
+        "c0 AS MATERIALIZED (SELECT seed.cl, x.pos, x.q AS val"
+        " FROM seed JOIN xq x ON x.vec_id = seed.vec_id),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT v.vec_id, c.cl,
+         SUM((v.q - c.val) * (v.q - c.val)) AS dist
+  FROM xq v JOIN c{r} c ON c.pos = v.pos GROUP BY v.vec_id, c.cl
+),
+m{r} AS (SELECT vec_id, MIN(dist) AS dmin FROM d{r} GROUP BY vec_id),
+a{r} AS MATERIALIZED (
+  SELECT d.vec_id, MIN(d.cl) AS cl
+  FROM d{r} d JOIN m{r} m ON m.vec_id = d.vec_id AND d.dist = m.dmin
+  GROUP BY d.vec_id
+),
+s{r} AS MATERIALIZED (
+  SELECT a.cl, v.pos, CAST(SUM(v.q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{r} a JOIN xq v ON v.vec_id = a.vec_id GROUP BY a.cl, v.pos
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.cl, c.pos, CAST(COALESCE({fd}, c.val) AS BIGINT) AS val
+  FROM c{r} c LEFT JOIN s{r} s ON s.cl = c.cl AND s.pos = c.pos
+),"""
+        )
+    R = rounds
+    parts.append(
+        f"""df AS MATERIALIZED (
+  SELECT v.vec_id, c.cl,
+         SUM((v.q - c.val) * (v.q - c.val)) AS dist
+  FROM xq v JOIN c{R} c ON c.pos = v.pos GROUP BY v.vec_id, c.cl
+),
+mf AS (SELECT vec_id, MIN(dist) AS dmin FROM df GROUP BY vec_id),
+af AS MATERIALIZED (
+  SELECT d.vec_id, MIN(d.cl) AS cl, MIN(m.dmin) AS dmin
+  FROM df d JOIN mf m ON m.vec_id = d.vec_id AND d.dist = m.dmin
+  GROUP BY d.vec_id
+),
+cn AS (SELECT cl, CAST(SUM(val * val) AS BIGINT) AS l2 FROM c{R} GROUP BY cl)
+SELECT CAST(af.cl AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(af.dmin) AS BIGINT) AS inertia,
+       CAST(MIN(af.vec_id) AS BIGINT) AS min_member,
+       CAST(MIN(cn.l2) AS BIGINT) AS centroid_l2q
+FROM af JOIN cn ON cn.cl = af.cl
+GROUP BY af.cl"""
+    )
+    return "\n".join(parts)
+
+
+@query("vec_kmeans_lloyd", oracle=_kmeans_oracle(), category="similarity")
 def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (Lloyd's algorithm), the
     clustering stage a curation pipeline runs to stratify an
@@ -1150,13 +1224,24 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any partitioning or row order, which float k-means never
     is.  Per round: one broadcast-literal argmin map over the corpus
     + one (cluster, dim)-keyed partial-agg shuffle of k*d keys.
-    Rows-only (⊘): iterative multi-round state is outside single-
-    statement SQL; tests/test_quality.py re-runs the identical
-    integer algorithm in NumPy and asserts EXACT equality of every
-    output cell, plus cross-run determinism.  Thin adapter over the
-    public api.kmeans_lloyd kernel."""
+    PROMOTED r8 from ⊘ to ORACLE-EXACT: the very property that made
+    it ⊘-certifiable (a bit-exact integer trajectory) makes it
+    unrollable as fixed-round MATERIALIZED CTEs — the
+    graph_pagerank_exact trick — so the driver now hash-grades it
+    against DuckDB; the NumPy trajectory-equality test
+    (tests/test_quality.py) stays as the definition check.  Thin
+    adapter over the public api.kmeans_lloyd kernel."""
     e = table(spark, sf_dir, "embeddings")
-    return api.kmeans_lloyd(e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS)
+    out = api.kmeans_lloyd(
+        e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("inertia").cast("long").alias("inertia"),
+        F.col("min_member").cast("long").alias("min_member"),
+        F.col("centroid_l2q").cast("long").alias("centroid_l2q"),
+    )
 
 
 @query("vec_pca_top2", oracle=None, category="similarity")
@@ -1238,7 +1323,35 @@ def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_rp_project", oracle=None, category="similarity")
+def _rp_project_oracle() -> str:
+    """Oracle for the JL projection: the deterministic splitmix64
+    Rademacher matrix (api.rp_sign) is EMITTED as a 1024-row VALUES
+    table by this builder — the engines share the exact matrix with
+    no RNG state — and each output cell is the same exact int64
+    signed sum / 1e6 single rounding the Spark side computes."""
+    from .. import api as _api
+
+    rows = ", ".join(
+        f"({i + 1}, {j}, {_api.rp_sign(i, j)})"
+        for j in range(16)
+        for i in range(64)
+    )
+    return f"""
+WITH ev AS ({_SQL_EV}),
+xq AS (
+  SELECT vec_id, i AS pos,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM ev
+),
+signs(pos, dim, s) AS (VALUES {rows})
+SELECT x.vec_id, CAST(s.dim AS BIGINT) AS dim,
+       CAST(SUM(x.q * s.s) AS DOUBLE) / 1000000.0 AS y
+FROM xq x JOIN signs s ON s.pos = x.pos
+GROUP BY x.vec_id, s.dim
+"""
+
+
+@query("vec_rp_project", oracle=_rp_project_oracle(), category="similarity")
 def vec_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss compression of the 64-d embedding
     column to 16-d via api.rp_project's deterministic Rademacher
@@ -1248,14 +1361,17 @@ def vec_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the 4x-smaller sketch space and only survivors are verified
     against full vectors.
 
-    Rows-only (⊘): the output is exact (int64 grid sums) but
-    k*d=1024 sign literals make a SQL twin unreadable;
-    tests/test_quality.py recomputes every cell EXACTLY in NumPy
-    (same sign function, same half-away grid) and asserts the
-    measured pairwise-distance distortion of the k-scaled sketch
-    stays inside the JL band for a sample of pairs."""
+    PROMOTED r8 from ⊘ to ORACLE-EXACT: the k*d=1024 Rademacher
+    sign literals are generated into the oracle as a VALUES table by
+    _rp_project_oracle (the same api.rp_sign splitmix64 matrix), so
+    both engines compute the identical exact int64 signed sums and
+    the single /1e6 rounding.  tests/test_quality.py still
+    recomputes every cell EXACTLY in NumPy and asserts the measured
+    pairwise-distance distortion of the k-scaled sketch stays inside
+    the JL band for a sample of pairs."""
     e = table(spark, sf_dir, "embeddings")
-    return api.rp_project(e, "vec_id", "embedding", d=64, k=16)
+    out = api.rp_project(e, "vec_id", "embedding", d=64, k=16)
+    return out.select("vec_id", F.col("dim").cast("long").alias("dim"), "y")
 
 
 _MRL_PREFIX = 16  # Matryoshka truncation dimension
@@ -1473,3 +1589,72 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [v_next[i + 1] for i in range(d)]
     e.unpersist()
     return out
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+scores AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(MIN(d.label) AS BIGINT) AS neighbor_label,
+         {_sql_dot('q', 'd')} AS cosine
+  FROM ev q JOIN ev d
+    ON d.i = q.i AND q.vec_id < 8
+   AND d.vec_id <> q.vec_id AND d.label <> q.label
+  GROUP BY q.vec_id, d.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM scores
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 3
+""",
+    category="similarity",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training — the
+    data-generation step behind every contrastive fine-tune: for
+    each query vector, the top-3 MOST similar corpus vectors with a
+    DIFFERENT label (same-label rows are positives and excluded;
+    nearest other-label items are the negatives that actually move
+    the loss).  Scoring is the module's exact 1e-6-quantized dot
+    product, ranking is deterministic (cosine DESC, neighbor_id).
+    Scale shape: the bounded query set broadcasts against the corpus
+    (the sim_knn_brute contract — the corpus is never shuffled by
+    the scoring), and the per-query top-3 cut is the
+    WindowGroupLimit rank pattern."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qe"),
+    )
+    d = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("neighbor_label"),
+        F.col("embedding").alias("__de"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            api.cosine(F.col("__qe"), F.col("__de")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )

@@ -1571,3 +1571,67 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dd2").cast("long").alias("sum_dd2"),
         F.sqrt(F.col("sum_dd2").cast("double") / 14.0).alias("ulcer_bp"),
     )
+
+
+@query(
+    "agg_gini_impurity",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, lang
+),
+t AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_labels,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n, n_labels,
+       CAST((CAST(n AS HUGEINT) * n - sum_sq) * 1000000
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS impurity_ppm,
+       1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS impurity
+FROM t
+""",
+    category="aggregations",
+)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the language mix per source — the label-
+    mixedness diagnostic (decision-tree split criterion; here: how
+    language-pure each corpus shard is, the stratification signal a
+    curation pipeline reads before deciding to split a source):
+    1 - sum(p_l^2), carried as the EXACT integer rational
+    (n^2 - sum(c^2)) / n^2 and emitted both as a floor-scaled ppm
+    (pure integer — the squares run in DECIMAL(38,0)/HUGEINT so the
+    identity survives n past 2^31) and as the one-division double.
+    Distinct from agg_gini (the wealth-concentration coefficient
+    over a sorted value distribution) and agg_diversity_simpson
+    (1/sum(p^2) over event types): same family, different statistic
+    and different table.  One groupBy to the (source, lang) grid,
+    one rollup — both key-partitioned."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias(
+            "sum_sq"
+        ),
+    )
+    nn = F.col("n").cast("decimal(38,0)") * F.col("n")
+    return t.select(
+        "source",
+        "n",
+        "n_labels",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * n - sum_sq) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("impurity_ppm"),
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("impurity"),
+    )

@@ -534,3 +534,63 @@ def test_ulcer_python_replay(spark, sf_dir):
                 assert r.ulcer_bp == pytest.approx((s2 / 14.0) ** 0.5, rel=1e-12)
                 n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_hard_negatives_exclude_positives_and_rank(spark, sf_dir):
+    """No same-label neighbor may appear; ranks are the true top-3
+    other-label items by the quantized dot (NumPy replay with the
+    same tie-break)."""
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    labels = {r[0]: r[1] for r in rows}
+    Q = {r[0]: np.round(np.array(r[2], dtype=np.float64) * 1e6).astype(np.int64) for r in rows}
+    got = {}
+    for r in run("sim_hard_negatives", spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r)
+    assert set(got) == {i for i in ids if i < 8}
+    for qid, rs in got.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        for r in rs:
+            assert r.neighbor_label != labels[qid]
+            assert labels[r.neighbor_id] == r.neighbor_label
+        scored = sorted(
+            (
+                (-int(Q[qid] @ Q[nid]), nid)
+                for nid in ids
+                if nid != qid and labels[nid] != labels[qid]
+            ),
+        )[:3]
+        assert [r.neighbor_id for r in rs] == [nid for _, nid in scored]
+        for r, (negdot, _) in zip(rs, scored):
+            assert r.cosine == pytest.approx(-negdot / 1e12, rel=0, abs=0)
+
+
+def test_hard_negatives_corpus_not_shuffled(spark, sf_dir):
+    """The corpus side must reach the scorer without an Exchange —
+    only the per-query rank window may shuffle (on query_id)."""
+    df = run("sim_hard_negatives", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastExchange" in plan  # the 8-query side
+
+
+def test_gini_impurity_python_replay(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT source, lang, COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    acc = {}
+    for src, lang, c in rows:
+        acc.setdefault(src, {})[lang] = int(c)
+    got = {r.source: r for r in run("agg_gini_impurity", spark, sf_dir).collect()}
+    for src, langs in acc.items():
+        n = sum(langs.values())
+        ssq = sum(c * c for c in langs.values())
+        r = got[src]
+        assert (r.n, r.n_labels) == (n, len(langs))
+        assert r.impurity_ppm == (n * n - ssq) * 1_000_000 // (n * n)
+        assert r.impurity == pytest.approx(1.0 - ssq / (n * n))

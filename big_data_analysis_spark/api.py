@@ -1162,28 +1162,23 @@ def rp_project(
     df = df.select(
         F.col(id_col), quantize_vec(F.col(vec_col)).alias("_rp_q")
     )
-    q = F.col("_rp_q")
-    projected = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("dim"),
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            q,
-                            F.array(*[F.lit(rp_sign(i, j)) for i in range(d)]),
-                            lambda x, s: x * s,
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, t: acc + t,
-                    ).cast("double")
-                    / 1.0e6
-                ).alias("y"),
-            )
-            for j in range(k)
-        ]
+    # The k*d sign literals are assembled as ONE SQL string handed to
+    # a single F.expr: building them Column-by-Column costs >1000
+    # py4j round trips PER CONSTRUCTION (~1 s driver-side Python,
+    # measured r8 — the multimodal_audio_rms lesson; bench.py
+    # reconstructs the DataFrame every run). Identical plan.
+    terms = []
+    for j in range(k):
+        signs = ",".join(str(rp_sign(i, j)) for i in range(d))
+        terms.append(
+            f"named_struct('dim', {j}, 'y',"
+            f" CAST(aggregate(zip_with(_rp_q, array({signs}),"
+            f" (x, s) -> x * s), CAST(0 AS BIGINT),"
+            f" (acc, t) -> acc + t) AS DOUBLE) / 1.0e6)"
+        )
+    return df.select(
+        F.col(id_col), F.expr("inline(array(" + ",".join(terms) + "))")
     )
-    return df.select(F.col(id_col), F.inline(projected))
 
 
 def maxsim(
@@ -1453,26 +1448,28 @@ def pq_encode(
     )
     out = df.select(F.col(id_col), qe.alias("__pq_qv"))
 
-    def sub_dist2(m: int, c: list):
-        s = F.slice(F.col("__pq_qv"), m * sub + 1, sub)
-        lit = F.array(*[F.lit(int(x)) for x in c[m * sub : (m + 1) * sub]])
-        diffs = F.zip_with(s, lit, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+    # K*M codebook literals assembled as ONE SQL string per subspace
+    # (single F.expr each): building them Column-by-Column costs
+    # hundreds of py4j round trips per construction (~0.9 s measured
+    # r8 — the multimodal_audio_rms lesson). Identical expression.
+    def sub_dist2_sql(m: int, c: list) -> str:
+        lits = ",".join(str(int(x)) for x in c[m * sub : (m + 1) * sub])
+        return (
+            f"aggregate(zip_with(slice(__pq_qv, {m * sub + 1}, {sub}),"
+            f" array({lits}), (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (a, t) -> a + t)"
+        )
 
     recon = F.lit(0).cast("long")
     for m in range(n_subspaces):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist2(m, c).alias("d"),
-                        F.lit(k).cast("long").alias("k"),
-                    )
-                    for k, c in enumerate(codebook_q)
-                ]
-            )
+        structs = ",".join(
+            f"named_struct('d', {sub_dist2_sql(m, c)},"
+            f" 'k', CAST({k} AS BIGINT))"
+            for k, c in enumerate(codebook_q)
         )
-        out = out.withColumn(f"__pq_b{m}", best)
+        out = out.withColumn(
+            f"__pq_b{m}", F.expr(f"array_min(array({structs}))")
+        )
     cols = [F.col(id_col)]
     for m in range(n_subspaces):
         cols.append(F.col(f"__pq_b{m}").getField("k").alias(f"code_{m}"))

@@ -1107,63 +1107,79 @@ def png_stats(
     CRC-32 RE-VERIFICATION against the stored field.  Works on
     genuine files (tests craft a real zlib-compressed PNG with
     binascii CRCs and parse it back).  Pure JVM codegen."""
+    # The chunk-walk fold is assembled as ONE SQL string handed to a
+    # single F.expr (the multimodal_audio_rms lesson: building the
+    # ~200-node step expression Column-by-Column cost ~1.0 s of py4j
+    # round trips per construction, r8 audit). Field-for-field
+    # identical to the previous Column build.
+    b = bin_col
+    flen_sql = f"CAST(octet_length({b}) AS BIGINT)"
+
+    def byte_at(pos: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({b}, CAST({pos} AS INT), 1)), 16, 10)"
+            f" AS BIGINT)"
+        )
+
+    def be4(pos: str) -> str:
+        return "(" + " + ".join(
+            f"{byte_at(f'({pos}) + {i}')} * {256 ** (3 - i)}" for i in range(4)
+        ) + ")"
+
+    zero = "CAST(0 AS BIGINT)"
+    fields = [
+        "off", "n_chunks", "n_idat", "idat_bytes", "crc_ok",
+        "width", "height", "bit_depth", "color_type", "ppu_x",
+    ]
+    init = "named_struct(" + ", ".join(
+        f"'{f}', " + ("CAST(9 AS BIGINT)" if f == "off" else zero)
+        for f in fields
+    ) + ")"
+    off = "acc.off"
+    has = f"(({off}) + 11) <= {flen_sql}"
+    ln = be4(off)
+    t = f"hex(substring({b}, CAST(({off}) + 4 AS INT), 4))"
+    is_ihdr = f"{t} = '49484452'"
+    is_phys = f"{t} = '70485973'"
+    is_idat = f"{t} = '49444154'"
+    crc_field = be4(f"({off}) + 8 + {ln}")
+    crc_calc = (
+        f"crc32(substring({b}, CAST(({off}) + 4 AS INT),"
+        f" CAST({ln} + 4 AS INT)))"
+    )
+    dsum = (
+        f"aggregate(sequence(0, CAST({ln} - 1 AS INT)), {zero},"
+        f" (a, j) -> a + {byte_at(f'({off}) + 8 + j')})"
+    )
+    flag = lambda c: f"CAST(CASE WHEN {c} THEN 1 ELSE 0 END AS BIGINT)"
+    keep = lambda c, new, old: f"CAST(CASE WHEN {c} THEN {new} ELSE {old} END AS BIGINT)"
+    step_fields = {
+        "off": keep(has, f"({off}) + 12 + {ln}", off),
+        "n_chunks": f"acc.n_chunks + {flag(has)}",
+        "n_idat": f"acc.n_idat + {flag(f'({has}) AND ({is_idat})')}",
+        "idat_bytes": (
+            f"acc.idat_bytes + "
+            + keep(f"({has}) AND ({is_idat}) AND ({ln} > 0)", dsum, zero)
+        ),
+        "crc_ok": f"acc.crc_ok + {flag(f'({has}) AND ({crc_calc} = {crc_field})')}",
+        "width": keep(f"({has}) AND ({is_ihdr})", be4(f"({off}) + 8"), "acc.width"),
+        "height": keep(f"({has}) AND ({is_ihdr})", be4(f"({off}) + 12"), "acc.height"),
+        "bit_depth": keep(
+            f"({has}) AND ({is_ihdr})", byte_at(f"({off}) + 16"), "acc.bit_depth"
+        ),
+        "color_type": keep(
+            f"({has}) AND ({is_ihdr})", byte_at(f"({off}) + 17"), "acc.color_type"
+        ),
+        "ppu_x": keep(f"({has}) AND ({is_phys})", be4(f"({off}) + 8"), "acc.ppu_x"),
+    }
+    step = "named_struct(" + ", ".join(
+        f"'{f}', {step_fields[f]}" for f in fields
+    ) + ")"
+    walked = F.expr(
+        f"aggregate(sequence(1, {int(max_chunks)}), {init}, (acc, x) -> {step})"
+    )
     b = F.col(bin_col)
     flen = F.octet_length(b).cast("long")
-    be4 = lambda pos: _be_int_dyn(b, pos, 4)
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit(9).cast("long").alias("off"),
-        zero.alias("n_chunks"),
-        zero.alias("n_idat"),
-        zero.alias("idat_bytes"),
-        zero.alias("crc_ok"),
-        zero.alias("width"),
-        zero.alias("height"),
-        zero.alias("bit_depth"),
-        zero.alias("color_type"),
-        zero.alias("ppu_x"),
-    )
-
-    def step(acc, _):
-        off = acc["off"]
-        has = (off + 11) <= flen
-        ln = be4(off)
-        t = F.hex(F.substring(b, (off + F.lit(4)).cast("int"), 4))
-        is_ihdr = t == F.lit("49484452")
-        is_phys = t == F.lit("70485973")
-        is_idat = t == F.lit("49444154")
-        crc_field = be4(off + 8 + ln)
-        crc_calc = F.crc32(
-            F.substring(b, (off + F.lit(4)).cast("int"), (ln + F.lit(4)).cast("int"))
-        )
-        dsum = F.aggregate(
-            F.sequence(F.lit(0), (ln - 1).cast("int")),
-            zero,
-            lambda a, j: a + _byte_at(b, off + 8 + j),
-        )
-        flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        keep = lambda c, new, old: F.when(c, new).otherwise(old).cast("long")
-        return F.struct(
-            keep(has, off + 12 + ln, off).alias("off"),
-            (acc["n_chunks"] + flag(has)).alias("n_chunks"),
-            (acc["n_idat"] + flag(has & is_idat)).alias("n_idat"),
-            (
-                acc["idat_bytes"]
-                + keep(has & is_idat & (ln > 0), dsum, zero)
-            ).alias("idat_bytes"),
-            (acc["crc_ok"] + flag(has & (crc_calc == crc_field))).alias("crc_ok"),
-            keep(has & is_ihdr, be4(off + 8), acc["width"]).alias("width"),
-            keep(has & is_ihdr, be4(off + 12), acc["height"]).alias("height"),
-            keep(has & is_ihdr, _byte_at(b, off + 16), acc["bit_depth"]).alias(
-                "bit_depth"
-            ),
-            keep(has & is_ihdr, _byte_at(b, off + 17), acc["color_type"]).alias(
-                "color_type"
-            ),
-            keep(has & is_phys, be4(off + 8), acc["ppu_x"]).alias("ppu_x"),
-        )
-
-    walked = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step)
     return df.select(
         F.col(id_col),
         (F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A"))

@@ -1019,46 +1019,45 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qvec in queries.items()
     }
 
-    def sub_dist2(m: int, c: list) -> Column:
-        sub = F.slice(F.col("qv"), m * _PQ_SUB + 1, _PQ_SUB)
-        lit = F.array(*[F.lit(x) for x in c[m * _PQ_SUB : (m + 1) * _PQ_SUB]])
-        diffs = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+    # Codebook and LUT literals assembled as single F.expr SQL
+    # strings (the multimodal_audio_rms lesson: Column-by-Column
+    # construction costs hundreds of py4j round trips per bench run,
+    # ~1.2 s measured r8). Identical expressions.
+    def sub_dist2_sql(m: int, c: list) -> str:
+        lits = ",".join(str(x) for x in c[m * _PQ_SUB : (m + 1) * _PQ_SUB])
+        return (
+            f"aggregate(zip_with(slice(qv, {m * _PQ_SUB + 1}, {_PQ_SUB}),"
+            f" array({lits}), (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (a, t) -> a + t)"
+        )
 
     coded = e2
     for m in range(_PQ_M):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist2(m, c).alias("d"),
-                        F.lit(k).cast("long").alias("k"),
-                    )
-                    for k, c in enumerate(
-                        c for _, c in sorted(cents.items())
-                    )
-                ]
-            )
+        structs = ",".join(
+            f"named_struct('d', {sub_dist2_sql(m, c)},"
+            f" 'k', CAST({k} AS BIGINT))"
+            for k, c in enumerate(c for _, c in sorted(cents.items()))
         )
-        coded = coded.withColumn(f"code_{m}", best.getField("k"))
+        coded = coded.withColumn(
+            f"code_{m}", F.expr(f"array_min(array({structs})).k")
+        )
 
-    per_query = [
-        F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            sum(
-                F.element_at(
-                    F.array(*[F.lit(v) for v in lut[qid][m]]),
-                    (F.col(f"code_{m}") + 1).cast("int"),
+    per_query = ",".join(
+        "named_struct('query_id', CAST({qid} AS BIGINT), 'adc_dist2', {s})".format(
+            qid=qid,
+            s=" + ".join(
+                "element_at(array({lits}), CAST(code_{m} + 1 AS INT))".format(
+                    lits=",".join(str(v) for v in lut[qid][m]), m=m
                 )
                 for m in range(_PQ_M)
-            ).alias("adc_dist2"),
+            ),
         )
         for qid in sorted(queries)
-    ]
+    )
     scored = (
         coded.select(
             F.col("vec_id").alias("neighbor_id"),
-            F.explode(F.array(*per_query)).alias("s"),
+            F.expr(f"explode(array({per_query}))").alias("s"),
         )
         .select("s.query_id", "neighbor_id", "s.adc_dist2")
         .where(F.col("neighbor_id") != F.col("query_id"))

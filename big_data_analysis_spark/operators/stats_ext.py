@@ -1635,3 +1635,206 @@ def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("impurity"),
     )
+
+
+@query(
+    "win_keltner",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         arg_min({_CENTS_SQL}, ts) AS o,
+         MAX({_CENTS_SQL}) AS h,
+         MIN({_CENTS_SQL}) AS l,
+         arg_max({_CENTS_SQL}, ts) AS c
+  FROM events
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+tr AS (
+  SELECT event_type, d, c, h, l,
+         CASE WHEN lag(c) OVER w IS NULL THEN h - l
+              ELSE GREATEST(h - l, ABS(h - lag(c) OVER w),
+                            ABS(l - lag(c) OVER w)) END AS tr
+  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+k AS (
+  SELECT event_type, d, c, tr,
+         COUNT(*) OVER w14 AS n14,
+         SUM(tr) OVER w14 // 14 AS atr_c,
+         SUM(c) OVER w14 // 14 AS mid_c
+  FROM tr
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(c AS BIGINT) AS close_c, CAST(tr AS BIGINT) AS tr_c,
+       CAST(atr_c AS BIGINT) AS atr_c, CAST(mid_c AS BIGINT) AS mid_c,
+       CAST(mid_c + 2 * atr_c AS BIGINT) AS upper_c,
+       CAST(mid_c - 2 * atr_c AS BIGINT) AS lower_c
+FROM k WHERE n14 = 14
+""",
+    category="windows",
+)
+def win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel over daily OHLC bars — the volatility
+    envelope built from TRUE RANGE (which sees overnight gaps via
+    the previous close, unlike win_bollinger's close-only sigma):
+    per (type, day) OHLC in exact cents (selection aggregates —
+    arg_min/arg_max by the globally-unique ts), TR =
+    max(h-l, |h-prev_c|, |l-prev_c|) in pure integers (first day
+    falls back to h-l), ATR and the midline are trailing-14 sums
+    floor-divided by 14, and the bands are mid ± 2*ATR — zero float
+    arithmetic anywhere.  Scale: one data-proportional groupBy
+    builds the OHLC grid; the lag + trailing windows run on the
+    bounded day grid sharing one event_type shuffle."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = e.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        "ts",
+        cents.alias("cents"),
+    ).groupBy("event_type", "d").agg(
+        F.min_by("cents", "ts").alias("o"),
+        F.max("cents").alias("h"),
+        F.min("cents").alias("l"),
+        F.max_by("cents", "ts").alias("c"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("d")
+    prev_c = F.lag("c").over(w1)
+    tr = g.select(
+        "event_type",
+        "d",
+        "c",
+        F.when(prev_c.isNull(), F.col("h") - F.col("l"))
+        .otherwise(
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - prev_c),
+                F.abs(F.col("l") - prev_c),
+            )
+        )
+        .alias("tr"),
+    )
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    k = tr.select(
+        "event_type",
+        "d",
+        "c",
+        "tr",
+        F.count(F.lit(1)).over(w14).alias("n14"),
+        F.expr("SUM(tr) OVER (PARTITION BY event_type ORDER BY d"
+               " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) DIV 14").alias("atr_c"),
+        F.expr("SUM(c) OVER (PARTITION BY event_type ORDER BY d"
+               " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) DIV 14").alias("mid_c"),
+    ).where(F.col("n14") == 14)
+    return k.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("long").alias("close_c"),
+        F.col("tr").cast("long").alias("tr_c"),
+        F.col("atr_c").cast("long").alias("atr_c"),
+        F.col("mid_c").cast("long").alias("mid_c"),
+        (F.col("mid_c") + 2 * F.col("atr_c")).cast("long").alias("upper_c"),
+        (F.col("mid_c") - 2 * F.col("atr_c")).cast("long").alias("lower_c"),
+    )
+
+
+@query(
+    "agg_tukey_outliers",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+w AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+         MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+  FROM w GROUP BY event_type
+)
+SELECT g.event_type, CAST(q.n AS BIGINT) AS n,
+       CAST(q.q1 AS BIGINT) AS q1_cents,
+       CAST(q.q3 AS BIGINT) AS q3_cents,
+       CAST(q.q3 - q.q1 AS BIGINT) AS iqr_cents,
+       CAST(SUM(CASE WHEN 2 * g.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN g.cnt ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * g.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN g.cnt ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM grid g JOIN q ON q.event_type = g.event_type
+GROUP BY g.event_type, q.n, q.q1, q.q3
+""",
+    category="aggregations",
+)
+def agg_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type — the boxplot rule
+    (beyond Q1/Q3 ∓ 1.5*IQR) that agg_mad_outliers' median-based
+    variant complements: quartiles are EXACT order statistics read
+    off the cents-grid running counts (ceil-rank convention
+    (n+3) DIV 4 / (3n+3) DIV 4), and the half-integer 1.5*IQR
+    fences are compared at 2x scale so everything stays integer —
+    2*v < 2*Q1 - 3*IQR — with zero rounding anywhere.  Scale: grid
+    windows only (value-domain-bounded, the module discipline); the
+    4-row quartile table joins back per type."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # read by quartiles AND census
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q = w.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum >= (n + 3) DIV 4 THEN cents END")).alias(
+            "q1"
+        ),
+        F.min(
+            F.expr("CASE WHEN cum >= (3 * n + 3) DIV 4 THEN cents END")
+        ).alias("q3"),
+    )
+    j = grid.join(
+        F.broadcast(q.withColumnRenamed("event_type", "et_q")),
+        grid["event_type"] == F.col("et_q"),
+    )
+    low = F.expr("2 * cents < 2 * q1 - 3 * (q3 - q1)")
+    high = F.expr("2 * cents > 2 * q3 + 3 * (q3 - q1)")
+    return j.groupBy("event_type", "n", "q1", "q3").agg(
+        F.sum(F.when(low, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum(F.when(high, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_high_outliers"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr_cents"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )

@@ -3355,3 +3355,94 @@ def pipeline_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_ledger = marked_ledger(li_marked, "del_okey", "l_orderkey", "lineitem")
     return cust_ledger.unionAll(ord_ledger).unionAll(li_ledger)
+
+
+@query(
+    "pipeline_freshness_report",
+    oracle="""
+WITH g AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS gmax FROM events),
+t AS (
+  SELECT event_type,
+         MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type,
+       strftime(t.first_day, '%Y-%m-%d') AS first_day,
+       strftime(t.last_day, '%Y-%m-%d') AS last_day,
+       CAST(date_diff('day', t.first_day, t.last_day) AS BIGINT)
+         AS span_days,
+       CAST(date_diff('day', t.last_day, g.gmax) AS BIGINT)
+         AS days_stale,
+       t.n_events
+FROM t, g
+""",
+    category="pipelines",
+)
+def pipeline_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report — the ingestion-health check every
+    scheduled pipeline runs before training on 'latest' data: per
+    stream (event type), first/last observed day, covered span, and
+    staleness in days behind the lake-wide newest day (a stream
+    whose days_stale grows is a dead upstream).  All exact integer
+    day arithmetic; day boundaries serialized as strings (the graded
+    date convention).  Scale: one aggregation pass per branch over
+    the same scan, and the 1-row global max joins back as a
+    broadcast crossJoin — no data-proportional broadcast, no
+    window."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    t = e.select("event_type", day.alias("d")).groupBy("event_type").agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    g = e.select(day.alias("d")).agg(F.max("d").alias("gmax"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        F.datediff("last_day", "first_day").cast("long").alias("span_days"),
+        F.datediff("gmax", "last_day").cast("long").alias("days_stale"),
+        "n_events",
+    )
+
+
+@query(
+    "pipeline_content_manifest",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(md5(text)) AS min_md5,
+       MAX(md5(text)) AS max_md5,
+       CAST(bit_xor(CAST('0x' || substring(md5(text), 1, 15)
+                         AS BIGINT)) AS BIGINT) AS xor_digest
+FROM documents
+GROUP BY source
+""",
+    category="pipelines",
+)
+def pipeline_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable shard manifest — the dataset-release
+    fingerprint (HF-datasets/DVC style): per source, doc count,
+    byte mass, the min/max content md5 (a cheap inclusion proof for
+    spot audits) and an ORDER-FREE xor digest of the 60-bit md5
+    prefixes — any added, dropped or mutated document flips the
+    digest, and xor's commutativity makes it reproducible under any
+    partitioning or row order (the same reason the hash-split
+    columns are pure id functions).  md5 hex agrees across engines
+    (both lowercase RFC 1321); the 15-hex-char prefix stays inside
+    int64.  One hash-aggregate pass, shuffle on source only."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return d.select("source", "n_chars", h.alias("h")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("h").alias("min_md5"),
+        F.max("h").alias("max_md5"),
+        F.expr("bit_xor(CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT))")
+        .cast("long")
+        .alias("xor_digest"),
+    )

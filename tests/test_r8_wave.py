@@ -594,3 +594,101 @@ def test_gini_impurity_python_replay(spark, sf_dir):
         assert (r.n, r.n_labels) == (n, len(langs))
         assert r.impurity_ppm == (n * n - ssq) * 1_000_000 // (n * n)
         assert r.impurity == pytest.approx(1.0 - ssq / (n * n))
+
+
+def test_keltner_python_replay(spark, sf_dir):
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) d,
+               arg_min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), ts) o,
+               MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) h,
+               MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) l,
+               arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), ts) c
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, d, o, h, l, c in rows:
+        series.setdefault(et, []).append((d, int(h), int(l), int(c)))
+    got = {
+        (r.event_type, r.day): r for r in run("win_keltner", spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for et, seq in series.items():
+        trs, prev_c = [], None
+        for i, (d, h, l, c) in enumerate(seq):
+            tr = (
+                h - l
+                if prev_c is None
+                else max(h - l, abs(h - prev_c), abs(l - prev_c))
+            )
+            trs.append(tr)
+            prev_c = c
+            if i >= 13:
+                atr = sum(trs[i - 13 : i + 1]) // 14
+                mid = sum(x[3] for x in seq[i - 13 : i + 1]) // 14
+                r = got[(et, d.isoformat())]
+                assert (r.close_c, r.tr_c, r.atr_c, r.mid_c) == (c, tr, atr, mid)
+                assert (r.upper_c, r.lower_c) == (mid + 2 * atr, mid - 2 * atr)
+                n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_tukey_fences_python_replay(spark, sf_dir):
+    got = {r.event_type: r for r in run("agg_tukey_outliers", spark, sf_dir).collect()}
+    for et, cs in _cents_by_type(sf_dir).items():
+        cs_sorted = sorted(cs)
+        n = len(cs_sorted)
+        q1 = cs_sorted[(n + 3) // 4 - 1]
+        q3 = cs_sorted[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        lo = sum(1 for v in cs if 2 * v < 2 * q1 - 3 * iqr)
+        hi = sum(1 for v in cs if 2 * v > 2 * q3 + 3 * iqr)
+        r = got[et]
+        assert (r.n, r.q1_cents, r.q3_cents, r.iqr_cents) == (n, q1, q3, iqr)
+        assert (r.n_low_outliers, r.n_high_outliers) == (lo, hi)
+
+
+def test_freshness_staleness_consistent(spark, sf_dir):
+    rows = run("pipeline_freshness_report", spark, sf_dir).collect()
+    assert rows
+    import datetime
+
+    gmax = max(datetime.date.fromisoformat(r.last_day) for r in rows)
+    for r in rows:
+        first = datetime.date.fromisoformat(r.first_day)
+        last = datetime.date.fromisoformat(r.last_day)
+        assert r.span_days == (last - first).days >= 0
+        assert r.days_stale == (gmax - last).days >= 0
+        assert r.n_events > 0
+    assert min(r.days_stale for r in rows) == 0  # someone is current
+
+
+def test_content_manifest_python_replay(spark, sf_dir):
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT source, text, n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    acc = {}
+    for src, text, n_chars in rows:
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        a = acc.setdefault(src, {"n": 0, "chars": 0, "hs": [], "xor": 0})
+        a["n"] += 1
+        a["chars"] += int(n_chars)
+        a["hs"].append(h)
+        a["xor"] ^= int(h[:15], 16)
+    got = {r.source: r for r in run("pipeline_content_manifest", spark, sf_dir).collect()}
+    for src, a in acc.items():
+        r = got[src]
+        assert (r.n_docs, r.total_chars) == (a["n"], a["chars"])
+        assert (r.min_md5, r.max_md5) == (min(a["hs"]), max(a["hs"]))
+        assert r.xor_digest == a["xor"]
+    # digest actually detects single-doc mutation
+    any_src = rows[0][0]
+    h0 = hashlib.md5(rows[0][1].encode()).hexdigest()
+    mutated = acc[any_src]["xor"] ^ int(h0[:15], 16) ^ int(
+        hashlib.md5((rows[0][1] + "x").encode()).hexdigest()[:15], 16
+    )
+    assert mutated != acc[any_src]["xor"]

@@ -1633,61 +1633,65 @@ def _synth_tars(d) -> DataFrame:
     size/chksum fields; two zero blocks terminate the archive. The
     oracle knows only these formulas."""
     d = d.where(F.col("doc_id") < _TAR_DOCS).select("doc_id")
-    i_ = F.col("doc_id")
 
-    def member_hex(m: int):
-        name = F.concat(
-            F.lit("doc"), i_.cast("string"), F.lit(f"/part{m}.txt")
+    # Assembled as ONE SQL string per archive (single F.expr) — the
+    # Column-by-Column build cost ~0.7 s of py4j round trips per
+    # construction (r8 audit; the multimodal_audio_rms lesson).
+    def ascii_sum_sql(s: str) -> str:
+        return (
+            f"aggregate(transform(sequence(1, length({s})),"
+            f" i -> ascii(substr({s}, i, 1))),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
         )
-        size = (F.lit(100) + (i_ * 97 + m * 131) % 900).cast("long")
-        size_field = F.concat(
-            F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0"), F.lit(_CHR0)
+
+    def member_hex_sql(m: int) -> str:
+        name = f"concat('doc', CAST(doc_id AS STRING), '/part{m}.txt')"
+        size = f"CAST(100 + (doc_id * 97 + {m} * 131) % 900 AS BIGINT)"
+        size_oct = f"lpad(conv(CAST({size} AS STRING), 10, 8), 11, '0')"
+        size_field = f"concat({size_oct}, chr(0))"
+        total = (
+            f"({ascii_sum_sql(name)} + {ascii_sum_sql(size_oct)}"
+            f" + {_TAR_CONST_SUM})"
         )
-        name_sum = _ascii_sum(name)
-        size_sum = _ascii_sum(F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0"))
-        total = name_sum + size_sum + _TAR_CONST_SUM
-        chksum_field = F.concat(
-            F.lpad(F.conv(total.cast("string"), 10, 8), 6, "0"),
-            F.lit(_CHR0),
-            F.lit(" "),
+        chksum_field = (
+            f"concat(lpad(conv(CAST({total} AS STRING), 10, 8), 6, '0'),"
+            f" chr(0), ' ')"
         )
-        header_str = F.concat(
-            F.rpad(name, 100, _CHR0),
-            F.lit("0000644" + _CHR0),              # mode
-            F.lit("0000000" + _CHR0),              # uid
-            F.lit("0000000" + _CHR0),              # gid
-            size_field,
-            F.lit("00000000000" + _CHR0),          # mtime
-            chksum_field,
-            F.lit("0"),                            # typeflag: regular file
-            F.rpad(F.lit(""), 100, _CHR0),         # linkname
-            F.lit("ustar" + _CHR0 + "00"),         # magic + version
+        header_str = (
+            "concat("
+            f"rpad({name}, 100, chr(0)), "
+            "'0000644', chr(0), "              # mode
+            "'0000000', chr(0), "              # uid
+            "'0000000', chr(0), "              # gid
+            f"{size_field}, "
+            "'00000000000', chr(0), "          # mtime
+            f"{chksum_field}, "
+            "'0', "                            # typeflag: regular file
+            "rpad('', 100, chr(0)), "          # linkname
+            "'ustar', chr(0), '00')"           # magic + version
         )
         # header_str is 265 bytes (100+8+8+8+12+12+8+1+100+8); the
         # remaining 247 (uname 32 + gname 32 + devmajor 8 + devminor 8
         # + prefix 155 + pad 12) are NUL
-        header_hex = F.concat(
-            F.hex(F.encode(header_str, "utf-8")),
-            F.repeat(F.lit("00"), 512 - 265),
+        header_hex = (
+            f"concat(hex(encode({header_str}, 'utf-8')),"
+            f" repeat('00', {512 - 265}))"
         )
-        content_hex = F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), (size - 1).cast("int")),
-                lambda j: F.lpad(
-                    F.hex(F.lit(32) + (i_ + 3 * m + j.cast("long")) % 64), 2, "0"
-                ),
-            ),
-            "",
+        content_hex = (
+            f"array_join(transform(sequence(0, CAST({size} - 1 AS INT)),"
+            f" j -> lpad(hex(32 + (doc_id + 3 * {m} + CAST(j AS BIGINT))"
+            f" % 64), 2, '0')), '')"
         )
-        n_blocks = F.floor((size + 511) / 512).cast("long")
-        pad_hex = F.repeat(F.lit("00"), (n_blocks * 512 - size).cast("int"))
-        return F.concat(header_hex, content_hex, pad_hex)
+        n_blocks = f"CAST(floor(({size} + 511) / 512) AS BIGINT)"
+        pad_hex = f"repeat('00', CAST({n_blocks} * 512 - {size} AS INT))"
+        return f"concat({header_hex}, {content_hex}, {pad_hex})"
 
-    tar_hex = F.concat(
-        *[member_hex(m) for m in range(_TAR_MEMBERS)],
-        F.repeat(F.lit("00"), 1024),  # end-of-archive zero blocks
+    tar_hex = (
+        "concat("
+        + ", ".join(member_hex_sql(m) for m in range(_TAR_MEMBERS))
+        + ", repeat('00', 1024))"  # end-of-archive zero blocks
     )
-    return d.select("doc_id", F.unhex(tar_hex).alias("tar"))
+    return d.select("doc_id", F.unhex(F.expr(tar_hex)).alias("tar"))
 
 
 def tar_index(df: DataFrame, id_col: str, bin_col: str, max_members: int = 8) -> DataFrame:
@@ -1706,77 +1710,72 @@ def tar_index(df: DataFrame, id_col: str, bin_col: str, max_members: int = 8) ->
     Python) that routes members to downstream decode UDFs."""
     b = F.col(bin_col)
 
-    def parse_octal(pos, width):
-        s = F.decode(F.substring(b, pos.cast("int"), width), "utf-8")
-        return F.conv(F.substring_index(s, _CHR0, 1), 8, 10).cast("long")
+    # The member-walk fold is assembled as ONE SQL string handed to
+    # a single F.expr (the multimodal_audio_rms lesson — the
+    # Column-by-Column build cost ~0.65 s of py4j round trips per
+    # construction, r8 audit). Field-for-field identical semantics.
+    bs = bin_col
 
-    def header_sum(off):
-        # byte sum of the 512-byte header with the chksum field
-        # (offsets 148..155 within the header) read as spaces
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(511)),
-                lambda j: F.when(
-                    (j >= 148) & (j < 156), F.lit(32).cast("long")
-                ).otherwise(_byte_at(b, off + 1 + j)),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
+    def byte_at_sql(pos: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({bs}, CAST({pos} AS INT), 1)), 16, 10)"
+            f" AS BIGINT)"
         )
 
-    def content_sum(off, size):
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), size.cast("int")),
-                lambda j: _byte_at(b, off + 512 + j),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
+    def parse_octal_sql(pos: str, width: int) -> str:
+        return (
+            f"CAST(conv(substring_index(decode(substring({bs},"
+            f" CAST({pos} AS INT), {width}), 'utf-8'), chr(0), 1), 8, 10)"
+            f" AS BIGINT)"
         )
 
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        zero.alias("off"),
-        zero.alias("n"),
-        zero.alias("tot"),
-        zero.alias("names"),
-        zero.alias("csok"),
-        zero.alias("fsum"),
+    zero_s = "CAST(0 AS BIGINT)"
+    off = "acc.off"
+    size = parse_octal_sql(f"({off}) + 125", 12)
+    name = (
+        f"substring_index(decode(substring({bs}, CAST(({off}) + 1 AS INT),"
+        f" 100), 'utf-8'), chr(0), 1)"
     )
-
-    def step(acc, _):
-        off = acc["off"]
-        size = parse_octal(off + 125, 12)
-        name = F.substring_index(
-            F.decode(F.substring(b, (off + 1).cast("int"), 100), "utf-8"),
-            _CHR0,
-            1,
-        )
-        cs_stored = parse_octal(off + 149, 8)
-        cs_ok = (cs_stored == header_sum(off)).cast("long")
-        advanced = F.struct(
-            (off + 512 + F.floor((size + 511) / 512).cast("long") * 512).alias("off"),
-            (acc["n"] + 1).alias("n"),
-            (acc["tot"] + size).alias("tot"),
-            (acc["names"] + F.length(name)).alias("names"),
-            (acc["csok"] + cs_ok).alias("csok"),
-            (acc["fsum"] + content_sum(off, size)).alias("fsum"),
-        )
-        done = (off < 0) | (off + 512 > F.octet_length(b)) | (
-            _byte_at(b, off + 1) == 0
-        )
-        ended = F.struct(
-            F.lit(-1).cast("long").alias("off"),
-            acc["n"].alias("n"),
-            acc["tot"].alias("tot"),
-            acc["names"].alias("names"),
-            acc["csok"].alias("csok"),
-            acc["fsum"].alias("fsum"),
-        )
-        return F.when(done, ended).otherwise(advanced)
-
-    walked = F.aggregate(
-        F.sequence(F.lit(1), F.lit(max_members)), init, step
+    header_sum = (
+        f"aggregate(transform(sequence(0, 511),"
+        f" j -> CASE WHEN j >= 148 AND j < 156 THEN CAST(32 AS BIGINT)"
+        f" ELSE {byte_at_sql(f'({off}) + 1 + j')} END),"
+        f" {zero_s}, (a, x) -> a + x)"
+    )
+    content_sum = (
+        f"aggregate(transform(sequence(1, CAST({size} AS INT)),"
+        f" j -> {byte_at_sql(f'({off}) + 512 + j')}),"
+        f" {zero_s}, (a, x) -> a + x)"
+    )
+    cs_ok = (
+        f"CAST({parse_octal_sql(f'({off}) + 149', 8)} = {header_sum}"
+        f" AS BIGINT)"
+    )
+    done = (
+        f"(({off}) < 0) OR (({off}) + 512 > octet_length({bs}))"
+        f" OR ({byte_at_sql(f'({off}) + 1')} = 0)"
+    )
+    advanced = (
+        "named_struct("
+        f"'off', ({off}) + 512 + CAST(floor(({size} + 511) / 512) AS BIGINT) * 512, "
+        f"'n', acc.n + 1, "
+        f"'tot', acc.tot + {size}, "
+        f"'names', acc.names + CAST(length({name}) AS BIGINT), "
+        f"'csok', acc.csok + {cs_ok}, "
+        f"'fsum', acc.fsum + {content_sum})"
+    )
+    ended = (
+        "named_struct('off', CAST(-1 AS BIGINT), 'n', acc.n, 'tot', acc.tot,"
+        " 'names', acc.names, 'csok', acc.csok, 'fsum', acc.fsum)"
+    )
+    init = (
+        "named_struct('off', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),"
+        " 'tot', CAST(0 AS BIGINT), 'names', CAST(0 AS BIGINT),"
+        " 'csok', CAST(0 AS BIGINT), 'fsum', CAST(0 AS BIGINT))"
+    )
+    walked = F.expr(
+        f"aggregate(sequence(1, {int(max_members)}), {init},"
+        f" (acc, x) -> CASE WHEN {done} THEN {ended} ELSE {advanced} END)"
     )
     return df.select(
         F.col(id_col),

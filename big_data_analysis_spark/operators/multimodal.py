@@ -1609,7 +1609,6 @@ _TAR_MEMBERS = 3
 # uid/gid 0000000, mtime zeros, chksum-as-spaces, typeflag '0',
 # magic "ustar\0" + version "00"; NULs contribute 0)
 _TAR_CONST_SUM = 2509
-_CHR0 = "\x00"
 
 
 def _ascii_sum(scol):

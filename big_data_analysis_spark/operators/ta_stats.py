@@ -942,3 +942,764 @@ def win_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy."""
     g = _ohlc_grid(spark, sf_dir)
     return spark.sql(_supertrend_sql("{g}", "DIV", "date_format(d, 'yyyy-MM-dd')"), g=g)
+
+
+# Fixed event-type domain for the pivot-to-one-row statistics
+# (agg_chi_square's trick: per-group integer aggregates pivot into one
+# row, the cross-group combination is a single fixed-order expression).
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_sign_test",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+a AS (SELECT d, x FROM g WHERE event_type = 'click'),
+b AS (SELECT d, x FROM g WHERE event_type = 'purchase'),
+p AS (
+  SELECT CASE WHEN a.x > b.x THEN 1 ELSE 0 END AS pos,
+         CASE WHEN a.x < b.x THEN 1 ELSE 0 END AS neg
+  FROM a JOIN b ON a.d = b.d
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) - SUM(pos) - SUM(neg) AS BIGINT) AS n_tie,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(pos) - SUM(neg) AS DOUBLE)
+         / sqrt(CAST(SUM(pos) + SUM(neg) AS DOUBLE)) AS z
+FROM p
+""",
+    category="aggregations",
+)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test between the click and purchase daily-revenue
+    series — the assumption-free companion to agg_welch_t (no
+    normality, no variance pooling: just which series won each day).
+    Counts of positive/negative/tied days are exact integers off the
+    bounded day grid; the normal-approximation z = (n+ - n-)/sqrt(n+
+    + n-) is ONE double expression over two exact int64s.  Scale: a
+    paired join of two bounded day series (module docstring)."""
+    g = _day_grid(spark, sf_dir)
+    a = g.where(F.col("event_type") == "click").select("d", F.col("x").alias("xa"))
+    b = g.where(F.col("event_type") == "purchase").select(
+        F.col("d").alias("d2"), F.col("x").alias("xb")
+    )
+    p = a.join(b, a["d"] == b["d2"]).select(
+        F.when(F.col("xa") > F.col("xb"), 1).otherwise(0).alias("pos"),
+        F.when(F.col("xa") < F.col("xb"), 1).otherwise(0).alias("neg"),
+    )
+    m = p.agg(
+        F.sum("pos").alias("sp"),
+        F.sum("neg").alias("sn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return m.select(
+        F.col("sp").cast("long").alias("n_pos"),
+        F.col("sn").cast("long").alias("n_neg"),
+        (F.col("n") - F.col("sp") - F.col("sn")).cast("long").alias("n_tie"),
+        F.col("n").cast("long").alias("n_days"),
+        (
+            (F.col("sp") - F.col("sn")).cast("double")
+            / F.sqrt((F.col("sp") + F.col("sn")).cast("double"))
+        ).alias("z"),
+    )
+
+
+@query(
+    "agg_two_proportion_z",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
+              THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events
+),
+m AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(is_a * is_conv) AS BIGINT) AS x_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM((1 - is_a) * is_conv) AS BIGINT) AS x_b
+  FROM t
+)
+SELECT n_a, x_a, n_b, x_b,
+       CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+              * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+FROM m
+""",
+    category="aggregations",
+)
+def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase rate between the
+    deterministic hash arms (the A/B readout agg_chi_square's
+    independence test summarizes to one directional number): four
+    exact integer counts (arm sizes and conversions) feed the pooled
+    z statistic — a SINGLE double expression with identical text in
+    both engines, so the two divisions and one sqrt see bit-equal
+    operands.  Scale: one shuffle-free conditional aggregation over
+    four counters (map-side partials only)."""
+    ev = table(spark, sf_dir, "events")
+    is_a = F.when(
+        (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296
+        < 2147483648,
+        1,
+    ).otherwise(0)
+    is_conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    t = ev.select(is_a.alias("is_a"), is_conv.alias("is_conv"))
+    m = t.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("is_conv")).cast("long").alias("x_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("is_a")) * F.col("is_conv")).cast("long").alias("x_b"),
+    )
+    ra = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return m.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (
+            (ra - rb)
+            / F.sqrt(
+                pp
+                * (1.0 - pp)
+                * (
+                    1.0 / F.col("n_a").cast("double")
+                    + 1.0 / F.col("n_b").cast("double")
+                )
+            )
+        ).alias("z"),
+    )
+
+
+@query(
+    "agg_page_hinkley",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT event_type, d, x,
+         CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+         CAST(SUM(x) OVER wt AS BIGINT) AS s
+  FROM g WINDOW wt AS (PARTITION BY event_type)
+),
+c AS (
+  SELECT event_type, d, x, n, s,
+         SUM(n * x - s) OVER wc AS cum
+  FROM s
+  WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+e AS (
+  SELECT event_type, d, x, s, cum,
+         MIN(cum) OVER wc AS run_min,
+         MAX(cum) OVER wc AS run_max
+  FROM c
+  WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       CAST(cum AS BIGINT) AS u_scaled,
+       CAST(cum - run_min AS BIGINT) AS ph_pos,
+       CAST(run_max - cum AS BIGINT) AS ph_neg,
+       CAST(CASE WHEN cum - run_min > s THEN 1 ELSE 0 END AS BIGINT)
+         AS alarm_up,
+       CAST(CASE WHEN run_max - cum > s THEN 1 ELSE 0 END AS BIGINT)
+         AS alarm_down
+FROM e
+""",
+    category="aggregations",
+)
+def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change-point detection per daily-revenue series —
+    the sequential drift detector win_cusum_changepoint's
+    known-target variant lacks: deviations are measured against the
+    SERIES MEAN, kept exact by N-fold scaling (u_t = sum of N*x_i -
+    S, an integer, instead of x_i - S/N), and the PH statistics are
+    integer PREFIX EXTREMA — ph+ = u - running_min(u) (upward drift),
+    ph- = running_max(u) - u (downward).  The alarm fires when the
+    drift exceeds one average day's revenue (ph > S = N * (S/N),
+    i.e. PH/N > mean daily x) — a pure integer comparison.  Scale:
+    a whole-partition window + two running extrema over the bounded
+    day grid, one event_type shuffle."""
+    g = _day_grid(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    s = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("x").over(wt).cast("long").alias("s"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = s.select(
+        "event_type",
+        "d",
+        "x",
+        "s",
+        F.sum(F.col("n") * F.col("x") - F.col("s")).over(wc).alias("cum"),
+    )
+    e = c.select(
+        "event_type",
+        "d",
+        "x",
+        "s",
+        "cum",
+        F.min("cum").over(wc).alias("run_min"),
+        F.max("cum").over(wc).alias("run_max"),
+    )
+    return e.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("cum").cast("long").alias("u_scaled"),
+        (F.col("cum") - F.col("run_min")).cast("long").alias("ph_pos"),
+        (F.col("run_max") - F.col("cum")).cast("long").alias("ph_neg"),
+        F.when(F.col("cum") - F.col("run_min") > F.col("s"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm_up"),
+        F.when(F.col("run_max") - F.col("cum") > F.col("s"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm_down"),
+    )
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT cents,
+         {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}" for t in _TYPES)},
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM c GROUP BY cents
+),
+rk AS (
+  SELECT *,
+         2 * (CAST(COALESCE(SUM(nt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           + nt + 1 AS rank2
+  FROM grid
+),
+m AS (
+  SELECT
+    {", ".join(f"CAST(SUM(n_{t} * rank2) AS BIGINT) AS r2_{t}" for t in _TYPES)},
+    {", ".join(f"CAST(SUM(n_{t}) AS BIGINT) AS nn_{t}" for t in _TYPES)},
+    CAST(SUM(nt) AS BIGINT) AS n_total,
+    SUM(CAST(nt AS HUGEINT) * nt * nt - nt) AS ties
+  FROM rk
+)
+SELECT n_total,
+       {", ".join(f"r2_{t}" for t in _TYPES)},
+       CAST(ties AS BIGINT) AS tie_sum,
+       CAST(4 AS BIGINT) AS dof,
+       12.0 * ({" + ".join(f"CAST(r2_{t} AS DOUBLE) * CAST(r2_{t} AS DOUBLE) / (4.0 * CAST(nn_{t} AS DOUBLE))" for t in _TYPES)})
+         / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_stat,
+       (12.0 * ({" + ".join(f"CAST(r2_{t} AS DOUBLE) * CAST(r2_{t} AS DOUBLE) / (4.0 * CAST(nn_{t} AS DOUBLE))" for t in _TYPES)})
+         / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+       / (1.0 - CAST(ties AS DOUBLE)
+          / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+             - CAST(n_total AS DOUBLE))) AS h_adj
+FROM m
+""",
+    category="aggregations",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five event types' cent values —
+    agg_mann_whitney's doubled-midrank trick generalized to k
+    samples: pooled midranks stay integer at 2x (rank2 = 2*below +
+    tied + 1), each group's rank total R2_i = SUM(n_i * rank2) is an
+    exact int64 off the value-domain-bounded cents grid, and the tie
+    correction's SUM(t^3 - t) runs in HUGEINT/DECIMAL(38,0) (t^3
+    passes int64 once a value bin exceeds ~2M rows).  H and its
+    tie-adjusted form combine the per-group integers in ONE
+    fixed-order expression via the agg_chi_square one-row pivot (the
+    5 types are a fixed domain) — no float aggregation across rows.
+    Scale: one data-proportional groupBy to the cents grid; ranking
+    is a single ordered pass over the bounded grid."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = e.select("event_type", cents.alias("cents"))
+    grid = c.groupBy("cents").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _TYPES
+        ],
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    rk = grid.select(
+        "*",
+        (
+            2 * F.coalesce(F.sum("nt").over(w_prev), F.lit(0)).cast("long")
+            + F.col("nt")
+            + 1
+        ).alias("rank2"),
+    )
+    m = rk.agg(
+        *[
+            F.sum(F.col(f"n_{t}") * F.col("rank2")).cast("long").alias(f"r2_{t}")
+            for t in _TYPES
+        ],
+        *[F.sum(f"n_{t}").cast("long").alias(f"nn_{t}") for t in _TYPES],
+        F.sum("nt").cast("long").alias("n_total"),
+        F.sum(
+            F.col("nt").cast("decimal(38,0)") * F.col("nt") * F.col("nt")
+            - F.col("nt")
+        ).alias("ties"),
+    )
+    # fixed-order sum of per-group rank-square terms (mirrors the
+    # oracle's "+"-joined chain; float addition is not associative)
+    term = None
+    for t in _TYPES:
+        tt = (
+            F.col(f"r2_{t}").cast("double")
+            * F.col(f"r2_{t}").cast("double")
+            / (F.lit(4.0) * F.col(f"nn_{t}").cast("double"))
+        )
+        term = tt if term is None else term + tt
+    dn = F.col("n_total").cast("double")
+    h = F.lit(12.0) * term / (dn * (dn + 1.0)) - 3.0 * (dn + 1.0)
+    corr = 1.0 - F.col("ties").cast("double") / (dn * dn * dn - dn)
+    return m.select(
+        "n_total",
+        *[F.col(f"r2_{t}") for t in _TYPES],
+        F.col("ties").cast("long").alias("tie_sum"),
+        F.lit(4).cast("long").alias("dof"),
+        h.alias("h_stat"),
+        (h / corr).alias("h_adj"),
+    )
+
+
+@query(
+    "agg_friedman_test",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+full_d AS (
+  SELECT d FROM g GROUP BY d HAVING COUNT(*) = 5
+),
+r AS (
+  SELECT g.event_type, g.d, g.x FROM g JOIN full_d f ON g.d = f.d
+),
+rk AS (
+  SELECT i.event_type, i.d,
+         2 * SUM(CASE WHEN j.x < i.x THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN j.x = i.x THEN 1 ELSE 0 END) + 1 AS rank2
+  FROM r i JOIN r j ON j.d = i.d
+  GROUP BY i.event_type, i.d
+),
+m AS (
+  SELECT
+    CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days,
+    {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN rank2 END) AS BIGINT) AS r2_{t}" for t in _TYPES)},
+    CAST(SUM(rank2 * rank2) AS BIGINT) AS ssr2
+  FROM rk
+)
+SELECT n_days,
+       {", ".join(f"r2_{t}" for t in _TYPES)},
+       ssr2,
+       CAST(4 AS BIGINT) AS dof,
+       CAST(({" + ".join(f"r2_{t} * r2_{t}" for t in _TYPES)})
+            - 180 * n_days * n_days AS BIGINT) AS num_s,
+       CAST(ssr2 - 180 * n_days AS BIGINT) AS den_s,
+       4.0 * CAST(({" + ".join(f"r2_{t} * r2_{t}" for t in _TYPES)})
+                  - 180 * n_days * n_days AS DOUBLE)
+           / CAST(ssr2 - 180 * n_days AS DOUBLE) AS chi2_f
+FROM m
+""",
+    category="aggregations",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across the five event types with DAYS as blocks
+    — the repeated-measures companion to agg_kruskal_wallis (does any
+    series systematically out-rank the others across days?): within
+    each complete 5-type day the midranks are kept integer at 2x via
+    a bounded self-join (below/tied counts over the 5 values), the
+    per-type rank totals R2_j and the global rank-square sum pivot
+    into one row (fixed type domain), and the tie-corrected statistic
+    reduces to the all-integer ratio chi2 = 4 * (sum R2_j^2 - 180 n^2)
+    / (ssr2 - 180 n) for k = 5 — ONE double division at the end.
+    Incomplete days (a type with zero events) are excluded, the
+    standard complete-block requirement.  Scale: the self-join is
+    O(days x 25) on the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    full_d = g.groupBy("d").agg(F.count(F.lit(1)).alias("k")).where(
+        F.col("k") == 5
+    )
+    r = g.join(full_d.select("d"), "d").select("event_type", "d", "x")
+    i = r.select(
+        F.col("event_type").alias("et_i"),
+        F.col("d").alias("d_i"),
+        F.col("x").alias("x_i"),
+    )
+    j = r.select(F.col("d").alias("d_j"), F.col("x").alias("x_j"))
+    rk = (
+        i.join(j, F.col("d_j") == F.col("d_i"))
+        .groupBy("et_i", "d_i")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("x_j") < F.col("x_i"), 1).otherwise(0))
+                + F.sum(F.when(F.col("x_j") == F.col("x_i"), 1).otherwise(0))
+                + 1
+            ).alias("rank2")
+        )
+    )
+    m = rk.agg(
+        F.countDistinct("d_i").cast("long").alias("n_days"),
+        *[
+            F.sum(F.when(F.col("et_i") == t, F.col("rank2")))
+            .cast("long")
+            .alias(f"r2_{t}")
+            for t in _TYPES
+        ],
+        F.sum(F.col("rank2") * F.col("rank2")).cast("long").alias("ssr2"),
+    )
+    sum_sq = None
+    for t in _TYPES:
+        tt = F.col(f"r2_{t}") * F.col(f"r2_{t}")
+        sum_sq = tt if sum_sq is None else sum_sq + tt
+    num = sum_sq - 180 * F.col("n_days") * F.col("n_days")
+    den = F.col("ssr2") - 180 * F.col("n_days")
+    return m.select(
+        "n_days",
+        *[F.col(f"r2_{t}") for t in _TYPES],
+        "ssr2",
+        F.lit(4).cast("long").alias("dof"),
+        num.cast("long").alias("num_s"),
+        den.cast("long").alias("den_s"),
+        (F.lit(4.0) * num.cast("double") / den.cast("double")).alias("chi2_f"),
+    )
+
+
+@query(
+    "agg_jarque_bera",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS v FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         SUM(CAST(v * v AS HUGEINT) * v) AS s3,
+         SUM(CAST(v * v AS HUGEINT) * (v * v)) AS s4
+  FROM c GROUP BY event_type
+),
+d1 AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS dn,
+         CAST(s1 AS DOUBLE) AS ds1, CAST(s2 AS DOUBLE) AS ds2,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS ds3,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS ds4
+  FROM m
+),
+d2 AS (
+  SELECT event_type, n, dn,
+         ds1 / dn AS mu, ds2 / dn AS r2, ds3 / dn AS r3, ds4 / dn AS r4
+  FROM d1
+),
+d3 AS (
+  SELECT event_type, n, dn, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+            - 3.0 * mu * mu * mu * mu AS m4
+  FROM d2
+),
+d4 AS (
+  SELECT event_type, n, dn,
+         m3 / (m2 * sqrt(m2)) AS skewness,
+         m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+  FROM d3
+)
+SELECT event_type, n, skewness, excess_kurtosis,
+       dn / 6.0 * (skewness * skewness
+                   + excess_kurtosis * excess_kurtosis / 4.0) AS jb_stat
+FROM d4
+""",
+    category="aggregations",
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type — skewness and
+    excess kurtosis from RAW POWER SUMS of exact cents (S1, S2 in
+    int64; S3, S4 in HUGEINT/DECIMAL(38,0) — a cent value near 2^16
+    makes v^4 ~ 2^64 per row), converted to central moments and the
+    JB statistic through an identical STAGED expression pipeline in
+    both engines: each CTE stage computes the same named doubles from
+    the previous stage's columns, so every division/multiply sees
+    bit-equal operands and the float chain is reproducible despite
+    its length.  Per-type rows only — no cross-group float
+    aggregation anywhere.  Scale: one hash-agg over events with
+    map-side partials; five output rows."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = e.select("event_type", cents.alias("v"))
+    v2 = F.col("v") * F.col("v")
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(v2).cast("long").alias("s2"),
+        F.sum(v2.cast("decimal(38,0)") * F.col("v")).alias("s3"),
+        F.sum(v2.cast("decimal(38,0)") * v2).alias("s4"),
+    )
+    d1 = m.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("dn"),
+        F.col("s1").cast("double").alias("ds1"),
+        F.col("s2").cast("double").alias("ds2"),
+        F.col("s3").cast("double").alias("ds3"),
+        F.col("s4").cast("double").alias("ds4"),
+    )
+    d2 = d1.select(
+        "event_type",
+        "n",
+        "dn",
+        (F.col("ds1") / F.col("dn")).alias("mu"),
+        (F.col("ds2") / F.col("dn")).alias("r2"),
+        (F.col("ds3") / F.col("dn")).alias("r3"),
+        (F.col("ds4") / F.col("dn")).alias("r4"),
+    )
+    mu = F.col("mu")
+    d3 = d2.select(
+        "event_type",
+        "n",
+        "dn",
+        "mu",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (F.col("r3") - 3.0 * mu * F.col("r2") + 2.0 * mu * mu * mu).alias("m3"),
+        (
+            F.col("r4")
+            - 4.0 * mu * F.col("r3")
+            + 6.0 * mu * mu * F.col("r2")
+            - 3.0 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    d4 = d3.select(
+        "event_type",
+        "n",
+        "dn",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0).alias(
+            "excess_kurtosis"
+        ),
+    )
+    return d4.select(
+        "event_type",
+        "n",
+        "skewness",
+        "excess_kurtosis",
+        (
+            F.col("dn")
+            / 6.0
+            * (
+                F.col("skewness") * F.col("skewness")
+                + F.col("excess_kurtosis") * F.col("excess_kurtosis") / 4.0
+            )
+        ).alias("jb_stat"),
+    )
+
+
+@query(
+    "agg_brown_forsythe",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+w AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+       + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS med2
+  FROM w GROUP BY event_type
+),
+z AS (
+  SELECT g.event_type, g.cnt, ABS(2 * g.cents - m.med2) AS z2
+  FROM grid g JOIN med m ON m.event_type = g.event_type
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n_i,
+         CAST(SUM(cnt * z2) AS BIGINT) AS sz,
+         CAST(SUM(cnt * z2 * z2) AS BIGINT) AS szz
+  FROM z GROUP BY event_type
+),
+piv AS (
+  SELECT
+    {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN n_i END) AS BIGINT) AS n_{t}" for t in _TYPES)},
+    {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN sz END) AS BIGINT) AS sz_{t}" for t in _TYPES)},
+    {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN szz END) AS BIGINT) AS szz_{t}" for t in _TYPES)}
+  FROM per
+),
+tot AS (
+  SELECT piv.*,
+         {" + ".join(f"n_{t}" for t in _TYPES)} AS n_total,
+         {" + ".join(f"sz_{t}" for t in _TYPES)} AS stot,
+         {" + ".join(f"szz_{t}" for t in _TYPES)} AS szz_tot
+  FROM piv
+),
+q AS (
+  SELECT tot.*,
+         {" + ".join(f"CAST(sz_{t} AS DOUBLE) * CAST(sz_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE)" for t in _TYPES)} AS szq
+  FROM tot
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(stot AS BIGINT) AS sum_absdev2,
+       CAST(4 AS BIGINT) AS df1,
+       CAST(n_total - 5 AS BIGINT) AS df2,
+       (CAST(n_total - 5 AS DOUBLE) / 4.0)
+         * (szq - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))
+         / (CAST(szz_tot AS DOUBLE) - szq) AS f_stat
+FROM q
+""",
+    category="aggregations",
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the five event
+    types — Levene's test on absolute deviations from the MEDIAN (the
+    robust variant): per-type medians are exact order statistics off
+    the cents grid carried DOUBLED (lower+upper median, so even
+    counts stay integer), the deviations z2 = |2*cents - med2| are
+    integers, and each group's (n, sum z, sum z^2) pivots into one
+    row (fixed type domain) where the F statistic combines them in a
+    single fixed-order double expression — the between/within
+    quadratic forms reduce to sums of integer aggregates, no float
+    aggregation across rows.  The 4x deviation scale cancels in the
+    F ratio.  Scale: grid windows only (value-domain-bounded); one
+    data-proportional groupBy builds the grid."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # read by median pass AND deviations
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = w.groupBy("event_type").agg(
+        (
+            F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN cents END"))
+            + F.min(F.expr("CASE WHEN cum >= n DIV 2 + 1 THEN cents END"))
+        ).alias("med2")
+    )
+    z = grid.join(
+        F.broadcast(med.withColumnRenamed("event_type", "et_m")),
+        grid["event_type"] == F.col("et_m"),
+    ).select(
+        "event_type",
+        "cnt",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("z2"),
+    )
+    per = z.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_i"),
+        F.sum(F.col("cnt") * F.col("z2")).cast("long").alias("sz"),
+        F.sum(F.col("cnt") * F.col("z2") * F.col("z2"))
+        .cast("long")
+        .alias("szz"),
+    )
+    piv = per.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("n_i")))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _TYPES
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("sz")))
+            .cast("long")
+            .alias(f"sz_{t}")
+            for t in _TYPES
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("szz")))
+            .cast("long")
+            .alias(f"szz_{t}")
+            for t in _TYPES
+        ],
+    )
+    n_total = None
+    stot = None
+    szz_tot = None
+    for t in _TYPES:
+        n_total = F.col(f"n_{t}") if n_total is None else n_total + F.col(f"n_{t}")
+        stot = F.col(f"sz_{t}") if stot is None else stot + F.col(f"sz_{t}")
+        szz_tot = (
+            F.col(f"szz_{t}") if szz_tot is None else szz_tot + F.col(f"szz_{t}")
+        )
+    tot = piv.select(
+        "*",
+        n_total.alias("n_total"),
+        stot.alias("stot"),
+        szz_tot.alias("szz_tot"),
+    )
+    szq = None
+    for t in _TYPES:
+        tt = (
+            F.col(f"sz_{t}").cast("double")
+            * F.col(f"sz_{t}").cast("double")
+            / F.col(f"n_{t}").cast("double")
+        )
+        szq = tt if szq is None else szq + tt
+    q = tot.select("*", szq.alias("szq"))
+    return q.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("stot").cast("long").alias("sum_absdev2"),
+        F.lit(4).cast("long").alias("df1"),
+        (F.col("n_total") - 5).cast("long").alias("df2"),
+        (
+            ((F.col("n_total") - 5).cast("double") / 4.0)
+            * (
+                F.col("szq")
+                - F.col("stot").cast("double")
+                * F.col("stot").cast("double")
+                / F.col("n_total").cast("double")
+            )
+            / (F.col("szz_tot").cast("double") - F.col("szq"))
+        ).alias("f_stat"),
+    )

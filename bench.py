@@ -138,6 +138,14 @@ BENCH_QUERIES = [
     # fan-back join) — the post-training data representative.
     "dedup_edit_distance",
     "pipeline_rl_advantage",
+    # r9-added: the heaviest fixed-round iterative promotion — the
+    # 10-round integer power-iteration chain (per round: codegen dot
+    # against 64 literals, DECIMAL posexplode partial-agg of 64 keys,
+    # 1-row broadcast max, driver collect of 64 scalars).  A plan
+    # regression anywhere in the unrolled chain multiplies by 10 and
+    # becomes visible here; hits/pagerank/k_core medians are recorded
+    # in BASELINE.md but kept out of the suite to bound its runtime.
+    "vec_power_iteration_exact",
 ]
 
 

@@ -949,3 +949,50 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("key_a", "key_b").cast("long").alias("edit_distance"),
     )
     return p.where(F.col("edit_distance") <= _EDIT_MAX_DIST)
+
+
+_SWEEP_THRESHOLDS = [50, 60, 70, 80, 90]
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH {_SQL_JACCARD_PAIRS},
+th AS (
+  SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS threshold
+)
+SELECT CAST(th.threshold AS BIGINT) AS threshold,
+       CAST(COUNT(CASE WHEN j.jaccard * 100.0 >= th.threshold
+                       THEN 1 END) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN j.jaccard * 100.0 >= th.threshold
+                                THEN j.doc_b END) AS BIGINT) AS n_docs_dropped
+FROM th CROSS JOIN jpairs j
+GROUP BY th.threshold
+""",
+    category="dedup",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve — the tuning report run
+    before committing a near-dup threshold to a corpus sweep: for
+    Jaccard cutoffs 0.5..0.9, how many candidate pairs survive and
+    how many documents would be dropped under keep-the-lower-id
+    (doc_b is always the higher id, so distinct doc_b = drops).  The
+    pair set is computed ONCE (dedup_ngram_jaccard's shared-gram
+    blocking + df-cap machinery — never the n^2 cross product) and
+    the 5-row threshold table fans out over it; jaccard * 100 >=
+    threshold compares the identical double in both engines, so the
+    curve is bit-stable.  Scale: pair volume is the blocked
+    candidate set; the sweep adds a broadcast 5-row join, nothing
+    data-proportional."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold long"
+    )
+    j = F.broadcast(th).crossJoin(pairs)
+    keep = F.col("jaccard") * 100.0 >= F.col("threshold")
+    return j.groupBy("threshold").agg(
+        F.count(F.when(keep, 1)).cast("long").alias("n_pairs"),
+        F.countDistinct(F.when(keep, F.col("doc_b")))
+        .cast("long")
+        .alias("n_docs_dropped"),
+    )

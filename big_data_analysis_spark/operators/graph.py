@@ -1106,3 +1106,183 @@ def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hub_residual_scaled",
         )
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+n AS (
+  SELECT a AS node, b AS nbr FROM u
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM u
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY node),
+tri AS (
+  SELECT n1.node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM n n1
+  JOIN n n2 ON n2.node = n1.node AND n1.nbr < n2.nbr
+  JOIN u ON u.a = n1.nbr AND u.b = n2.nbr
+  GROUP BY n1.node
+)
+SELECT deg.node, deg.d AS degree,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d < 2 THEN 0.0
+            ELSE 2.0 * CAST(COALESCE(tri.t, 0) AS DOUBLE)
+                 / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+       END AS local_clustering
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+""",
+    category="graph",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the undirected demo
+    graph — how interconnected each node's neighborhood is (the
+    community-density primitive under triangle-heavy analyses):
+    per-node triangle counts come from the canonical wedge join
+    (neighbor pairs x < y checked against the a < b edge table, the
+    graph_triangle_count shape), degrees from the bounded degree
+    table, and lcc = 2T/(d(d-1)) is ONE double expression per node
+    row (degree < 2 pins to 0.0).  Scale: the wedge join is the
+    standard hub-skew risk — production caps hub degrees exactly
+    like graph_common_neighbors documents; the demo graph is 100
+    nodes."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read by wedges AND the closing join
+    )
+    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = n.select(F.col("node").alias("v"), F.col("nbr").alias("x"))
+    n2 = n.select(F.col("node").alias("v2"), F.col("nbr").alias("y"))
+    tri = (
+        n1.join(n2, (F.col("v2") == F.col("v")) & (F.col("x") < F.col("y")))
+        .join(u, (u["a"] == F.col("x")) & (u["b"] == F.col("y")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    j = deg.join(tri.withColumnRenamed("v", "node"), "node", "left")
+    t = F.coalesce(F.col("t"), F.lit(0))
+    dd = F.col("d").cast("double")
+    return j.select(
+        "node",
+        F.col("d").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        F.when(F.col("d") < 2, F.lit(0.0))
+        .otherwise(2.0 * t.cast("double") / (dd * (dd - 1.0)))
+        .alias("local_clustering"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+n AS (
+  SELECT a AS node, b AS nbr FROM u
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM u
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY node),
+ed AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+),
+m AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS mm,
+         CAST(SUM(dx + dy) AS BIGINT) AS sx,
+         CAST(SUM(2 * dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sxx
+  FROM ed
+)
+SELECT CAST(mm / 2 AS BIGINT) AS n_edges, mm, sx, sxy, sxx,
+       CASE WHEN mm * sxx = sx * sx THEN 0.0
+            ELSE (CAST(mm AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+         AS assortativity
+FROM m
+""",
+    category="graph",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected demo graph — do
+    high-degree nodes attach to other high-degree nodes (positive,
+    social-network-like) or to low-degree ones (negative, hub-and-
+    spoke)?  Newman's r is the Pearson correlation of endpoint
+    degrees over the symmetrized edge ends: every moment (sum of
+    degrees, cross products, squares over edges, each edge
+    contributing both orientations) is an exact int64, and r reduces
+    to ONE double expression — the symmetric form makes the two
+    sqrt factors equal, so r = (M*Sxy - Sx^2)/(M*Sxx - Sx^2) with no
+    sqrt at all; a REGULAR graph (every degree equal — the near-
+    complete demo graph at sf >= 0.01) has zero degree variance,
+    where r is undefined and pinned to 0.0 by integer-equality guard
+    in both engines.  Scale: two broadcast-size degree joins against
+    the edge list; one-row output."""
+    e = _edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    n = u.select(F.col("a").alias("node")).unionAll(
+        u.select(F.col("b").alias("node"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = (
+        u.join(
+            F.broadcast(deg.select(F.col("node").alias("na"), F.col("d").alias("dx"))),
+            F.col("na") == u["a"],
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("nb"), F.col("d").alias("dy"))),
+            F.col("nb") == u["b"],
+        )
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("mm"),
+        F.sum(F.col("dx") + F.col("dy")).cast("long").alias("sx"),
+        F.sum(2 * F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    dmm = F.col("mm").cast("double")
+    dsx = F.col("sx").cast("double")
+    return m.select(
+        F.expr("CAST(mm / 2 AS BIGINT)").alias("n_edges"),
+        "mm",
+        "sx",
+        "sxy",
+        "sxx",
+        F.when(
+            F.col("mm") * F.col("sxx") == F.col("sx") * F.col("sx"), F.lit(0.0)
+        )
+        .otherwise(
+            (dmm * F.col("sxy").cast("double") - dsx * dsx)
+            / (dmm * F.col("sxx").cast("double") - dsx * dsx)
+        )
+        .alias("assortativity"),
+    )

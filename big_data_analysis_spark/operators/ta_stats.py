@@ -1703,3 +1703,245 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("szz_tot").cast("double") - F.col("szq"))
         ).alias("f_stat"),
     )
+
+
+def _trix_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """TRIX query text shared by both engines: a TRIPLE EMA(9) chain
+    as one recursion carrying (e1, e2, e3) integer states at 1000x
+    scale — each level floor-divides (2*prev_in + 8*prev_self) by 10
+    — followed by a 1-day rate-of-change of e3 in basis points via
+    integer division (nonzero denominator: e3 > 0 since x > 0)."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, e1, e2, e3) AS (
+  SELECT event_type, idx, x * 1000, x * 1000, x * 1000
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         (2 * g.x * 1000 + 8 * r.e1) {idiv} 10,
+         (2 * ((2 * g.x * 1000 + 8 * r.e1) {idiv} 10) + 8 * r.e2) {idiv} 10,
+         (2 * ((2 * ((2 * g.x * 1000 + 8 * r.e1) {idiv} 10)
+                + 8 * r.e2) {idiv} 10) + 8 * r.e3) {idiv} 10
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+),
+o AS (
+  SELECT r.event_type, gi.d, gi.x, r.e1, r.e2, r.e3,
+         lag(r.e3) OVER (PARTITION BY r.event_type ORDER BY r.idx) AS pe3
+  FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+)
+SELECT event_type, {datefmt} AS day,
+       CAST(x AS BIGINT) AS x,
+       CAST(e3 AS BIGINT) AS ema3_s,
+       CAST((e3 - pe3) * 10000 {idiv} pe3 AS BIGINT) AS trix_bp
+FROM o WHERE pe3 IS NOT NULL
+"""
+
+
+@query(
+    "win_trix",
+    oracle=_trix_sql(f"({_GRID_SQL})", "//", "strftime(d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX (triple-smoothed EMA rate-of-change, period 9) over the
+    daily-revenue series — the momentum indicator that needs THREE
+    chained EMAs, each the input of the next: one recursive CTE
+    carries (e1, e2, e3) together, every level an integer
+    floor-division recurrence at 1000x scale (win_macd's recipe
+    deepened), and the final TRIX reading is the 1-day change of e3
+    in basis points via integer division — zero floats end to end,
+    bit-exact in both engines.  Scale: recursion depth = calendar
+    days over the bounded grid; one data-proportional groupBy."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(_trix_sql("{g}", "DIV", "date_format(d, 'yyyy-MM-dd')"), g=g)
+
+
+def _heikin_ashi_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Heikin-Ashi query text shared by both engines: ha_close is the
+    EXACT bar average carried at 4x (o+h+l+c); ha_open is the
+    recursive half-sum of the previous HA pair, floor-divided at the
+    same 4x scale; highs/lows are maxima over scaled raw and HA
+    values.  Candle color is a pure integer comparison."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, o, h, l, c,
+         o + h + l + c AS hc4,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, ho4, hc4) AS (
+  SELECT event_type, idx, 2 * (o + c), hc4
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx, (r.ho4 + r.hc4) {idiv} 2, g.hc4
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(gi.c AS BIGINT) AS close_c,
+       CAST(r.ho4 AS BIGINT) AS ha_open_x4,
+       CAST(r.hc4 AS BIGINT) AS ha_close_x4,
+       CAST(GREATEST(4 * gi.h, r.ho4, r.hc4) AS BIGINT) AS ha_high_x4,
+       CAST(LEAST(4 * gi.l, r.ho4, r.hc4) AS BIGINT) AS ha_low_x4,
+       CAST(CASE WHEN r.hc4 > r.ho4 THEN 1
+                 WHEN r.hc4 < r.ho4 THEN -1 ELSE 0 END AS BIGINT) AS candle
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_heikin_ashi",
+    oracle=_heikin_ashi_sql(f"({_OHLC_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles over daily OHLC bars — the trend-smoothing
+    re-draw whose open is RECURSIVE (ha_open_t = (ha_open_{t-1} +
+    ha_close_{t-1})/2): carried at 4x cent scale so ha_close =
+    (o+h+l+c)/4 is the exact integer o+h+l+c, the recursive halving
+    is a floor division on the same lattice, and the HA highs/lows
+    and candle color are integer max/min/sign — a recursive CTE in
+    both engines, bit-exact, the win_macd certification applied to
+    the canonical candle transform.  Scale: recursion depth =
+    calendar days over the bounded OHLC grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    return spark.sql(
+        _heikin_ashi_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+def _psar_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Parabolic SAR (simplified: no prior-two-bar clamp) shared by
+    both engines.  State per series day: (dir, sar, ep, af100) — all
+    integers, AF in hundredths stepping 2 from 2 to 20 on new
+    extremes, SAR advancing by af*(ep-sar) DIV 100, trend flipping
+    when price crosses SAR (flip resets sar=ep, ep=today's extreme,
+    af=2).  The repeated CASE texts avoid lateral aliases."""
+    adv = f"r.sar + r.af100 * (r.ep - r.sar) {idiv} 100"
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, h, l,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, dir, sar, ep, af100) AS (
+  SELECT event_type, idx, 1, l, h, 2
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         CASE WHEN r.dir = 1 AND g.l < ({adv}) THEN -1
+              WHEN r.dir = -1 AND g.h > ({adv}) THEN 1
+              ELSE r.dir END,
+         CASE WHEN r.dir = 1 AND g.l < ({adv}) THEN r.ep
+              WHEN r.dir = -1 AND g.h > ({adv}) THEN r.ep
+              ELSE {adv} END,
+         CASE WHEN r.dir = 1 AND g.l < ({adv}) THEN g.l
+              WHEN r.dir = -1 AND g.h > ({adv}) THEN g.h
+              WHEN r.dir = 1 THEN GREATEST(r.ep, g.h)
+              ELSE LEAST(r.ep, g.l) END,
+         CASE WHEN r.dir = 1 AND g.l < ({adv}) THEN 2
+              WHEN r.dir = -1 AND g.h > ({adv}) THEN 2
+              WHEN r.dir = 1 AND g.h > r.ep THEN LEAST(20, r.af100 + 2)
+              WHEN r.dir = -1 AND g.l < r.ep THEN LEAST(20, r.af100 + 2)
+              ELSE r.af100 END
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(gi.h AS BIGINT) AS h, CAST(gi.l AS BIGINT) AS l,
+       CAST(r.dir AS BIGINT) AS direction,
+       CAST(r.sar AS BIGINT) AS sar_c,
+       CAST(r.ep AS BIGINT) AS extreme_c,
+       CAST(r.af100 AS BIGINT) AS af100
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_psar",
+    oracle=_psar_sql(f"({_OHLC_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_psar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parabolic SAR (Wilder; simplified without the prior-two-bar
+    clamp, documented) over daily OHLC bars — the accelerating
+    trailing stop with the most state of any classic indicator:
+    (direction, SAR, extreme point, acceleration factor) evolve
+    jointly, AF ratchets 0.02->0.20 on new extremes and resets on
+    trend flips.  Carried entirely in integers: AF in hundredths,
+    the SAR advance is af*(ep-sar) DIV 100 (truncation toward zero
+    identical in both engines even when ep < sar), flips are pure
+    comparisons — one recursive CTE per engine, bit-exact.  Scale:
+    recursion depth = calendar days over the bounded grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    return spark.sql(
+        _psar_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+def _renko_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Renko brick ladder shared by both engines.  Brick size is the
+    per-series (max-min) DIV 20 (pre-stage integer, floored to >= 1);
+    the recursion carries (level, n_up, n_down): a move of >= B above
+    the level lays (x - level) DIV B up-bricks and raises the level
+    by that many B's; mirrored downward."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT g.event_type, g.d, g.x, b.bs,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.d) AS idx
+  FROM {grid_ref} g
+  JOIN (SELECT event_type,
+               GREATEST(1, (MAX(x) - MIN(x)) {idiv} 20) AS bs
+        FROM {grid_ref} GROUP BY event_type) b
+    ON b.event_type = g.event_type
+),
+r(event_type, idx, lvl, bs, n_up, n_down) AS (
+  SELECT event_type, idx, x, bs, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         CASE WHEN g.x >= r.lvl + r.bs
+              THEN r.lvl + ((g.x - r.lvl) {idiv} r.bs) * r.bs
+              WHEN g.x <= r.lvl - r.bs
+              THEN r.lvl - ((r.lvl - g.x) {idiv} r.bs) * r.bs
+              ELSE r.lvl END,
+         r.bs,
+         r.n_up + CASE WHEN g.x >= r.lvl + r.bs
+                       THEN (g.x - r.lvl) {idiv} r.bs ELSE 0 END,
+         r.n_down + CASE WHEN g.x <= r.lvl - r.bs
+                         THEN (r.lvl - g.x) {idiv} r.bs ELSE 0 END
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(gi.x AS BIGINT) AS x,
+       CAST(r.bs AS BIGINT) AS brick_size,
+       CAST(r.lvl AS BIGINT) AS brick_level,
+       CAST(r.n_up AS BIGINT) AS n_bricks_up,
+       CAST(r.n_down AS BIGINT) AS n_bricks_down
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_renko",
+    oracle=_renko_sql(f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renko brick ladder over the daily-revenue series — the
+    time-free price filter that only advances when the value moves a
+    full brick from the last brick LEVEL (noise below one brick
+    never registers): brick size is the per-series range DIV 20
+    (integer pre-stage, so the parameter scales with the data
+    instead of being a magic cent count), and the recursion lays
+    (move DIV B) bricks and snaps the level to the brick lattice —
+    all integer floor arithmetic, bit-exact in both engines via
+    recursive CTEs.  Cumulative up/down brick counts give the
+    net-trend readout.  Scale: recursion depth = calendar days;
+    the pre-stage max/min is one bounded aggregation."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _renko_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )

@@ -3446,3 +3446,189 @@ def pipeline_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xor_digest"),
     )
+
+
+@query(
+    "pipeline_pack_efficiency",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(
+           generate_series(0, CAST((len(toks) + 31) // 32 AS INT) - 1),
+           i -> len(list_slice(toks, i * 32 + 1, i * 32 + 32)))) AS n_tokens,
+         generate_subscripts(
+           generate_series(0, CAST((len(toks) + 31) // 32 AS INT) - 1), 1) - 1
+           AS chunk_id
+  FROM d
+),
+placed AS (
+  SELECT lang, source, doc_id, chunk_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang, source ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM chunks
+),
+packs AS (
+  SELECT lang, source, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS tok
+  FROM placed GROUP BY lang, source, pack_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN tok < {_PACK_BUDGET}
+                     THEN {_PACK_BUDGET} - tok ELSE 0 END) AS BIGINT)
+         AS padding_tokens,
+       CAST(SUM(CASE WHEN tok >= {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_packs,
+       CAST(SUM(tok) * 10000 // (COUNT(*) * {_PACK_BUDGET}) AS BIGINT)
+         AS utilization_bp
+FROM packs GROUP BY lang
+""",
+    category="pipelines",
+)
+def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over pipeline_pack_sequences'
+    deterministic contiguous packing — the gauge every pretraining
+    pipeline watches next to the packer itself: padding tokens lost
+    per language (a pack under the 64-token budget pads to the
+    context window), full-pack share, and utilization in exact
+    integer basis points (sum*10000 DIV (packs*budget)); a low
+    number says the chunker/packer pair wastes compute.  All
+    integers off the same shard-windowed layout as the packer (one
+    window scan, no global order).  Scale: identical to
+    pipeline_pack_sequences — per-(lang, source) windows, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n_chunks = F.expr("(size(toks) + 31) div 32")
+    chunk_sizes = F.transform(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)),
+        lambda i: F.size(F.slice(toks, i * 32 + 1, 32)),
+    )
+    chunks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(chunk_sizes).alias("chunk_id", "n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = chunks.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
+        ).cast("long"),
+    )
+    packs = placed.groupBy("lang", "source", "pack_id").agg(
+        F.sum("n_tokens").cast("long").alias("tok")
+    )
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("tok") < _PACK_BUDGET, _PACK_BUDGET - F.col("tok")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("padding_tokens"),
+        F.sum(F.when(F.col("tok") >= _PACK_BUDGET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full_packs"),
+        F.expr(
+            f"CAST(SUM(tok) * 10000 DIV (COUNT(*) * {_PACK_BUDGET}) AS BIGINT)"
+        ).alias("utilization_bp"),
+    )
+
+
+_MIX_LANGS = ["de", "en", "es", "fr", "zh"]
+_MIX_BUDGET = 10**6  # token budget for the epoch readout
+
+
+@query(
+    "pipeline_mix_sqrt_temperature",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY lang
+),
+piv AS (
+  SELECT
+    {", ".join(f"CAST(SUM(CASE WHEN lang = '{lg}' THEN n_tokens END) AS BIGINT) AS t_{lg}" for lg in _MIX_LANGS)}
+  FROM per
+),
+tot AS (
+  SELECT {" + ".join(f"sqrt(CAST(t_{lg} AS DOUBLE))" for lg in _MIX_LANGS)}
+           AS wsum
+  FROM piv
+)
+SELECT p.lang, p.n_docs, p.n_tokens,
+       sqrt(CAST(p.n_tokens AS DOUBLE)) AS weight,
+       sqrt(CAST(p.n_tokens AS DOUBLE)) / t.wsum AS p_sample,
+       sqrt(CAST(p.n_tokens AS DOUBLE)) / t.wsum * {_MIX_BUDGET}.0
+         / CAST(p.n_tokens AS DOUBLE) AS epochs_at_budget
+FROM per p CROSS JOIN tot t
+""",
+    category="pipelines",
+)
+def pipeline_mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mixture weights at tau = 0.5 — the
+    multilingual rebalancing rule (sample p_l proportional to
+    n_l^tau) that upweights low-resource languages; tau = 0.5 is the
+    one temperature whose power is EXACTLY computable cross-engine
+    (sqrt is IEEE correctly-rounded in both; general pow is libm and
+    stays out — documented).  Per-language token masses are exact
+    integers; the normalizer sums the five sqrt weights in FIXED
+    order over the one-row pivot (the fixed lang domain), and each
+    output row's share and epochs-at-budget (how many passes over
+    that language a 1M-token budget implies — >1 flags upsampling
+    repetition risk) are single double expressions.  Scale: one
+    groupBy(lang); the pivot row broadcasts back."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    piv = per.agg(
+        *[
+            F.sum(F.when(F.col("lang") == lg, F.col("n_tokens")))
+            .cast("long")
+            .alias(f"t_{lg}")
+            for lg in _MIX_LANGS
+        ]
+    )
+    wsum = None
+    for lg in _MIX_LANGS:
+        tt = F.sqrt(F.col(f"t_{lg}").cast("double"))
+        wsum = tt if wsum is None else wsum + tt
+    tot = piv.select(wsum.alias("wsum"))
+    j = per.crossJoin(F.broadcast(tot))
+    weight = F.sqrt(F.col("n_tokens").cast("double"))
+    return j.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        (weight / F.col("wsum")).alias("p_sample"),
+        (
+            weight
+            / F.col("wsum")
+            * float(_MIX_BUDGET)
+            / F.col("n_tokens").cast("double")
+        ).alias("epochs_at_budget"),
+    )

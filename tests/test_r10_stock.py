@@ -1,0 +1,382 @@
+"""Semantic tests for the r9-built r10-window stock — the
+non-parametric statistics tier, the recursive TA indicators
+(TRIX / Heikin-Ashi / PSAR / Renko), graph clustering/assortativity
+and the pipeline efficiency/mixture reports: pure-Python definition
+replays and invariants beyond what oracle parity shows."""
+
+import math
+
+import duckdb
+import pytest
+
+from big_data_analysis_spark.registry import load_all
+
+REG = load_all()
+
+TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def run(name, spark, sf_dir):
+    return REG[name].fn(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def day_grid(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS x
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+
+
+@pytest.fixture(scope="module")
+def cents_df(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"""SELECT event_type, user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet'"""
+    ).df()
+
+
+def _tdiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_mood_median_counts_balance(spark, sf_dir, cents_df):
+    """Above+below+at-median = N, and above ~ below by the median's
+    defining property; chi2 >= 0."""
+    row = run("agg_mood_median", spark, sf_dir).collect()[0]
+    n = len(cents_df)
+    above = sum(getattr(row, f"a_{t}") for t in TYPES)
+    below = sum(getattr(row, f"b_{t}") for t in TYPES)
+    assert above + below + row.n_at_median == n
+    assert abs(above - below) <= row.n_at_median + 1
+    assert row.chi2 >= 0.0
+    # replay one cell: click above pooled median
+    v = sorted(cents_df.cents)
+    med2 = v[(n + 1) // 2 - 1] + v[n // 2]
+    want = int((2 * cents_df[cents_df.event_type == "click"].cents > med2).sum())
+    assert row.a_click == want
+
+
+def test_cochran_q_replay(spark, sf_dir, day_grid):
+    """Replay the binary above-own-median matrix and Q in Python."""
+    rows = {}
+    for t in TYPES:
+        sub = day_grid[day_grid.event_type == t].sort_values("d")
+        v = sorted(sub.x)
+        n = len(v)
+        med2 = v[(n + 1) // 2 - 1] + v[n // 2]
+        for _, r in sub.iterrows():
+            rows.setdefault(r.d, {})[t] = int(2 * r.x > med2)
+    c = dict.fromkeys(TYPES, 0)
+    sum_r = sum_r2 = n_days = 0
+    for d, m in rows.items():
+        if len(m) != 5:
+            continue
+        n_days += 1
+        ri = sum(m.values())
+        sum_r += ri
+        sum_r2 += ri * ri
+        for t in TYPES:
+            c[t] += m[t]
+    got = run("agg_cochran_q", spark, sf_dir).collect()[0]
+    assert got.n_days == n_days and got.sum_r == sum_r and got.sum_r2 == sum_r2
+    for t in TYPES:
+        assert getattr(got, f"c_{t}") == c[t]
+    want = 4.0 * (5.0 * sum(v * v for v in c.values()) - float(sum_r) ** 2) / (
+        5.0 * sum_r - sum_r2
+    )
+    assert math.isclose(got.q_stat, want, rel_tol=1e-9)
+
+
+def test_mcnemar_cells_partition_users(spark, sf_dir):
+    got = run("agg_mcnemar", spark, sf_dir).collect()[0]
+    assert got.both_halves + got.first_only + got.second_only <= got.n_users
+    assert got.chi2 >= 0.0 and got.chi2_corrected >= 0.0
+    if got.first_only + got.second_only > 0:
+        d = got.first_only - got.second_only
+        assert math.isclose(
+            got.chi2, d * d / (got.first_only + got.second_only), rel_tol=1e-12
+        )
+
+
+def test_odds_ratio_consistency(spark, sf_dir):
+    got = run("agg_odds_ratio", spark, sf_dir).collect()[0]
+    assert got.odds_ratio > 0 and got.relative_risk > 0
+    # OR and RR must sit on the same side of 1
+    assert (got.odds_ratio > 1) == (got.relative_risk > 1) or math.isclose(
+        got.odds_ratio, 1.0, rel_tol=1e-6
+    )
+    assert math.isclose(
+        got.log_or_variance,
+        1 / got.a + 1 / got.b + 1 / got.c + 1 / got.d,
+        rel_tol=1e-12,
+    )
+
+
+def test_cliffs_delta_maps_to_mann_whitney_auc(spark, sf_dir):
+    """delta = 2*AUC - 1 (the exact algebraic identity between the
+    two effect sizes), checked against agg_mann_whitney's output."""
+    cd = run("agg_cliffs_delta", spark, sf_dir).collect()[0]
+    mw = run("agg_mann_whitney", spark, sf_dir).collect()[0]
+    assert (cd.n_a, cd.n_b) == (mw.n_a, mw.n_b)
+    assert math.isclose(cd.cliffs_delta, 2.0 * mw.auc - 1.0, rel_tol=1e-9)
+    assert cd.n_gt + cd.n_lt + cd.n_tie == cd.n_a * cd.n_b
+    assert -1.0 <= cd.cliffs_delta <= 1.0
+
+
+def test_hodges_lehmann_replay(spark, sf_dir, day_grid):
+    a = day_grid[day_grid.event_type == "click"].x.tolist()
+    b = day_grid[day_grid.event_type == "purchase"].x.tolist()
+    diffs = sorted(int(x) - int(y) for x in a for y in b)
+    n = len(diffs)
+    hl2 = diffs[(n + 1) // 2 - 1] + diffs[n // 2]
+    got = run("agg_hodges_lehmann", spark, sf_dir).collect()[0]
+    assert got.n_pairs == n and got.hl_x2 == hl2
+    assert math.isclose(got.hl_shift, hl2 / 2.0, rel_tol=1e-12)
+
+
+def test_seasonal_mk_replay(spark, sf_dir, day_grid):
+    got = {r.event_type: r for r in run("agg_seasonal_mann_kendall", spark, sf_dir).collect()}
+    for t in TYPES:
+        sub = day_grid[day_grid.event_type == t].sort_values("d")
+        buckets = {}
+        for _, r in sub.iterrows():
+            buckets.setdefault(r.d.isoweekday() % 7 + 1, []).append(int(r.x))
+        s = 0
+        var18 = 0
+        n_pairs = 0
+        for vals in buckets.values():
+            ng = len(vals)
+            var18 += ng * (ng - 1) * (2 * ng + 5)
+            for i in range(ng):
+                for j in range(i + 1, ng):
+                    s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+                    n_pairs += 1
+        r = got[t]
+        assert (r.s_total, r.n_pairs, r.var18) == (s, n_pairs, var18)
+        corr = 1.0 if s > 0 else (-1.0 if s < 0 else 0.0)
+        assert math.isclose(r.z, (s - corr) / math.sqrt(var18 / 18.0), rel_tol=1e-9)
+
+
+def test_fleiss_kappa_range_and_formula(spark, sf_dir):
+    got = run("agg_fleiss_kappa", spark, sf_dir).collect()[0]
+    assert 0.0 < got.p_bar <= 1.0
+    assert 0.0 < got.p_e < 1.0
+    assert math.isclose(
+        got.fleiss_kappa, (got.p_bar - got.p_e) / (1.0 - got.p_e), rel_tol=1e-12
+    )
+    assert sum(getattr(got, f"c_{t}") for t in TYPES) == 3 * got.n_items
+    assert got.agree_pairs <= 6 * got.n_items
+
+
+def test_poisson_rate_halves_sum(spark, sf_dir, cents_df):
+    got = {r.event_type: r for r in run("agg_poisson_rate_test", spark, sf_dir).collect()}
+    totals = cents_df.groupby("event_type").size()
+    for t in TYPES:
+        assert got[t].k1 + got[t].k2 == int(totals[t])
+        assert (got[t].z > 0) == (got[t].rate1 > got[t].rate2)
+
+
+def test_wilcoxon_signed_rank_replay(spark, sf_dir, day_grid):
+    a = day_grid[day_grid.event_type == "click"].set_index("d").x
+    b = day_grid[day_grid.event_type == "purchase"].set_index("d").x
+    common = a.index.intersection(b.index)
+    diffs = [int(a[d]) - int(b[d]) for d in common if a[d] != b[d]]
+    sad = sorted((abs(d), d > 0) for d in diffs)
+    n = len(diffs)
+    # doubled midranks over |diff|
+    w2 = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sad[j][0] == sad[i][0]:
+            j += 1
+        rank2 = (i + 1) + (j)  # 2*midrank = (i+1) + j  (1-based i..j)
+        for k in range(i, j):
+            if sad[k][1]:
+                w2 += rank2
+        i = j
+    got = run("agg_wilcoxon_signed_rank", spark, sf_dir).collect()[0]
+    assert got.n == n and got.w2_pos == w2
+    wp = w2 / 2.0
+    want = (wp - n * (n + 1) / 4.0) / math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0)
+    assert math.isclose(got.z, want, rel_tol=1e-9)
+
+
+def test_trix_replays_triple_chain(spark, sf_dir, day_grid):
+    got = {
+        (r.event_type, r.day): (r.ema3_s, r.trix_bp)
+        for r in run("win_trix", spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for et, grp in day_grid.groupby("event_type"):
+        e1 = e2 = e3 = None
+        pe3 = None
+        for _, row in grp.sort_values("d").iterrows():
+            xs = int(row.x) * 1000
+            if e1 is None:
+                e1, e2, e3 = xs, xs, xs
+            else:
+                e1 = _tdiv(2 * xs + 8 * e1, 10)
+                e2 = _tdiv(2 * e1 + 8 * e2, 10)
+                e3 = _tdiv(2 * e2 + 8 * e3, 10)
+            key = (et, row.d.strftime("%Y-%m-%d"))
+            if pe3 is not None:
+                assert got[key] == (e3, _tdiv((e3 - pe3) * 10000, pe3)), key
+                n_checked += 1
+            pe3 = e3
+    assert n_checked == len(got) >= 100
+
+
+def test_heikin_ashi_invariants(spark, sf_dir):
+    rows = run("win_heikin_ashi", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ha_low_x4 <= r.ha_open_x4 <= r.ha_high_x4
+        assert r.ha_low_x4 <= r.ha_close_x4 <= r.ha_high_x4
+        assert r.candle == (r.ha_close_x4 > r.ha_open_x4) - (
+            r.ha_close_x4 < r.ha_open_x4
+        )
+
+
+def test_psar_state_machine_invariants(spark, sf_dir):
+    by_type = {}
+    for r in run("win_psar", spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    flips = 0
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.af100 in range(2, 21) and cur.af100 % 2 == 0
+            if cur.direction != prev.direction:
+                flips += 1
+                assert cur.af100 == 2  # AF resets on flip
+                assert cur.sar_c == prev.extreme_c  # SAR jumps to prior EP
+            elif cur.af100 > prev.af100:
+                assert cur.af100 == min(20, prev.af100 + 2)
+        for r in rs:
+            # in an uptrend EP tracks highs, downtrend lows
+            if r.direction == 1:
+                assert r.extreme_c >= r.l
+            else:
+                assert r.extreme_c <= r.h
+    assert flips > 0  # the fixture series does flip trend
+
+
+def test_renko_brick_lattice(spark, sf_dir):
+    by_type = {}
+    for r in run("win_renko", spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        b = rs[0].brick_size
+        assert b >= 1
+        lvl0 = rs[0].brick_level
+        up = down = 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.brick_size == b
+            assert (cur.brick_level - lvl0) % b == 0  # level stays on lattice
+            assert abs(cur.x - cur.brick_level) < b or cur.brick_level == prev.brick_level
+            up_d = cur.n_bricks_up - prev.n_bricks_up
+            dn_d = cur.n_bricks_down - prev.n_bricks_down
+            assert up_d >= 0 and dn_d >= 0 and (up_d == 0 or dn_d == 0)
+            assert cur.brick_level - prev.brick_level == b * (up_d - dn_d)
+            up += up_d
+            down += dn_d
+        assert up + down > 0  # the series moves at least one brick
+
+
+def test_clustering_coefficient_vs_python(spark, sf_dir):
+    und = duckdb.sql(
+        f"""
+        SELECT DISTINCT least(src, dst), greatest(src, dst) FROM (
+          SELECT l_orderkey % 100 src, l_partkey % 100 dst
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+          WHERE l_orderkey % 100 <> l_partkey % 100)
+        """
+    ).fetchall()
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {r.node: r for r in run("graph_clustering_coefficient", spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        t = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and y in adj[x]
+        )
+        r = got[v]
+        assert r.degree == len(nbrs) and r.n_triangles == t
+        d = len(nbrs)
+        want = 0.0 if d < 2 else 2.0 * t / (d * (d - 1))
+        assert math.isclose(r.local_clustering, want, rel_tol=1e-12)
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    r = run("graph_degree_assortativity", spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.mm == 2 * r.n_edges
+    assert r.sx <= r.mm * 99  # degrees bounded by 99 on the 100-node graph
+
+
+def test_pack_efficiency_consistency(spark, sf_dir):
+    rows = run("pipeline_pack_efficiency", spark, sf_dir).collect()
+    packs = run("pipeline_pack_sequences", spark, sf_dir).collect()
+    by_lang = {}
+    for p in packs:
+        d = by_lang.setdefault(p.lang, {"n": 0, "tok": 0, "pad": 0, "full": 0})
+        d["n"] += 1
+        d["tok"] += p.n_tokens
+        d["pad"] += max(0, 64 - p.n_tokens)
+        d["full"] += int(p.n_tokens >= 64)
+    for r in rows:
+        d = by_lang[r.lang]
+        assert (r.n_packs, r.total_tokens) == (d["n"], d["tok"])
+        assert (r.padding_tokens, r.n_full_packs) == (d["pad"], d["full"])
+        assert r.utilization_bp == d["tok"] * 10000 // (d["n"] * 64)
+        assert 0 < r.utilization_bp  # packs are never empty
+
+
+def test_mix_temperature_normalizes(spark, sf_dir):
+    rows = run("pipeline_mix_sqrt_temperature", spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert math.isclose(sum(r.p_sample for r in rows), 1.0, rel_tol=1e-9)
+    for r in rows:
+        assert math.isclose(r.weight, math.sqrt(r.n_tokens), rel_tol=1e-12)
+        assert math.isclose(
+            r.epochs_at_budget, r.p_sample * 1_000_000 / r.n_tokens, rel_tol=1e-9
+        )
+    # sqrt temperature flattens: low-resource languages get MORE than
+    # their raw token share
+    tot = sum(r.n_tokens for r in rows)
+    for r in rows:
+        raw = r.n_tokens / tot
+        if raw < 0.2:
+            assert r.p_sample > raw
+        elif raw > 0.2:
+            assert r.p_sample < raw
+
+
+def test_dedup_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        run("dedup_threshold_sweep", spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [50, 60, 70, 80, 90]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs  # tighter threshold, fewer pairs
+        assert lo.n_docs_dropped >= hi.n_docs_dropped
+    pairs = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    assert rows[0].n_pairs == len(pairs)  # threshold 50 = the full pair set

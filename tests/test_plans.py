@@ -785,3 +785,23 @@ def test_html_extract_and_encoding_guard_pure_map(spark, sf_dir):
         tree = plan.split("\n\n")[0]
         assert "Python" not in tree, name
         assert tree.count("Exchange") <= max_ex, name
+
+
+def test_recursive_cte_indicators_plan_shape(spark, sf_dir):
+    """The r9 recursive-CTE indicators must plan as a UnionLoop over
+    the checkpointed bounded grid: no parquet re-scan inside the
+    recursion, no SortMergeJoin (the per-level frontier joins
+    broadcast), and at most the two label exchanges the loop itself
+    introduces (win_trix adds one more for its post-recursion lag
+    window)."""
+    from big_data_analysis_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("win_macd", "win_supertrend", "win_trix", "win_heikin_ashi"):
+        df = reg[name].fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "UnionLoop" in p, name
+        assert "Scan parquet" not in p, name  # grid is localCheckpointed
+        assert "SortMergeJoin" not in p, name
+        cap = 3 if name == "win_trix" else 2
+        assert p.count("Exchange") <= cap, (name, p.count("Exchange"))

@@ -1767,3 +1767,87 @@ def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("roundtrip_checksum"),
     )
+
+
+@query(
+    "fn_date_iso",
+    oracle="""
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(dayofyear(o_orderdate) AS INT) AS order_doy,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+       CAST(isoyear(o_orderdate) * 100 + weekofyear(o_orderdate) AS INT)
+         AS iso_week_key
+FROM orders
+""",
+    category="functions",
+)
+def fn_date_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 calendar family — the parts fn_date leaves out and
+    the ones with the famous cross-engine traps: quarter, day of
+    year, ISO week number (both engines are ISO: week 1 contains the
+    first Thursday, so Jan 1 can be week 52/53 of the PREVIOUS iso
+    year), and the matching ISO week-year (Spark
+    extract(YEAROFWEEK), DuckDB isoyear) — plus the combined
+    yyyyww key a weekly-rollup pipeline would group by, which is
+    only correct with the ISO pair (year(d)*100 + weekofyear(d)
+    misbuckets the year-boundary week).  Pure calendar arithmetic,
+    map-only plan."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(od).alias("order_quarter"),
+        F.dayofyear(od).alias("order_doy"),
+        F.weekofyear(od).alias("iso_week"),
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+        (
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)") * 100
+            + F.weekofyear(od)
+        )
+        .cast("int")
+        .alias("iso_week_key"),
+    )
+
+
+@query(
+    "fn_string_manip",
+    oracle="""
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_upper,
+       reverse(p_brand) AS brand_reversed,
+       repeat(left(p_name, 2), 3) AS prefix_echo,
+       right(p_name, 3) AS name_tail,
+       ascii(p_name) AS first_codepoint,
+       contains(p_name, 'e') AS has_e,
+       starts_with(p_brand, 'Brand') AS is_brand,
+       CAST(length(p_name) - length(replace(p_name, ' ', '')) AS INT)
+         AS n_spaces
+FROM part
+""",
+    category="functions",
+)
+def fn_string_manip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-surface family (beyond fn_string's
+    case/trim/pad/split tier): character translation, reverse,
+    repeat, left/right slices, leading codepoint, substring
+    predicates (contains / starts_with — identical names and
+    semantics in both engines), and the classic
+    count-without-scanning idiom length(s) - length(replace(s, c,
+    '')).  All JVM-side codegen, map-only plan."""
+    p = table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_upper"),
+        F.reverse(F.col("p_brand")).alias("brand_reversed"),
+        F.repeat(F.expr("left(p_name, 2)"), 3).alias("prefix_echo"),
+        F.expr("right(p_name, 3)").alias("name_tail"),
+        F.ascii(name).alias("first_codepoint"),
+        F.contains(name, F.lit("e")).alias("has_e"),
+        F.startswith(F.col("p_brand"), F.lit("Brand")).alias("is_brand"),
+        (F.length(name) - F.length(F.replace(name, F.lit(" "), F.lit(""))))
+        .cast("int")
+        .alias("n_spaces"),
+    )

@@ -974,3 +974,204 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dn * (dn + 1.0) * (2.0 * dn + 1.0) / 24.0)
         ).alias("z"),
     )
+
+
+@query(
+    "agg_ljung_box",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT event_type, d, x,
+         CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+         CAST(SUM(x) OVER wt AS BIGINT) AS sx
+  FROM g WINDOW wt AS (PARTITION BY event_type)
+),
+dd AS (
+  SELECT event_type, d, n, n * x - sx AS dev,
+         lag(n * x - sx, 1) OVER wo AS l1,
+         lag(n * x - sx, 2) OVER wo AS l2,
+         lag(n * x - sx, 3) OVER wo AS l3,
+         lag(n * x - sx, 4) OVER wo AS l4,
+         lag(n * x - sx, 5) OVER wo AS l5
+  FROM s WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+m AS (
+  SELECT event_type, MAX(n) AS n,
+         SUM(CAST(dev AS HUGEINT) * dev) AS den,
+         SUM(CAST(dev AS HUGEINT) * l1) AS c1,
+         SUM(CAST(dev AS HUGEINT) * l2) AS c2,
+         SUM(CAST(dev AS HUGEINT) * l3) AS c3,
+         SUM(CAST(dev AS HUGEINT) * l4) AS c4,
+         SUM(CAST(dev AS HUGEINT) * l5) AS c5
+  FROM dd GROUP BY event_type
+),
+r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dden,
+         CAST(CAST(c1 AS VARCHAR) AS DOUBLE) AS dc1,
+         CAST(CAST(c2 AS VARCHAR) AS DOUBLE) AS dc2,
+         CAST(CAST(c3 AS VARCHAR) AS DOUBLE) AS dc3,
+         CAST(CAST(c4 AS VARCHAR) AS DOUBLE) AS dc4,
+         CAST(CAST(c5 AS VARCHAR) AS DOUBLE) AS dc5
+  FROM m
+),
+rr AS (
+  SELECT event_type, n,
+         dc1 / dden AS r1, dc2 / dden AS r2, dc3 / dden AS r3,
+         dc4 / dden AS r4, dc5 / dden AS r5
+  FROM r
+)
+SELECT event_type, n, r1, r2, r3, r4, r5,
+       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+         * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+            + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+            + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)
+            + r4 * r4 / (CAST(n AS DOUBLE) - 4.0)
+            + r5 * r5 / (CAST(n AS DOUBLE) - 5.0)) AS lb_stat
+FROM rr
+""",
+    category="aggregations",
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box autocorrelation test (lags 1-5) per daily-revenue
+    series — is the series white noise, the diagnostic run on
+    forecast residuals (agg_holt_linear) and on agg_autocorr's
+    single-lag readout generalized: deviations are N-scaled integers
+    (dev = N*x - S, the agg_page_hinkley lattice), each lag-k
+    autocovariance and the variance are EXACT HUGEINT/DECIMAL(38,0)
+    sums crossing into doubles via VARCHAR (the correctly-rounded
+    route), r_k = c_k/c_0 per row, and Q = n(n+2) sum r_k^2/(n-k)
+    is one fixed-order expression over the five fixed lags.  Scale:
+    five lags + one hash-agg over the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    s = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    dd = s.select(
+        "event_type",
+        "d",
+        "n",
+        dev.alias("dev"),
+        *[F.lag(dev, k).over(wo).alias(f"l{k}") for k in range(1, 6)],
+    )
+    m = dd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev").cast("decimal(38,0)") * F.col(f"l{k}")).alias(
+                f"c{k}"
+            )
+            for k in range(1, 6)
+        ],
+    )
+    r = m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("den").cast("string").cast("double").alias("dden"),
+        *[
+            F.col(f"c{k}").cast("string").cast("double").alias(f"dc{k}")
+            for k in range(1, 6)
+        ],
+    )
+    rr = r.select(
+        "event_type",
+        "n",
+        *[(F.col(f"dc{k}") / F.col("dden")).alias(f"r{k}") for k in range(1, 6)],
+    )
+    dn = F.col("n").cast("double")
+    q = None
+    for k in range(1, 6):
+        tt = F.col(f"r{k}") * F.col(f"r{k}") / (dn - float(k))
+        q = tt if q is None else q + tt
+    return rr.select(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        "r5",
+        (dn * (dn + 2.0) * q).alias("lb_stat"),
+    )
+
+
+@query(
+    "agg_durbin_watson",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT event_type, d, x,
+         CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+         CAST(SUM(x) OVER wt AS BIGINT) AS sx
+  FROM g WINDOW wt AS (PARTITION BY event_type)
+),
+dd AS (
+  SELECT event_type, n, n * x - sx AS dev,
+         lag(n * x - sx) OVER (PARTITION BY event_type ORDER BY d) AS pdev
+  FROM s
+),
+m AS (
+  SELECT event_type, MAX(n) AS n,
+         SUM(CAST(dev AS HUGEINT) * dev) AS den,
+         SUM(CASE WHEN pdev IS NULL THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(dev - pdev AS HUGEINT) * (dev - pdev) END) AS num
+  FROM dd GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dw_stat
+FROM m
+""",
+    category="aggregations",
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic per daily
+    series — the 0..4 gauge (2 = no autocorrelation, <2 positive)
+    every regression residual check starts with, here on the
+    mean-removed series: deviations are N-scaled integers, the
+    squared-difference numerator and squared denominator are exact
+    HUGEINT/DECIMAL(38,0) sums (first day contributes 0 to the
+    numerator, the standard convention), and DW is ONE double
+    division over the VARCHAR-routed casts.  Scale: one lag + one
+    hash-agg over the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    s = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    dd = s.select(
+        "event_type",
+        "n",
+        dev.alias("dev"),
+        F.lag(dev).over(wo).alias("pdev"),
+    )
+    diff = F.col("dev") - F.col("pdev")
+    m = dd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den"),
+        F.sum(
+            F.when(F.col("pdev").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(diff.cast("decimal(38,0)") * diff)
+        ).alias("num"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("num").cast("string").cast("double")
+            / F.col("den").cast("string").cast("double")
+        ).alias("dw_stat"),
+    )

@@ -1945,3 +1945,379 @@ def win_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _renko_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
     )
+
+
+# OHLC + volume bars (win_obv's construction: event count as volume).
+_OHLCV_SQL = f"""
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         MAX({_CENTS_SQL}) AS h,
+         MIN({_CENTS_SQL}) AS l,
+         arg_max({_CENTS_SQL}, ts) AS c,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM events
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+"""
+
+
+@query(
+    "win_mfi",
+    oracle=f"""
+WITH g AS ({_OHLCV_SQL}),
+t AS (
+  SELECT event_type, d, (h + l + c) * vol AS mf,
+         h + l + c AS tp3,
+         lag(h + l + c) OVER (PARTITION BY event_type ORDER BY d) AS ptp3
+  FROM g
+),
+w AS (
+  SELECT event_type, d,
+         COUNT(ptp3) OVER w14 AS n14,
+         SUM(CASE WHEN tp3 > ptp3 THEN mf ELSE 0 END) OVER w14 AS pos14,
+         SUM(CASE WHEN tp3 < ptp3 THEN mf ELSE 0 END) OVER w14 AS neg14
+  FROM t
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(pos14 AS BIGINT) AS pos_flow,
+       CAST(neg14 AS BIGINT) AS neg_flow,
+       CAST(CASE WHEN pos14 + neg14 = 0 THEN 5000
+                 ELSE pos14 * 10000 // (pos14 + neg14) END AS BIGINT) AS mfi_bp
+FROM w WHERE n14 = 14
+""",
+    category="windows",
+)
+def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money flow index (14-day) over daily bars with event count as
+    volume — the volume-weighted RSI sibling (win_rsi weights price
+    moves equally; MFI weights them by how much traded): raw money
+    flow = typical-price x volume at 3x scale (tp3 = h+l+c, the
+    win_cci lattice), split into positive/negative by the
+    typical-price direction, and MFI = 10000*pos/(pos+neg) in exact
+    integer basis points via floor division (an all-flat window pins
+    to the 5000 midpoint).  Scale: one lag + one trailing frame over
+    the bounded OHLCV grid, one event_type shuffle."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+            "ts",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.max_by("cents", "ts").alias("c"),
+            F.count(F.lit(1)).cast("long").alias("vol"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    tp3 = F.col("h") + F.col("l") + F.col("c")
+    t = g.select(
+        "event_type",
+        "d",
+        (tp3 * F.col("vol")).alias("mf"),
+        tp3.alias("tp3"),
+        F.lag(tp3).over(wo).alias("ptp3"),
+    )
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    w = t.select(
+        "event_type",
+        "d",
+        F.count("ptp3").over(w14).alias("n14"),
+        F.sum(
+            F.when(F.col("tp3") > F.col("ptp3"), F.col("mf")).otherwise(0)
+        )
+        .over(w14)
+        .alias("pos14"),
+        F.sum(
+            F.when(F.col("tp3") < F.col("ptp3"), F.col("mf")).otherwise(0)
+        )
+        .over(w14)
+        .alias("neg14"),
+    ).where(F.col("n14") == 14)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("pos14").cast("long").alias("pos_flow"),
+        F.col("neg14").cast("long").alias("neg_flow"),
+        F.expr(
+            "CASE WHEN pos14 + neg14 = 0 THEN 5000"
+            " ELSE pos14 * 10000 DIV (pos14 + neg14) END"
+        )
+        .cast("long")
+        .alias("mfi_bp"),
+    )
+
+
+@query(
+    "win_williams_r",
+    oracle=f"""
+WITH g AS ({_OHLC_SQL}),
+w AS (
+  SELECT event_type, d, c,
+         COUNT(*) OVER w14 AS n14,
+         MAX(h) OVER w14 AS hi14,
+         MIN(l) OVER w14 AS lo14
+  FROM g
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(c AS BIGINT) AS close_c,
+       CAST(hi14 AS BIGINT) AS hi14, CAST(lo14 AS BIGINT) AS lo14,
+       CAST(CASE WHEN hi14 = lo14 THEN -5000
+                 ELSE -((hi14 - c) * 10000 // (hi14 - lo14)) END AS BIGINT)
+         AS williams_r_bp
+FROM w WHERE n14 = 14
+""",
+    category="windows",
+)
+def win_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R (14-day) over daily bars — the inverted stochastic
+    (where does the CLOSE sit below the trailing high): %R =
+    -(hi14 - c)/(hi14 - lo14), carried in exact integer basis points
+    (0 at the high, -10000 at the low; non-negative floor division
+    then negated, flat bands pin to the -5000 midpoint).  Pure
+    integers throughout.  Scale: one trailing frame over the bounded
+    OHLC grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    w = g.select(
+        "event_type",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(w14).alias("n14"),
+        F.max("h").over(w14).alias("hi14"),
+        F.min("l").over(w14).alias("lo14"),
+    ).where(F.col("n14") == 14)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("long").alias("close_c"),
+        F.col("hi14").cast("long").alias("hi14"),
+        F.col("lo14").cast("long").alias("lo14"),
+        F.expr(
+            "CASE WHEN hi14 = lo14 THEN -5000"
+            " ELSE -((hi14 - c) * 10000 DIV (hi14 - lo14)) END"
+        )
+        .cast("long")
+        .alias("williams_r_bp"),
+    )
+
+
+@query(
+    "win_roc_momentum",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+w AS (
+  SELECT event_type, d, x,
+         lag(x, 10) OVER (PARTITION BY event_type ORDER BY d) AS x10
+  FROM g
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       CAST(x10 AS BIGINT) AS x_10_back,
+       CAST(x - x10 AS BIGINT) AS momentum,
+       CAST((x - x10) * 10000 // x10 AS BIGINT) AS roc_bp
+FROM w WHERE x10 IS NOT NULL
+""",
+    category="windows",
+)
+def win_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate of change + momentum (10-day) over the daily series —
+    the raw velocity pair under every oscillator: momentum = x -
+    x_{t-10} (integer difference) and ROC in integer basis points
+    via floor division by the 10-back value (positive cents, so the
+    denominator is never zero).  Scale: one lag over the bounded day
+    grid."""
+    g = _day_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+    w = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.lag("x", 10).over(wo).alias("x10"),
+    ).where(F.col("x10").isNotNull())
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("x10").cast("long").alias("x_10_back"),
+        (F.col("x") - F.col("x10")).cast("long").alias("momentum"),
+        F.expr("(x - x10) * 10000 DIV x10").cast("long").alias("roc_bp"),
+    )
+
+
+@query(
+    "win_coppock",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+r AS (
+  SELECT event_type, d,
+         (x - lag(x, 10) OVER wo) * 10000 // lag(x, 10) OVER wo
+           + (x - lag(x, 7) OVER wo) * 10000 // lag(x, 7) OVER wo AS rr
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+w AS (
+  SELECT event_type, d, rr,
+         lag(rr, 1) OVER wo AS r1, lag(rr, 2) OVER wo AS r2,
+         lag(rr, 3) OVER wo AS r3, lag(rr, 4) OVER wo AS r4,
+         lag(rr, 5) OVER wo AS r5
+  FROM r WHERE rr IS NOT NULL
+  WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(rr AS BIGINT) AS roc_sum_bp,
+       CAST(6 * rr + 5 * r1 + 4 * r2 + 3 * r3 + 2 * r4 + 1 * r5 AS BIGINT)
+         AS coppock_s,
+       CAST(CASE WHEN 6 * rr + 5 * r1 + 4 * r2 + 3 * r3 + 2 * r4 + 1 * r5 > 0
+                 THEN 1 ELSE -1 END AS BIGINT) AS signal
+FROM w WHERE r5 IS NOT NULL
+""",
+    category="windows",
+)
+def win_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve (periods scaled 10/7 ROC, WMA 6 for the 30-day
+    calendar) over the daily series — the long-horizon momentum
+    bottom-finder: the summed ROC pair is integer basis points
+    (floor divisions), and the linear-weighted moving average is an
+    EXPLICIT 6-lag weighted sum (weights 6..1, 21x scale) — a fixed
+    handful of lags beats a positional-weight window trick for both
+    clarity and exactness, zero floats anywhere.  Scale: lags over
+    the bounded day grid, one event_type shuffle."""
+    g = _day_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+    x10 = F.lag("x", 10).over(wo)
+    x7 = F.lag("x", 7).over(wo)
+    r = g.select(
+        "event_type",
+        "d",
+        (
+            F.expr("(x - lag(x, 10) OVER (PARTITION BY event_type ORDER BY d))"
+                   " * 10000 DIV lag(x, 10) OVER (PARTITION BY event_type ORDER BY d)")
+            + F.expr("(x - lag(x, 7) OVER (PARTITION BY event_type ORDER BY d))"
+                     " * 10000 DIV lag(x, 7) OVER (PARTITION BY event_type ORDER BY d)")
+        ).alias("rr"),
+    ).where(F.col("rr").isNotNull())
+    w = r.select(
+        "event_type",
+        "d",
+        "rr",
+        F.lag("rr", 1).over(wo).alias("r1"),
+        F.lag("rr", 2).over(wo).alias("r2"),
+        F.lag("rr", 3).over(wo).alias("r3"),
+        F.lag("rr", 4).over(wo).alias("r4"),
+        F.lag("rr", 5).over(wo).alias("r5"),
+    ).where(F.col("r5").isNotNull())
+    cop = (
+        6 * F.col("rr")
+        + 5 * F.col("r1")
+        + 4 * F.col("r2")
+        + 3 * F.col("r3")
+        + 2 * F.col("r4")
+        + 1 * F.col("r5")
+    )
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rr").cast("long").alias("roc_sum_bp"),
+        cop.cast("long").alias("coppock_s"),
+        F.when(cop > 0, 1).otherwise(-1).cast("long").alias("signal"),
+    )
+
+
+@query(
+    "win_ultimate_osc",
+    oracle=f"""
+WITH g AS ({_OHLC_SQL}),
+t AS (
+  SELECT event_type, d,
+         c - LEAST(l, lag(c) OVER wo) AS bp,
+         GREATEST(h, lag(c) OVER wo) - LEAST(l, lag(c) OVER wo) AS tr
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+w AS (
+  SELECT event_type, d,
+         COUNT(bp) OVER w20 AS n20,
+         SUM(bp) OVER w5 AS bp5, SUM(tr) OVER w5 AS tr5,
+         SUM(bp) OVER w10 AS bp10, SUM(tr) OVER w10 AS tr10,
+         SUM(bp) OVER w20 AS bp20, SUM(tr) OVER w20 AS tr20
+  FROM t
+  WINDOW w5 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w10 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(bp5 AS BIGINT) AS bp5, CAST(tr5 AS BIGINT) AS tr5,
+       CAST(bp10 AS BIGINT) AS bp10, CAST(tr10 AS BIGINT) AS tr10,
+       CAST(bp20 AS BIGINT) AS bp20, CAST(tr20 AS BIGINT) AS tr20,
+       100.0 * (4.0 * (CAST(bp5 AS DOUBLE) / CAST(tr5 AS DOUBLE))
+                + 2.0 * (CAST(bp10 AS DOUBLE) / CAST(tr10 AS DOUBLE))
+                + (CAST(bp20 AS DOUBLE) / CAST(tr20 AS DOUBLE))) / 7.0
+         AS ultimate_osc
+FROM w WHERE n20 = 20
+""",
+    category="windows",
+)
+def win_ultimate_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate oscillator (Williams; periods scaled 5/10/20) over
+    daily bars — the three-horizon buying-pressure blend designed to
+    dodge single-period divergence traps: buying pressure
+    bp = c - min(l, prev_c) and true range tr = max(h, prev_c) -
+    min(l, prev_c) are exact integers, the six window sums are
+    exact int64, and UO combines the three ratios in ONE fixed-order
+    double expression (each ratio divides two exact integers — same
+    operands both engines).  Scale: one lag + three trailing frames
+    over the bounded OHLC grid, one event_type shuffle."""
+    g = _ohlc_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+    prev_c = F.lag("c").over(wo)
+    t = g.select(
+        "event_type",
+        "d",
+        (F.col("c") - F.least(F.col("l"), prev_c)).alias("bp"),
+        (F.greatest(F.col("h"), prev_c) - F.least(F.col("l"), prev_c)).alias(
+            "tr"
+        ),
+    )
+
+    def fr(n):
+        return Window.partitionBy("event_type").orderBy("d").rowsBetween(1 - n, 0)
+
+    w = t.select(
+        "event_type",
+        "d",
+        F.count("bp").over(fr(20)).alias("n20"),
+        F.sum("bp").over(fr(5)).alias("bp5"),
+        F.sum("tr").over(fr(5)).alias("tr5"),
+        F.sum("bp").over(fr(10)).alias("bp10"),
+        F.sum("tr").over(fr(10)).alias("tr10"),
+        F.sum("bp").over(fr(20)).alias("bp20"),
+        F.sum("tr").over(fr(20)).alias("tr20"),
+    ).where(F.col("n20") == 20)
+    uo = (
+        100.0
+        * (
+            4.0 * (F.col("bp5").cast("double") / F.col("tr5").cast("double"))
+            + 2.0 * (F.col("bp10").cast("double") / F.col("tr10").cast("double"))
+            + (F.col("bp20").cast("double") / F.col("tr20").cast("double"))
+        )
+        / 7.0
+    )
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("bp5").cast("long").alias("bp5"),
+        F.col("tr5").cast("long").alias("tr5"),
+        F.col("bp10").cast("long").alias("bp10"),
+        F.col("tr10").cast("long").alias("tr10"),
+        F.col("bp20").cast("long").alias("bp20"),
+        F.col("tr20").cast("long").alias("tr20"),
+        uo.alias("ultimate_osc"),
+    )

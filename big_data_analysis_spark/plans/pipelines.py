@@ -3632,3 +3632,70 @@ def pipeline_mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.col("n_tokens").cast("double")
         ).alias("epochs_at_budget"),
     )
+
+
+_TRUNC_WINDOWS = [64, 128, 256, 512]
+
+
+@query(
+    "pipeline_truncation_loss",
+    oracle=f"""
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+),
+th AS (
+  SELECT unnest([{", ".join(str(w) for w in _TRUNC_WINDOWS)}]) AS ctx
+)
+SELECT CAST(th.ctx AS BIGINT) AS context_window,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_tok <= th.ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fitting,
+       CAST(SUM(CASE WHEN d.n_tok < th.ctx THEN d.n_tok ELSE th.ctx END)
+            AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN d.n_tok > th.ctx THEN d.n_tok - th.ctx ELSE 0 END)
+            AS BIGINT) AS tokens_lost,
+       CAST(SUM(CASE WHEN d.n_tok > th.ctx THEN d.n_tok - th.ctx ELSE 0 END)
+              * 10000 // SUM(d.n_tok) AS BIGINT) AS loss_bp
+FROM th CROSS JOIN d
+GROUP BY th.ctx
+""",
+    category="pipelines",
+)
+def pipeline_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation-loss curve — the sizing study run
+    before committing a max-sequence-length: for each candidate
+    window (64/128/256/512 whitespace tokens), how many documents
+    fit whole, how many tokens survive naive head-truncation, and
+    the corpus share lost in exact integer basis points.  The
+    4-row window table fans out over one token-count scan (broadcast
+    cross join — the corpus is read once, never reshuffled); every
+    cell is an integer sum with a final floor division.  Scale: one
+    map + one 4-group aggregation regardless of corpus size."""
+    d = table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    th = spark.createDataFrame(
+        [(w,) for w in _TRUNC_WINDOWS], "ctx long"
+    )
+    j = F.broadcast(th).crossJoin(d)
+    lost = F.when(
+        F.col("n_tok") > F.col("ctx"), F.col("n_tok") - F.col("ctx")
+    ).otherwise(0)
+    return j.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") <= F.col("ctx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_fitting"),
+        F.sum(
+            F.when(F.col("n_tok") < F.col("ctx"), F.col("n_tok")).otherwise(
+                F.col("ctx")
+            )
+        )
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_tok > ctx THEN n_tok - ctx ELSE 0 END)"
+            " * 10000 DIV SUM(n_tok) AS BIGINT)"
+        ).alias("loss_bp"),
+    ).withColumnRenamed("ctx", "context_window")

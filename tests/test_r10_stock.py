@@ -380,3 +380,125 @@ def test_dedup_sweep_monotone(spark, sf_dir):
         assert lo.n_docs_dropped >= hi.n_docs_dropped
     pairs = run("dedup_ngram_jaccard", spark, sf_dir).collect()
     assert rows[0].n_pairs == len(pairs)  # threshold 50 = the full pair set
+
+
+# --- wave 3: momentum oscillators, TS diagnostics, SQL surface ---
+
+
+def test_mfi_and_williams_bounds(spark, sf_dir):
+    for r in run("win_mfi", spark, sf_dir).collect():
+        assert 0 <= r.mfi_bp <= 10000
+        assert r.pos_flow >= 0 and r.neg_flow >= 0
+        if r.pos_flow + r.neg_flow > 0:
+            assert r.mfi_bp == r.pos_flow * 10000 // (r.pos_flow + r.neg_flow)
+    for r in run("win_williams_r", spark, sf_dir).collect():
+        assert -10000 <= r.williams_r_bp <= 0
+        assert r.lo14 <= r.close_c <= r.hi14
+        if r.close_c == r.hi14 and r.hi14 > r.lo14:
+            assert r.williams_r_bp == 0
+
+
+def test_roc_momentum_identity(spark, sf_dir, day_grid):
+    got = {(r.event_type, r.day): r for r in run("win_roc_momentum", spark, sf_dir).collect()}
+    for et, grp in day_grid.groupby("event_type"):
+        xs = grp.sort_values("d").reset_index(drop=True)
+        for i in range(10, len(xs)):
+            key = (et, xs.d[i].strftime("%Y-%m-%d"))
+            r = got[key]
+            assert r.momentum == int(xs.x[i]) - int(xs.x[i - 10])
+            assert r.roc_bp == _tdiv((int(xs.x[i]) - int(xs.x[i - 10])) * 10000, int(xs.x[i - 10]))
+
+
+def test_coppock_weighted_sum(spark, sf_dir):
+    by_type = {}
+    for r in run("win_coppock", spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        # the weighted sum re-derives from the roc_sum_bp series
+        series = [r.roc_sum_bp for r in rs]
+        # rows are already filtered to have 5 prior rocs; re-check the
+        # weighting on rows fully inside the emitted window
+        for i in range(5, len(rs)):
+            want = sum(
+                w * series[i - k] for k, w in enumerate([6, 5, 4, 3, 2, 1])
+            )
+            assert rs[i].coppock_s == want
+            assert rs[i].signal == (1 if want > 0 else -1)
+
+
+def test_ultimate_osc_range_and_formula(spark, sf_dir):
+    for r in run("win_ultimate_osc", spark, sf_dir).collect():
+        assert 0.0 <= r.ultimate_osc <= 100.0
+        want = (
+            100.0
+            * (4.0 * (r.bp5 / r.tr5) + 2.0 * (r.bp10 / r.tr10) + r.bp20 / r.tr20)
+            / 7.0
+        )
+        assert math.isclose(r.ultimate_osc, want, rel_tol=1e-12)
+        assert 0 <= r.bp5 <= r.tr5 and 0 <= r.bp20 <= r.tr20
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    got = {r.event_type: r for r in run("agg_ljung_box", spark, sf_dir).collect()}
+    for t in TYPES:
+        x = day_grid[day_grid.event_type == t].sort_values("d").x.to_numpy(float)
+        n = len(x)
+        d = x - x.mean()
+        den = (d * d).sum()
+        q = 0.0
+        for k in range(1, 6):
+            rk = (d[k:] * d[:-k]).sum() / den
+            assert math.isclose(getattr(got[t], f"r{k}"), rk, rel_tol=1e-6)
+            q += rk * rk / (n - k)
+        assert math.isclose(got[t].lb_stat, n * (n + 2) * q, rel_tol=1e-6)
+
+
+def test_durbin_watson_matches_numpy(spark, sf_dir, day_grid):
+    got = {r.event_type: r for r in run("agg_durbin_watson", spark, sf_dir).collect()}
+    for t in TYPES:
+        x = day_grid[day_grid.event_type == t].sort_values("d").x.to_numpy(float)
+        d = x - x.mean()
+        want = ((d[1:] - d[:-1]) ** 2).sum() / (d * d).sum()
+        assert math.isclose(got[t].dw_stat, want, rel_tol=1e-6)
+        assert 0.0 <= got[t].dw_stat <= 4.0
+
+
+def test_fn_date_iso_year_boundary(spark, sf_dir):
+    """The ISO pair must agree with Python's isocalendar on every
+    order date — including year-boundary weeks where year(d)*100+week
+    would misbucket."""
+    rows = run("fn_date_iso", spark, sf_dir).collect()
+    con = duckdb.connect()
+    dates = dict(
+        con.execute(
+            f"SELECT o_orderkey, o_orderdate FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    )
+    n_boundary = 0
+    for r in rows[:2000]:
+        d = dates[r.o_orderkey]
+        iso = d.isocalendar()
+        assert (r.iso_year, r.iso_week) == (iso[0], iso[1]), d
+        assert r.iso_week_key == iso[0] * 100 + iso[1]
+        if iso[0] != d.year:
+            n_boundary += 1
+    # the fixture spans year boundaries, so the trap case is exercised
+    assert n_boundary > 0 or len(rows) < 2000
+
+
+def test_truncation_loss_monotone(spark, sf_dir):
+    rows = sorted(
+        run("pipeline_truncation_loss", spark, sf_dir).collect(),
+        key=lambda r: r.context_window,
+    )
+    assert [r.context_window for r in rows] == [64, 128, 256, 512]
+    total = rows[0].tokens_kept + rows[0].tokens_lost
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_docs_fitting <= hi.n_docs_fitting
+        assert lo.tokens_kept <= hi.tokens_kept
+        assert lo.tokens_lost >= hi.tokens_lost
+        assert hi.tokens_kept + hi.tokens_lost == total  # partition of corpus
+        assert lo.loss_bp >= hi.loss_bp

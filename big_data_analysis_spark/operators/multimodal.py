@@ -1971,3 +1971,242 @@ def multimodal_gif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas.  Pure JVM codegen, zero Exchange, zero Python."""
     synth = _synth_gifs(table(spark, sf_dir, "documents"))
     return gif_stats(synth, "doc_id", "gif")
+
+
+# --- ZIP local-header walk + EOCD (eighth wire format) --------------
+
+_ZIP_DOCS = 40
+_ZIP_MEMBERS = 3
+
+
+def _le_hex_sql(value_sql: str, nbytes: int) -> str:
+    """Hex string of ``value_sql`` as ``nbytes`` LITTLE-ENDIAN bytes —
+    ZIP is the first LE format in the parser series (PNG/MP4/AVI are
+    BE or chunked): big-endian lpad-hex, then byte pairs reversed."""
+    h = f"lpad(hex(CAST({value_sql} AS BIGINT)), {2 * nbytes}, '0')"
+    pairs = ", ".join(
+        f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+    )
+    return f"concat({pairs})"
+
+
+def _synth_zips(d) -> DataFrame:
+    """Synthesize a real stored-method (no compression) ZIP per
+    doc_id < 40: three members "doc{d}_f{i}.txt" with sizes
+    60 + (d*53 + i*77) % 140 and printable content bytes
+    32 + ((d + 5i + j) % 64), REAL CRC-32s (F.crc32 at synth time,
+    like the PNG chunks), a full central directory, and a correct
+    end-of-central-directory record.  All multi-byte fields
+    little-endian per the spec.  The oracle knows only these
+    formulas."""
+    d = d.where(F.col("doc_id") < _ZIP_DOCS).select("doc_id")
+
+    def name_sql(m: int) -> str:
+        return f"concat('doc', CAST(doc_id AS STRING), '_f{m}.txt')"
+
+    def size_sql(m: int) -> str:
+        return f"CAST(60 + (doc_id * 53 + {m} * 77) % 140 AS BIGINT)"
+
+    def content_hex_sql(m: int) -> str:
+        return (
+            f"array_join(transform(sequence(0, CAST({size_sql(m)} - 1 AS INT)),"
+            f" j -> lpad(hex(32 + (doc_id + 5 * {m} + CAST(j AS BIGINT))"
+            f" % 64), 2, '0')), '')"
+        )
+
+    def crc_sql(m: int) -> str:
+        return f"crc32(unhex({content_hex_sql(m)}))"
+
+    def name_len_sql(m: int) -> str:
+        return f"CAST(length({name_sql(m)}) AS BIGINT)"
+
+    def local_off_sql(m: int) -> str:
+        """Byte offset of member m's local header (0-based)."""
+        terms = ["CAST(0 AS BIGINT)"]
+        for i in range(m):
+            terms.append(f"(30 + {name_len_sql(i)} + {size_sql(i)})")
+        return "(" + " + ".join(terms) + ")"
+
+    def local_hex_sql(m: int) -> str:
+        return (
+            "concat("
+            "'504B0304', "                       # PK\\x03\\x04
+            f"{_le_hex_sql('20', 2)}, "          # version needed
+            f"{_le_hex_sql('0', 2)}, "           # flags
+            f"{_le_hex_sql('0', 2)}, "           # method: stored
+            f"{_le_hex_sql('24608', 2)}, "       # mod time (12:01:00)
+            f"{_le_hex_sql('22561', 2)}, "       # mod date (2024-01-01)
+            f"{_le_hex_sql(crc_sql(m), 4)}, "
+            f"{_le_hex_sql(size_sql(m), 4)}, "   # compressed == stored
+            f"{_le_hex_sql(size_sql(m), 4)}, "   # uncompressed
+            f"{_le_hex_sql(name_len_sql(m), 2)}, "
+            f"{_le_hex_sql('0', 2)}, "           # extra len
+            f"hex(encode({name_sql(m)}, 'utf-8')), "
+            f"{content_hex_sql(m)})"
+        )
+
+    def central_hex_sql(m: int) -> str:
+        return (
+            "concat("
+            "'504B0102', "                       # PK\\x01\\x02
+            f"{_le_hex_sql('20', 2)}, "          # version made by
+            f"{_le_hex_sql('20', 2)}, "          # version needed
+            f"{_le_hex_sql('0', 2)}, "           # flags
+            f"{_le_hex_sql('0', 2)}, "           # method
+            f"{_le_hex_sql('24608', 2)}, "
+            f"{_le_hex_sql('22561', 2)}, "
+            f"{_le_hex_sql(crc_sql(m), 4)}, "
+            f"{_le_hex_sql(size_sql(m), 4)}, "
+            f"{_le_hex_sql(size_sql(m), 4)}, "
+            f"{_le_hex_sql(name_len_sql(m), 2)}, "
+            f"{_le_hex_sql('0', 2)}, "           # extra len
+            f"{_le_hex_sql('0', 2)}, "           # comment len
+            f"{_le_hex_sql('0', 2)}, "           # disk number
+            f"{_le_hex_sql('0', 2)}, "           # internal attrs
+            f"{_le_hex_sql('0', 4)}, "           # external attrs
+            f"{_le_hex_sql(local_off_sql(m), 4)}, "
+            f"hex(encode({name_sql(m)}, 'utf-8')))"
+        )
+
+    cd_off = local_off_sql(_ZIP_MEMBERS)
+    cd_size = "(" + " + ".join(
+        f"(46 + {name_len_sql(i)})" for i in range(_ZIP_MEMBERS)
+    ) + ")"
+    eocd_hex = (
+        "concat("
+        "'504B0506', "
+        f"{_le_hex_sql('0', 2)}, "              # this disk
+        f"{_le_hex_sql('0', 2)}, "              # cd start disk
+        f"{_le_hex_sql(str(_ZIP_MEMBERS), 2)}, "
+        f"{_le_hex_sql(str(_ZIP_MEMBERS), 2)}, "
+        f"{_le_hex_sql(cd_size, 4)}, "
+        f"{_le_hex_sql(cd_off, 4)}, "
+        f"{_le_hex_sql('0', 2)})"               # comment len
+    )
+    zip_hex = (
+        "concat("
+        + ", ".join(local_hex_sql(m) for m in range(_ZIP_MEMBERS))
+        + ", "
+        + ", ".join(central_hex_sql(m) for m in range(_ZIP_MEMBERS))
+        + f", {eocd_hex})"
+    )
+    return d.select("doc_id", F.unhex(F.expr(zip_hex)).alias("zipf"))
+
+
+def zip_index(df: DataFrame, id_col: str, bin_col: str, max_members: int = 8) -> DataFrame:
+    """PUBLIC generic ZIP member index over a caller-supplied binary
+    column — stored-method archives walked FROM THE BYTES ALONE in
+    one codegen fold: each step verifies the PK\\x03\\x04 local
+    signature, reads the little-endian size/name-length fields to
+    find the next header, and RECOMPUTES each member's CRC-32 over
+    the stored data against the header field (the same
+    self-authentication as png_parse/tar_index: a single mis-stepped
+    offset zeroes n_crc_valid).  The end-of-central-directory record
+    (fixed 22-byte tail when comment-free) cross-checks the walk:
+    entry count and central-directory offset come from the OTHER end
+    of the file.  At 100 TB: archives are opaque parquet BYTE_ARRAY
+    cells; the index is a pure map stage (zero Exchange, zero
+    Python) routing members to downstream decode UDFs."""
+    b = F.col(bin_col)
+    bs = bin_col
+
+    def le_read(pos: str, nbytes: int) -> str:
+        h = f"hex(substring({bs}, CAST({pos} AS INT), {nbytes}))"
+        pairs = ", ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+        )
+        return f"CAST(conv(concat({pairs}), 16, 10) AS BIGINT)"
+
+    off = "acc.off"  # 0-based offset of the current local header
+    sig_ok = f"hex(substring({bs}, CAST(({off}) + 1 AS INT), 4)) = '504B0304'"
+    usize = le_read(f"({off}) + 23", 4)
+    nlen = le_read(f"({off}) + 27", 2)
+    elen = le_read(f"({off}) + 29", 2)
+    crc_field = le_read(f"({off}) + 15", 4)
+    crc_calc = (
+        f"crc32(substring({bs}, CAST(({off}) + 31 + {nlen} + {elen} AS INT),"
+        f" CAST({usize} AS INT)))"
+    )
+    done = f"(({off}) < 0) OR (({off}) + 30 > octet_length({bs})) OR NOT ({sig_ok})"
+    advanced = (
+        "named_struct("
+        f"'off', ({off}) + 30 + {nlen} + {elen} + {usize}, "
+        "'n', acc.n + 1, "
+        f"'tot', acc.tot + {usize}, "
+        f"'names', acc.names + {nlen}, "
+        f"'crcok', acc.crcok + CAST({crc_calc} = {crc_field} AS BIGINT))"
+    )
+    ended = (
+        "named_struct('off', CAST(-1 AS BIGINT), 'n', acc.n, 'tot', acc.tot,"
+        " 'names', acc.names, 'crcok', acc.crcok)"
+    )
+    init = (
+        "named_struct('off', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),"
+        " 'tot', CAST(0 AS BIGINT), 'names', CAST(0 AS BIGINT),"
+        " 'crcok', CAST(0 AS BIGINT))"
+    )
+    walked = F.expr(
+        f"aggregate(sequence(1, {int(max_members)}), {init},"
+        f" (acc, x) -> CASE WHEN {done} THEN {ended} ELSE {advanced} END)"
+    )
+    eocd = f"(octet_length({bs}) - 22)"
+    eocd_sig = f"hex(substring({bs}, CAST(({eocd}) + 1 AS INT), 4)) = '504B0506'"
+    return df.select(
+        F.col(id_col),
+        walked["n"].alias("n_members"),
+        walked["tot"].alias("total_uncompressed"),
+        walked["names"].alias("sum_name_chars"),
+        walked["crcok"].alias("n_crc_valid"),
+        F.expr(
+            f"CASE WHEN {eocd_sig} THEN {le_read(f'({eocd}) + 11', 2)}"
+            f" ELSE CAST(-1 AS BIGINT) END"
+        ).alias("n_entries_eocd"),
+        F.expr(
+            f"CASE WHEN {eocd_sig} THEN {le_read(f'({eocd}) + 17', 4)}"
+            f" ELSE CAST(-1 AS BIGINT) END"
+        ).alias("cd_offset"),
+        F.octet_length(b).cast("long").alias("archive_bytes"),
+    )
+
+
+@query(
+    "multimodal_zip_index",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_ZIP_DOCS}),
+mem AS (
+  SELECT ids.doc_id, g.m,
+         60 + (ids.doc_id * 53 + g.m * 77) % 140 AS sz,
+         10 + len(CAST(ids.doc_id AS VARCHAR)) AS nlen
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, {_ZIP_MEMBERS - 1})) AS m) g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(sz) AS BIGINT) AS total_uncompressed,
+       CAST(SUM(nlen) AS BIGINT) AS sum_name_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_crc_valid,
+       CAST({_ZIP_MEMBERS} AS BIGINT) AS n_entries_eocd,
+       CAST(SUM(30 + nlen + sz) AS BIGINT) AS cd_offset,
+       CAST(SUM(30 + nlen + sz) + SUM(46 + nlen) + 22 AS BIGINT)
+         AS archive_bytes
+FROM mem GROUP BY doc_id
+""",
+    category="multimodal",
+)
+def multimodal_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive indexing — the EIGHTH wire format (ZIP, and the first
+    LITTLE-ENDIAN one; WAV/BMP/PNG/AVI/MP4/TAR/GIF came before):
+    real stored-method ZIPs (correct LE fields, REAL CRC-32s, full
+    central directory, end-of-central-directory record) are
+    synthesized as binary cells, then the member table is re-derived
+    from the BYTES ALONE by ``zip_index`` — a structural walk where
+    each next offset comes from the previous member's parsed LE
+    size/name-length fields, every member's CRC-32 is RECOMPUTED
+    over the stored bytes against the header field, and the EOCD
+    record at the opposite end of the file independently confirms
+    the entry count and central-directory offset (n_crc_valid ==
+    n_members == n_entries_eocd is the three-way self-
+    authentication; a mis-walk or endianness slip zeroes it).  The
+    oracle knows only the generator formulas.  Pure JVM codegen,
+    zero Exchange, zero Python."""
+    synth = _synth_zips(table(spark, sf_dir, "documents"))
+    return zip_index(synth, "doc_id", "zipf")

@@ -502,3 +502,93 @@ def test_truncation_loss_monotone(spark, sf_dir):
         assert lo.tokens_lost >= hi.tokens_lost
         assert hi.tokens_kept + hi.tokens_lost == total  # partition of corpus
         assert lo.loss_bp >= hi.loss_bp
+
+
+# --- ZIP wire format (eighth parser) ---
+
+
+def test_zip_synth_is_genuine(spark, sf_dir):
+    """The synthesized archives must be REAL ZIPs: stdlib zipfile
+    opens them, testzip() verifies every CRC, and the member
+    names/sizes match the generator formulas."""
+    import io
+    import zipfile
+
+    from big_data_analysis_spark.io import table
+    from big_data_analysis_spark.operators.multimodal import _synth_zips
+
+    d = table(spark, sf_dir, "documents")
+    for r in _synth_zips(d).where("doc_id IN (0, 7, 39)").collect():
+        zf = zipfile.ZipFile(io.BytesIO(bytes(r.zipf)))
+        assert zf.testzip() is None
+        infos = zf.infolist()
+        assert [i.filename for i in infos] == [
+            f"doc{r.doc_id}_f{m}.txt" for m in range(3)
+        ]
+        for m, i in enumerate(infos):
+            assert i.file_size == 60 + (r.doc_id * 53 + m * 77) % 140
+            data = zf.read(i.filename)
+            assert all(
+                b == 32 + (r.doc_id + 5 * m + j) % 64 for j, b in enumerate(data)
+            )
+
+
+def test_zip_index_parses_stdlib_archive(spark):
+    """Genuine-file authentication in the other direction: an archive
+    built by Python's zipfile parses to the right member table."""
+    import io
+    import zipfile
+
+    from big_data_analysis_spark.operators.multimodal import zip_index
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("hello.txt", "hello world")
+        z.writestr("data/x.bin", bytes(range(100)))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, b binary")
+    out = zip_index(df, "id", "b").collect()[0]
+    assert out.n_members == 2 and out.n_crc_valid == 2
+    assert out.n_entries_eocd == 2 and out.total_uncompressed == 111
+    assert out.sum_name_chars == len("hello.txt") + len("data/x.bin")
+
+
+def test_zip_index_rejects_corruption(spark, sf_dir):
+    """Flipping one content byte must break exactly that member's
+    CRC; truncating the EOCD must drop the cross-check to -1."""
+    from big_data_analysis_spark.io import table
+    from big_data_analysis_spark.operators.multimodal import (
+        _synth_zips,
+        zip_index,
+    )
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    synth = _synth_zips(d).where("doc_id = 3")
+    # corrupt one byte inside member 0's data (local header is
+    # 30 + len('doc3_f0.txt') = 41 bytes, so byte 42 is content)
+    corrupted = synth.select(
+        "doc_id",
+        F.expr(
+            "concat(substring(zipf, 1, 41), X'FF', substring(zipf, 43))"
+        ).alias("zipf"),
+    )
+    r = zip_index(corrupted, "doc_id", "zipf").collect()[0]
+    assert r.n_members == 3 and r.n_crc_valid == 2
+    truncated = synth.select(
+        "doc_id",
+        F.expr("substring(zipf, 1, octet_length(zipf) - 1)").alias("zipf"),
+    )
+    t = zip_index(truncated, "doc_id", "zipf").collect()[0]
+    assert t.n_entries_eocd == -1 and t.cd_offset == -1
+    assert t.n_members == 3  # the walk itself is unaffected
+
+
+def test_zip_index_plan_pure_map(spark, sf_dir):
+    from big_data_analysis_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["multimodal_zip_index"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p, marker

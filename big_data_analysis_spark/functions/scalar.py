@@ -1851,3 +1851,148 @@ def fn_string_manip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_spaces"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split(substring(text, 1, 60), ' ')) AS a,
+         list_distinct(string_split(substring(text, 41, 60), ' ')) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(a) AS INT) AS n_head,
+       CAST(len(b) AS INT) AS n_mid,
+       CAST(len(list_intersect(a, b)) AS INT) AS n_common,
+       array_to_string(list_sort(list_intersect(a, b)), ' ') AS common_sorted,
+       CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+       list_has_any(a, b) AS overlaps,
+       list_has_all(a, list_intersect(a, b)) AS contains_common
+FROM d
+""",
+    category="functions",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — intersect / union-distinct / has_any /
+    has_all between two token sets (the head and a middle slice of
+    each document): the overlap primitive under shingle dedup
+    expressed at the SQL surface.  Intersections are emitted SORTED
+    (Spark's array_intersect preserves left order, DuckDB's
+    list_intersect does not — ordering is the cross-engine trap this
+    query pins).  Cardinalities and booleans are exact."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.substring(F.col("text"), 1, 60), " ")
+        ).alias("a"),
+        F.array_distinct(
+            F.split(F.substring(F.col("text"), 41, 60), " ")
+        ).alias("b"),
+    )
+    inter = F.array_intersect(F.col("a"), F.col("b"))
+    return d.select(
+        "doc_id",
+        F.size("a").alias("n_head"),
+        F.size("b").alias("n_mid"),
+        F.size(inter).alias("n_common"),
+        F.array_join(F.array_sort(inter), " ").alias("common_sorted"),
+        F.size(F.array_union(F.col("a"), F.col("b"))).alias("n_union"),
+        F.arrays_overlap(F.col("a"), F.col("b")).alias("overlaps"),
+        F.forall(inter, lambda x: F.array_contains(F.col("a"), x)).alias(
+            "contains_common"
+        ),
+    )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+SELECT p_partkey,
+       nullif(p_size, 15) AS size_or_null,
+       ifnull(nullif(p_size, 15), -1) AS size_defaulted,
+       coalesce(nullif(p_size, 15), nullif(p_size, 20), 0) AS coalesce_chain,
+       least(p_size, nullif(p_size, p_size)) AS least_skips_null,
+       greatest(p_size, nullif(p_size, p_size)) AS greatest_skips_null,
+       (nullif(p_size, 15) = 15) IS NULL AS null_comparison_is_null,
+       CAST(nullif(p_size, 15) IS DISTINCT FROM 15 AS BOOLEAN)
+         AS distinct_from_15
+FROM part
+""",
+    category="functions",
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface — the NULL corners engines love to
+    disagree on, pinned: nullif/ifnull/coalesce chains, least and
+    greatest SKIPPING null operands (both engines skip rather than
+    propagate — the opposite of +), a comparison against NULL being
+    NULL (surfaced via IS NULL), and IS DISTINCT FROM as the
+    null-safe inequality (true for NULL vs 15 where <> is NULL).
+    Map-only plan."""
+    p = table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    size_or_null = F.nullif(sz, F.lit(15))
+    return p.select(
+        "p_partkey",
+        size_or_null.alias("size_or_null"),
+        F.ifnull(size_or_null, F.lit(-1)).alias("size_defaulted"),
+        F.coalesce(size_or_null, F.nullif(sz, F.lit(20)), F.lit(0)).alias(
+            "coalesce_chain"
+        ),
+        F.least(sz, F.nullif(sz, sz)).alias("least_skips_null"),
+        F.greatest(sz, F.nullif(sz, sz)).alias("greatest_skips_null"),
+        (size_or_null == 15).isNull().alias("null_comparison_is_null"),
+        F.expr("nullif(p_size, 15) IS DISTINCT FROM 15").alias(
+            "distinct_from_15"
+        ),
+    )
+
+
+@query(
+    "fn_deterministic_uuid",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(concat('ns:docs/', CAST(doc_id AS VARCHAR))) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-5',
+              substr(hx, 14, 3), '-', substr(hx, 17, 4), '-',
+              substr(hx, 21, 12)) AS doc_uuid,
+       substr(hx, 1, 8) AS shard_hex,
+       CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 64 AS BIGINT)
+         AS shard_id
+FROM h
+""",
+    category="functions",
+)
+def fn_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based deterministic UUIDs (the RFC-4122 v5 SHAPE over
+    md5, since SHA-1 truncation differs per engine) — the stable
+    document identity a pipeline mints when upstream ids are
+    unstable: uuid = md5('ns:docs/' || id) formatted 8-4-4-4-12 with
+    the version nibble pinned to 5, plus the leading-32-bit shard
+    key the same hex prefix yields.  Identical string/md5 machinery
+    in both engines; map-only plan."""
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("ns:docs/"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx"))
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-5"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            F.substring("hx", 17, 4),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("doc_uuid"),
+        F.substring("hx", 1, 8).alias("shard_hex"),
+        (F.conv(F.substring("hx", 1, 8), 16, 10).cast("long") % 64).alias(
+            "shard_id"
+        ),
+    )

@@ -1286,3 +1286,51 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+  FROM e
+)
+SELECT n_edges, n_reciprocal,
+       CAST(n_reciprocal / 2 AS BIGINT) AS n_mutual_pairs,
+       CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+FROM m
+""",
+    category="graph",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed demo graph — what share of
+    directed edges are returned (the mutual-follow rate in social
+    graphs, the two-way-trade rate in flow graphs): a left-semi
+    self-join of the edge list against its own reversal counts the
+    reciprocated edges exactly; reciprocity is ONE double division
+    and the mutual-pair count is the integer half.  Scale: one
+    self-equi-join on the (dst, src) key — co-partitioned with the
+    edge list's own (src, dst) shuffle."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(
+            recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+        )
+    )
+    return m.select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr("CAST(n_reciprocal / 2 AS BIGINT)").alias("n_mutual_pairs"),
+        (
+            F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )

@@ -1175,3 +1175,202 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("den").cast("string").cast("double")
         ).alias("dw_stat"),
     )
+
+
+# 10 fixed cent-buckets (width 5000) for the distribution distances —
+# a FIXED domain, so per-bucket counts pivot to one row and the
+# cross-bucket combinations run in fixed evaluation order.
+_DIST_BUCKETS = list(range(10))
+
+
+@query(
+    "agg_distribution_distance",
+    oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
+              THEN 1 ELSE 0 END AS is_a,
+         LEAST(9, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000)
+           AS bucket
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT
+    {", ".join(f"CAST(SUM(CASE WHEN bucket = {b} THEN is_a ELSE 0 END) AS BIGINT) AS a_{b}" for b in _DIST_BUCKETS)},
+    {", ".join(f"CAST(SUM(CASE WHEN bucket = {b} THEN 1 - is_a ELSE 0 END) AS BIGINT) AS b_{b}" for b in _DIST_BUCKETS)},
+    CAST(SUM(is_a) AS BIGINT) AS n_a,
+    CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM t
+)
+SELECT n_a, n_b,
+       CAST({" + ".join(f"ABS(a_{b} * n_b - b_{b} * n_a)" for b in _DIST_BUCKETS)}
+            AS BIGINT) AS tv_num,
+       CAST({" + ".join(f"ABS(a_{b} * n_b - b_{b} * n_a)" for b in _DIST_BUCKETS)}
+            AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         AS total_variation,
+       {" + ".join(f"sqrt((CAST(a_{b} AS DOUBLE) / CAST(n_a AS DOUBLE)) * (CAST(b_{b} AS DOUBLE) / CAST(n_b AS DOUBLE)))" for b in _DIST_BUCKETS)}
+         AS bhattacharyya,
+       sqrt(1.0 - ({" + ".join(f"sqrt((CAST(a_{b} AS DOUBLE) / CAST(n_a AS DOUBLE)) * (CAST(b_{b} AS DOUBLE) / CAST(n_b AS DOUBLE)))" for b in _DIST_BUCKETS)}))
+         AS hellinger
+FROM m
+""",
+    category="aggregations",
+)
+def agg_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution distances between the hash arms' purchase-value
+    histograms — the drift gauges a feature store monitors (TV for
+    the worst-case bucket gap, Hellinger/Bhattacharyya for the
+    geometric overlap): the 10 fixed 50-dollar buckets pivot to one
+    row of integer counts, total variation's numerator
+    sum |a_i*N_b - b_i*N_a| is EXACT int64 (common-denominator
+    trick — fixed-order integer adds), and the Bhattacharyya
+    coefficient chains ten sqrt terms in fixed order (each sqrt sees
+    the identical quotient of exact integers in both engines).
+    Scale: one conditional aggregation over 22 counters."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    is_a = F.when(
+        (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296
+        < 2147483648,
+        1,
+    ).otherwise(0)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(
+        is_a.alias("is_a"),
+        F.least(F.lit(9), F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        )).alias("bucket"),
+    )
+    m = t.agg(
+        *[
+            F.sum(F.when(F.col("bucket") == b, F.col("is_a")).otherwise(0))
+            .cast("long")
+            .alias(f"a_{b}")
+            for b in _DIST_BUCKETS
+        ],
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1 - F.col("is_a")).otherwise(0))
+            .cast("long")
+            .alias(f"b_{b}")
+            for b in _DIST_BUCKETS
+        ],
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    tv_num = None
+    bc = None
+    for b in _DIST_BUCKETS:
+        term = F.abs(
+            F.col(f"a_{b}") * F.col("n_b") - F.col(f"b_{b}") * F.col("n_a")
+        )
+        tv_num = term if tv_num is None else tv_num + term
+        sq = F.sqrt(
+            (F.col(f"a_{b}").cast("double") / F.col("n_a").cast("double"))
+            * (F.col(f"b_{b}").cast("double") / F.col("n_b").cast("double"))
+        )
+        bc = sq if bc is None else bc + sq
+    return m.select(
+        "n_a",
+        "n_b",
+        tv_num.cast("long").alias("tv_num"),
+        (
+            tv_num.cast("double")
+            / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("total_variation"),
+        bc.alias("bhattacharyya"),
+        F.sqrt(1.0 - bc).alias("hellinger"),
+    )
+
+
+@query(
+    "agg_wasserstein_1d",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296 < 2147483648
+              THEN 1 ELSE 0 END AS is_a,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT cents,
+         CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb
+  FROM t GROUP BY cents
+),
+w AS (
+  SELECT cents, na, nb,
+         SUM(na) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         lead(cents) OVER (ORDER BY cents) AS next_v,
+         SUM(na) OVER () AS n_a, SUM(nb) OVER () AS n_b
+  FROM per_v
+),
+m AS (
+  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         SUM(CASE WHEN next_v IS NULL THEN CAST(0 AS HUGEINT)
+                  ELSE ABS(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                       * (next_v - cents) END) AS num
+  FROM w
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 100.0
+         AS wasserstein_dollars
+FROM m
+""",
+    category="aggregations",
+)
+def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the hash
+    arms' purchase values — the drift metric that, unlike
+    agg_distribution_distance's bucket overlaps, knows HOW FAR the
+    mass moved: W1 = integral |F_a - F_b| reduces on the cents grid
+    to sum |cumA_i*N_b - cumB_i*N_a| * gap_i — an EXACT
+    HUGEINT/DECIMAL(38,0) sum (common-denominator CDFs, integer
+    gaps) crossing into doubles via VARCHAR, with one division by
+    N_a*N_b and one by 100 to read out in dollars.  Scale: one grid
+    groupBy + one ordered pass; exactness is scale-free."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    is_a = F.when(
+        (F.col("user_id").bitwiseAND(2147483647) * 2654435761) % 4294967296
+        < 2147483648,
+        1,
+    ).otherwise(0)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.select(is_a.alias("is_a"), cents.alias("cents"))
+    per_v = t.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    w_next = Window.orderBy("cents")
+    w = per_v.select(
+        "cents",
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.lead("cents").over(w_next).alias("next_v"),
+        F.sum("na").over(w_all).alias("n_a"),
+        F.sum("nb").over(w_all).alias("n_b"),
+    )
+    num = F.when(F.col("next_v").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+        )
+        * (F.col("next_v") - F.col("cents"))
+    )
+    m = w.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(num).alias("num"),
+    )
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("num").cast("string").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            / 100.0
+        ).alias("wasserstein_dollars"),
+    )

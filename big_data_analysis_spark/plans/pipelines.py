@@ -3699,3 +3699,83 @@ def pipeline_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 DIV SUM(n_tok) AS BIGINT)"
         ).alias("loss_bp"),
     ).withColumnRenamed("ctx", "context_window")
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      x -> length(x))) AS BIGINT) AS sum_chars
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(n_chars >= 50 AS INT) AS g1,
+         CAST(n_tok >= 10 AS INT) AS g2,
+         CAST(n_uniq * 3 >= n_tok AS INT) AS g3,
+         CAST(sum_chars <= 12 * n_tok AS INT) AS g4
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 - g1) AS BIGINT) AS killed_too_short,
+       CAST(SUM(g1 * (1 - g2)) AS BIGINT) AS killed_few_tokens,
+       CAST(SUM(g1 * g2 * (1 - g3)) AS BIGINT) AS killed_repetitive,
+       CAST(SUM(g1 * g2 * g3 * (1 - g4)) AS BIGINT) AS killed_long_tokens,
+       CAST(SUM(g1 * g2 * g3 * g4) AS BIGINT) AS n_survivors,
+       CAST(SUM(g1 * g2 * g3 * g4) * 10000 // COUNT(*) AS BIGINT)
+         AS survival_bp
+FROM g
+""",
+    category="pipelines",
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel — the attrition ledger every corpus
+    curation run publishes (which gate kills how much, in order):
+    four ordered gates (min chars, min tokens, distinct-token ratio
+    >= 1/3 as the repetition screen, mean token length <= 12 as the
+    tokenizer-bomb screen), each kill bucket counted EXCLUSIVELY at
+    the first failing gate (g1*(1-g2)*... products of exact integer
+    bits), survivors and the survival rate in integer basis points.
+    Gate order matters and is part of the contract — funnel numbers
+    are only comparable run-to-run if the order is pinned.  Scale:
+    one map + one global aggregation over six counters; the gates
+    are pure codegen over the token array."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq"),
+        F.aggregate(
+            F.split(F.col("text"), " "),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("sum_chars"),
+    )
+    g = d.select(
+        (F.col("n_chars") >= 50).cast("int").alias("g1"),
+        (F.col("n_tok") >= 10).cast("int").alias("g2"),
+        (F.col("n_uniq") * 3 >= F.col("n_tok")).cast("int").alias("g3"),
+        (F.col("sum_chars") <= 12 * F.col("n_tok")).cast("int").alias("g4"),
+    )
+    surv = F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4")
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(1 - F.col("g1")).cast("long").alias("killed_too_short"),
+        F.sum(F.col("g1") * (1 - F.col("g2")))
+        .cast("long")
+        .alias("killed_few_tokens"),
+        F.sum(F.col("g1") * F.col("g2") * (1 - F.col("g3")))
+        .cast("long")
+        .alias("killed_repetitive"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3") * (1 - F.col("g4")))
+        .cast("long")
+        .alias("killed_long_tokens"),
+        F.sum(surv).cast("long").alias("n_survivors"),
+        F.expr(
+            "CAST(SUM(g1 * g2 * g3 * g4) * 10000 DIV COUNT(*) AS BIGINT)"
+        ).alias("survival_bp"),
+    )

@@ -592,3 +592,105 @@ def test_zip_index_plan_pure_map(spark, sf_dir):
     assert "Exchange" not in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p, marker
+
+
+# --- wave 5: distribution distances, SQL surface, funnel ---
+
+
+def test_distribution_distance_vs_scipy_free_python(spark, sf_dir, cents_df):
+    import math as _m
+
+    p = cents_df[cents_df.event_type == "purchase"].copy()
+    arm_a = ((p.user_id.astype("int64") & 2147483647) * 2654435761) % (1 << 32) < (
+        1 << 31
+    )
+    buckets_a = (p[arm_a].cents // 5000).clip(upper=9)
+    buckets_b = (p[~arm_a].cents // 5000).clip(upper=9)
+    na, nb = len(buckets_a), len(buckets_b)
+    got = run("agg_distribution_distance", spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (na, nb)
+    tv = bc = 0.0
+    tvn = 0
+    for b in range(10):
+        ca = int((buckets_a == b).sum())
+        cb = int((buckets_b == b).sum())
+        tvn += abs(ca * nb - cb * na)
+        bc += _m.sqrt((ca / na) * (cb / nb))
+    assert got.tv_num == tvn
+    assert math.isclose(got.total_variation, tvn / (2.0 * na * nb), rel_tol=1e-12)
+    assert math.isclose(got.bhattacharyya, bc, rel_tol=1e-9)
+    assert math.isclose(got.hellinger, _m.sqrt(1 - bc), rel_tol=1e-9)
+    assert 0 <= got.total_variation <= 1 and 0 <= got.hellinger <= 1
+
+
+def test_wasserstein_matches_sorted_quantile_form(spark, sf_dir, cents_df):
+    """W1 between empirical distributions cross-checked with the
+    numpy CDF-integral form."""
+    import numpy as np
+
+    p = cents_df[cents_df.event_type == "purchase"]
+    arm_a = ((p.user_id.astype("int64") & 2147483647) * 2654435761) % (1 << 32) < (
+        1 << 31
+    )
+    a = np.sort(p[arm_a].cents.to_numpy())
+    b = np.sort(p[~arm_a].cents.to_numpy())
+    grid = np.union1d(a, b)
+    ca = np.searchsorted(a, grid, side="right") / len(a)
+    cb = np.searchsorted(b, grid, side="right") / len(b)
+    w1 = float(np.sum(np.abs(ca[:-1] - cb[:-1]) * np.diff(grid)))
+    got = run("agg_wasserstein_1d", spark, sf_dir).collect()[0]
+    assert math.isclose(got.wasserstein_dollars, w1 / 100.0, rel_tol=1e-9)
+
+
+def test_array_setops_invariants(spark, sf_dir):
+    for r in run("fn_array_setops", spark, sf_dir).collect():
+        assert r.n_common <= min(r.n_head, r.n_mid)
+        assert r.n_union == r.n_head + r.n_mid - r.n_common
+        assert r.overlaps == (r.n_common > 0)
+        assert r.contains_common
+        if r.n_common:
+            toks = r.common_sorted.split(" ")
+            assert toks == sorted(toks) and len(toks) == r.n_common
+
+
+def test_deterministic_uuid_shape(spark, sf_dir):
+    import hashlib
+    import re
+
+    rows = run("fn_deterministic_uuid", spark, sf_dir).collect()
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    for r in rows[:50]:
+        assert pat.match(r.doc_uuid), r.doc_uuid
+        h = hashlib.md5(f"ns:docs/{r.doc_id}".encode()).hexdigest()
+        assert r.doc_uuid.replace("-", "")[:8] == h[:8] == r.shard_hex
+        assert r.shard_id == int(h[:8], 16) % 64
+    assert len({r.doc_uuid for r in rows}) == len(rows)  # unique ids
+
+
+def test_reciprocity_vs_python(spark, sf_dir):
+    edges = set(
+        duckdb.sql(
+            f"""SELECT DISTINCT l_orderkey % 100, l_partkey % 100
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_orderkey % 100 <> l_partkey % 100"""
+        ).fetchall()
+    )
+    recip = sum(1 for s, d in edges if (d, s) in edges)
+    r = run("graph_reciprocity", spark, sf_dir).collect()[0]
+    assert (r.n_edges, r.n_reciprocal) == (len(edges), recip)
+    assert r.n_mutual_pairs == recip // 2
+    assert math.isclose(r.reciprocity, recip / len(edges), rel_tol=1e-12)
+
+
+def test_filter_funnel_partitions_corpus(spark, sf_dir):
+    r = run("pipeline_filter_funnel", spark, sf_dir).collect()[0]
+    assert (
+        r.killed_too_short
+        + r.killed_few_tokens
+        + r.killed_repetitive
+        + r.killed_long_tokens
+        + r.n_survivors
+        == r.n_docs
+    )
+    assert r.survival_bp == r.n_survivors * 10000 // r.n_docs
+    assert r.n_survivors > 0  # the fixture corpus is not all junk

@@ -2321,3 +2321,318 @@ def win_ultimate_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tr20").cast("long").alias("tr20"),
         uo.alias("ultimate_osc"),
     )
+
+
+@query(
+    "win_adx",
+    oracle=f"""
+WITH g AS ({_OHLC_SQL}),
+t AS (
+  SELECT event_type, d,
+         CASE WHEN lag(c) OVER wo IS NULL THEN h - l
+              ELSE GREATEST(h - l, ABS(h - lag(c) OVER wo),
+                            ABS(l - lag(c) OVER wo)) END AS tr,
+         CASE WHEN h - lag(h) OVER wo > lag(l) OVER wo - l
+               AND h - lag(h) OVER wo > 0
+              THEN h - lag(h) OVER wo ELSE 0 END AS dm_plus,
+         CASE WHEN lag(l) OVER wo - l > h - lag(h) OVER wo
+               AND lag(l) OVER wo - l > 0
+              THEN lag(l) OVER wo - l ELSE 0 END AS dm_minus
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+w AS (
+  SELECT event_type, d,
+         COUNT(dm_plus) OVER w14 AS n14,
+         SUM(dm_plus) OVER w14 AS sdp,
+         SUM(dm_minus) OVER w14 AS sdm,
+         SUM(tr) OVER w14 AS str
+  FROM t
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+di AS (
+  SELECT event_type, d,
+         CAST(sdp * 10000 // str AS BIGINT) AS di_plus_bp,
+         CAST(sdm * 10000 // str AS BIGINT) AS di_minus_bp
+  FROM w WHERE n14 = 14
+),
+dx AS (
+  SELECT event_type, d, di_plus_bp, di_minus_bp,
+         CASE WHEN di_plus_bp + di_minus_bp = 0 THEN 0
+              ELSE ABS(di_plus_bp - di_minus_bp) * 10000
+                   // (di_plus_bp + di_minus_bp) END AS dx_bp
+  FROM di
+),
+adx AS (
+  SELECT event_type, d, di_plus_bp, di_minus_bp, dx_bp,
+         COUNT(*) OVER w7 AS n7,
+         SUM(dx_bp) OVER w7 // 7 AS adx_bp
+  FROM dx
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       di_plus_bp, di_minus_bp, CAST(dx_bp AS BIGINT) AS dx_bp,
+       CAST(adx_bp AS BIGINT) AS adx_bp,
+       CAST(CASE WHEN di_plus_bp > di_minus_bp THEN 1
+                 WHEN di_plus_bp < di_minus_bp THEN -1 ELSE 0 END AS BIGINT)
+         AS trend_dir
+FROM adx WHERE n7 = 7
+""",
+    category="windows",
+)
+def win_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average directional index (14-day DI, 7-day ADX smoothing, SMA
+    variant of Wilder's recursion) over daily bars — the
+    trend-STRENGTH gauge that separates "trending" from "choppy"
+    regardless of direction: directional movements +DM/-DM keep only
+    the larger of the up/down moves (exact integer CASE logic),
+    DI± = 10000*sum(DM)/sum(TR) in integer basis points, DX =
+    10000*|DI+ - DI-|/(DI+ + DI-) is integer arithmetic ON the bp
+    values, and ADX is the trailing-7 floor-average of DX — zero
+    floats end to end.  Scale: one lag + two trailing frames over
+    the bounded OHLC grid, one event_type shuffle."""
+    g = _ohlc_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+    prev_c = F.lag("c").over(wo)
+    up = F.col("h") - F.lag("h").over(wo)
+    dn = F.lag("l").over(wo) - F.col("l")
+    t = g.select(
+        "event_type",
+        "d",
+        F.when(prev_c.isNull(), F.col("h") - F.col("l"))
+        .otherwise(
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - prev_c),
+                F.abs(F.col("l") - prev_c),
+            )
+        )
+        .alias("tr"),
+        # null lag (first bar) falls through to 0, exactly like the
+        # oracle's CASE ... ELSE 0 under three-valued logic
+        F.when((up > dn) & (up > 0), up).otherwise(0).alias("dm_plus"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(0).alias("dm_minus"),
+    )
+    w14 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-13, 0)
+    w = t.select(
+        "event_type",
+        "d",
+        F.count("dm_plus").over(w14).alias("n14"),
+        F.sum("dm_plus").over(w14).alias("sdp"),
+        F.sum("dm_minus").over(w14).alias("sdm"),
+        F.sum("tr").over(w14).alias("str"),
+    ).where(F.col("n14") == 14)
+    di = w.select(
+        "event_type",
+        "d",
+        F.expr("CAST(sdp * 10000 DIV str AS BIGINT)").alias("di_plus_bp"),
+        F.expr("CAST(sdm * 10000 DIV str AS BIGINT)").alias("di_minus_bp"),
+    )
+    dx = di.select(
+        "event_type",
+        "d",
+        "di_plus_bp",
+        "di_minus_bp",
+        F.expr(
+            "CASE WHEN di_plus_bp + di_minus_bp = 0 THEN 0"
+            " ELSE ABS(di_plus_bp - di_minus_bp) * 10000"
+            " DIV (di_plus_bp + di_minus_bp) END"
+        ).alias("dx_bp"),
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    adx = dx.select(
+        "event_type",
+        "d",
+        "di_plus_bp",
+        "di_minus_bp",
+        "dx_bp",
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.expr(
+            "SUM(dx_bp) OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) DIV 7"
+        ).alias("adx_bp"),
+    ).where(F.col("n7") == 7)
+    return adx.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "di_plus_bp",
+        "di_minus_bp",
+        F.col("dx_bp").cast("long").alias("dx_bp"),
+        F.col("adx_bp").cast("long").alias("adx_bp"),
+        F.when(F.col("di_plus_bp") > F.col("di_minus_bp"), 1)
+        .when(F.col("di_plus_bp") < F.col("di_minus_bp"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("trend_dir"),
+    )
+
+
+@query(
+    "win_force_index",
+    oracle=f"""
+WITH g AS ({_OHLCV_SQL}),
+t AS (
+  SELECT event_type, d, vol,
+         (c - lag(c) OVER wo) * vol AS fi
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+w AS (
+  SELECT event_type, d, fi,
+         COUNT(fi) OVER w13 AS n13,
+         SUM(fi) OVER w13 AS sfi
+  FROM t
+  WINDOW w13 AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(fi AS BIGINT) AS force_raw,
+       CAST(sfi AS BIGINT) AS force_sum13,
+       CAST(sfi // 13 AS BIGINT) AS force_sma13,
+       CAST(CASE WHEN sfi > 0 THEN 1 WHEN sfi < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS pressure
+FROM w WHERE n13 = 13
+""",
+    category="windows",
+)
+def win_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force index (Elder, 13-day SMA variant) over daily bars — the
+    price-move-times-volume pressure gauge: raw FI = (c - prev_c) *
+    vol is an exact signed integer, the 13-day sum and its floor
+    average stay integer (DIV truncates toward zero on the signed
+    sum identically in both engines), and the buying/selling
+    pressure sign reads the integer directly.  Scale: one lag + one
+    trailing frame over the bounded OHLCV grid."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+            "ts",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.max_by("cents", "ts").alias("c"),
+            F.count(F.lit(1)).cast("long").alias("vol"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    t = g.select(
+        "event_type",
+        "d",
+        ((F.col("c") - F.lag("c").over(wo)) * F.col("vol")).alias("fi"),
+    )
+    w13 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-12, 0)
+    w = t.select(
+        "event_type",
+        "d",
+        "fi",
+        F.count("fi").over(w13).alias("n13"),
+        F.sum("fi").over(w13).alias("sfi"),
+    ).where(F.col("n13") == 13)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("fi").cast("long").alias("force_raw"),
+        F.col("sfi").cast("long").alias("force_sum13"),
+        F.expr("sfi DIV 13").cast("long").alias("force_sma13"),
+        F.when(F.col("sfi") > 0, 1)
+        .when(F.col("sfi") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pressure"),
+    )
+
+
+@query(
+    "win_accumulation_distribution",
+    oracle=f"""
+WITH g AS ({_OHLCV_SQL}),
+t AS (
+  SELECT event_type, d, h, l, c, vol,
+         CASE WHEN h = l THEN 0
+              ELSE (2 * c - h - l) * 10000 // (h - l) END AS clv_bp
+  FROM g
+),
+w AS (
+  SELECT event_type, d, clv_bp, vol,
+         SUM(clv_bp * vol) OVER (PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad
+  FROM t
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(clv_bp AS BIGINT) AS clv_bp,
+       CAST(vol AS BIGINT) AS vol,
+       CAST(ad AS BIGINT) AS ad_line,
+       CAST(CASE WHEN ad > lag(ad) OVER (PARTITION BY event_type ORDER BY d)
+                 THEN 1
+                 WHEN ad < lag(ad) OVER (PARTITION BY event_type ORDER BY d)
+                 THEN -1 ELSE 0 END AS BIGINT) AS flow_dir
+FROM w
+""",
+    category="windows",
+)
+def win_accumulation_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulation/distribution line over daily bars — the
+    where-in-the-range volume-flow accumulator (win_obv weighs whole
+    days; A/D weighs WHERE the close landed inside the bar): the
+    close-location value is kept integer at 10000x via floor
+    division ((2c-h-l)*10000 DIV (h-l); a degenerate h=l bar
+    contributes 0), multiplied by integer volume and cumulatively
+    summed — the float-cumsum trap (windowed double sums use
+    different summation trees per engine) never appears because the
+    lattice is integer end to end.  Scale: one map + one running
+    window over the bounded OHLCV grid."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+            "ts",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.max_by("cents", "ts").alias("c"),
+            F.count(F.lit(1)).cast("long").alias("vol"),
+        )
+    )
+    t = g.select(
+        "event_type",
+        "d",
+        "vol",
+        F.expr(
+            "CASE WHEN h = l THEN 0"
+            " ELSE (2 * c - h - l) * 10000 DIV (h - l) END"
+        ).alias("clv_bp"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    w = t.select(
+        "event_type",
+        "d",
+        "clv_bp",
+        "vol",
+        F.sum(F.col("clv_bp") * F.col("vol")).over(w_cum).alias("ad"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("clv_bp").cast("long").alias("clv_bp"),
+        F.col("vol").cast("long").alias("vol"),
+        F.col("ad").cast("long").alias("ad_line"),
+        F.when(F.col("ad") > F.lag("ad").over(wo), 1)
+        .when(F.col("ad") < F.lag("ad").over(wo), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flow_dir"),
+    )

@@ -3779,3 +3779,95 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(g1 * g2 * g3 * g4) * 10000 DIV COUNT(*) AS BIGINT)"
         ).alias("survival_bp"),
     )
+
+
+@query(
+    "pipeline_temporal_split",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-20'
+                  THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-20'
+                   AND CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-25'
+                  THEN 1 ELSE 0 END) AS in_val,
+         MAX(CASE WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-25'
+                  THEN 1 ELSE 0 END) AS in_test,
+         CAST(COUNT(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                              <= DATE '2024-01-20' THEN 1 END) AS BIGINT)
+           AS ev_train,
+         CAST(COUNT(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                              > DATE '2024-01-20'
+                      AND CAST(date_trunc('day', ts) AS DATE)
+                              <= DATE '2024-01-25' THEN 1 END) AS BIGINT)
+           AS ev_val,
+         CAST(COUNT(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                              > DATE '2024-01-25' THEN 1 END) AS BIGINT)
+           AS ev_test
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(ev_train) AS BIGINT) AS n_train_events,
+       CAST(SUM(ev_val) AS BIGINT) AS n_val_events,
+       CAST(SUM(ev_test) AS BIGINT) AS n_test_events,
+       CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+       CAST(SUM(in_val) AS BIGINT) AS n_val_users,
+       CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+       CAST(SUM(in_train * in_val) AS BIGINT) AS users_train_and_val,
+       CAST(SUM(in_train * in_test) AS BIGINT) AS users_train_and_test,
+       CAST(SUM(in_test * (1 - in_train) * (1 - in_val)) AS BIGINT)
+         AS cold_start_test_users,
+       CAST(SUM(in_train * in_test) * 10000
+            // GREATEST(SUM(in_test), 1) AS BIGINT) AS test_seen_user_bp
+FROM u
+""",
+    category="pipelines",
+)
+def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological train/val/test split report (days 1-20 / 21-25 /
+    26-30) with the LEAKAGE census hash-based splitting never needs
+    but time-based splitting must publish: per-split event and user
+    counts, user overlap between train and the eval splits (a user
+    appearing in both is entity leakage for per-user models — or
+    required context, depending on the task; either way it must be
+    MEASURED), cold-start test users (never seen before), and the
+    share of test users already seen in train, in integer basis
+    points.  One user_id hash-agg with map-side partials; six flags
+    per user, ten counters out — scale-free."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    d20 = F.lit("2024-01-20").cast("date")
+    d25 = F.lit("2024-01-25").cast("date")
+    is_tr = day <= d20
+    is_va = (day > d20) & (day <= d25)
+    is_te = day > d25
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(is_tr, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(is_va, 1).otherwise(0)).alias("in_val"),
+        F.max(F.when(is_te, 1).otherwise(0)).alias("in_test"),
+        F.count(F.when(is_tr, 1)).cast("long").alias("ev_train"),
+        F.count(F.when(is_va, 1)).cast("long").alias("ev_val"),
+        F.count(F.when(is_te, 1)).cast("long").alias("ev_test"),
+    )
+    return u.agg(
+        F.sum("ev_train").cast("long").alias("n_train_events"),
+        F.sum("ev_val").cast("long").alias("n_val_events"),
+        F.sum("ev_test").cast("long").alias("n_test_events"),
+        F.sum("in_train").cast("long").alias("n_train_users"),
+        F.sum("in_val").cast("long").alias("n_val_users"),
+        F.sum("in_test").cast("long").alias("n_test_users"),
+        F.sum(F.col("in_train") * F.col("in_val"))
+        .cast("long")
+        .alias("users_train_and_val"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("long")
+        .alias("users_train_and_test"),
+        F.sum(
+            F.col("in_test") * (1 - F.col("in_train")) * (1 - F.col("in_val"))
+        )
+        .cast("long")
+        .alias("cold_start_test_users"),
+        F.expr(
+            "CAST(SUM(in_train * in_test) * 10000"
+            " DIV GREATEST(SUM(in_test), 1) AS BIGINT)"
+        ).alias("test_seen_user_bp"),
+    )

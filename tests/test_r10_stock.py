@@ -694,3 +694,46 @@ def test_filter_funnel_partitions_corpus(spark, sf_dir):
     )
     assert r.survival_bp == r.n_survivors * 10000 // r.n_docs
     assert r.n_survivors > 0  # the fixture corpus is not all junk
+
+
+# --- wave 6: ADX family + temporal split ---
+
+
+def test_adx_invariants(spark, sf_dir):
+    rows = run("win_adx", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.di_plus_bp <= 10000 and 0 <= r.di_minus_bp <= 10000
+        assert 0 <= r.dx_bp <= 10000 and 0 <= r.adx_bp <= 10000
+        assert r.trend_dir == (r.di_plus_bp > r.di_minus_bp) - (
+            r.di_plus_bp < r.di_minus_bp
+        )
+        if r.di_plus_bp + r.di_minus_bp > 0:
+            assert r.dx_bp == abs(r.di_plus_bp - r.di_minus_bp) * 10000 // (
+                r.di_plus_bp + r.di_minus_bp
+            )
+
+
+def test_force_index_and_ad_line_consistency(spark, sf_dir):
+    for r in run("win_force_index", spark, sf_dir).collect():
+        assert r.pressure == (r.force_sum13 > 0) - (r.force_sum13 < 0)
+    by_type = {}
+    for r in run("win_accumulation_distribution", spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        acc = 0
+        for r in rs:
+            assert -10000 <= r.clv_bp <= 10000
+            acc += r.clv_bp * r.vol
+            assert r.ad_line == acc  # the cumulative IS the integer sum
+
+
+def test_temporal_split_partitions(spark, sf_dir, cents_df):
+    r = run("pipeline_temporal_split", spark, sf_dir).collect()[0]
+    assert r.n_train_events + r.n_val_events + r.n_test_events == len(cents_df)
+    assert r.users_train_and_test <= min(r.n_train_users, r.n_test_users)
+    assert r.cold_start_test_users <= r.n_test_users
+    assert r.test_seen_user_bp == r.users_train_and_test * 10000 // max(
+        r.n_test_users, 1
+    )

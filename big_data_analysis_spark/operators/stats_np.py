@@ -1374,3 +1374,94 @@ def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("wasserstein_dollars"),
     )
+
+
+@query(
+    "agg_bowley_skew",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, cents
+),
+w AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+       + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS med2,
+         MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+  FROM w GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(q1 AS BIGINT) AS q1_cents,
+       CAST(med2 AS BIGINT) AS med2_cents,
+       CAST(q3 AS BIGINT) AS q3_cents,
+       CAST(q1 + q3 - med2 AS BIGINT) AS skew_num,
+       CAST(q1 + q3 - med2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+         AS bowley_skew
+FROM q
+""",
+    category="aggregations",
+)
+def agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness per event type — the robust
+    skewness agg_jarque_bera's moment-based estimate complements
+    (outlier-immune, purely order-statistic): with the doubled
+    median 2*med = med_lo + med_hi, the numerator q1 + q3 - 2*med
+    is exactly q1 + q3 - med2 — an integer off the same ceil-rank
+    cents-grid machinery as agg_tukey_outliers — and Bowley's
+    coefficient is ONE double division by the IQR.  Scale: grid
+    windows only (value-domain-bounded)."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = grid.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q = w.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum >= (n + 3) DIV 4 THEN cents END")).alias("q1"),
+        (
+            F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN cents END"))
+            + F.min(F.expr("CASE WHEN cum >= n DIV 2 + 1 THEN cents END"))
+        ).alias("med2"),
+        F.min(F.expr("CASE WHEN cum >= (3 * n + 3) DIV 4 THEN cents END")).alias(
+            "q3"
+        ),
+    )
+    num = F.col("q1") + F.col("q3") - F.col("med2")
+    return q.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("med2").cast("long").alias("med2_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        num.cast("long").alias("skew_num"),
+        (num.cast("double") / (F.col("q3") - F.col("q1")).cast("double")).alias(
+            "bowley_skew"
+        ),
+    )

@@ -2636,3 +2636,178 @@ def win_accumulation_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("flow_dir"),
     )
+
+
+def _elder_ray_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Elder-ray query text shared by both engines: EMA13 of the
+    close as the win_macd integer recurrence at 1000x, joined back to
+    the bars so bull power = 1000*h - ema13 and bear power =
+    1000*l - ema13 stay exact integers."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, h, l, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, e13) AS (
+  SELECT event_type, idx, c * 1000 FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx, (2 * g.c * 1000 + 12 * r.e13) {idiv} 14
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(r.e13 AS BIGINT) AS ema13_s,
+       CAST(1000 * gi.h - r.e13 AS BIGINT) AS bull_power_s,
+       CAST(1000 * gi.l - r.e13 AS BIGINT) AS bear_power_s,
+       CAST(CASE WHEN 1000 * gi.l - r.e13 > 0 THEN 1
+                 WHEN 1000 * gi.h - r.e13 < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS regime
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_elder_ray",
+    oracle=_elder_ray_sql(f"({_OHLC_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-ray bull/bear power over daily bars — how far the bar's
+    extremes push above/below the EMA13 trend (bull power = h -
+    EMA13, bear power = l - EMA13; both positive = bulls own the
+    whole bar): the EMA is win_macd's integer floor-division
+    recurrence at 1000x scale via a recursive CTE, and the powers
+    are exact integer differences at the same scale.  The regime
+    flag (whole bar above / below the EMA) is two comparisons.
+    Scale: recursion depth = calendar days over the bounded grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    return spark.sql(
+        _elder_ray_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+@query(
+    "win_rvi",
+    oracle=f"""
+WITH g AS ({_OHLC_SQL}),
+w AS (
+  SELECT event_type, d,
+         COUNT(*) OVER w4 AS n4,
+         SUM(c - o) OVER w4 AS num4,
+         SUM(h - l) OVER w4 AS den4
+  FROM g
+  WINDOW w4 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(num4 AS BIGINT) AS close_open_sum,
+       CAST(den4 AS BIGINT) AS range_sum,
+       CAST(CASE WHEN den4 = 0 THEN 0
+                 ELSE num4 * 10000 {'//'} den4 END AS BIGINT) AS rvi_bp,
+       CAST(CASE WHEN num4 > 0 THEN 1 WHEN num4 < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS vigor_sign
+FROM w WHERE n4 = 4
+""",
+    category="windows",
+)
+def win_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative vigor index (4-day) over daily bars — do closes beat
+    opens relative to the bar ranges (conviction of the move):
+    RVI = sum(c - o) / sum(h - l) over the window, computed as the
+    ratio of two exact integer sums in basis points (numerator and
+    denominator summed SEPARATELY — never a float ratio per day;
+    signed floor division truncates toward zero identically in both
+    engines; an all-degenerate window pins to 0).  Scale: one
+    trailing frame over the bounded OHLC grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    w4 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 0)
+    w = g.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w4).alias("n4"),
+        F.sum(F.col("c") - F.col("o")).over(w4).alias("num4"),
+        F.sum(F.col("h") - F.col("l")).over(w4).alias("den4"),
+    ).where(F.col("n4") == 4)
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("num4").cast("long").alias("close_open_sum"),
+        F.col("den4").cast("long").alias("range_sum"),
+        F.expr(
+            "CASE WHEN den4 = 0 THEN 0 ELSE num4 * 10000 DIV den4 END"
+        )
+        .cast("long")
+        .alias("rvi_bp"),
+        F.when(F.col("num4") > 0, 1)
+        .when(F.col("num4") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("vigor_sign"),
+    )
+
+
+def _mass_index_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Mass-index query text shared by both engines: single and
+    double EMA9 of the bar range as integer recurrences at 1000x
+    (one recursion carrying both), the per-day ratio in integer
+    basis points, and a trailing-9 sum of the ratio (integer bp sum
+    — the deterministic variant of the classic float ratio sum,
+    documented)."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, h - l AS rng,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, e1, e2) AS (
+  SELECT event_type, idx, rng * 1000, rng * 1000 FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         (2 * g.rng * 1000 + 8 * r.e1) {idiv} 10,
+         (2 * ((2 * g.rng * 1000 + 8 * r.e1) {idiv} 10) + 8 * r.e2) {idiv} 10
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+),
+q AS (
+  SELECT r.event_type, gi.d, r.e1, r.e2,
+         CASE WHEN r.e2 = 0 THEN 10000
+              ELSE r.e1 * 10000 {idiv} r.e2 END AS ratio_bp
+  FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+),
+w AS (
+  SELECT event_type, d, ratio_bp,
+         COUNT(*) OVER w9 AS n9,
+         SUM(ratio_bp) OVER w9 AS mass_s
+  FROM q
+  WINDOW w9 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, {datefmt} AS day,
+       CAST(ratio_bp AS BIGINT) AS ratio_bp,
+       CAST(mass_s AS BIGINT) AS mass_index_s,
+       CAST(CASE WHEN mass_s > 95000 THEN 1 ELSE 0 END AS BIGINT)
+         AS bulge
+FROM w WHERE n9 = 9
+"""
+
+
+@query(
+    "win_mass_index",
+    oracle=_mass_index_sql(f"({_OHLC_SQL})", "//", "strftime(d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass index (9-day, scaled from Dorsey's 25) over daily bars —
+    range-volatility bulges that precede trend reversals: the
+    single/double EMA9 of the bar range advance together in ONE
+    recursive CTE (integer floor recurrences at 1000x), the per-day
+    EMA ratio is floored to integer basis points, and the mass index
+    sums those integer bp over the trailing window (the
+    deterministic variant of the classic float ratio sum — same
+    signal shape, bit-exact cross-engine; documented).  The bulge
+    flag fires above 9.5 (95000 in bp-sum units).  Scale: recursion
+    depth = calendar days; one trailing frame on the bounded
+    grid."""
+    g = _ohlc_grid(spark, sf_dir)
+    return spark.sql(
+        _mass_index_sql("{g}", "DIV", "date_format(d, 'yyyy-MM-dd')"), g=g
+    )

@@ -3871,3 +3871,86 @@ def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV GREATEST(SUM(in_test), 1) AS BIGINT)"
         ).alias("test_seen_user_bp"),
     )
+
+
+@query(
+    "pipeline_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.lang,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+train AS (
+  SELECT DISTINCT lang, gram FROM grams WHERE doc_id % 5 < 4
+),
+test_g AS (
+  SELECT DISTINCT lang, gram FROM grams WHERE doc_id % 5 = 4
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_test_grams,
+       CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS novelty_bp
+FROM test_g t
+LEFT JOIN train tr ON tr.lang = t.lang AND tr.gram = t.gram
+GROUP BY t.lang
+""",
+    category="pipelines",
+)
+def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram novelty — the complement of
+    text_contamination's overlap check: what share of the held-out
+    split's distinct trigrams never appear in the training split
+    (low novelty = the eval set mostly restates training text and
+    will overstate model quality).  Splits are the deterministic
+    doc_id % 5 folds; per-language distinct trigram sets are built
+    once (the pipeline_ngram_coverage shape: shingle explode +
+    per-side distincts) and the novelty rate is exact integer basis
+    points off a left-anti-style join.  Scale: the gram join is
+    key-partitioned on (lang, gram) — the heavy-text-join shape
+    already benchmarked by ngram_coverage; never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    grams_arr = F.when(F.size(toks) >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = d.select(
+        "doc_id", "lang", F.explode(grams_arr).alias("gram")
+    )
+    train = (
+        grams.where(F.col("doc_id") % 5 < 4).select("lang", "gram").distinct()
+    )
+    test_g = (
+        grams.where(F.col("doc_id") % 5 == 4).select("lang", "gram").distinct()
+    )
+    j = test_g.join(
+        train.withColumn("seen", F.lit(1)), ["lang", "gram"], "left"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_grams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(SUM(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("novelty_bp"),
+    )

@@ -737,3 +737,63 @@ def test_temporal_split_partitions(spark, sf_dir, cents_df):
     assert r.test_seen_user_bp == r.users_train_and_test * 10000 // max(
         r.n_test_users, 1
     )
+
+
+# --- wave 7: elder ray, RVI, mass index, Bowley, novelty ---
+
+
+def test_elder_ray_regime_consistency(spark, sf_dir):
+    rows = run("win_elder_ray", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bull_power_s >= r.bear_power_s  # h >= l at equal EMA
+        if r.regime == 1:
+            assert r.bear_power_s > 0
+        elif r.regime == -1:
+            assert r.bull_power_s < 0
+
+
+def test_rvi_and_mass_index_bounds(spark, sf_dir):
+    for r in run("win_rvi", spark, sf_dir).collect():
+        assert -10000 <= r.rvi_bp <= 10000  # |sum(c-o)| <= sum(h-l)
+        assert abs(r.close_open_sum) <= r.range_sum
+        assert r.vigor_sign == (r.close_open_sum > 0) - (r.close_open_sum < 0)
+    for r in run("win_mass_index", spark, sf_dir).collect():
+        assert r.ratio_bp > 0
+        assert r.bulge == int(r.mass_index_s > 95000)
+
+
+def test_bowley_skew_bounded(spark, sf_dir, cents_df):
+    got = {r.event_type: r for r in run("agg_bowley_skew", spark, sf_dir).collect()}
+    for t in TYPES:
+        r = got[t]
+        assert -1.0 <= r.bowley_skew <= 1.0  # Bowley is bounded by construction
+        v = sorted(cents_df[cents_df.event_type == t].cents)
+        n = len(v)
+        q1 = v[(n + 3) // 4 - 1]
+        q3 = v[(3 * n + 3) // 4 - 1]
+        med2 = v[(n + 1) // 2 - 1] + v[n // 2]
+        assert (r.q1_cents, r.q3_cents, r.med2_cents) == (q1, q3, med2)
+        assert r.skew_num == q1 + q3 - med2
+
+
+def test_ngram_novelty_replay(spark, sf_dir):
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    train, test = {}, {}
+    for _, r in df.iterrows():
+        toks = r.text.split(" ")
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        tgt = train if r.doc_id % 5 < 4 else test
+        tgt.setdefault(r.lang, set()).update(grams)
+    got = {r.lang: r for r in run("pipeline_ngram_novelty", spark, sf_dir).collect()}
+    for lang, te in test.items():
+        tr = train.get(lang, set())
+        novel = len(te - tr)
+        r = got[lang]
+        assert (r.n_test_grams, r.n_novel) == (len(te), novel)
+        assert r.novelty_bp == novel * 10000 // len(te)

@@ -1656,6 +1656,15 @@ def test_value_grid_windows_stay_domain_bounded():
                                        AS BIGINT)) AS grid
             FROM '{d}/events.parquet' WHERE event_type = 'purchase'
         """,
+        # the r9 k-sample tier (kruskal_wallis / mood_median /
+        # brown_forsythe / bowley_skew) ranks over the ALL-events
+        # cents grid — same saturation claim, enforced separately
+        "all_events_cents": """
+            SELECT COUNT(*) AS rows,
+                   COUNT(DISTINCT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT)) AS grid
+            FROM '{d}/events.parquet'
+        """,
         "n_orders": """
             SELECT COUNT(*) AS rows, COUNT(DISTINCT n) AS grid FROM (
               SELECT c.c_custkey, COUNT(o.o_orderkey) AS n

@@ -1681,3 +1681,99 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
     )
+
+
+@query(
+    "sim_centroid_pairs",
+    oracle=f"""
+WITH ev AS ({_SQL_EV}),
+xq AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM ev
+),
+cs AS (
+  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xq GROUP BY label, pos
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+         SUM(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+             * (a.s * b.n - b.s * a.n)) AS num
+  FROM cs a JOIN cs b ON b.pos = a.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       sqrt(CAST(CAST(num AS VARCHAR) AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 1000000.0
+         AS centroid_distance
+FROM pairs
+""",
+    category="similarity",
+)
+def sim_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-centroid distances between the label clusters —
+    the cluster-separation matrix read next to vec_centroid (which
+    gives the centroids) and vec_kmeans_lloyd (which finds them):
+    per-label integer component sums on the proven 1e-6 lattice, the
+    centroid DIFFERENCE at common-denominator scale
+    (S_a*n_b - S_b*n_a, exact int64), its squared 64-dim sum in
+    HUGEINT/DECIMAL(38,0), and ONE sqrt + two divisions after the
+    VARCHAR double crossing.  45 label pairs x 64 dims — the pair
+    join is domain-bounded however many vectors arrive; the corpus
+    contributes one (label, pos) hash-agg."""
+    e = table(spark, sf_dir, "embeddings")
+    xq = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+            )
+        ).alias("pos0", "q"),
+    )
+    cs = xq.groupBy("label", F.col("pos0").alias("pos")).agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cs.select(
+        F.col("label").alias("label_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a0"),
+    )
+    b = cs.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b0"),
+    )
+    diff = F.col("s_a") * F.col("n_b0") - F.col("s_b") * F.col("n_a0")
+    pairs = (
+        a.join(
+            b,
+            (F.col("pos_b") == F.col("pos_a"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a0").alias("n_a"),
+            F.max("n_b0").alias("n_b"),
+            F.sum(diff.cast("decimal(38,0)") * diff).alias("num"),
+        )
+    )
+    return pairs.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.sqrt(F.col("num").cast("string").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            / 1_000_000.0
+        ).alias("centroid_distance"),
+    )

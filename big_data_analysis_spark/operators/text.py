@@ -1228,3 +1228,63 @@ def text_encoding_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_replacement").cast("long").alias("total_replacement"),
         F.sum("n_invisible").cast("long").alias("total_invisible"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY lang, tok
+)
+SELECT lang,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dis_legomena,
+       CAST(COUNT(*) * 10000 // SUM(f) AS BIGINT) AS type_token_bp,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS hapax_type_bp
+FROM freq GROUP BY lang
+""",
+    category="text",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per language — hapax legomena
+    (once-only tokens) and dis legomena shares plus the type-token
+    ratio, the lexical-diversity screens corpus linguists and data
+    curators read before training (a synthetic or templated corpus
+    shows an unnaturally LOW hapax share; scraped boilerplate shows
+    a low type-token ratio): per-(lang, token) frequencies from one
+    explode + hash-agg, every readout an exact integer count or
+    floor-division basis points.  Scale: the (lang, token) grid is
+    vocabulary-bounded — it saturates while tokens grow, the same
+    value-domain argument as the cents grids."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis_legomena"),
+        F.expr("CAST(COUNT(*) * 10000 DIV SUM(f) AS BIGINT)").alias(
+            "type_token_bp"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hapax_type_bp"),
+    )

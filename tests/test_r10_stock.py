@@ -797,3 +797,50 @@ def test_ngram_novelty_replay(spark, sf_dir):
         r = got[lang]
         assert (r.n_test_grams, r.n_novel) == (len(te), novel)
         assert r.novelty_bp == novel * 10000 // len(te)
+
+
+# --- wave 8: lexical richness + cluster separation ---
+
+
+def test_hapax_ratio_replay(spark, sf_dir):
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    from collections import Counter
+
+    freq = {}
+    for _, r in df.iterrows():
+        freq.setdefault(r.lang, Counter()).update(r.text.split(" "))
+    got = {r.lang: r for r in run("text_hapax_ratio", spark, sf_dir).collect()}
+    for lang, c in freq.items():
+        r = got[lang]
+        assert r.n_tokens == sum(c.values())
+        assert r.n_types == len(c)
+        assert r.n_hapax == sum(1 for v in c.values() if v == 1)
+        assert r.type_token_bp == len(c) * 10000 // sum(c.values())
+        # the 31-word synthetic vocabulary has no hapaxes at any SF —
+        # the richness signal here is the (very low) type-token ratio
+        assert 0 <= r.hapax_type_bp <= 10000
+        assert r.hapax_type_bp == r.n_hapax * 10000 // r.n_types
+
+
+def test_centroid_pairs_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).df()
+    cents = {}
+    for lbl, grp in df.groupby("label"):
+        X = np.round(
+            np.stack(grp.embedding.to_numpy()).astype(np.float64) * 1e6
+        )
+        cents[lbl] = X.mean(axis=0) / 1e6
+    rows = run("sim_centroid_pairs", spark, sf_dir).collect()
+    assert len(rows) == 45  # C(10, 2) label pairs
+    for r in rows:
+        want = float(np.linalg.norm(cents[r.label_a] - cents[r.label_b]))
+        assert math.isclose(r.centroid_distance, want, rel_tol=1e-9)
+        assert r.centroid_distance > 0

@@ -530,3 +530,90 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= _SP_R2)
         .select("b_id", "a_id", d2.alias("dist2"))
     )
+
+
+@query(
+    "join_band_bucketed",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice < 30000
+),
+p AS (
+  SELECT a.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents,
+         CAST(MIN(ABS(a.cents - b.cents)) AS BIGINT) AS min_gap_cents
+  FROM o a JOIN o b
+    ON b.o_orderpriority = a.o_orderpriority
+   AND a.o_orderkey < b.o_orderkey
+   AND ABS(a.cents - b.cents) <= 10000
+  GROUP BY a.o_orderpriority
+)
+SELECT o_orderpriority, n_pairs, sum_gap_cents, min_gap_cents
+FROM p
+""",
+    category="joins",
+)
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join (|price difference| <= $100 within priority,
+    over the sub-$30k order slice) via
+    the BUCKETED band-join strategy — the scale pattern for
+    similarity-band joins that a naive theta join turns into a cross
+    product: each row is assigned to bucket cents DIV 10000 and
+    joined only against its own and the two ADJACENT buckets (any
+    pair within the band shares or neighbors a bucket, so recall is
+    exact), then the exact band predicate filters inside the bucket
+    — candidate volume is O(rows x bucket occupancy), never O(n^2).
+    The oracle states the naive quadratic semantics on the filtered
+    slice; the Spark plan is the bucketed rewrite, equi-joined on
+    (priority, bucket) — three shuffled equi-joins unioned, zero
+    theta joins.  Dedup of pairs found in two shared buckets falls
+    out of the a.key < b.key orientation plus distinct."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") < 30000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    band = 10000
+    a = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("cents").alias("ca"),
+        F.expr(f"cents DIV {band}").alias("bucket"),
+    )
+    # each left row probes its own bucket and both neighbors
+    probes = a.select(
+        "pri", "ka", "ca", F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket")
+    )
+    b = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("cents").alias("cb"),
+        F.expr(f"cents DIV {band}").alias("bucket"),
+    )
+    pairs = (
+        probes.join(b, ["pri", "bucket"])
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= band)
+        )
+        .select("pri", "ka", "kb", F.abs(F.col("ca") - F.col("cb")).alias("gap"))
+        .distinct()  # a pair can meet in two shared buckets
+    )
+    return pairs.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("gap").cast("long").alias("sum_gap_cents"),
+        F.min("gap").cast("long").alias("min_gap_cents"),
+    )

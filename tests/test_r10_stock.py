@@ -844,3 +844,35 @@ def test_centroid_pairs_vs_numpy(spark, sf_dir):
         want = float(np.linalg.norm(cents[r.label_a] - cents[r.label_b]))
         assert math.isclose(r.centroid_distance, want, rel_tol=1e-9)
         assert r.centroid_distance > 0
+
+
+def test_band_join_bucketed_matches_naive_and_plan(spark, sf_dir):
+    """Recall proof: the bucketed rewrite finds EXACTLY the naive
+    quadratic pair set (replayed in Python), and the plan contains
+    only equi-joins (no CartesianProduct / BroadcastNestedLoop)."""
+    rows = duckdb.sql(
+        f"""SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WHERE o_totalprice < 30000"""
+    ).fetchall()
+    by_pri = {}
+    for k, pri, c in rows:
+        by_pri.setdefault(pri, []).append((k, c))
+    want = {}
+    for pri, rs in by_pri.items():
+        n = 0
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                if abs(rs[i][1] - rs[j][1]) <= 10000:
+                    n += 1
+        if n:
+            want[pri] = n
+    got = {
+        r.o_orderpriority: r.n_pairs
+        for r in run("join_band_bucketed", spark, sf_dir).collect()
+    }
+    assert got == want
+    df = run("join_band_bucketed", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p

@@ -1403,3 +1403,106 @@ def test_avro_codec_roundtrip_and_splits_random(
             for r in read_container(p, s, e)
         ]
         assert got == rows
+
+
+# --- r9: ZIP parser roundtrip + bucketed band join recall ----------
+
+zip_members_strategy = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=12,
+        ),
+        st.binary(min_size=0, max_size=200),
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(members=zip_members_strategy)
+@settings(**_SETTINGS)
+def test_zip_index_roundtrips_stdlib_archives(spark, members):
+    """For ANY member list (arbitrary names/sizes/bytes, including
+    empty files), a stdlib-built stored ZIP parses to exactly the
+    right member count, byte totals, name mass, CRC validations and
+    EOCD cross-check."""
+    import io
+    import zipfile
+
+    from big_data_analysis_spark.operators.multimodal import zip_index
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, data in members:
+            z.writestr(name + ".bin", data)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, b binary"
+    )
+    r = zip_index(df, "id", "b", max_members=8).collect()[0]
+    assert r.n_members == len(members)
+    assert r.n_crc_valid == len(members)
+    assert r.n_entries_eocd == len(members)
+    assert r.total_uncompressed == sum(len(d) for _, d in members)
+    assert r.sum_name_chars == sum(len(n) + 4 for n, _ in members)
+    assert r.archive_bytes == len(buf.getvalue())
+
+
+band_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.integers(min_value=0, max_value=50000),  # cents
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(rows=band_rows_strategy)
+@settings(**_SETTINGS)
+def test_bucketed_band_join_exact_recall(spark, rows):
+    """The bucket + adjacent-bucket strategy finds EXACTLY the naive
+    quadratic band pair set for ANY value distribution — including
+    values straddling bucket boundaries (the recall edge case)."""
+    band = 10000
+    df = spark.createDataFrame(
+        [(i, g, c) for i, (g, c) in enumerate(rows)], "k long, g long, c long"
+    )
+    a = df.select(
+        F.col("g"),
+        F.col("k").alias("ka"),
+        F.col("c").alias("ca"),
+        F.explode(
+            F.array(
+                F.expr(f"c DIV {band}") - 1,
+                F.expr(f"c DIV {band}"),
+                F.expr(f"c DIV {band}") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = df.select(
+        F.col("g"),
+        F.col("k").alias("kb"),
+        F.col("c").alias("cb"),
+        F.expr(f"c DIV {band}").alias("bucket"),
+    )
+    got = {
+        (r.ka, r.kb)
+        for r in a.join(b, ["g", "bucket"])
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= band)
+        )
+        .select("ka", "kb")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, (gi, ci) in enumerate(rows)
+        for j, (gj, cj) in enumerate(rows)
+        if i < j and gi == gj and abs(ci - cj) <= band
+    }
+    assert got == want

@@ -586,7 +586,9 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _day_grid(spark, sf_dir)
     a = g.where(F.col("event_type") == "click").select(F.col("x").alias("xa"))
     b = g.where(F.col("event_type") == "purchase").select(F.col("x").alias("xb"))
-    p = a.crossJoin(b).select((F.col("xa") - F.col("xb")).alias("diff"))
+    p = a.crossJoin(F.broadcast(b)).select(
+        (F.col("xa") - F.col("xb")).alias("diff")
+    )
     w_rk = Window.orderBy("diff")
     w_all = Window.partitionBy()
     w = p.select(

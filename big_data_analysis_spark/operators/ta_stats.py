@@ -80,6 +80,35 @@ def _ohlc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.localCheckpoint(eager=True)
 
 
+def _ohlcv_grid(spark: SparkSession, sf_dir: str, *, close_only: bool = False) -> DataFrame:
+    """Per-(event_type, day) bars with event-count VOLUME (win_obv's
+    convention), checkpointed once — shared by the volume-flow
+    indicators (MFI, force index, A/D line).  ``close_only`` skips the
+    h/l selection aggregates for indicators that need just (c, vol)."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    aggs = [
+        F.max_by("cents", "ts").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    ]
+    if not close_only:
+        aggs = [
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+        ] + aggs
+    g = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+            "ts",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(*aggs)
+    )
+    return g.localCheckpoint(eager=True)
+
+
 @query(
     "win_donchian",
     oracle=f"""
@@ -1997,23 +2026,7 @@ def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer basis points via floor division (an all-flat window pins
     to the 5000 midpoint).  Scale: one lag + one trailing frame over
     the bounded OHLCV grid, one event_type shuffle."""
-    e = table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    g = (
-        e.select(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
-            "ts",
-            cents.alias("cents"),
-        )
-        .groupBy("event_type", "d")
-        .agg(
-            F.max("cents").alias("h"),
-            F.min("cents").alias("l"),
-            F.max_by("cents", "ts").alias("c"),
-            F.count(F.lit(1)).cast("long").alias("vol"),
-        )
-    )
+    g = _ohlcv_grid(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("d")
     tp3 = F.col("h") + F.col("l") + F.col("c")
     t = g.select(
@@ -2503,21 +2516,7 @@ def win_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum identically in both engines), and the buying/selling
     pressure sign reads the integer directly.  Scale: one lag + one
     trailing frame over the bounded OHLCV grid."""
-    e = table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    g = (
-        e.select(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
-            "ts",
-            cents.alias("cents"),
-        )
-        .groupBy("event_type", "d")
-        .agg(
-            F.max_by("cents", "ts").alias("c"),
-            F.count(F.lit(1)).cast("long").alias("vol"),
-        )
-    )
+    g = _ohlcv_grid(spark, sf_dir, close_only=True)
     wo = Window.partitionBy("event_type").orderBy("d")
     t = g.select(
         "event_type",
@@ -2585,23 +2584,7 @@ def win_accumulation_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     different summation trees per engine) never appears because the
     lattice is integer end to end.  Scale: one map + one running
     window over the bounded OHLCV grid."""
-    e = table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    g = (
-        e.select(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
-            "ts",
-            cents.alias("cents"),
-        )
-        .groupBy("event_type", "d")
-        .agg(
-            F.max("cents").alias("h"),
-            F.min("cents").alias("l"),
-            F.max_by("cents", "ts").alias("c"),
-            F.count(F.lit(1)).cast("long").alias("vol"),
-        )
-    )
+    g = _ohlcv_grid(spark, sf_dir)
     t = g.select(
         "event_type",
         "d",

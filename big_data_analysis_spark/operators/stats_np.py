@@ -1467,3 +1467,162 @@ def agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bowley_skew"
         ),
     )
+
+
+@query(
+    "agg_pacf",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT event_type, d, x,
+         CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+         CAST(SUM(x) OVER wt AS BIGINT) AS sx
+  FROM g WINDOW wt AS (PARTITION BY event_type)
+),
+dd AS (
+  SELECT event_type, n, n * x - sx AS dev,
+         lag(n * x - sx, 1) OVER wo AS l1,
+         lag(n * x - sx, 2) OVER wo AS l2
+  FROM s WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+m AS (
+  SELECT event_type, MAX(n) AS n,
+         SUM(CAST(dev AS HUGEINT) * dev) AS den,
+         SUM(CAST(dev AS HUGEINT) * l1) AS c1,
+         SUM(CAST(dev AS HUGEINT) * l2) AS c2
+  FROM dd GROUP BY event_type
+),
+r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r1,
+         CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r2
+  FROM m
+)
+SELECT event_type, n, r1, r2,
+       r1 AS pacf1,
+       (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2
+FROM r
+""",
+    category="aggregations",
+)
+def agg_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-2, Durbin-Levinson) per daily
+    series — the AR-order diagnostic next to agg_ljung_box's
+    portmanteau (an AR(1) process shows pacf2 ~ 0 however large r2
+    is): the lag-1/2 autocovariances and variance are the same exact
+    HUGEINT/DECIMAL(38,0) sums on the N-scaled deviation lattice,
+    crossing to doubles via VARCHAR; pacf1 = r1 and pacf2 =
+    (r2 - r1^2)/(1 - r1^2) are fixed-shape expressions per type row.
+    Scale: two lags + one hash-agg over the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    s = g.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    dd = s.select(
+        "event_type",
+        "n",
+        dev.alias("dev"),
+        F.lag(dev, 1).over(wo).alias("l1"),
+        F.lag(dev, 2).over(wo).alias("l2"),
+    )
+    m = dd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("l1")).alias("c1"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("l2")).alias("c2"),
+    )
+    dden = F.col("den").cast("string").cast("double")
+    r1 = F.col("c1").cast("string").cast("double") / dden
+    r2 = F.col("c2").cast("string").cast("double") / dden
+    r = m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        r1.alias("r1"),
+        r2.alias("r2"),
+    )
+    return r.select(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        F.col("r1").alias("pacf1"),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1.0 - F.col("r1") * F.col("r1"))
+        ).alias("pacf2"),
+    )
+
+
+@query(
+    "agg_turning_points",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+t AS (
+  SELECT event_type, x,
+         lag(x) OVER wo AS px, lead(x) OVER wo AS nx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+m AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN (px < x AND nx < x) OR (px > x AND nx > x)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+  FROM t WHERE px IS NOT NULL AND nx IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n, n_turning,
+       CAST(3 * n_turning - 2 * (n - 2) AS BIGINT) AS excess_x3,
+       CAST(3 * n_turning - 2 * (n - 2) AS DOUBLE)
+         / (3.0 * sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) AS z
+FROM m
+""",
+    category="aggregations",
+)
+def agg_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test per daily series — the
+    complement of agg_runs_test (which looks at signs vs the median;
+    this counts LOCAL EXTREMA): an i.i.d. series has E[T] = 2(n-2)/3
+    turning points, so too few flags trend/momentum and too many
+    flags oscillation.  The count is exact integer comparisons on
+    interior days, the excess is carried 3x-scaled to stay integer
+    (3T - 2(n-2)), and z divides it by 3*sqrt((16n-29)/90) — ONE
+    fixed expression.  Scale: one lag/lead pass over the bounded day
+    grid."""
+    g = _day_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wt = Window.partitionBy("event_type")
+    t = g.select(
+        "event_type",
+        "x",
+        F.lag("x").over(wo).alias("px"),
+        F.lead("x").over(wo).alias("nx"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).where(F.col("px").isNotNull() & F.col("nx").isNotNull())
+    turning = (
+        ((F.col("px") < F.col("x")) & (F.col("nx") < F.col("x")))
+        | ((F.col("px") > F.col("x")) & (F.col("nx") > F.col("x")))
+    )
+    m = t.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(turning, 1).otherwise(0)).cast("long").alias("n_turning"),
+    )
+    excess = 3 * F.col("n_turning") - 2 * (F.col("n") - 2)
+    return m.select(
+        "event_type",
+        "n",
+        "n_turning",
+        excess.cast("long").alias("excess_x3"),
+        (
+            excess.cast("double")
+            / (3.0 * F.sqrt((16.0 * F.col("n").cast("double") - 29.0) / 90.0))
+        ).alias("z"),
+    )

@@ -876,3 +876,34 @@ def test_band_join_bucketed_matches_naive_and_plan(spark, sf_dir):
     df = run("join_band_bucketed", spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_pacf_matches_numpy(spark, sf_dir, day_grid):
+    got = {r.event_type: r for r in run("agg_pacf", spark, sf_dir).collect()}
+    for t in TYPES:
+        x = day_grid[day_grid.event_type == t].sort_values("d").x.to_numpy(float)
+        d = x - x.mean()
+        den = (d * d).sum()
+        r1 = (d[1:] * d[:-1]).sum() / den
+        r2 = (d[2:] * d[:-2]).sum() / den
+        r = got[t]
+        assert math.isclose(r.pacf1, r1, rel_tol=1e-6)
+        assert math.isclose(r.pacf2, (r2 - r1 * r1) / (1 - r1 * r1), rel_tol=1e-6)
+
+
+def test_turning_points_replay(spark, sf_dir, day_grid):
+    got = {r.event_type: r for r in run("agg_turning_points", spark, sf_dir).collect()}
+    for t in TYPES:
+        xs = day_grid[day_grid.event_type == t].sort_values("d").x.tolist()
+        n = len(xs)
+        tp = sum(
+            1
+            for i in range(1, n - 1)
+            if (xs[i - 1] < xs[i] and xs[i + 1] < xs[i])
+            or (xs[i - 1] > xs[i] and xs[i + 1] > xs[i])
+        )
+        r = got[t]
+        assert (r.n, r.n_turning) == (n, tp)
+        assert r.excess_x3 == 3 * tp - 2 * (n - 2)
+        want = (3 * tp - 2 * (n - 2)) / (3 * math.sqrt((16 * n - 29) / 90))
+        assert math.isclose(r.z, want, rel_tol=1e-9)

@@ -1996,3 +1996,57 @@ def fn_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id"
         ),
     )
+
+
+@query(
+    "fn_regexp_advanced",
+    oracle="""
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'),
+                                ','), '') AS long_words,
+       CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long,
+       regexp_replace(text, '([a-z]+) ([a-z]+)', '\\2 \\1', 'g')
+         AS pair_swapped,
+       regexp_matches(text, 'spark|stream') AS mentions_engine,
+       COALESCE(array_to_string(regexp_extract_all(
+                 substring(text, 1, 60), '\\b[a-z]{4}\\b'), ','), '')
+         AS four_letter_head
+FROM documents
+""",
+    category="functions",
+)
+def fn_regexp_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second regexp tier (beyond fn_regexp's extract/replace basics):
+    regexp_extract_all (emitted joined — raw array cells are not
+    driver-hashable), match counting via the
+    array length, group BACKREFERENCES in replacement (the dialect
+    trap this query pins: Spark writes $2 $1, DuckDB \\\\2 \\\\1 —
+    same semantics, different spellings, identical output), boolean
+    match predicates (Spark rlike == DuckDB regexp_matches), and
+    word-boundary classes.  The OTHER dialect trap pinned here:
+    Spark's regexp_replace is GLOBAL by default while DuckDB's
+    replaces only the first match — the oracle needs the explicit
+    'g' flag or the twins silently diverge from the second match on
+    (caught live in this query's first draft).  Map-only plan."""
+    d = table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)"), ","
+        ).alias("long_words"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")).alias(
+            "n_long"
+        ),
+        F.regexp_replace(txt, r"([a-z]+) ([a-z]+)", r"$2 $1").alias(
+            "pair_swapped"
+        ),
+        txt.rlike("spark|stream").alias("mentions_engine"),
+        F.array_join(
+            F.expr(
+                r"regexp_extract_all(substring(text, 1, 60),"
+                r" '\\b[a-z]{4}\\b', 0)"
+            ),
+            ",",
+        ).alias("four_letter_head"),
+    )

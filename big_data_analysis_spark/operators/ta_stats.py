@@ -2794,3 +2794,230 @@ def win_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _mass_index_sql("{g}", "DIV", "date_format(d, 'yyyy-MM-dd')"), g=g
     )
+
+
+def _kama_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """KAMA query text shared by both engines.  The efficiency ratio
+    is precomputed per day as the integer er_s = 1000*|x_t - x_{t-10}|
+    DIV sum|Δx| over the same 10 days; the smoothing constant squared
+    is integer milli-scale arithmetic (fast/slow SC constants 667/65
+    = the standard 2/(2+1), 2/(30+1) at 1000x), and the KAMA state
+    advances by sc2*(1000x - kama) DIV 1e6 at 1000x value scale —
+    every step a floor division, bit-exact cross-engine."""
+    return f"""
+WITH RECURSIVE gl AS (
+  SELECT event_type, d, x,
+         lag(x, 10) OVER wo AS x10,
+         ABS(x - lag(x) OVER wo) AS dx
+  FROM {grid_ref} WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+g0 AS (
+  SELECT event_type, d, x, x10,
+         ABS(x - x10) AS chg10,
+         SUM(dx) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol10
+  FROM gl
+),
+gi AS (
+  SELECT event_type, d, x,
+         CASE WHEN vol10 = 0 THEN 1000
+              ELSE chg10 * 1000 {idiv} vol10 END AS er_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM g0 WHERE x10 IS NOT NULL
+),
+r(event_type, idx, kama) AS (
+  SELECT event_type, idx, x * 1000 FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         r.kama + ((g.er_s * 602 {idiv} 1000 + 65)
+                   * (g.er_s * 602 {idiv} 1000 + 65))
+                  * (g.x * 1000 - r.kama) {idiv} 1000000
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(gi.x AS BIGINT) AS x,
+       CAST(gi.er_s AS BIGINT) AS er_milli,
+       CAST(r.kama AS BIGINT) AS kama_s,
+       CAST(CASE WHEN 1000 * gi.x > r.kama THEN 1
+                 WHEN 1000 * gi.x < r.kama THEN -1 ELSE 0 END AS BIGINT)
+         AS above_kama
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_kama",
+    oracle=_kama_sql(f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman adaptive moving average (10-day efficiency, 2/30 SC
+    bounds at milli-scale) — the moving average whose smoothing SPEED
+    adapts to the signal-to-noise ratio (trending series track fast,
+    choppy ones damp): the efficiency ratio |net move| / sum|moves|
+    is an integer milli-fraction (a zero-volatility window pins to
+    1000), the Kaufman smoothing constant (er*(fast-slow)+slow)^2
+    squares in integer milli-arithmetic (fast-slow = 602, slow = 65 —
+    the standard 2/(n+1) constants at 1000x), and the KAMA state
+    advances by sc2*(x - kama) DIV 1e6 at 1000x value scale inside a
+    recursive CTE — floor divisions end to end, bit-exact in both
+    engines.  Scale: recursion depth = calendar days over the
+    bounded grid (win_macd's shape) after one windowed pre-stage."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _kama_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+def _tsi_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """TSI query text shared by both engines: one recursion carries
+    FOUR integer EMA states (EMA13 then EMA7 of momentum, and of
+    |momentum|) at raw cent scale x1000; the index is the final
+    ratio in basis points by integer division."""
+    return f"""
+WITH RECURSIVE g0 AS (
+  SELECT event_type, d, x,
+         x - lag(x) OVER (PARTITION BY event_type ORDER BY d) AS mom
+  FROM {grid_ref}
+),
+gi AS (
+  SELECT event_type, d, mom,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM g0 WHERE mom IS NOT NULL
+),
+r(event_type, idx, e1, e2, a1, a2) AS (
+  SELECT event_type, idx, mom * 1000, mom * 1000,
+         ABS(mom) * 1000, ABS(mom) * 1000
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         (2 * g.mom * 1000 + 12 * r.e1) {idiv} 14,
+         (2 * ((2 * g.mom * 1000 + 12 * r.e1) {idiv} 14) + 6 * r.e2)
+           {idiv} 8,
+         (2 * ABS(g.mom) * 1000 + 12 * r.a1) {idiv} 14,
+         (2 * ((2 * ABS(g.mom) * 1000 + 12 * r.a1) {idiv} 14) + 6 * r.a2)
+           {idiv} 8
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(gi.mom AS BIGINT) AS momentum,
+       CAST(r.e2 AS BIGINT) AS smoothed_mom_s,
+       CAST(r.a2 AS BIGINT) AS smoothed_abs_s,
+       CAST(CASE WHEN r.a2 = 0 THEN 0
+                 ELSE r.e2 * 10000 {idiv} r.a2 END AS BIGINT) AS tsi_bp
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_tsi",
+    oracle=_tsi_sql(f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True strength index (13/7 double smoothing, scaled from
+    Blau's 25/13) over the daily series — double-EMA-smoothed
+    momentum normalized by double-EMA-smoothed |momentum|, the
+    oscillator that self-normalizes to ±10000 bp without a lookback
+    window: ONE recursive CTE advances four integer EMA states
+    (momentum and absolute momentum, first and second smoothing) at
+    1000x scale, and TSI is the final integer basis-point division —
+    signed floor division truncating toward zero identically in both
+    engines.  Scale: recursion depth = calendar days over the
+    bounded grid."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _tsi_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+@query(
+    "win_kst",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+r AS (
+  SELECT event_type, d,
+         (x - lag(x, 4) OVER wo) * 10000 {'//'} lag(x, 4) OVER wo AS roc1,
+         (x - lag(x, 6) OVER wo) * 10000 {'//'} lag(x, 6) OVER wo AS roc2,
+         (x - lag(x, 8) OVER wo) * 10000 {'//'} lag(x, 8) OVER wo AS roc3,
+         (x - lag(x, 10) OVER wo) * 10000 {'//'} lag(x, 10) OVER wo AS roc4
+  FROM g WINDOW wo AS (PARTITION BY event_type ORDER BY d)
+),
+w AS (
+  SELECT event_type, d,
+         COUNT(roc4) OVER w6 AS n6,
+         SUM(roc1) OVER w3 AS s1, SUM(roc2) OVER w4 AS s2,
+         SUM(roc3) OVER w5 AS s3, SUM(roc4) OVER w6 AS s4
+  FROM r
+  WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w4 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w6 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(s1 AS BIGINT) AS sma_roc1_x3,
+       CAST(s4 AS BIGINT) AS sma_roc4_x6,
+       CAST(20 * s1 + 15 * s2 + 12 * s3 + 10 * s4 AS BIGINT) AS kst_s,
+       CAST(CASE WHEN 20 * s1 + 15 * s2 + 12 * s3 + 10 * s4 > 0 THEN 1
+                 WHEN 20 * s1 + 15 * s2 + 12 * s3 + 10 * s4 < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS signal
+FROM w WHERE n6 = 6
+""",
+    category="windows",
+)
+def win_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Know Sure Thing (Pring; ROC periods 4/6/8/10, SMA windows
+    3/4/5/6, weights 1..4 — scaled to the 30-day calendar) over the
+    daily series — the four-horizon smoothed-momentum blend: each ROC
+    is integer basis points by floor division, each SMA is kept as
+    the raw window SUM, and the classic weighted combination
+    1*sma1 + 2*sma2 + 3*sma3 + 4*sma4 clears all four divisors as
+    20*s1 + 15*s2 + 12*s3 + 10*s4 (the 60x common scale) — one
+    exact integer, zero floats.  Scale: four lags + four trailing
+    frames over the bounded day grid, one event_type shuffle."""
+    g = _day_grid(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("d")
+
+    def roc(n):
+        lagx = F.lag("x", n).over(wo)
+        return F.expr(
+            f"(x - lag(x, {n}) OVER (PARTITION BY event_type ORDER BY d))"
+            f" * 10000 DIV lag(x, {n}) OVER (PARTITION BY event_type ORDER BY d)"
+        )
+
+    r = g.select(
+        "event_type",
+        "d",
+        roc(4).alias("roc1"),
+        roc(6).alias("roc2"),
+        roc(8).alias("roc3"),
+        roc(10).alias("roc4"),
+    )
+
+    def fr(n):
+        return Window.partitionBy("event_type").orderBy("d").rowsBetween(1 - n, 0)
+
+    w = r.select(
+        "event_type",
+        "d",
+        F.count("roc4").over(fr(6)).alias("n6"),
+        F.sum("roc1").over(fr(3)).alias("s1"),
+        F.sum("roc2").over(fr(4)).alias("s2"),
+        F.sum("roc3").over(fr(5)).alias("s3"),
+        F.sum("roc4").over(fr(6)).alias("s4"),
+    ).where(F.col("n6") == 6)
+    kst = 20 * F.col("s1") + 15 * F.col("s2") + 12 * F.col("s3") + 10 * F.col("s4")
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("s1").cast("long").alias("sma_roc1_x3"),
+        F.col("s4").cast("long").alias("sma_roc4_x6"),
+        kst.cast("long").alias("kst_s"),
+        F.when(kst > 0, 1).when(kst < 0, -1).otherwise(0).cast("long").alias(
+            "signal"
+        ),
+    )

@@ -907,3 +907,41 @@ def test_turning_points_replay(spark, sf_dir, day_grid):
         assert r.excess_x3 == 3 * tp - 2 * (n - 2)
         want = (3 * tp - 2 * (n - 2)) / (3 * math.sqrt((16 * n - 29) / 90))
         assert math.isclose(r.z, want, rel_tol=1e-9)
+
+
+# --- wave 12: adaptive/double-smoothed momentum ---
+
+
+def test_kama_replay(spark, sf_dir, day_grid):
+    got = {
+        (r.event_type, r.day): (r.er_milli, r.kama_s)
+        for r in run("win_kama", spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for et, grp in day_grid.groupby("event_type"):
+        xs = grp.sort_values("d").reset_index(drop=True)
+        kama = None
+        for i in range(10, len(xs)):
+            chg = abs(int(xs.x[i]) - int(xs.x[i - 10]))
+            vol = sum(
+                abs(int(xs.x[j]) - int(xs.x[j - 1]))
+                for j in range(max(1, i - 9), i + 1)
+            )
+            er = 1000 if vol == 0 else _tdiv(chg * 1000, vol)
+            if kama is None:
+                kama = int(xs.x[i]) * 1000
+            else:
+                smc = _tdiv(er * 602, 1000) + 65
+                kama = kama + _tdiv(smc * smc * (int(xs.x[i]) * 1000 - kama), 10**6)
+            key = (et, xs.d[i].strftime("%Y-%m-%d"))
+            assert got[key] == (er, kama), key
+            n_checked += 1
+    assert n_checked == len(got) >= 90
+
+
+def test_tsi_bounded_and_kst_weighting(spark, sf_dir):
+    for r in run("win_tsi", spark, sf_dir).collect():
+        assert -10000 <= r.tsi_bp <= 10000  # |EMA(mom)| <= EMA(|mom|)
+        assert abs(r.smoothed_mom_s) <= r.smoothed_abs_s
+    for r in run("win_kst", spark, sf_dir).collect():
+        assert r.signal == (r.kst_s > 0) - (r.kst_s < 0)

@@ -1626,3 +1626,208 @@ def agg_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (3.0 * F.sqrt((16.0 * F.col("n").cast("double") - 29.0) / 90.0))
         ).alias("z"),
     )
+
+
+@query(
+    "agg_cross_correlation",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+a AS (SELECT d, x FROM g WHERE event_type = 'click'),
+b AS (SELECT d, x FROM g WHERE event_type = 'purchase'),
+p AS (
+  SELECT a.d, a.x AS xa, b.x AS xb,
+         ROW_NUMBER() OVER (ORDER BY a.d) AS idx
+  FROM a JOIN b ON b.d = a.d
+),
+s AS (
+  SELECT p.*,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(xa) OVER () AS BIGINT) AS sa,
+         CAST(SUM(xb) OVER () AS BIGINT) AS sb
+  FROM p
+),
+dd AS (
+  SELECT idx, n, n * xa - sa AS da, n * xb - sb AS db,
+         lag(n * xb - sb, 1) OVER (ORDER BY idx) AS db_m1,
+         lag(n * xb - sb, 2) OVER (ORDER BY idx) AS db_m2,
+         lead(n * xb - sb, 1) OVER (ORDER BY idx) AS db_p1,
+         lead(n * xb - sb, 2) OVER (ORDER BY idx) AS db_p2
+  FROM s
+),
+m AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(da AS HUGEINT) * da) AS va,
+         SUM(CAST(db AS HUGEINT) * db) AS vb,
+         SUM(CAST(da AS HUGEINT) * db_m2) AS cm2,
+         SUM(CAST(da AS HUGEINT) * db_m1) AS cm1,
+         SUM(CAST(da AS HUGEINT) * db) AS c0,
+         SUM(CAST(da AS HUGEINT) * db_p1) AS cp1,
+         SUM(CAST(da AS HUGEINT) * db_p2) AS cp2
+  FROM dd
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(CAST(cm2 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vb AS VARCHAR) AS DOUBLE)) AS ccf_m2,
+       CAST(CAST(cm1 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vb AS VARCHAR) AS DOUBLE)) AS ccf_m1,
+       CAST(CAST(c0 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vb AS VARCHAR) AS DOUBLE)) AS ccf_0,
+       CAST(CAST(cp1 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vb AS VARCHAR) AS DOUBLE)) AS ccf_p1,
+       CAST(CAST(cp2 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(va AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vb AS VARCHAR) AS DOUBLE)) AS ccf_p2
+FROM m
+""",
+    category="aggregations",
+)
+def agg_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase
+    daily series at lags -2..+2 — does click revenue LEAD purchase
+    revenue (the lead-lag question agg_corr's contemporaneous
+    Pearson can't answer; ccf_p1 > ccf_0 says purchases follow
+    clicks by a day): deviations are N-scaled integers on the paired
+    day grid, every lagged cross-product sum and both variances are
+    exact HUGEINT/DECIMAL(38,0), and each of the five fixed-lag
+    correlations is one double expression over the VARCHAR-routed
+    casts (unmatched edge rows drop from the lag sums — the standard
+    truncated-CCF convention).  Scale: lags + one aggregation over
+    the bounded paired grid."""
+    g = _day_grid(spark, sf_dir)
+    a = g.where(F.col("event_type") == "click").select("d", F.col("x").alias("xa"))
+    b = g.where(F.col("event_type") == "purchase").select(
+        F.col("d").alias("d2"), F.col("x").alias("xb")
+    )
+    p = a.join(b, a["d"] == b["d2"]).select("d", "xa", "xb")
+    w_all = Window.partitionBy()
+    wo = Window.orderBy("d")
+    s = p.select(
+        "d",
+        "xa",
+        "xb",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("xa").over(w_all).cast("long").alias("sa"),
+        F.sum("xb").over(w_all).cast("long").alias("sb"),
+    )
+    da = F.col("n") * F.col("xa") - F.col("sa")
+    db = F.col("n") * F.col("xb") - F.col("sb")
+    dd = s.select(
+        "n",
+        da.alias("da"),
+        db.alias("db"),
+        F.lag(db, 1).over(wo).alias("db_m1"),
+        F.lag(db, 2).over(wo).alias("db_m2"),
+        F.lead(db, 1).over(wo).alias("db_p1"),
+        F.lead(db, 2).over(wo).alias("db_p2"),
+    )
+    dec = lambda c: F.col("da").cast("decimal(38,0)") * F.col(c)  # noqa: E731
+    m = dd.agg(
+        F.max("n").alias("n"),
+        F.sum(dec("da")).alias("va"),
+        F.sum(F.col("db").cast("decimal(38,0)") * F.col("db")).alias("vb"),
+        F.sum(dec("db_m2")).alias("cm2"),
+        F.sum(dec("db_m1")).alias("cm1"),
+        F.sum(dec("db")).alias("c0"),
+        F.sum(dec("db_p1")).alias("cp1"),
+        F.sum(dec("db_p2")).alias("cp2"),
+    )
+    denom = F.sqrt(
+        F.col("va").cast("string").cast("double")
+        * F.col("vb").cast("string").cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("cm2").cast("string").cast("double") / denom).alias("ccf_m2"),
+        (F.col("cm1").cast("string").cast("double") / denom).alias("ccf_m1"),
+        (F.col("c0").cast("string").cast("double") / denom).alias("ccf_0"),
+        (F.col("cp1").cast("string").cast("double") / denom).alias("ccf_p1"),
+        (F.col("cp2").cast("string").cast("double") / denom).alias("ccf_p2"),
+    )
+
+
+@query(
+    "win_rolling_beta",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+a AS (SELECT d, x FROM g WHERE event_type = 'purchase'),
+b AS (SELECT d, x FROM g WHERE event_type = 'click'),
+p AS (
+  SELECT a.d, a.x AS y, b.x AS x FROM a JOIN b ON b.d = a.d
+),
+w AS (
+  SELECT d, y, x,
+         COUNT(*) OVER w10 AS n10,
+         SUM(CAST(x AS HUGEINT)) OVER w10 AS sx,
+         SUM(CAST(y AS HUGEINT)) OVER w10 AS sy,
+         SUM(CAST(x AS HUGEINT) * x) OVER w10 AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) OVER w10 AS sxy
+  FROM p
+  WINDOW w10 AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+q AS (
+  SELECT d, y, x,
+         10 * sxy - sx * sy AS cov_s,
+         10 * sxx - sx * sx AS var_s
+  FROM w WHERE n10 = 10
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, y AS purchase_x, x AS click_x,
+       CAST(CAST(cov_s AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(var_s AS VARCHAR) AS DOUBLE) AS beta,
+       CAST(CASE WHEN cov_s > 0 THEN 1 WHEN cov_s < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS cov_sign
+FROM q
+""",
+    category="windows",
+)
+def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-day regression beta of purchase revenue on click
+    revenue — the trailing sensitivity coefficient (how many purchase
+    cents move per click cent this fortnight), the pairs-trading /
+    marketing-mix primitive win_rolling_slope computes against TIME
+    and this computes against a second SERIES: the windowed moment
+    sums run in HUGEINT/DECIMAL(38,0) (x*y products pass int64 once
+    daily sums pass ~2^31 cents), the n-fold scale clears both means
+    (cov_s = 10*Sxy - SxSy), and beta is ONE double division over
+    the VARCHAR-routed casts per row.  Scale: one paired join + one
+    trailing frame over the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    a = g.where(F.col("event_type") == "purchase").select(
+        "d", F.col("x").alias("y")
+    )
+    b = g.where(F.col("event_type") == "click").select(
+        F.col("d").alias("d2"), F.col("x").alias("xx")
+    )
+    p = a.join(b, a["d"] == b["d2"]).select("d", "y", F.col("xx").alias("x"))
+    w10 = Window.orderBy("d").rowsBetween(-9, 0)
+    xd = F.col("x").cast("decimal(38,0)")
+    w = p.select(
+        "d",
+        "y",
+        "x",
+        F.count(F.lit(1)).over(w10).alias("n10"),
+        F.sum(xd).over(w10).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w10).alias("sy"),
+        F.sum(xd * F.col("x")).over(w10).alias("sxx"),
+        F.sum(xd * F.col("y")).over(w10).alias("sxy"),
+    ).where(F.col("n10") == 10)
+    cov_s = 10 * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_s = 10 * F.col("sxx") - F.col("sx") * F.col("sx")
+    q = w.select("d", "y", "x", cov_s.alias("cov_s"), var_s.alias("var_s"))
+    return q.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("y").alias("purchase_x"),
+        F.col("x").alias("click_x"),
+        (
+            F.col("cov_s").cast("string").cast("double")
+            / F.col("var_s").cast("string").cast("double")
+        ).alias("beta"),
+        F.when(F.col("cov_s") > 0, 1)
+        .when(F.col("cov_s") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("cov_sign"),
+    )

@@ -945,3 +945,38 @@ def test_tsi_bounded_and_kst_weighting(spark, sf_dir):
         assert abs(r.smoothed_mom_s) <= r.smoothed_abs_s
     for r in run("win_kst", spark, sf_dir).collect():
         assert r.signal == (r.kst_s > 0) - (r.kst_s < 0)
+
+
+def test_ccf_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    a = day_grid[day_grid.event_type == "click"].sort_values("d").x.to_numpy(float)
+    b = day_grid[day_grid.event_type == "purchase"].sort_values("d").x.to_numpy(float)
+    da, db = a - a.mean(), b - b.mean()
+    denom = math.sqrt((da * da).sum() * (db * db).sum())
+    r = run("agg_cross_correlation", spark, sf_dir).collect()[0]
+    # lag k = +1 pairs da[t] with db[t+1]
+    for name, k in [("ccf_m2", -2), ("ccf_m1", -1), ("ccf_0", 0),
+                    ("ccf_p1", 1), ("ccf_p2", 2)]:
+        if k >= 0:
+            num = (da[: len(da) - k] * db[k:]).sum()
+        else:
+            num = (da[-k:] * db[: len(db) + k]).sum()
+        assert math.isclose(getattr(r, name), num / denom, rel_tol=1e-6), name
+        assert -1.0 <= getattr(r, name) <= 1.0
+
+
+def test_rolling_beta_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    a = day_grid[day_grid.event_type == "purchase"].sort_values("d")
+    b = day_grid[day_grid.event_type == "click"].sort_values("d")
+    merged = a.merge(b, on="d", suffixes=("_y", "_x")).sort_values("d")
+    ys = merged.x_y.to_numpy(float)
+    xs = merged.x_x.to_numpy(float)
+    got = {r.day: r.beta for r in run("win_rolling_beta", spark, sf_dir).collect()}
+    for i in range(9, len(xs)):
+        xw, yw = xs[i - 9 : i + 1], ys[i - 9 : i + 1]
+        want = np.cov(xw, yw, bias=True)[0, 1] / xw.var()
+        day = merged.d.iloc[i].strftime("%Y-%m-%d")
+        assert math.isclose(got[day], want, rel_tol=1e-9), day

@@ -996,3 +996,81 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_dropped"),
     )
+
+
+@query(
+    "dedup_shingle_profile",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+  FROM grams GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_distinct) AS BIGINT) AS distinct_shingles,
+       CAST(SUM(CASE WHEN n_distinct < n_shingles THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_internal_dup,
+       CAST((SUM(n_shingles) - SUM(n_distinct)) * 10000
+            // SUM(n_shingles) AS BIGINT) AS internal_dup_bp
+FROM per_doc GROUP BY lang
+""",
+    category="dedup",
+)
+def dedup_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document shingle duplication profile — the pre-dedup
+    census read before tuning MinHash/Jaccard thresholds (a corpus
+    whose documents internally repeat their own trigrams both
+    inflates shingle-set sizes and deflates Jaccard denominators):
+    per-document trigram totals vs distinct counts from one shingle
+    pass, rolled up per language with the internal-duplication rate
+    in exact integer basis points.  Scale: the same explode +
+    per-doc aggregation shape as dedup_ngram_jaccard's gram stage —
+    one shuffle on doc_id, never any pair join."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    )
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(tri).alias("n_shingles"),
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
+    ).where(F.col("n_shingles") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+        F.sum("n_distinct").cast("long").alias("distinct_shingles"),
+        F.sum(
+            F.when(F.col("n_distinct") < F.col("n_shingles"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_internal_dup"),
+        F.expr(
+            "CAST((SUM(n_shingles) - SUM(n_distinct)) * 10000"
+            " DIV SUM(n_shingles) AS BIGINT)"
+        ).alias("internal_dup_bp"),
+    )

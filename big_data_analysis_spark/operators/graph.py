@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .. import api
 from ..io import table
@@ -1333,4 +1334,53 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double")
         ).alias("reciprocity"),
+    )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+n AS (
+  SELECT a AS node FROM u UNION ALL SELECT b FROM u
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY node)
+SELECT d AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY d DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_nodes_at_least
+FROM deg GROUP BY d
+""",
+    category="graph",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected demo graph with the
+    complementary cumulative count (nodes of degree >= d — the curve
+    whose log-log slope is the power-law diagnostic; emitted as exact
+    integers, the slope fit stays with the reader since log is libm):
+    one degree aggregation, one bounded histogram groupBy, one
+    ordered window for the CCDF counts.  Scale: the histogram is
+    degree-domain-bounded — at 100 TB the heavy tail is exactly what
+    the skew/salting machinery keys off, and this is its census."""
+    e = _edges(spark, sf_dir)
+    u = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    n = u.select(F.col("a").alias("node")).unionAll(
+        u.select(F.col("b").alias("node"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
     )

@@ -980,3 +980,28 @@ def test_rolling_beta_matches_numpy(spark, sf_dir, day_grid):
         want = np.cov(xw, yw, bias=True)[0, 1] / xw.var()
         day = merged.d.iloc[i].strftime("%Y-%m-%d")
         assert math.isclose(got[day], want, rel_tol=1e-9), day
+
+
+def test_shingle_profile_consistency(spark, sf_dir):
+    rows = run("dedup_shingle_profile", spark, sf_dir).collect()
+    assert {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r.distinct_shingles <= r.total_shingles
+        assert r.docs_with_internal_dup <= r.n_docs
+        assert r.internal_dup_bp == (
+            (r.total_shingles - r.distinct_shingles) * 10000 // r.total_shingles
+        )
+    # the 31-word vocabulary guarantees internal repeats somewhere
+    assert any(r.docs_with_internal_dup > 0 for r in rows)
+
+
+def test_degree_histogram_ccdf(spark, sf_dir):
+    rows = sorted(
+        run("graph_degree_histogram", spark, sf_dir).collect(),
+        key=lambda r: -r.degree,
+    )
+    cum = 0
+    for r in rows:
+        cum += r.n_nodes
+        assert r.n_nodes_at_least == cum
+    assert cum == 100  # every node of the 100-node demo graph counted

@@ -1831,3 +1831,92 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cov_sign"),
     )
+
+
+_WEEKDAYS = list(range(7))  # Mon..Sun as Spark weekday() == DuckDB isodow-1
+
+
+@query(
+    "agg_anova_weekday",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT isodow(d) - 1 AS wd, x FROM g WHERE event_type = 'click'
+),
+m AS (
+  SELECT
+    {", ".join(f"CAST(COUNT(CASE WHEN wd = {w} THEN 1 END) AS BIGINT) AS n_{w}" for w in _WEEKDAYS)},
+    {", ".join(f"CAST(SUM(CASE WHEN wd = {w} THEN x END) AS BIGINT) AS s_{w}" for w in _WEEKDAYS)},
+    SUM(CAST(x AS HUGEINT) * x) AS ssq,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS st
+  FROM s
+)
+SELECT n, CAST(6 AS BIGINT) AS df_between, CAST(n - 7 AS BIGINT) AS df_within,
+       ({" + ".join(f"CAST(s_{w} AS DOUBLE) * CAST(s_{w} AS DOUBLE) / CAST(n_{w} AS DOUBLE)" for w in _WEEKDAYS)})
+         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+         AS ss_between,
+       CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+         - ({" + ".join(f"CAST(s_{w} AS DOUBLE) * CAST(s_{w} AS DOUBLE) / CAST(n_{w} AS DOUBLE)" for w in _WEEKDAYS)})
+         AS ss_within,
+       (({" + ".join(f"CAST(s_{w} AS DOUBLE) * CAST(s_{w} AS DOUBLE) / CAST(n_{w} AS DOUBLE)" for w in _WEEKDAYS)})
+        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+       / 6.0
+       / ((CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+           - ({" + ".join(f"CAST(s_{w} AS DOUBLE) * CAST(s_{w} AS DOUBLE) / CAST(n_{w} AS DOUBLE)" for w in _WEEKDAYS)}))
+          / (CAST(n AS DOUBLE) - 7.0)) AS f_stat
+FROM m
+""",
+    category="aggregations",
+)
+def agg_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of click daily revenue across the seven weekdays
+    — does the MEAN differ by day-of-week (the means companion to
+    agg_brown_forsythe's variance test, and the parametric sibling of
+    agg_seasonal_mann_kendall's de-seasonalizing): the weekday domain
+    is FIXED (Monday-0..Sunday-6 via Spark weekday == DuckDB
+    isodow-1 — Spark dayofweek and DuckDB dayofweek DISAGREE on the
+    origin, the fn_date lesson), so per-group counts and sums pivot
+    to one row of
+    exact integers, the raw sum of squares runs in HUGEINT/DECIMAL
+    (VARCHAR-routed), and SSB/SSW/F combine the integers in
+    fixed-order double chains — no float aggregation across rows.
+    Scale: one conditional aggregation over 16 counters on the
+    bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select(
+        F.weekday("d").alias("wd"), "x"
+    )
+    m = s.agg(
+        *[
+            F.count(F.when(F.col("wd") == w, 1)).cast("long").alias(f"n_{w}")
+            for w in _WEEKDAYS
+        ],
+        *[
+            F.sum(F.when(F.col("wd") == w, F.col("x"))).cast("long").alias(f"s_{w}")
+            for w in _WEEKDAYS
+        ],
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ssq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("st"),
+    )
+    grp = None
+    for w in _WEEKDAYS:
+        tt = (
+            F.col(f"s_{w}").cast("double")
+            * F.col(f"s_{w}").cast("double")
+            / F.col(f"n_{w}").cast("double")
+        )
+        grp = tt if grp is None else grp + tt
+    ssb = grp - F.col("st").cast("double") * F.col("st").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssw = F.col("ssq").cast("string").cast("double") - grp
+    return m.select(
+        "n",
+        F.lit(6).cast("long").alias("df_between"),
+        (F.col("n") - 7).cast("long").alias("df_within"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (ssb / 6.0 / (ssw / (F.col("n").cast("double") - 7.0))).alias("f_stat"),
+    )

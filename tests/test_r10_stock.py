@@ -1005,3 +1005,22 @@ def test_degree_histogram_ccdf(spark, sf_dir):
         cum += r.n_nodes
         assert r.n_nodes_at_least == cum
     assert cum == 100  # every node of the 100-node demo graph counted
+
+
+def test_anova_weekday_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    sub = day_grid[day_grid.event_type == "click"]
+    groups = {}
+    for _, r in sub.iterrows():
+        groups.setdefault(r.d.isoweekday() - 1, []).append(float(r.x))
+    allv = np.array([v for g in groups.values() for v in g])
+    ssb = sum(
+        len(g) * (np.mean(g) - allv.mean()) ** 2 for g in groups.values()
+    )
+    ssw = sum(((np.array(g) - np.mean(g)) ** 2).sum() for g in groups.values())
+    r = run("agg_anova_weekday", spark, sf_dir).collect()[0]
+    assert r.n == len(allv)
+    assert math.isclose(r.ss_between, ssb, rel_tol=1e-6)
+    assert math.isclose(r.ss_within, ssw, rel_tol=1e-6)
+    assert math.isclose(r.f_stat, (ssb / 6) / (ssw / (len(allv) - 7)), rel_tol=1e-6)

@@ -1191,3 +1191,267 @@ def pipeline_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_c"),
     )
+
+
+@query(
+    "pipeline_basket_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+),
+bc AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY brand
+),
+tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items)
+SELECT brand_a, brand_b, n_ab, ba.n AS n_a, bb.n AS n_b, tot.n_orders,
+       CAST(n_ab AS DOUBLE) / tot.n_orders AS support,
+       CAST(n_ab AS DOUBLE) / ba.n AS confidence,
+       CAST(n_ab AS DOUBLE) * tot.n_orders / ba.n / bb.n AS lift
+FROM pairs
+JOIN bc ba ON ba.brand = pairs.brand_a
+JOIN bc bb ON bb.brand = pairs.brand_b
+CROSS JOIN tot
+""",
+    category="pipelines",
+)
+def pipeline_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents — the
+    support/confidence/lift census recommender and assortment teams
+    run (items = part brands per order, the 25-value TPC-H brand
+    domain): support = P(a,b), confidence = P(b|a), lift =
+    P(a,b)/(P(a)P(b)), all from exact BIGINT co-occurrence counts
+    with the double divisions applied once per output row in fixed
+    order. Scale shape: the basket self-join is key-partitioned on
+    orderkey and each basket is bounded BY DESIGN (an order has <= 7
+    lineitems, so <= 21 brand pairs); per-brand counts live on the
+    25-value brand domain (broadcast), the grand total is a 1-row
+    broadcast — the only data-proportional shuffles are the distinct
+    and the orderkey self-join, and the pair-count rollup lands on
+    the bounded 300-key brand-pair domain."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    items = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    bc = items.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    ba = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    bb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_ab = F.col("n_ab").cast("double")
+    return j.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        (n_ab / F.col("n_orders")).alias("support"),
+        (n_ab / F.col("n_a")).alias("confidence"),
+        (n_ab * F.col("n_orders") / F.col("n_a") / F.col("n_b")).alias("lift"),
+    )
+
+
+@query(
+    "pipeline_dpo_pairs",
+    oracle="""
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS reward_c
+  FROM events WHERE event_type = 'purchase'
+),
+k AS (
+  SELECT prompt_id, response_id, reward_c,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY reward_c DESC, response_id) AS rk_best,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY reward_c ASC, response_id) AS rk_worst,
+         CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
+  FROM r
+),
+p AS (
+  SELECT prompt_id, n,
+         MAX(CASE WHEN rk_best = 1 THEN response_id END) AS chosen_id,
+         MAX(CASE WHEN rk_best = 1 THEN reward_c END) AS chosen_c,
+         MAX(CASE WHEN rk_worst = 1 THEN response_id END) AS rejected_id,
+         MAX(CASE WHEN rk_worst = 1 THEN reward_c END) AS rejected_c
+  FROM k WHERE rk_best = 1 OR rk_worst = 1
+  GROUP BY prompt_id, n
+)
+SELECT prompt_id, n, chosen_id, chosen_c, rejected_id, rejected_c,
+       CAST(chosen_c - rejected_c AS BIGINT) AS margin_c
+FROM p WHERE n >= 2 AND chosen_c > rejected_c
+""",
+    category="pipelines",
+)
+def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction — the post-training data shape
+    downstream of pipeline_best_of_n: per prompt (user), pair the
+    argmax-reward response (chosen) with the argmin-reward response
+    (rejected), both tie-broken deterministically by response id, and
+    drop prompts whose extremes tie (margin 0 carries no preference
+    signal) or that have a single response. Margins are exact integer
+    cents. ONE shuffle on prompt_id shared by the three windows (two
+    row_number sorts + the count; same partition key, Catalyst reuses
+    the Exchange) and the 2-row-per-prompt rollup — group sizes are
+    bounded by the per-prompt sample count, so the window never sees
+    an unbounded partition."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    r = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("reward_c"),
+    )
+    w_best = Window.partitionBy("prompt_id").orderBy(
+        F.desc("reward_c"), F.asc("response_id")
+    )
+    w_worst = Window.partitionBy("prompt_id").orderBy(
+        F.asc("reward_c"), F.asc("response_id")
+    )
+    w_all = Window.partitionBy("prompt_id")
+    k = r.select(
+        "prompt_id",
+        "response_id",
+        "reward_c",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_worst).alias("rk_worst"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    ).where((F.col("rk_best") == 1) | (F.col("rk_worst") == 1))
+    p = k.groupBy("prompt_id", "n").agg(
+        F.max(F.when(F.col("rk_best") == 1, F.col("response_id"))).alias(
+            "chosen_id"
+        ),
+        F.max(F.when(F.col("rk_best") == 1, F.col("reward_c"))).alias(
+            "chosen_c"
+        ),
+        F.max(F.when(F.col("rk_worst") == 1, F.col("response_id"))).alias(
+            "rejected_id"
+        ),
+        F.max(F.when(F.col("rk_worst") == 1, F.col("reward_c"))).alias(
+            "rejected_c"
+        ),
+    )
+    return p.where(
+        (F.col("n") >= 2) & (F.col("chosen_c") > F.col("rejected_c"))
+    ).select(
+        "prompt_id",
+        "n",
+        "chosen_id",
+        "chosen_c",
+        "rejected_id",
+        "rejected_c",
+        (F.col("chosen_c") - F.col("rejected_c")).cast("long").alias("margin_c"),
+    )
+
+
+_EPOCH_SALT = 40503  # Fibonacci-hash low word; per-epoch key offset
+_EPOCH_BATCHES = 64
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars, source,
+         (doc_id & {_MASK}) * {_MULT} AS h0
+  FROM documents
+),
+e AS (
+  SELECT d.doc_id, d.n_chars, d.source, ep.epoch,
+         (d.h0 + (ep.epoch + 1) * {_EPOCH_SALT}) % {_MOD // 2} AS skey
+  FROM d CROSS JOIN (VALUES (0), (1)) AS ep(epoch)
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(skey % {_EPOCH_BATCHES} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(skey) AS BIGINT) AS min_key,
+       CAST(MAX(skey) AS BIGINT) AS max_key,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM e GROUP BY epoch, skey % {_EPOCH_BATCHES}
+""",
+    category="pipelines",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch dataloader shuffle — the epoch-seeded
+    reshuffling a training loop runs so each pass visits batches in a
+    different order with a reproducible composition: the shuffle key
+    is the Knuth multiplicative hash of the doc id offset by an
+    epoch-dependent salt (pure function of (doc_id, epoch) — a rerun
+    or engine swap reproduces every batch bit for bit), batch = key
+    mod 64, and the output is the per-(epoch, batch) composition
+    manifest (doc count, char mass, source diversity, key range,
+    id checksum) a loader audit compares across epochs. The 31-bit
+    pre-mask keeps id*2654435761 inside int64 on both engines (the
+    pipeline_train_split overflow lesson). Scale shape: one scan of
+    documents fanned out x2 by a literal epoch array (no re-scan), one
+    hash-aggregation onto the bounded 2x64 (epoch, batch) domain —
+    map-side partials collapse everything before the shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "source",
+        ((F.col("doc_id").bitwiseAND(F.lit(_MASK))) * F.lit(_MULT)).alias("h0"),
+    )
+    e = d.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+        "h0",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "source",
+        "epoch",
+        ((F.col("h0") + (F.col("epoch") + 1) * _EPOCH_SALT) % (_MOD // 2)).alias(
+            "skey"
+        ),
+    )
+    return (
+        e.groupBy(
+            F.col("epoch").cast("long").alias("epoch"),
+            (F.col("skey") % _EPOCH_BATCHES).cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("skey").cast("long").alias("min_key"),
+            F.max("skey").cast("long").alias("max_key"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -2050,3 +2050,174 @@ def fn_regexp_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("four_letter_head"),
     )
+
+
+_GEO_MASK = (1 << 31) - 1  # 31-bit pre-mask (the fn_surrogate_key lesson)
+_GEO_MULT = 2654435761
+_GEO_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32 (no a,i,l,o)
+
+
+def _geohash_exprs(engine: str) -> dict[str, str]:
+    """Engine-specific SQL strings for the geohash pipeline. Identical
+    integer arithmetic; only the spellings differ (Spark: shiftleft/
+    shiftright functions + DIV, DuckDB: << >> operators + //)."""
+    div = "DIV" if engine == "spark" else "//"
+    lat_q = f"((c_custkey & {_GEO_MASK}) * {_GEO_MULT} + 40503) % 180000000"
+    lon_q = f"((c_custkey & {_GEO_MASK}) * {_GEO_MULT} + 99991) % 360000000"
+    lat_i = f"(({lat_q}) * 32768) {div} 180000000"
+    lon_i = f"(({lon_q}) * 32768) {div} 360000000"
+
+    def shl(x: str, n: int) -> str:
+        if engine == "spark":
+            return f"shiftleft({x}, {n})"
+        return f"(({x}) << {n})"
+
+    def shr(x: str, n: int) -> str:
+        if engine == "spark":
+            return f"shiftright({x}, {n})"
+        return f"(({x}) >> {n})"
+
+    # interleave 15+15 bits, lon on even positions from the MSB
+    # (geohash convention: the first bit is a longitude bit)
+    terms = []
+    for i in range(15):
+        terms.append(shl(f"({shr('lon_i', i)} & 1)", 2 * i + 1))
+        terms.append(shl(f"({shr('lat_i', i)} & 1)", 2 * i))
+    gh30 = " + ".join(terms)  # disjoint bits: addition == OR
+    chars = [
+        f"substring('{_GEO_B32}', ({shr('gh30', 5 * (5 - j))} & 31) + 1, 1)"
+        for j in range(6)
+    ]
+    return {
+        "lat_i": lat_i,
+        "lon_i": lon_i,
+        "gh30": gh30,
+        "geohash": "concat(" + ", ".join(chars) + ")",
+    }
+
+
+_GEO_DUCK = _geohash_exprs("duck")
+
+
+@query(
+    "fn_geohash",
+    oracle=f"""
+WITH q AS (
+  SELECT c_custkey,
+         CAST({_GEO_DUCK["lat_i"]} AS BIGINT) AS lat_i,
+         CAST({_GEO_DUCK["lon_i"]} AS BIGINT) AS lon_i
+  FROM customer
+),
+g AS (
+  SELECT c_custkey, lat_i, lon_i,
+         CAST({_GEO_DUCK["gh30"]} AS BIGINT) AS gh30
+  FROM q
+)
+SELECT c_custkey, lat_i, lon_i, gh30,
+       {_GEO_DUCK["geohash"]} AS geohash
+FROM g
+""",
+    category="functions",
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding — the 30-bit lat/lon bit-interleave + base32
+    spelling every geo-bucketing pipeline leans on (proximity joins
+    cluster on a geohash prefix). Coordinates are synthesized
+    deterministically from the customer key (Knuth hash onto the
+    micro-degree domains, 31-bit pre-masked so the multiply stays in
+    int64 on both engines), quantized to 15 bits per axis in PURE
+    INTEGER arithmetic (value * 32768 // domain — no float anywhere),
+    interleaved lon-first per the geohash convention via 30
+    disjoint-bit shift-add terms, and spelled with the canonical
+    base32 alphabet (a,i,l,o excluded). The twins share the exact
+    same integer expression tree; only the shift spellings differ
+    (Spark shiftleft/shiftright functions, DuckDB << >> operators —
+    and Spark DIV vs DuckDB // for floor division). Map-only plan:
+    one scan-speed projection, no shuffle, no UDF — the entire
+    encode runs inside whole-stage codegen."""
+    sx = _geohash_exprs("spark")
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_custkey",
+        F.expr(sx["lat_i"]).cast("long").alias("lat_i"),
+        F.expr(sx["lon_i"]).cast("long").alias("lon_i"),
+    )
+    g = q.select(
+        "c_custkey",
+        "lat_i",
+        "lon_i",
+        F.expr(sx["gh30"]).cast("long").alias("gh30"),
+    )
+    return g.select(
+        "c_custkey",
+        "lat_i",
+        "lon_i",
+        "gh30",
+        F.expr(sx["geohash"]).alias("geohash"),
+    )
+
+
+_ADLER_MOD = 65521  # largest prime < 2^16 (RFC 1950)
+
+
+@query(
+    "fn_adler32",
+    oracle=f"""
+WITH s AS (
+  SELECT c_custkey, c_name,
+         CAST(length(c_name) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(range(1, length(c_name) + 1),
+              i -> ascii(substring(c_name, i, 1)))) AS BIGINT) AS sum1,
+         CAST(list_sum(list_transform(range(1, length(c_name) + 1),
+              i -> (length(c_name) - i + 1) * ascii(substring(c_name, i, 1))))
+              AS BIGINT) AS wsum
+  FROM customer
+)
+SELECT c_custkey, c_name, n,
+       CAST((1 + sum1) % {_ADLER_MOD} AS BIGINT) AS a,
+       CAST((n + wsum) % {_ADLER_MOD} AS BIGINT) AS b,
+       CAST(((n + wsum) % {_ADLER_MOD}) * 65536
+            + (1 + sum1) % {_ADLER_MOD} AS BIGINT) AS adler32
+FROM s
+""",
+    category="functions",
+)
+def fn_adler32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adler-32 checksum (RFC 1950, the zlib integrity footer) of each
+    customer name — the eighth from-spec byte-level codec surface
+    (after CRC-32 in multimodal_png_parse): A = 1 + sum(bytes) mod
+    65521, B = sum of A's prefix values mod 65521, checksum =
+    B*65536 + A. The rolling B is CLOSED-FORMED into a position-
+    weighted sum — B = (n + sum((n-i+1) * byte_i)) mod 65521 — so
+    neither engine folds sequentially: both evaluate one weighted
+    sum over the character positions (Spark: aggregate() over
+    sequence(); DuckDB: list_sum over list_transform(range)), exact
+    int64 throughout (name length <= 25, bytes < 128: the weighted
+    sum tops out far under 2^53, no modular splitting needed).
+    Verified against zlib.adler32 in tests/test_r11_stock.py.
+    Map-only plan: no shuffle, no UDF."""
+    c = table(spark, sf_dir, "customer")
+    s = c.select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").cast("long").alias("n"),
+        F.expr(
+            "aggregate(sequence(1, length(c_name)), 0L,"
+            " (acc, i) -> acc + ascii(substring(c_name, i, 1)))"
+        ).alias("sum1"),
+        F.expr(
+            "aggregate(sequence(1, length(c_name)), 0L,"
+            " (acc, i) -> acc + (length(c_name) - i + 1)"
+            " * ascii(substring(c_name, i, 1)))"
+        ).alias("wsum"),
+    )
+    a = (1 + F.col("sum1")) % _ADLER_MOD
+    b = (F.col("n") + F.col("wsum")) % _ADLER_MOD
+    return s.select(
+        "c_custkey",
+        "c_name",
+        "n",
+        a.cast("long").alias("a"),
+        b.cast("long").alias("b"),
+        (b * 65536 + a).cast("long").alias("adler32"),
+    )

@@ -1,0 +1,341 @@
+"""Screening / robust-filter wave (r9, for the r11 grading window;
+SURVEY.md §2.4/§2.5 additions): the clamped running balance (the
+reflected-walk identity that makes a NONLINEAR recurrence windowable),
+the Hampel rolling median/MAD outlier filter, and Benjamini-Hochberg
+step-up screening with the accept rule cross-multiplied into exact
+integers.
+
+Same discipline as stats_ext / stats_np: exact integer cents, doubled
+medians (2x scale so even-split medians stay integral), fixed-order
+double chains only in display columns, and bounded-domain windows —
+the one data-proportional ranking goes through the certified
+global_rank_distributed kernel, never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+from .stats_ext import _CENTS_SQL, _GRID_SQL, _day_grid
+from .windows import global_rank_distributed
+
+
+@query(
+    "win_clamped_balance",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+              ELSE -{_CENTS_SQL} END AS delta_c
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+cs AS (
+  SELECT user_id, event_id, ts, delta_c,
+         SUM(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS raw_s
+  FROM d
+),
+s AS (
+  SELECT user_id, event_id, delta_c, raw_s,
+         MIN(raw_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS run_min
+  FROM cs
+)
+SELECT user_id, event_id, delta_c,
+       CAST(raw_s AS BIGINT) AS raw_s,
+       CAST(raw_s - LEAST(run_min, 0) AS BIGINT) AS balance_c
+FROM s
+""",
+    category="windows",
+)
+def win_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance per user — the inventory /
+    prepaid-credit / token-bucket recurrence b_t = max(0, b_{t-1} +
+    delta_t) (purchases credit, clicks debit): a NONLINEAR recurrence
+    no window frame expresses directly, made windowable by the
+    reflected-random-walk identity b_t = S_t - min(0, min_{k<=t} S_k)
+    — the clamp only ever injects the mass the running minimum dug
+    below zero, so cumsum + running-min-of-cumsum reconstruct the
+    whole path exactly (proved by induction; replayed against the
+    literal sequential recurrence in tests/test_r11_stock.py). All
+    integer cents, bit-exact. Scale shape: both window passes are
+    key-partitioned on user_id over the SAME sort order — one
+    Exchange, one Sort, no single-partition window, no iteration;
+    the identity is what keeps a 100-TB ledger one linear pass
+    instead of a sequential fold."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "delta_c",
+        F.sum("delta_c").over(w).alias("raw_s"),
+    ).select(
+        "user_id",
+        "event_id",
+        "delta_c",
+        "raw_s",
+        F.min("raw_s").over(w).alias("run_min"),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        "delta_c",
+        F.col("raw_s").cast("long").alias("raw_s"),
+        (F.col("raw_s") - F.least(F.col("run_min"), F.lit(0)))
+        .cast("long")
+        .alias("balance_c"),
+    )
+
+
+_HAMPEL_W = 7  # trailing window length (odd -> single middle order stat)
+
+
+@query(
+    "win_hampel",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+l AS (
+  SELECT d, x,
+         list_sort(array_agg(x) OVER w) AS win,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn
+  FROM s
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_HAMPEL_W - 1} PRECEDING
+               AND CURRENT ROW)
+),
+m AS (
+  SELECT d, x, rn, 2 * win[{_HAMPEL_W // 2 + 1}] AS med2,
+         2 * list_sort(list_transform(win,
+               e -> abs(2 * e - 2 * win[{_HAMPEL_W // 2 + 1}])
+             ))[{_HAMPEL_W // 2 + 1}] AS mad2
+  FROM l WHERE rn >= {_HAMPEL_W}
+)
+SELECT CAST(d AS TIMESTAMP) AS d, x,
+       CAST(med2 AS BIGINT) AS med2, CAST(mad2 AS BIGINT) AS mad2,
+       2 * abs(2 * x - med2) > 3 * mad2 AS is_outlier
+FROM m
+""",
+    category="windows",
+)
+def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter on the click daily-revenue series — the robust
+    rolling-median outlier detector (flag x_t when |x_t - med| >
+    3 * MAD over the trailing 7 days): the window median and the MAD
+    both come from SORTED 7-element arrays (odd length -> single
+    middle order statistic), carried at 2x scale so every quantity is
+    an exact integer, and the 3-sigma-equivalent test is
+    CROSS-MULTIPLIED — 2*|2x - med2| > 3*mad2 — so the flag is an
+    exact integer comparison, never a float threshold (med2 = 2*med,
+    mad2 = 4*MAD; the inequality is |x-med| > 3*MAD scaled by 4).
+    Rows without a full trailing window are dropped (the filter is
+    undefined there). Scale: the window runs on the value-domain-
+    bounded day grid (~150 rows), never on raw events — the only
+    unbounded pass is the grid aggregation; on a per-key hypertable
+    the same expression would partition by series key."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    w = Window.orderBy("d").rowsBetween(-(_HAMPEL_W - 1), Window.currentRow)
+    wr = Window.orderBy("d")
+    mid = _HAMPEL_W // 2 + 1
+    l = s.select(
+        "d",
+        "x",
+        F.sort_array(F.collect_list("x").over(w)).alias("win"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") >= _HAMPEL_W)
+    med2 = 2 * F.element_at("win", mid)
+    # med2 is referenced inside the transform lambda -> two selects
+    m = (
+        l.select("d", "x", "win", med2.alias("med2"))
+        .select(
+            "d",
+            "x",
+            "med2",
+            (
+                2
+                * F.element_at(
+                    F.sort_array(
+                        F.transform(
+                            "win", lambda e: F.abs(2 * e - F.col("med2"))
+                        )
+                    ),
+                    mid,
+                )
+            ).alias("mad2"),
+        )
+    )
+    return m.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "x",
+        F.col("med2").cast("long").alias("med2"),
+        F.col("mad2").cast("long").alias("mad2"),
+        (2 * F.abs(2 * F.col("x") - F.col("med2")) > 3 * F.col("mad2")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+_BH_ALPHA_DEN = 20  # alpha = 1/20 = 0.05
+
+
+@query(
+    "agg_bh_fdr",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, {_CENTS_SQL} AS cents FROM events
+),
+grid AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS nt FROM c GROUP BY cents
+),
+w AS (
+  SELECT cents, SUM(nt) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+         SUM(nt) OVER () AS n
+  FROM grid
+),
+med AS (
+  SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+       + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS med2
+  FROM w
+),
+u AS (
+  SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(SUM(CASE WHEN 2 * c.cents < med.med2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_u
+  FROM c CROSS JOIN med GROUP BY c.user_id
+),
+r AS (
+  SELECT *, CAST(b_u AS DOUBLE) / n_u AS p_hat,
+         ROW_NUMBER() OVER (ORDER BY CAST(b_u AS DOUBLE) / n_u, user_id)
+           AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM u
+),
+a AS (
+  SELECT *, {_BH_ALPHA_DEN} * b_u * m <= rk * n_u AS accepted FROM r
+),
+k AS (SELECT COALESCE(MAX(CASE WHEN accepted THEN rk END), 0) AS cutoff
+      FROM a)
+SELECT a.user_id, a.n_u, a.b_u, a.p_hat, CAST(a.rk AS BIGINT) AS rk,
+       a.m, a.accepted, a.rk <= k.cutoff AS flagged
+FROM a CROSS JOIN k
+""",
+    category="aggregations",
+)
+def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up screening over per-user spend
+    profiles — the multiple-testing control layer an anomaly pipeline
+    needs before paging anyone (screen m users at FDR alpha = 0.05,
+    not per-user alpha): each user's score is the exact rational
+    share b_u/n_u of their events below the GLOBAL median (the
+    doubled-median machinery from agg_mood_median), users are ranked
+    by ascending score, and the BH rule p_(k) <= alpha*k/m is
+    CROSS-MULTIPLIED into the exact integer comparison 20*b*m <=
+    k*n — no float ever decides acceptance; the step-up cutoff K =
+    max accepted rank then flags ranks 1..K (that re-admission of
+    interior rejections is what makes BH step-UP, pinned by test).
+    The ordering key b/n is one correctly-rounded double division,
+    identical in both engines, tie-broken by user_id. Scale shape:
+    the median lives on the bounded cents value grid; the per-user
+    rollup is one key-partitioned aggregation; the m-user ranking
+    goes through the certified global_rank_distributed kernel (range
+    repartition + broadcast offsets — users are data-proportional,
+    so no single-partition window); the cutoff is a 1-row broadcast."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = ev.select("user_id", cents.alias("cents"))
+    grid = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = grid.select(
+        "cents",
+        F.sum("nt").over(wcum).alias("cum"),
+        F.sum("nt").over(wall).alias("n"),
+    )
+    med = w.agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= (F.col("n") + 1).cast("long") / 2,
+                    F.col("cents"),
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum") >= F.col("n") / 2 + 1,
+                    F.col("cents"),
+                )
+            )
+        ).alias("med2")
+    )
+    u = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_u"),
+            F.sum(
+                F.when(2 * F.col("cents") < F.col("med2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("b_u"),
+        )
+    )
+    p_hat = (F.col("b_u").cast("double") / F.col("n_u")).alias("p_hat")
+    scored = u.select("user_id", "n_u", "b_u", p_hat)
+    ranked = global_rank_distributed(scored, ["p_hat", "user_id"], "rk")
+    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a = ranked.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "n_u",
+        "b_u",
+        "p_hat",
+        F.col("rk").cast("long").alias("rk"),
+        "m",
+        (
+            _BH_ALPHA_DEN * F.col("b_u") * F.col("m")
+            <= F.col("rk") * F.col("n_u")
+        ).alias("accepted"),
+    )
+    k = a.agg(
+        F.coalesce(
+            F.max(F.when(F.col("accepted"), F.col("rk"))), F.lit(0)
+        ).alias("cutoff")
+    )
+    return a.crossJoin(F.broadcast(k)).select(
+        "user_id",
+        "n_u",
+        "b_u",
+        "p_hat",
+        "rk",
+        "m",
+        "accepted",
+        (F.col("rk") <= F.col("cutoff")).alias("flagged"),
+    )

@@ -1,0 +1,273 @@
+"""Semantic tests for the r9-built r11-window stock — market-basket
+association rules, DPO preference pairs, the epoch-seeded dataloader
+shuffle, geohash/Adler-32 scalar surfaces, the Ljung-Box portmanteau
+test and common-neighbor link prediction: pure-Python definition
+replays and invariants beyond what oracle parity shows."""
+
+import zlib
+
+import duckdb
+import pytest
+
+from big_data_analysis_spark.registry import load_all
+
+REG = load_all()
+
+
+def run(name, spark, sf_dir):
+    return REG[name].fn(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def day_grid(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS x
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+
+
+# --- pipeline_basket_lift -------------------------------------------------
+
+
+def test_basket_lift_matches_pandas(spark, sf_dir):
+    """Replay support/confidence/lift from the raw basket sets in
+    pure Python and check the identity lift = conf / P(b)."""
+    con = duckdb.connect()
+    items = con.execute(
+        f"""SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).df()
+    baskets = items.groupby("ok")["brand"].apply(frozenset)
+    n_orders = len(baskets)
+    brand_n = items.groupby("brand")["ok"].nunique()
+    rows = run("pipeline_basket_lift", spark, sf_dir).collect()
+    assert rows, "brand-pair census must be non-empty"
+    by_pair = {(r.brand_a, r.brand_b): r for r in rows}
+    # exhaustive: every emitted pair recounted from the raw baskets
+    for (a, b), r in by_pair.items():
+        n_ab = sum(1 for s in baskets if a in s and b in s)
+        assert r.n_ab == n_ab
+        assert r.n_a == brand_n[a] and r.n_b == brand_n[b]
+        assert r.n_orders == n_orders
+        assert r.support == pytest.approx(n_ab / n_orders)
+        assert r.confidence == pytest.approx(n_ab / brand_n[a])
+        assert r.lift == pytest.approx(
+            (n_ab / n_orders) / ((brand_n[a] / n_orders) * (brand_n[b] / n_orders)),
+            rel=1e-12,
+        )
+        assert a < b  # canonical pair orientation
+
+
+# --- pipeline_dpo_pairs ---------------------------------------------------
+
+
+def test_dpo_pairs_extremes_and_margin(spark, sf_dir):
+    """Chosen/rejected are the true per-prompt reward extremes with
+    deterministic id tie-breaks, margin > 0, and no prompt whose
+    extremes tie leaks through."""
+    con = duckdb.connect()
+    r = con.execute(
+        f"""SELECT user_id AS p, event_id AS rid,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"""
+    ).df()
+    rows = run("pipeline_dpo_pairs", spark, sf_dir).collect()
+    groups = dict(tuple(r.groupby("p")))
+    emitted = {x.prompt_id for x in rows}
+    for x in rows:
+        g = groups[x.prompt_id]
+        best = g.sort_values(["c", "rid"], ascending=[False, True]).iloc[0]
+        worst = g.sort_values(["c", "rid"], ascending=[True, True]).iloc[0]
+        assert x.chosen_id == best.rid and x.chosen_c == best.c
+        assert x.rejected_id == worst.rid and x.rejected_c == worst.c
+        assert x.margin_c == x.chosen_c - x.rejected_c > 0
+        assert x.n == len(g)
+    # completeness: every prompt with n>=2 and a strict margin is present
+    for p, g in groups.items():
+        if len(g) >= 2 and g.c.max() > g.c.min():
+            assert p in emitted
+
+
+# --- pipeline_epoch_shuffle -----------------------------------------------
+
+
+def test_epoch_shuffle_partition_and_drift(spark, sf_dir):
+    """Each epoch partitions the corpus exactly (counts and doc-id
+    checksums sum to the corpus totals), and the two epochs assign
+    differently (the whole point of reshuffling)."""
+    con = duckdb.connect()
+    n_docs, sum_id = con.execute(
+        f"SELECT COUNT(*), SUM(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    rows = run("pipeline_epoch_shuffle", spark, sf_dir).collect()
+    for ep in (0, 1):
+        sub = [r for r in rows if r.epoch == ep]
+        assert sum(r.n_docs for r in sub) == n_docs
+        assert sum(r.sum_doc_id for r in sub) == sum_id
+        assert all(0 <= r.batch_id < 64 for r in sub)
+        assert all(r.min_key >= 0 and r.max_key < 2**31 for r in sub)
+    # drift: per-batch doc-id checksums must differ between epochs
+    chk = {
+        ep: sorted((r.batch_id, r.sum_doc_id) for r in rows if r.epoch == ep)
+        for ep in (0, 1)
+    }
+    assert chk[0] != chk[1]
+
+
+def test_epoch_shuffle_key_is_pure_function(spark, sf_dir):
+    """The shuffle key replays from (doc_id, epoch) alone."""
+    rows = run("pipeline_epoch_shuffle", spark, sf_dir).collect()
+    con = duckdb.connect()
+    ids = [
+        x[0]
+        for x in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    for ep in (0, 1):
+        batches = {}
+        for i in ids:
+            k = ((i & 2147483647) * 2654435761 + (ep + 1) * 40503) % 2**31
+            b = k % 64
+            batches[b] = batches.get(b, 0) + 1
+        got = {r.batch_id: r.n_docs for r in rows if r.epoch == ep}
+        assert got == batches
+
+
+# --- fn_adler32 / fn_geohash ----------------------------------------------
+
+
+def test_adler32_matches_zlib(spark, sf_dir):
+    """The closed-form position-weighted sum IS RFC-1950 Adler-32:
+    cross-checked against zlib.adler32 on every name."""
+    rows = run("fn_adler32", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.adler32 == zlib.adler32(r.c_name.encode("ascii"))
+        assert r.adler32 == r.b * 65536 + r.a
+
+
+def _geohash_ref(lat_i, lon_i):
+    """Reference bit-interleave + base32 spelling (lon bit first)."""
+    gh = 0
+    for i in range(14, -1, -1):
+        gh = (gh << 1) | ((lon_i >> i) & 1)
+        gh = (gh << 1) | ((lat_i >> i) & 1)
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return gh, "".join(alpha[(gh >> (5 * (5 - j))) & 31] for j in range(6))
+
+
+def test_geohash_matches_reference(spark, sf_dir):
+    """The shift-add interleave equals the sequential MSB-first
+    reference, and the base32 spelling round-trips to the bits."""
+    rows = run("fn_geohash", spark, sf_dir).collect()
+    assert rows
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    for r in rows:
+        assert 0 <= r.lat_i < 32768 and 0 <= r.lon_i < 32768
+        gh, s = _geohash_ref(r.lat_i, r.lon_i)
+        assert r.gh30 == gh and r.geohash == s
+        # round-trip: decode the 6 chars back to the 30-bit key
+        back = 0
+        for ch in r.geohash:
+            back = (back << 5) | alpha.index(ch)
+        assert back == r.gh30
+
+
+def test_geohash_prefix_locality(spark, sf_dir):
+    """Geohash's defining property: equal 30-bit keys <=> equal cells;
+    sharing a longer prefix implies the interleaved coordinates agree
+    on their leading bits (spot-checked pairwise on a sample)."""
+    rows = run("fn_geohash", spark, sf_dir).limit(200).collect()
+    for r in rows[:50]:
+        for o in rows[:50]:
+            if r.geohash[:3] == o.geohash[:3]:
+                # first 15 interleaved bits equal -> top ~7 bits of
+                # each axis equal
+                assert (r.lat_i >> 8) == (o.lat_i >> 8) or (
+                    r.gh30 >> 15
+                ) == (o.gh30 >> 15)
+
+
+# --- win_clamped_balance ----------------------------------------------------
+
+
+def test_clamped_balance_matches_sequential_recurrence(spark, sf_dir):
+    """The reflection identity b_t = S_t - min(0, min_k S_k) must
+    equal the literal sequential fold b_t = max(0, b_{t-1} + d_t)."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END AS d
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('purchase', 'click')
+            ORDER BY user_id, ts, event_id"""
+    ).df()
+    rows = run("win_clamped_balance", spark, sf_dir).collect()
+    got = {(r.user_id, r.event_id): r for r in rows}
+    assert len(got) == len(df)
+    for uid, g in df.groupby("user_id"):
+        b = 0
+        for _, e in g.iterrows():
+            b = max(0, b + int(e.d))
+            r = got[(uid, e.event_id)]
+            assert r.balance_c == b
+            assert r.balance_c >= 0
+            assert r.delta_c == int(e.d)
+
+
+# --- win_hampel -------------------------------------------------------------
+
+
+def test_hampel_matches_reference_filter(spark, sf_dir, day_grid):
+    """Rolling median / MAD / flag recomputed in pure Python over the
+    trailing-7 windows of the click series."""
+    import statistics
+
+    sub = day_grid[day_grid.event_type == "click"].sort_values("d")
+    xs = [int(v) for v in sub.x]
+    rows = sorted(run("win_hampel", spark, sf_dir).collect(), key=lambda r: r.d)
+    assert len(rows) == max(0, len(xs) - 6)
+    for i, r in enumerate(rows):
+        win = xs[i : i + 7]
+        med = statistics.median(win)
+        mad = statistics.median([abs(v - med) for v in win])
+        assert r.med2 == 2 * med
+        assert r.mad2 == 4 * mad
+        assert r.x == xs[i + 6]
+        assert r.is_outlier == (abs(r.x - med) > 3 * mad)
+
+
+# --- agg_bh_fdr -------------------------------------------------------------
+
+
+def test_bh_fdr_matches_reference_stepup(spark, sf_dir):
+    """BH step-up replayed: sort p ascending, cutoff = max k with
+    p_k <= 0.05*k/m, flag ranks 1..K — including interior rejections
+    re-admitted below the cutoff (the step-UP property)."""
+    rows = run("agg_bh_fdr", spark, sf_dir).collect()
+    m = rows[0].m
+    assert all(r.m == m for r in rows) and m == len(rows)
+    srt = sorted(rows, key=lambda r: (r.b_u / r.n_u, r.user_id))
+    cutoff = 0
+    for k, r in enumerate(srt, start=1):
+        assert r.rk == k  # rank matches the exact rational order
+        exact_accept = 20 * r.b_u * m <= k * r.n_u
+        assert r.accepted == exact_accept
+        if exact_accept:
+            cutoff = k
+    for r in rows:
+        assert r.flagged == (r.rk <= cutoff)
+    # sanity: p_hat is the advertised rational
+    for r in rows:
+        assert r.p_hat == pytest.approx(r.b_u / r.n_u, abs=0)

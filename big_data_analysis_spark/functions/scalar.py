@@ -2221,3 +2221,131 @@ def fn_adler32(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.cast("long").alias("b"),
         (b * 65536 + a).cast("long").alias("adler32"),
     )
+
+
+def _hamming74_exprs(engine: str) -> dict[str, str]:
+    """Engine-specific SQL for the Hamming(7,4) pipeline. The parity
+    sums use (a + b + c) % 2 — NOT the xor operator, because DuckDB's
+    ^ is exponentiation (its xor is a function) while Spark's ^ IS
+    xor: sharing the arithmetic spelling sidesteps the whole trap.
+    Bit flips are add/subtract of the bit's weight (flip = w - 2*bit*w
+    added), again operator-portable. Only shifts differ (Spark
+    shiftright function, DuckDB >>)."""
+
+    def shr(x: str, n: int) -> str:
+        if engine == "spark":
+            return f"shiftright({x}, {n})"
+        return f"(({x}) >> {n})"
+
+    nib = "(event_id & 15)"
+    d1 = f"({shr(nib, 3)} & 1)"
+    d2 = f"({shr(nib, 2)} & 1)"
+    d3 = f"({shr(nib, 1)} & 1)"
+    d4 = f"({nib} & 1)"
+    p1 = f"(({d1} + {d2} + {d4}) % 2)"
+    p2 = f"(({d1} + {d3} + {d4}) % 2)"
+    p3 = f"(({d2} + {d3} + {d4}) % 2)"
+    # codeword bit layout: position i (1..7) carries weight 2^(7-i)
+    cw = (
+        f"({p1} * 64 + {p2} * 32 + {d1} * 16"
+        f" + {p3} * 8 + {d2} * 4 + {d3} * 2 + {d4})"
+    )
+    err_pos = "(event_id % 7 + 1)"
+    # weight of the corrupted position, then an arithmetic bit flip
+    w = f"{shr('128', err_pos)}"  # 2^(7-err_pos)
+    bit_at = f"({shr('codeword', f'7 - {err_pos}')} & 1)"
+    rx = f"(codeword + {w} - 2 * {bit_at} * {w})"
+    # syndrome parities from the RECEIVED word
+    def rbit(i: int) -> str:
+        return f"({shr('received', 7 - i)} & 1)"
+
+    s1 = f"(({rbit(1)} + {rbit(3)} + {rbit(5)} + {rbit(7)}) % 2)"
+    s2 = f"(({rbit(2)} + {rbit(3)} + {rbit(6)} + {rbit(7)}) % 2)"
+    s3 = f"(({rbit(4)} + {rbit(5)} + {rbit(6)} + {rbit(7)}) % 2)"
+    syn = f"({s1} + 2 * {s2} + 4 * {s3})"
+    sw = f"{shr('128', 'syndrome')}"
+    sbit = f"({shr('received', '7 - syndrome')} & 1)"
+    corrected = f"(received + {sw} - 2 * {sbit} * {sw})"
+    dec = (
+        f"(({shr('corrected', 4)} & 1) * 8 + ({shr('corrected', 2)} & 1) * 4"
+        f" + ({shr('corrected', 1)} & 1) * 2 + (corrected & 1))"
+    )
+    return {
+        "nibble": nib,
+        "codeword": cw,
+        "err_pos": err_pos,
+        "received": rx,
+        "syndrome": syn,
+        "corrected": corrected,
+        "decoded": dec,
+    }
+
+
+_H74_DUCK = _hamming74_exprs("duck")
+
+
+@query(
+    "fn_hamming74",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id,
+         CAST({_H74_DUCK["nibble"]} AS BIGINT) AS nibble,
+         CAST({_H74_DUCK["codeword"]} AS BIGINT) AS codeword,
+         CAST({_H74_DUCK["err_pos"]} AS BIGINT) AS err_pos
+  FROM events
+),
+r AS (
+  SELECT *, CAST({_H74_DUCK["received"]} AS BIGINT) AS received FROM c
+),
+s AS (
+  SELECT *, CAST({_H74_DUCK["syndrome"]} AS BIGINT) AS syndrome FROM r
+),
+x AS (
+  SELECT *, CAST({_H74_DUCK["corrected"]} AS BIGINT) AS corrected FROM s
+)
+SELECT event_id, nibble, codeword, err_pos, received, syndrome,
+       corrected, CAST({_H74_DUCK["decoded"]} AS BIGINT) AS decoded,
+       syndrome = err_pos AND {_H74_DUCK["decoded"]} = nibble AS ok
+FROM x
+""",
+    category="functions",
+)
+def fn_hamming74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming(7,4) error-correcting code round-trip — the
+    single-bit-correction ECC every storage/transport layer leans on,
+    run end-to-end in the engine: encode each event id's low nibble
+    (3 parity bits from the standard {1,3,5,7}/{2,3,6,7}/{4,5,6,7}
+    covers), corrupt ONE deterministic bit (position = event_id mod 7
+    + 1), recompute the syndrome from the received word, correct, and
+    decode — per row the query PROVES syndrome == corrupted position
+    and decoded == original nibble (the `ok` column; pinned all-true
+    by test). Every parity is an (a+b+c) % 2 sum and every bit flip
+    an add/subtract of the bit weight, NOT xor — DuckDB's ^ operator
+    is exponentiation while Spark's is xor, a silent cross-engine
+    trap this query documents by construction. Map-only codegen
+    plan: no shuffle, no UDF."""
+    sx = _hamming74_exprs("spark")
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        F.expr(sx["nibble"]).cast("long").alias("nibble"),
+        F.expr(sx["codeword"]).cast("long").alias("codeword"),
+        F.expr(sx["err_pos"]).cast("long").alias("err_pos"),
+    )
+    r = c.select("*", F.expr(sx["received"]).cast("long").alias("received"))
+    s = r.select("*", F.expr(sx["syndrome"]).cast("long").alias("syndrome"))
+    x = s.select("*", F.expr(sx["corrected"]).cast("long").alias("corrected"))
+    return x.select(
+        "event_id",
+        "nibble",
+        "codeword",
+        "err_pos",
+        "received",
+        "syndrome",
+        "corrected",
+        F.expr(sx["decoded"]).cast("long").alias("decoded"),
+        (
+            (F.col("syndrome") == F.col("err_pos"))
+            & (F.expr(sx["decoded"]) == F.col("nibble"))
+        ).alias("ok"),
+    )

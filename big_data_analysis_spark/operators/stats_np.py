@@ -1920,3 +1920,83 @@ def agg_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ss_within"),
         (ssb / 6.0 / (ssw / (F.col("n").cast("double") - 7.0))).alias("f_stat"),
     )
+
+
+@query(
+    "win_sharpe",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+r AS (
+  SELECT x - lag(x) OVER (ORDER BY d) AS r FROM s
+),
+m AS (
+  SELECT CAST(COUNT(r) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS s1,
+         SUM(CAST(r AS HUGEINT) * r) AS s2,
+         CAST(SUM(LEAST(r, 0)) AS BIGINT) AS sd1,
+         SUM(CAST(LEAST(r, 0) AS HUGEINT) * LEAST(r, 0)) AS sd2
+  FROM r WHERE r IS NOT NULL
+)
+SELECT n, s1, sd1,
+       CAST(s1 AS DOUBLE) / n AS mean_r,
+       sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS std_r,
+       (CAST(s1 AS DOUBLE) / n)
+         / sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sharpe,
+       sqrt(CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) / n) AS downside_dev,
+       (CAST(s1 AS DOUBLE) / n)
+         / sqrt(CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) / n) AS sortino
+FROM m
+""",
+    category="windows",
+)
+def win_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios of the click daily-revenue changes —
+    the risk-adjusted-return pair every portfolio/strategy readout
+    carries (Sharpe divides mean return by the sample standard
+    deviation; Sortino replaces the denominator with the DOWNSIDE
+    deviation sqrt(sum min(r,0)^2 / n), penalizing only losses):
+    day-over-day differences are exact integer cents from the bounded
+    day grid, all power sums run exact (r^2 can pass 2^53 at sf0.1 so
+    s2/sd2 go HUGEINT/DECIMAL(38,0) and cross to double via the
+    VARCHAR route — the agg_jarque_bera rounding gotcha), and the
+    final chains apply the SAME fixed-order double expression in both
+    engines; sqrt is a single correctly-rounded IEEE op, so even the
+    ratio columns are bit-reproducible. Scale: lag + rollup on the
+    value-domain-bounded grid (~150 rows); the only unbounded pass is
+    the grid aggregation itself."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    w = Window.orderBy("d")
+    r = s.select((F.col("x") - F.lag("x").over(w)).alias("r")).where(
+        F.col("r").isNotNull()
+    )
+    rdec = F.col("r").cast("decimal(38,0)")
+    neg = F.least(F.col("r"), F.lit(0))
+    negdec = neg.cast("decimal(38,0)")
+    m = r.agg(
+        F.count("r").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(rdec * F.col("r")).alias("s2"),
+        F.sum(neg).cast("long").alias("sd1"),
+        F.sum(negdec * neg).alias("sd2"),
+    )
+    n = F.col("n")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("string").cast("double")
+    sd2d = F.col("sd2").cast("string").cast("double")
+    mean_r = s1d / n
+    std_r = F.sqrt((s2d - s1d * F.col("s1") / n) / (n - 1))
+    ddev = F.sqrt(sd2d / n)
+    return m.select(
+        "n",
+        "s1",
+        "sd1",
+        mean_r.alias("mean_r"),
+        std_r.alias("std_r"),
+        (mean_r / std_r).alias("sharpe"),
+        ddev.alias("downside_dev"),
+        (mean_r / ddev).alias("sortino"),
+    )

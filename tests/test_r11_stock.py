@@ -271,3 +271,48 @@ def test_bh_fdr_matches_reference_stepup(spark, sf_dir):
     # sanity: p_hat is the advertised rational
     for r in rows:
         assert r.p_hat == pytest.approx(r.b_u / r.n_u, abs=0)
+
+
+# --- fn_hamming74 -----------------------------------------------------------
+
+
+def test_hamming74_corrects_every_single_bit_error(spark, sf_dir):
+    """The defining ECC property, pinned: for EVERY row the syndrome
+    localizes the corrupted position and decoding recovers the
+    original nibble; cross-checked against a reference encoder."""
+    def encode(n):
+        d1, d2, d3, d4 = (n >> 3) & 1, (n >> 2) & 1, (n >> 1) & 1, n & 1
+        p1, p2, p3 = (d1 + d2 + d4) % 2, (d1 + d3 + d4) % 2, (d2 + d3 + d4) % 2
+        bits = [p1, p2, d1, p3, d2, d3, d4]
+        return sum(b << (6 - i) for i, b in enumerate(bits))
+
+    rows = run("fn_hamming74", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.codeword == encode(r.nibble)
+        assert r.received == r.codeword ^ (1 << (7 - r.err_pos))
+        assert r.syndrome == r.err_pos
+        assert r.corrected == r.codeword
+        assert r.decoded == r.nibble
+        assert r.ok
+
+
+# --- win_sharpe -------------------------------------------------------------
+
+
+def test_sharpe_sortino_match_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    sub = day_grid[day_grid.event_type == "click"].sort_values("d")
+    r = np.diff([int(v) for v in sub.x]).astype(float)
+    row = run("win_sharpe", spark, sf_dir).collect()[0]
+    assert row.n == len(r)
+    assert row.s1 == int(r.sum())
+    assert row.mean_r == pytest.approx(r.mean(), rel=1e-12)
+    assert row.std_r == pytest.approx(r.std(ddof=1), rel=1e-12)
+    assert row.sharpe == pytest.approx(r.mean() / r.std(ddof=1), rel=1e-12)
+    dd = np.sqrt((np.minimum(r, 0) ** 2).mean())
+    assert row.downside_dev == pytest.approx(dd, rel=1e-12)
+    assert row.sortino == pytest.approx(r.mean() / dd, rel=1e-12)
+    # Sortino >= Sharpe in absolute value iff downside var <= total var
+    assert (abs(row.sortino) >= abs(row.sharpe)) == (dd <= r.std(ddof=1))

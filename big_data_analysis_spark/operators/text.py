@@ -1288,3 +1288,119 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("hapax_type_bp"),
     )
+
+
+_RAKE_N_STOPS = 2  # corpus-derived delimiter budget
+_RAKE_MIN_FREQ = 3
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+WITH stopw AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+    GROUP BY tok
+  ) c ORDER BY n DESC, tok LIMIT {_RAKE_N_STOPS}
+),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN (SELECT tok FROM stopw) THEN 1 ELSE 0 END
+           AS is_stop
+  FROM tk
+),
+ph AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS phrase_id
+  FROM m
+),
+pl AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM ph WHERE is_stop = 0 GROUP BY doc_id, phrase_id
+),
+wo AS (
+  SELECT p.tok, pl.plen
+  FROM ph p JOIN pl ON p.doc_id = pl.doc_id AND p.phrase_id = pl.phrase_id
+  WHERE p.is_stop = 0
+)
+SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS degree,
+       CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS rake_ppm
+FROM wo GROUP BY tok
+HAVING COUNT(*) >= {_RAKE_MIN_FREQ}
+""",
+    category="text",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010) — the classic
+    unsupervised keyword extractor: text splits into candidate
+    phrases at delimiter words, every non-delimiter occurrence
+    contributes its PHRASE LENGTH to the word's degree (within-phrase
+    co-occurrence incl. self), and score = degree/freq favors words
+    living in long phrases. The delimiter set is CORPUS-DERIVED (the
+    top-2 most frequent tokens, ties lexicographic — on real corpora
+    that is 'the'/'and'; deriving it keeps the query a pure function
+    of the data, no hand list to desync the twins), and the score
+    ships as the exact integer degree*1e6 // freq (both engines'
+    floor division agrees on positives — the _DENSITY_SQL lesson).
+    Scale shape: delimiter discovery is one token-domain-bounded
+    aggregation (TakeOrdered top-2, broadcast back); phrase ids come
+    from a running sum KEY-PARTITIONED on doc_id; the phrase-length
+    fan-back join is key-partitioned on (doc_id, phrase_id); the
+    final rollup lands on the bounded vocabulary domain."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    stopw = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_RAKE_N_STOPS)
+        .select("tok", F.lit(1).alias("is_stop"))
+    )
+    m = toks.join(F.broadcast(stopw), "tok", "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.col("is_stop"), F.lit(0)).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = m.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "is_stop",
+        F.sum("is_stop").over(w).alias("phrase_id"),
+    )
+    body = ph.where(F.col("is_stop") == 0)
+    pl = body.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    wo = body.join(pl, ["doc_id", "phrase_id"]).select("tok", "plen")
+    return (
+        wo.groupBy(F.col("tok").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .where(F.col("freq") >= _RAKE_MIN_FREQ)
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 DIV freq").cast("long").alias("rake_ppm"),
+        )
+    )

@@ -1455,3 +1455,94 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
         )
     )
+
+
+_SPEC_K = 4  # draft block length
+_SPEC_SALT = 1000003
+
+
+@query(
+    "pipeline_speculative_accept",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, pos, (pos - 1) // {_SPEC_K} AS blk,
+         ((doc_id * {_SPEC_SALT} + pos) & {_MASK}) * {_MULT}
+           % {_MOD // 2} % 4 <> 0 AS accept
+  FROM tk
+),
+pb AS (
+  SELECT doc_id, blk,
+         CAST(COUNT(*) AS BIGINT) AS blk_len,
+         CAST(COALESCE(MIN(CASE WHEN NOT accept THEN pos END)
+                         - (blk * {_SPEC_K} + 1),
+                       COUNT(*)) AS BIGINT) AS accepted
+  FROM b GROUP BY doc_id, blk
+)
+SELECT doc_id,
+       CAST(SUM(blk_len) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(accepted) AS BIGINT) AS n_accepted,
+       CAST(SUM(accepted) + COUNT(*) AS DOUBLE) / COUNT(*)
+         AS tokens_per_step
+FROM pb GROUP BY doc_id
+""",
+    category="pipelines",
+)
+def pipeline_speculative_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance analytics (chunked-verification
+    model) — the capacity-planning readout an inference fleet runs
+    before enabling a draft model: each document's token stream is
+    drafted in blocks of 4, a deterministic per-token accept bit
+    (pure Knuth-hash function of (doc_id, position) — 75% rate)
+    stands in for the target-model agreement, and a verify step
+    finalizes the accepted PREFIX of its block plus one corrected
+    token, so tokens/step = (sum of accepted prefixes + #steps) /
+    #steps — the expected-speedup estimator from the speculative
+    decoding literature (Leviathan et al.), computed exactly: the
+    prefix length is MIN(first-rejected-position) - block-start, an
+    integer, never a scan of the block. Scale shape: one posexplode,
+    one (doc, block)-key aggregation, one doc-key rollup — all
+    key-partitioned, no window, no Python."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    accept = (
+        (
+            (F.col("doc_id") * _SPEC_SALT + F.col("pos")).bitwiseAND(_MASK)
+            * _MULT
+        )
+        % (_MOD // 2)
+        % 4
+        != 0
+    )
+    b = tk.select(
+        "doc_id",
+        "pos",
+        ((F.col("pos") - 1) / _SPEC_K).cast("long").alias("blk"),
+        accept.alias("accept"),
+    )
+    pb = b.groupBy("doc_id", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("blk_len"),
+        F.coalesce(
+            F.min(F.when(~F.col("accept"), F.col("pos")))
+            - (F.col("blk") * _SPEC_K + 1),
+            F.count(F.lit(1)),
+        )
+        .cast("long")
+        .alias("accepted"),
+    )
+    return pb.groupBy("doc_id").agg(
+        F.sum("blk_len").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum("accepted").cast("long").alias("n_accepted"),
+        (
+            (F.sum("accepted") + F.count(F.lit(1))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tokens_per_step"),
+    )

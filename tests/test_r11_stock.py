@@ -316,3 +316,80 @@ def test_sharpe_sortino_match_numpy(spark, sf_dir, day_grid):
     assert row.sortino == pytest.approx(r.mean() / dd, rel=1e-12)
     # Sortino >= Sharpe in absolute value iff downside var <= total var
     assert (abs(row.sortino) >= abs(row.sharpe)) == (dd <= r.std(ddof=1))
+
+
+# --- text_rake_keywords -----------------------------------------------------
+
+
+def test_rake_matches_reference(spark, sf_dir):
+    """RAKE degree/freq replayed in pure Python: corpus-derived top-2
+    delimiters, phrase splits, degree = sum of phrase lengths over a
+    word's occurrences."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        cnt.update(t.split(" "))
+    stops = set(
+        tok for tok, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    )
+    freq, degree = Counter(), Counter()
+    for _, t in docs:
+        phrase = []
+        for tok in t.split(" ") + [None]:
+            if tok is None or tok in stops:
+                for w in phrase:
+                    freq[w] += 1
+                    degree[w] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(tok)
+    rows = run("text_rake_keywords", spark, sf_dir).collect()
+    got = {r.word: r for r in rows}
+    expected = {w for w in freq if freq[w] >= 3}
+    assert set(got) == expected
+    for w, r in got.items():
+        assert r.freq == freq[w]
+        assert r.degree == degree[w]
+        assert r.rake_ppm == degree[w] * 1000000 // freq[w]
+        assert w not in stops
+
+
+# --- pipeline_speculative_accept ---------------------------------------------
+
+
+def test_speculative_accept_matches_block_replay(spark, sf_dir):
+    """Per-doc chunked-verification replay: accept bits from the hash,
+    blocks of 4, accepted prefix per block, tokens/step identity."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, len(string_split(text, ' ')) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    rows = {r.doc_id: r for r in run("pipeline_speculative_accept", spark, sf_dir).collect()}
+    assert len(rows) == len(docs)
+    for doc_id, n in docs:
+        acc_bits = [
+            ((doc_id * 1000003 + p) & 2147483647) * 2654435761 % 2**31 % 4 != 0
+            for p in range(1, n + 1)
+        ]
+        n_steps = (n + 3) // 4
+        total_acc = 0
+        for b in range(n_steps):
+            blk = acc_bits[b * 4 : (b + 1) * 4]
+            a = 0
+            for bit in blk:
+                if not bit:
+                    break
+                a += 1
+            total_acc += a
+        r = rows[doc_id]
+        assert r.n_tokens == n and r.n_steps == n_steps
+        assert r.n_accepted == total_acc
+        assert r.tokens_per_step == pytest.approx(
+            (total_acc + n_steps) / n_steps, rel=1e-12
+        )
+        assert 1.0 <= r.tokens_per_step <= 5.0

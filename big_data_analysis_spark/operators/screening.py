@@ -339,3 +339,167 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accepted",
         (F.col("rk") <= F.col("cutoff")).alias("flagged"),
     )
+
+
+@query(
+    "agg_survival_hazard",
+    oracle=f"""
+WITH lastd AS (
+  SELECT user_id,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS churn_day
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT churn_day, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM lastd GROUP BY churn_day
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lastd),
+w AS (
+  SELECT churn_day, n_churned,
+         SUM(n_churned) OVER (ORDER BY churn_day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT CAST(w.churn_day AS TIMESTAMP) AS churn_day, w.n_churned,
+       CAST(m.m - (w.cum - w.n_churned) AS BIGINT) AS n_at_risk,
+       CAST(w.n_churned * 1000000 // (m.m - (w.cum - w.n_churned))
+            AS BIGINT) AS hazard_ppm
+FROM w CROSS JOIN m
+""",
+    category="aggregations",
+)
+def agg_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier ingredients table — the discrete-time survival /
+    churn analysis every retention team runs: a user's churn day is
+    their LAST observed event day, the at-risk set on day i is
+    everyone who survived past i-1 (n_at_risk = m - users churned
+    strictly before i, from one cumulative sum), and the discrete
+    hazard d_i/n_i ships as the exact integer d*1e6 // n (the KM
+    survival curve is the running product of (1 - hazard) — left to
+    the caller because a cumulative PRODUCT is not exactly
+    representable; every INPUT to it here is exact). churn_day is
+    emitted as TIMESTAMP on both twins (the DATE canonicalization
+    trap). Scale shape: one key-partitioned per-user max, one
+    bounded-day-domain rollup (~tens of rows), the cumulative sum on
+    that bounded grid, and a 1-row broadcast total."""
+    ev = table(spark, sf_dir, "events")
+    lastd = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("churn_day")
+    )
+    d = lastd.groupBy("churn_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_churned")
+    )
+    m = lastd.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy("churn_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wd = d.select(
+        "churn_day",
+        "n_churned",
+        F.sum("n_churned").over(w).alias("cum"),
+    )
+    j = wd.crossJoin(F.broadcast(m))
+    at_risk = F.col("m") - (F.col("cum") - F.col("n_churned"))
+    return j.select(
+        F.col("churn_day").cast("timestamp").alias("churn_day"),
+        "n_churned",
+        at_risk.cast("long").alias("n_at_risk"),
+        F.expr(
+            "CAST(n_churned * 1000000 DIV (m - (cum - n_churned)) AS BIGINT)"
+        ).alias("hazard_ppm"),
+    )
+
+
+@query(
+    "pipeline_eval_auc",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, pos, score,
+         ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rk
+  FROM q
+),
+g AS (
+  SELECT score,
+         CAST(MIN(rk) + MAX(rk) AS BIGINT) AS r2,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s
+  FROM r GROUP BY score
+),
+t AS (
+  SELECT CAST(SUM(n_pos_s * r2) AS BIGINT) AS r2_pos,
+         CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM((SELECT COUNT(*) FROM r WHERE r.score = g.score))
+              AS BIGINT) AS n_chk
+  FROM g
+),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+SELECT c.n, t.n_pos, CAST(c.n - t.n_pos AS BIGINT) AS n_neg,
+       t.r2_pos,
+       CAST(t.r2_pos - t.n_pos * (t.n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * t.n_pos * (c.n - t.n_pos) AS BIGINT) AS auc_den,
+       CAST(t.r2_pos - t.n_pos * (t.n_pos + 1) AS DOUBLE)
+         / (2 * t.n_pos * (c.n - t.n_pos)) AS auc
+FROM t CROSS JOIN c
+""",
+    category="pipelines",
+)
+def pipeline_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a deterministic linear scorer over the
+    embedding corpus — the ranking-quality metric every classifier
+    eval reports, computed through the rank-sum identity AUC =
+    (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with TIES handled by
+    midranks (the probabilistic definition: P(s_pos > s_neg) + 0.5 *
+    P(tie)): scores are exact int64 dots of the 1e-6-quantized
+    embeddings with an alternating +/-1 literal vector, the doubled
+    midrank of a tie group is MIN(rank)+MAX(rank) (integer — the
+    agg_mann_whitney machinery), and the AUC numerator/denominator
+    ship as exact BIGINTs next to the one double division. Scale
+    shape: the global ranking runs through the certified
+    global_rank_distributed kernel (range repartition + broadcast
+    offsets, no single-partition window); tie-group rollup and the
+    positive-midrank sum are key-partitioned on score; totals are
+    1-row broadcasts."""
+    from .windows import global_rank_distributed as _grd
+
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for j in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", j).cast("double") * 1_000_000
+        ).cast("long") * (1 if j % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select(
+        "vec_id", (F.col("label") >= 5).alias("pos"), score.alias("score")
+    )
+    r = _grd(q, ["score", "vec_id"], "rk")
+    g = r.groupBy("score").agg(
+        (F.min("rk") + F.max("rk")).cast("long").alias("r2"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos_s"),
+    )
+    t = g.agg(
+        F.sum(F.col("n_pos_s") * F.col("r2")).cast("long").alias("r2_pos"),
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+    )
+    c = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = t.crossJoin(F.broadcast(c))
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))
+    return j.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        "r2_pos",
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        (num.cast("double") / den).alias("auc"),
+    )

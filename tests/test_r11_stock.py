@@ -393,3 +393,71 @@ def test_speculative_accept_matches_block_replay(spark, sf_dir):
             (total_acc + n_steps) / n_steps, rel=1e-12
         )
         assert 1.0 <= r.tokens_per_step <= 5.0
+
+
+# --- agg_survival_hazard ------------------------------------------------------
+
+
+def test_survival_hazard_matches_replay(spark, sf_dir):
+    """At-risk counts and hazards replayed from per-user last days;
+    telescoping property: at_risk_next = at_risk - churned."""
+    con = duckdb.connect()
+    last = con.execute(
+        f"""SELECT user_id, MAX(CAST(date_trunc('day', ts) AS DATE)) AS d
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).df()
+    import pandas as pd
+    from collections import Counter
+
+    per_day = Counter(pd.to_datetime(last.d).dt.date)
+    m = len(last)
+    rows = sorted(
+        run("agg_survival_hazard", spark, sf_dir).collect(),
+        key=lambda r: r.churn_day,
+    )
+    assert sum(r.n_churned for r in rows) == m
+    at_risk = m
+    for r in rows:
+        assert r.n_churned == per_day[r.churn_day.date()]
+        assert r.n_at_risk == at_risk
+        assert r.hazard_ppm == r.n_churned * 1000000 // r.n_at_risk
+        at_risk -= r.n_churned
+    assert at_risk == 0
+
+
+# --- pipeline_eval_auc --------------------------------------------------------
+
+
+def test_eval_auc_matches_pairwise_definition(spark, sf_dir):
+    """The rank-sum identity equals the O(n^2) probabilistic
+    definition P(s_pos > s_neg) + 0.5 P(tie), recomputed directly."""
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet'"
+    ).df()
+    w = np.array([1 if j % 2 == 1 else -1 for j in range(1, 65)])
+    scores = np.array(
+        [
+            int(
+                sum(
+                    int(round(float(v) * 1_000_000)) * int(c)
+                    for v, c in zip(emb, w)
+                )
+            )
+            for emb in df.embedding
+        ]
+    )
+    pos = (df.label >= 5).to_numpy()
+    sp, sn = scores[pos], scores[~pos]
+    gt = sum((p > sn).sum() for p in sp)
+    eq = sum((p == sn).sum() for p in sp)
+    row = run("pipeline_eval_auc", spark, sf_dir).collect()[0]
+    assert row.n == len(df)
+    assert row.n_pos == int(pos.sum()) and row.n_neg == int((~pos).sum())
+    assert row.auc_num == 2 * gt + eq  # doubled U statistic
+    assert row.auc_den == 2 * row.n_pos * row.n_neg
+    assert row.auc == pytest.approx(
+        (gt + 0.5 * eq) / (row.n_pos * row.n_neg), rel=1e-12
+    )

@@ -503,3 +503,204 @@ def pipeline_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("auc_den"),
         (num.cast("double") / den).alias("auc"),
     )
+
+
+@query(
+    "fn_base64",
+    oracle="""
+SELECT c_custkey, c_name,
+       to_base64(CAST(c_name AS BLOB)) AS b64,
+       CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR)
+         AS roundtrip,
+       CAST(length(to_base64(CAST(c_name AS BLOB))) AS BIGINT) AS b64_len,
+       to_base64(CAST(c_name || '|' || c_mktsegment AS BLOB)) AS b64_tagged
+FROM customer
+""",
+    category="functions",
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round-trip (RFC 4648) — the wire spelling
+    every artifact manifest and HTTP payload uses. The surface trap
+    is pure NAMING: Spark spells the pair base64/unbase64, DuckDB
+    to_base64/from_base64, and both operate on BINARY (the string
+    crosses through an explicit cast on both twins — Spark unbase64
+    returns binary that must be re-cast to string or the comparator
+    sees bytes). Padding and the 4*ceil(n/3) length law are checked
+    via the emitted b64_len. Map-only codegen plan."""
+    c = table(spark, sf_dir, "customer")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    tagged = F.base64(
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).cast(
+            "binary"
+        )
+    )
+    return c.select(
+        "c_custkey",
+        "c_name",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+        F.length(b64).cast("long").alias("b64_len"),
+        tagged.alias("b64_tagged"),
+    )
+
+
+@query(
+    "agg_paired_t",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+a AS (SELECT d, x FROM g WHERE event_type = 'click'),
+b AS (SELECT d, x FROM g WHERE event_type = 'purchase'),
+p AS (
+  SELECT a.x - b.x AS diff FROM a JOIN b ON a.d = b.d
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(diff) AS BIGINT) AS s1,
+         SUM(CAST(diff AS HUGEINT) * diff) AS s2
+  FROM p
+)
+SELECT n, s1,
+       CAST(s1 AS DOUBLE) / n AS mean_d,
+       sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd_d,
+       (CAST(s1 AS DOUBLE) / n)
+         / (sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / sqrt(n))
+         AS t_stat
+FROM m
+""",
+    category="aggregations",
+)
+def agg_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t test on (click, purchase) daily revenue — the
+    dependent-samples member the t family was missing (agg_welch_t is
+    the unpaired two-sample, agg_wilcoxon_signed_rank the
+    non-parametric twin of THIS test): per-day differences are exact
+    integer cents off the bounded day grid, the power sums run exact
+    (diff^2 can pass int64 at sf0.1 -> HUGEINT/DECIMAL(38,0), VARCHAR
+    route), and t = mean / (sd / sqrt(n)) is one fixed-order double
+    chain shared by both engines. Scale: the pairing is a 1:1
+    equi-join on the bounded day domain; the only unbounded pass is
+    the grid aggregation."""
+    g = _day_grid(spark, sf_dir)
+    a = g.where(F.col("event_type") == "click").select("d", F.col("x").alias("xa"))
+    b = g.where(F.col("event_type") == "purchase").select(
+        "d", F.col("x").alias("xb")
+    )
+    p = a.join(b, "d").select((F.col("xa") - F.col("xb")).alias("diff"))
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("diff").cast("long").alias("s1"),
+        F.sum(F.col("diff").cast("decimal(38,0)") * F.col("diff")).alias("s2"),
+    )
+    n = F.col("n")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("string").cast("double")
+    mean_d = s1d / n
+    sd_d = F.sqrt((s2d - s1d * F.col("s1") / n) / (n - 1))
+    return m.select(
+        "n",
+        "s1",
+        mean_d.alias("mean_d"),
+        sd_d.alias("sd_d"),
+        (mean_d / (sd_d / F.sqrt(n))).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_cramer_von_mises",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (
+  SELECT x, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM g WHERE event_type IN ('click', 'purchase')
+),
+r AS (
+  SELECT x, is_a,
+         ROW_NUMBER() OVER (ORDER BY x, is_a) AS tie_rk
+  FROM s
+),
+t AS (
+  SELECT x, is_a, SUM(is_a) OVER () AS n, SUM(1 - is_a) OVER () AS m,
+         MIN(tie_rk) OVER (PARTITION BY x) + MAX(tie_rk) OVER (PARTITION BY x)
+           AS r2,
+         ROW_NUMBER() OVER (PARTITION BY is_a ORDER BY x) AS i
+  FROM r
+),
+u2 AS (
+  SELECT MAX(n) AS n, MAX(m) AS m,
+         SUM(CASE WHEN is_a = 1
+                  THEN CAST(n AS HUGEINT)
+                       * (CAST(r2 - 2 * i AS HUGEINT) * (r2 - 2 * i))
+                  ELSE CAST(m AS HUGEINT)
+                       * (CAST(r2 - 2 * i AS HUGEINT) * (r2 - 2 * i))
+             END) AS u4
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       CAST(CAST(u4 AS VARCHAR) AS DOUBLE) / 4.0 AS u_stat,
+       CAST(CAST(u4 AS VARCHAR) AS DOUBLE) / 4.0
+         / (CAST(n AS DOUBLE) * m * (n + m))
+         - (4.0 * CAST(n AS DOUBLE) * m - 1) / (6.0 * (n + m)) AS cvm_t
+FROM u2
+""",
+    category="aggregations",
+)
+def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test (click vs purchase daily
+    revenue) — the integrated-squared-ECDF-distance member that
+    completes the EDF family (agg_ks_test is the sup-norm,
+    agg_wasserstein_1d the L1): Anderson's rank formulation U =
+    n*sum_i (r_i - i)^2 + m*sum_j (s_j - j)^2 with combined-sample
+    midranks. Midranks are carried DOUBLED (r2 = min+max combined
+    rank of the tie group, 2x) and within-sample indices doubled to
+    match — r2 - 2i = 2(r_i - i), so U * 4 = sum of n|m *
+    (r2 - 2i)^2 terms
+    stays an exact HUGEINT/DECIMAL integer and crosses to double once
+    via the VARCHAR route; T = U/(nm(n+m)) - (4nm-1)/(6(n+m)) is the
+    standard normalization in one fixed-order chain. Scale: ranking
+    and tie rollups run on the value-domain-bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type").isin("click", "purchase")).select(
+        "x",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    w_rk = Window.orderBy("x", "is_a")
+    r = s.select("x", "is_a", F.row_number().over(w_rk).alias("tie_rk"))
+    w_all = Window.orderBy("x", "is_a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_tie = Window.partitionBy("x")
+    w_i = Window.partitionBy("is_a").orderBy("x")
+    t = r.select(
+        "x",
+        "is_a",
+        F.sum("is_a").over(w_all).alias("n"),
+        F.sum(1 - F.col("is_a")).over(w_all).alias("m"),
+        (F.min("tie_rk").over(w_tie) + F.max("tie_rk").over(w_tie)).alias(
+            "r2"
+        ),
+        F.row_number().over(w_i).alias("i"),
+    )
+    dev = (F.col("r2") - 2 * F.col("i")).cast("decimal(38,0)")
+    term = dev * (F.col("r2") - 2 * F.col("i"))
+    u2 = t.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 1, F.col("n").cast("decimal(38,0)") * term
+            ).otherwise(F.col("m").cast("decimal(38,0)") * term)
+        ).alias("u4"),
+    )
+    n, m = F.col("n"), F.col("m")
+    u4d = F.col("u4").cast("string").cast("double")
+    return u2.select(
+        n.cast("long").alias("n"),
+        m.cast("long").alias("m"),
+        (u4d / 4.0).alias("u_stat"),
+        (
+            u4d / 4.0 / (n.cast("double") * m * (n + m))
+            - (4.0 * n.cast("double") * m - 1) / (6.0 * (n + m))
+        ).alias("cvm_t"),
+    )

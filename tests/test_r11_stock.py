@@ -461,3 +461,67 @@ def test_eval_auc_matches_pairwise_definition(spark, sf_dir):
     assert row.auc == pytest.approx(
         (gt + 0.5 * eq) / (row.n_pos * row.n_neg), rel=1e-12
     )
+
+
+# --- fn_base64 ----------------------------------------------------------------
+
+
+def test_base64_matches_stdlib(spark, sf_dir):
+    import base64 as b64mod
+
+    rows = run("fn_base64", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.b64 == b64mod.b64encode(r.c_name.encode()).decode()
+        assert r.roundtrip == r.c_name
+        n = len(r.c_name)
+        assert r.b64_len == 4 * ((n + 2) // 3)  # RFC 4648 length law
+        assert b64mod.b64decode(r.b64_tagged).decode().startswith(r.c_name + "|")
+
+
+# --- agg_paired_t -------------------------------------------------------------
+
+
+def test_paired_t_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    a = day_grid[day_grid.event_type == "click"].set_index("d").x
+    b = day_grid[day_grid.event_type == "purchase"].set_index("d").x
+    common = a.index.intersection(b.index)
+    d = (a[common] - b[common]).to_numpy(dtype=float)
+    row = run("agg_paired_t", spark, sf_dir).collect()[0]
+    assert row.n == len(d)
+    assert row.s1 == int(d.sum())
+    assert row.mean_d == pytest.approx(d.mean(), rel=1e-12)
+    assert row.sd_d == pytest.approx(d.std(ddof=1), rel=1e-12)
+    assert row.t_stat == pytest.approx(
+        d.mean() / (d.std(ddof=1) / np.sqrt(len(d))), rel=1e-12
+    )
+
+
+# --- agg_cramer_von_mises -------------------------------------------------------
+
+
+def test_cvm_matches_definition(spark, sf_dir, day_grid):
+    """Anderson's rank form replayed in pure Python with midranks."""
+    a = sorted(int(v) for v in day_grid[day_grid.event_type == "click"].x)
+    b = sorted(int(v) for v in day_grid[day_grid.event_type == "purchase"].x)
+    n, m = len(a), len(b)
+    combined = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    # midranks over the combined sample
+    from collections import defaultdict
+
+    positions = defaultdict(list)
+    for idx, (v, _) in enumerate(combined, start=1):
+        positions[v].append(idx)
+    midrank = {v: sum(p) / len(p) for v, p in positions.items()}
+    ra = [midrank[v] for v in a]
+    rb = [midrank[v] for v in b]
+    u = n * sum((r - i) ** 2 for i, r in enumerate(ra, start=1)) + m * sum(
+        (r - j) ** 2 for j, r in enumerate(rb, start=1)
+    )
+    t_ref = u / (n * m * (n + m)) - (4 * n * m - 1) / (6 * (n + m))
+    row = run("agg_cramer_von_mises", spark, sf_dir).collect()[0]
+    assert (row.n, row.m) == (n, m)
+    assert row.u_stat == pytest.approx(u, rel=1e-12)
+    assert row.cvm_t == pytest.approx(t_ref, rel=1e-9)

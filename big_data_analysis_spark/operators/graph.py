@@ -1384,3 +1384,89 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
     )
+
+
+_CLOSENESS_HOPS = 6  # >= fixture diameter (cc docstring: verified <= 3)
+
+
+@query(
+    "graph_closeness",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+n AS (SELECT DISTINCT src AS node FROM e),
+bfs(root, node, dist) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT bfs.root, e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < {_CLOSENESS_HOPS}
+),
+d AS (
+  SELECT root, node, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM bfs GROUP BY root, node
+)
+SELECT root AS src,
+       CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CAST(SUM(CASE WHEN dist > 0 THEN 60 // dist ELSE 0 END) AS BIGINT)
+         AS harmonic60,
+       CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS DOUBLE)
+         / SUM(dist) AS closeness
+FROM d GROUP BY root
+""",
+    category="graph",
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality of EVERY node at once —
+    multi-source BFS as one DataFrame program (the all-pairs
+    hop-distance table graph_bfs_distance's single-source kernel
+    generalizes to): the frontier carries (root, node) pairs, each
+    round is ONE equi-join of the whole frontier against the edge
+    table on the current node plus an anti-join against the visited
+    set — 100 BFS trees advance together in the same shuffle, the
+    Pregel trick that makes centrality tractable on a cluster
+    (per-source loops would be 100 sequential jobs). Harmonic
+    centrality sum(1/d) ships EXACT as sum(60 DIV d) — every hop
+    count 1..6 divides 60, so the reciprocal sum is an integer at
+    scale 60 (no float accumulation); classic closeness
+    reached/sum(dist) is the one double division. Hop cap 6 >= the
+    fixture diameter (the connected-components docstring verifies
+    <= 3), matching the oracle's recursion bound. Scale: visited is
+    O(V * V_reachable) pairs — all-pairs centrality is inherently
+    quadratic in reachable mass; the kernel keeps every step
+    key-partitioned (no broadcast of anything data-proportional)."""
+    e = _edges(spark, sf_dir).persist()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    visited = nodes.select(
+        F.col("node").alias("root"),
+        "node",
+        F.lit(0).alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, _CLOSENESS_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("root", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    reached = F.count(F.when(F.col("dist") > 0, 1))
+    return visited.groupBy(F.col("root").alias("src")).agg(
+        reached.cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("60 DIV dist")).otherwise(0)
+        )
+        .cast("long")
+        .alias("harmonic60"),
+        (reached.cast("double") / F.sum("dist")).alias("closeness"),
+    )

@@ -704,3 +704,86 @@ def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (4.0 * n.cast("double") * m - 1) / (6.0 * (n + m))
         ).alias("cvm_t"),
     )
+
+
+@query(
+    "agg_isotonic",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s0 AS (SELECT d, x FROM g WHERE event_type = 'click'),
+idx AS (
+  SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM s0
+),
+p AS (
+  SELECT i, d, x,
+         SUM(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ps
+  FROM idx
+),
+pairs AS (
+  SELECT a.i AS s, b.i AS u,
+         CAST(b.ps - a.ps + a.x AS DOUBLE) / (b.i - a.i + 1) AS seg_avg
+  FROM p a JOIN p b ON a.i <= b.i
+),
+mm AS (
+  SELECT t.i AS t, pr.s, MIN(pr.seg_avg) AS mn
+  FROM idx t JOIN pairs pr ON pr.s <= t.i AND pr.u >= t.i
+  GROUP BY t.i, pr.s
+),
+iso AS (SELECT t, MAX(mn) AS iso FROM mm GROUP BY t)
+SELECT CAST(idx.d AS TIMESTAMP) AS d, idx.x, iso.iso AS iso_fit
+FROM idx JOIN iso ON iso.t = idx.i
+""",
+    category="aggregations",
+)
+def agg_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the click
+    daily-revenue series — the shape-constrained fit behind
+    calibration curves and dose-response monotonization, computed by
+    the CLOSED minimax characterization iso_t = max_{s<=t}
+    min_{u>=t} mean(x_s..x_u) instead of the sequential PAVA sweep
+    (pool-adjacent-violators is an inherently ordered fold; the
+    minimax form is pure joins+aggregates, so it distributes — and
+    the equivalence to PAVA is a classical theorem, replayed against
+    a literal PAVA implementation in the tests). Segment means come
+    off one prefix-sum pass (b.ps - a.ps + a.x clears the s-1
+    lookup); each is ONE double division evaluated identically in
+    both engines, and MIN/MAX over identical double sets are
+    order-free. Scale: the (s, t, u) enumeration is O(days^3) on the
+    value-domain-bounded grid (~150 rows -> ~3M join rows, bounded
+    BY DESIGN like the O(domain^2) stats tier — never on raw
+    events); at hypertable scale the same query partitions by
+    series key."""
+    g = _day_grid(spark, sf_dir)
+    s0 = g.where(F.col("event_type") == "click").select("d", "x")
+    wi = Window.orderBy("d")
+    idx = s0.select("d", "x", F.row_number().over(wi).alias("i"))
+    wp = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = idx.select("i", "d", "x", F.sum("x").over(wp).alias("ps"))
+    a = p.select(
+        F.col("i").alias("s"), F.col("x").alias("xa"), F.col("ps").alias("psa")
+    )
+    b = p.select(F.col("i").alias("u"), F.col("ps").alias("psb"))
+    pairs = a.join(b, F.col("s") <= F.col("u")).select(
+        "s",
+        "u",
+        (
+            (F.col("psb") - F.col("psa") + F.col("xa")).cast("double")
+            / (F.col("u") - F.col("s") + 1)
+        ).alias("seg_avg"),
+    )
+    t = idx.select(F.col("i").alias("t"))
+    mm = (
+        t.join(
+            pairs,
+            (F.col("s") <= F.col("t")) & (F.col("u") >= F.col("t")),
+        )
+        .groupBy("t", "s")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    iso = mm.groupBy("t").agg(F.max("mn").alias("iso_fit"))
+    return idx.join(iso, idx["i"] == iso["t"]).select(
+        F.col("d").cast("timestamp").alias("d"), "x", "iso_fit"
+    )

@@ -525,3 +525,77 @@ def test_cvm_matches_definition(spark, sf_dir, day_grid):
     assert (row.n, row.m) == (n, m)
     assert row.u_stat == pytest.approx(u, rel=1e-12)
     assert row.cvm_t == pytest.approx(t_ref, rel=1e-9)
+
+
+# --- graph_closeness ----------------------------------------------------------
+
+
+def test_closeness_matches_python_bfs(spark, sf_dir):
+    """All-pairs hop distances replayed with a per-source Python BFS;
+    closeness and exact harmonic60 recomputed."""
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT l_orderkey % 100 AS s, l_partkey % 100 AS d
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_orderkey % 100 <> l_partkey % 100"""
+    ).fetchall()
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+    rows = {r.src: r for r in run("graph_closeness", spark, sf_dir).collect()}
+    assert set(rows) == nodes
+    for src in nodes:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            v = dq.popleft()
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        reach = {v: d for v, d in dist.items() if d > 0}
+        r = rows[src]
+        assert r.n_reached == len(reach)
+        assert r.sum_dist == sum(reach.values())
+        assert r.harmonic60 == sum(60 // d for d in reach.values())
+        assert r.closeness == pytest.approx(
+            len(reach) / sum(reach.values()), rel=1e-12
+        )
+
+
+# --- agg_isotonic -------------------------------------------------------------
+
+
+def _pava(y):
+    """Literal pool-adjacent-violators (equal weights)."""
+    blocks = [[v, 1] for v in y]  # [sum, count]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][0] * out[-1][1] >= out[-1][0] * out[-2][1]:
+            s2, c2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += c2
+    fit = []
+    for s, c in out:
+        fit.extend([s / c] * c)
+    return fit
+
+
+def test_isotonic_matches_pava(spark, sf_dir, day_grid):
+    """The minimax characterization equals the sequential PAVA fit,
+    and the result is non-decreasing."""
+    sub = day_grid[day_grid.event_type == "click"].sort_values("d")
+    y = [int(v) for v in sub.x]
+    ref = _pava(y)
+    rows = sorted(run("agg_isotonic", spark, sf_dir).collect(), key=lambda r: r.d)
+    assert len(rows) == len(y)
+    for r, expected, raw in zip(rows, ref, y):
+        assert r.x == raw
+        assert r.iso_fit == pytest.approx(expected, rel=1e-9)
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_fit <= b.iso_fit + 1e-9

@@ -2210,3 +2210,154 @@ def multimodal_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Exchange, zero Python."""
     synth = _synth_zips(table(spark, sf_dir, "documents"))
     return zip_index(synth, "doc_id", "zipf")
+
+
+_WARC_DOCS = 40
+_WARC_RECORDS = 3
+_WARC_PATTERN = "abcdefghijklmnopqrstuvwxyz" * 12  # 312 chars
+
+
+def _warc_len_sql(d: str, r: str) -> str:
+    return f"(50 + ({d} * 31 + {r} * 17) % 200)"
+
+
+@query(
+    "multimodal_warc_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_WARC_DOCS}),
+recs AS (
+  SELECT ids.doc_id, g.r,
+         {_warc_len_sql('ids.doc_id', 'g.r')} AS cl,
+         1 + (ids.doc_id + g.r) % 26 AS pstart
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, {_WARC_RECORDS - 1}))
+                     AS r) g
+),
+built AS (
+  SELECT doc_id, r, cl,
+         CAST(doc_id AS VARCHAR) || '-' || CAST(r AS VARCHAR) AS rid,
+         substring('{_WARC_PATTERN}', pstart, 1) AS head_char,
+         substring('{_WARC_PATTERN}', pstart + cl - 1, 1) AS tail_char,
+         length('WARC/1.0' || chr(13) || chr(10)
+                || 'WARC-Type: response' || chr(13) || chr(10)
+                || 'WARC-Record-ID: <urn:uuid:'
+                || CAST(doc_id AS VARCHAR) || '-' || CAST(r AS VARCHAR)
+                || '>' || chr(13) || chr(10)
+                || 'Content-Length: ' || CAST(cl AS VARCHAR)
+                || chr(13) || chr(10) || chr(13) || chr(10))
+           + cl + 4 AS rec_len
+  FROM recs
+),
+offs AS (
+  SELECT *,
+         1 + COALESCE(SUM(rec_len) OVER (PARTITION BY doc_id ORDER BY r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rec_offset,
+         SUM(rec_len) OVER (PARTITION BY doc_id) AS file_bytes
+  FROM built
+)
+SELECT doc_id, CAST(r AS BIGINT) AS rec, rid,
+       CAST(cl AS BIGINT) AS content_length,
+       CAST(rec_offset AS BIGINT) AS rec_offset,
+       head_char, tail_char,
+       CAST(file_bytes AS BIGINT) AS file_bytes
+FROM offs
+""",
+    category="multimodal",
+)
+def multimodal_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record walk — the wire format of web-crawl corpora
+    (Common Crawl), the ninth from-spec structural parser: each doc
+    synthesizes a deterministic 3-record WARC file (response records
+    with WARC-Record-ID and Content-Length headers, CRLF framing,
+    double-CRLF terminators), and the parser walks it the way a WARC
+    reader must — locate the header/payload boundary, regexp the
+    Content-Length out of the HEADER BYTES, slice exactly that many
+    payload bytes, and let the PARSED length drive the next record's
+    offset (the tar lesson: offsets must come from the parse, not
+    the generative law). Emitted per record: the parsed record id,
+    content length, byte offset, first/last payload chars — all
+    recomputed independently by the oracle from the generative law
+    with a window cumsum for offsets. Pure JVM codegen: concat /
+    locate / regexp_extract / substring, no UDF, no shuffle beyond
+    the final posexplode projection."""
+    crlf = "\r\n"
+    ids = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _WARC_DOCS
+    ).select("doc_id")
+
+    def rec_expr(r: int) -> str:
+        cl = _warc_len_sql("doc_id", str(r))
+        pstart = f"(1 + (doc_id + {r}) % 26)"
+        return (
+            f"concat('WARC/1.0', '{crlf}', 'WARC-Type: response', '{crlf}',"
+            f" 'WARC-Record-ID: <urn:uuid:', CAST(doc_id AS STRING), '-{r}>',"
+            f" '{crlf}', 'Content-Length: ', CAST({cl} AS STRING),"
+            f" '{crlf}', '{crlf}',"
+            f" substring('{_WARC_PATTERN}', {pstart}, {cl}),"
+            f" '{crlf}', '{crlf}')"
+        )
+
+    f = ids.select(
+        "doc_id",
+        F.expr(
+            "concat(" + ", ".join(rec_expr(r) for r in range(_WARC_RECORDS)) + ")"
+        ).alias("file"),
+    )
+    # structural walk: each record's offset comes from the previous
+    # record's PARSED Content-Length
+    cur = f.withColumn("o_0", F.lit(1))
+    for r in range(_WARC_RECORDS):
+        cur = (
+            cur.withColumn(f"he_{r}", F.expr(f"locate('{crlf}{crlf}', file, o_{r})"))
+            .withColumn(
+                f"hdr_{r}", F.expr(f"substring(file, o_{r}, he_{r} - o_{r})")
+            )
+            .withColumn(
+                f"cl_{r}",
+                F.expr(
+                    f"CAST(regexp_extract(hdr_{r},"
+                    f" 'Content-Length: ([0-9]+)', 1) AS INT)"
+                ),
+            )
+            .withColumn(
+                f"rid_{r}",
+                F.expr(
+                    f"regexp_extract(hdr_{r},"
+                    f" 'WARC-Record-ID: <urn:uuid:([0-9-]+)>', 1)"
+                ),
+            )
+            .withColumn(
+                f"pay_{r}", F.expr(f"substring(file, he_{r} + 4, cl_{r})")
+            )
+            .withColumn(f"o_{r + 1}", F.expr(f"he_{r} + 4 + cl_{r} + 4"))
+        )
+    per_rec = cur.select(
+        "doc_id",
+        F.length("file").cast("long").alias("file_bytes"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"rid_{r}").alias("rid"),
+                        F.col(f"cl_{r}").cast("long").alias("content_length"),
+                        F.col(f"o_{r}").cast("long").alias("rec_offset"),
+                        F.substring(F.col(f"pay_{r}"), 1, 1).alias("head_char"),
+                        F.expr(f"substring(pay_{r}, cl_{r}, 1)").alias(
+                            "tail_char"
+                        ),
+                    )
+                    for r in range(_WARC_RECORDS)
+                ]
+            )
+        ).alias("rec", "s"),
+    )
+    return per_rec.select(
+        "doc_id",
+        F.col("rec").cast("long").alias("rec"),
+        F.col("s.rid").alias("rid"),
+        F.col("s.content_length").alias("content_length"),
+        F.col("s.rec_offset").alias("rec_offset"),
+        F.col("s.head_char").alias("head_char"),
+        F.col("s.tail_char").alias("tail_char"),
+        "file_bytes",
+    )

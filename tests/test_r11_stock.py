@@ -599,3 +599,59 @@ def test_isotonic_matches_pava(spark, sf_dir, day_grid):
         assert r.iso_fit == pytest.approx(expected, rel=1e-9)
     for a, b in zip(rows, rows[1:]):
         assert a.iso_fit <= b.iso_fit + 1e-9
+
+
+# --- multimodal_warc_parse ------------------------------------------------------
+
+
+def _read_warc(buf: str):
+    """Independent minimal WARC/1.0 reader: header-driven walk."""
+    out, o = [], 0
+    while o < len(buf):
+        he = buf.index("\r\n\r\n", o)
+        header = buf[o:he]
+        assert header.startswith("WARC/1.0\r\n")
+        fields = dict(
+            line.split(": ", 1) for line in header.split("\r\n")[1:]
+        )
+        cl = int(fields["Content-Length"])
+        payload = buf[he + 4 : he + 4 + cl]
+        assert len(payload) == cl
+        out.append((fields["WARC-Record-ID"], cl, o + 1, payload))
+        assert buf[he + 4 + cl : he + 4 + cl + 4] == "\r\n\r\n"
+        o = he + 4 + cl + 4
+    return out
+
+
+def test_warc_parse_matches_independent_reader(spark, sf_dir):
+    """Rebuild each doc's WARC file from the generative law in pure
+    Python, parse it with an independent reader, and compare every
+    parsed field with the Spark rows."""
+    pattern = "abcdefghijklmnopqrstuvwxyz" * 12
+    rows = run("multimodal_warc_parse", spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 40 and all(len(v) == 3 for v in by_doc.values())
+    for doc_id, recs in by_doc.items():
+        buf = ""
+        for r in range(3):
+            cl = 50 + (doc_id * 31 + r * 17) % 200
+            start = (doc_id + r) % 26
+            payload = pattern[start : start + cl]
+            buf += (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{doc_id}-{r}>\r\n"
+                f"Content-Length: {cl}\r\n\r\n{payload}\r\n\r\n"
+            )
+        parsed = _read_warc(buf)
+        assert len(parsed) == 3
+        for got, (rid, cl, off, payload) in zip(
+            sorted(recs, key=lambda x: x.rec), parsed
+        ):
+            assert got.rid == rid.removeprefix("<urn:uuid:").removesuffix(">")
+            assert got.content_length == cl
+            assert got.rec_offset == off
+            assert got.head_char == payload[0]
+            assert got.tail_char == payload[-1]
+            assert got.file_bytes == len(buf)

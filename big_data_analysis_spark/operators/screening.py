@@ -787,3 +787,206 @@ def agg_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.join(iso, idx["i"] == iso["t"]).select(
         F.col("d").cast("timestamp").alias("d"), "x", "iso_fit"
     )
+
+
+_LDIV_L = 3  # distinct-l-diversity requirement
+
+
+@query(
+    "pipeline_ldiversity",
+    oracle=f"""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+         c_custkey % 7 AS sensitive
+  FROM customer
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS max_sens_cnt
+  FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                             bal_band, sensitive) AS cnt
+    FROM q
+  ) w
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_below_l,
+       CAST(SUM(CASE WHEN l_distinct < {_LDIV_L} THEN grp_n ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN max_sens_cnt * {_LDIV_L} > grp_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_skewed,
+       CAST(SUM(grp_n) AS BIGINT) AS n_rows
+FROM cls
+""",
+    category="pipelines",
+)
+def pipeline_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit — the privacy gate k-anonymity
+    (pipeline_kanonymity, same quasi-identifier classes) is NOT
+    sufficient for: a class can be large yet reveal everyone's
+    sensitive value if that value is homogeneous. Per equivalence
+    class this reports distinct-l (count of distinct sensitive
+    values; sensitive here is a synthetic 7-value attribute), the
+    classes below l=3, the rows they expose, and a SKEW flag from
+    recursive-(c,l)-diversity's ingredient — the modal sensitive
+    value holding more than 1/l of the class, tested as the exact
+    integer cross-product max_cnt * l > n (no float share). Scale
+    shape: one window keyed on (class, sensitive) for modal counts
+    sharing its Exchange with the class rollup, then a bounded
+    final aggregate."""
+    c = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        band.alias("bal_band"),
+        (F.col("c_custkey") % 7).alias("sensitive"),
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band", "sensitive")
+    with_cnt = q.select("*", F.count(F.lit(1)).over(w).alias("cnt"))
+    cls = with_cnt.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.countDistinct("sensitive").cast("long").alias("l_distinct"),
+        F.max("cnt").cast("long").alias("max_sens_cnt"),
+    )
+    below = F.when(F.col("l_distinct") < _LDIV_L, 1).otherwise(0)
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(below).cast("long").alias("n_classes_below_l"),
+        F.sum(
+            F.when(F.col("l_distinct") < _LDIV_L, F.col("grp_n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum(
+            F.when(
+                F.col("max_sens_cnt") * _LDIV_L > F.col("grp_n"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_classes_skewed"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    )
+
+
+_SD_PERIOD = 7  # weekly seasonality, centered MA window
+
+
+@query(
+    "agg_seasonal_decompose",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n, isodow(d) - 1 AS wd
+      FROM s),
+tr AS (
+  SELECT d, x, rn, wd,
+         CASE WHEN rn > {_SD_PERIOD // 2} AND rn <= n - {_SD_PERIOD // 2}
+              THEN SUM(x) OVER (ORDER BY rn
+                                ROWS BETWEEN {_SD_PERIOD // 2} PRECEDING
+                                AND {_SD_PERIOD // 2} FOLLOWING)
+         END AS trend7
+  FROM i
+),
+det AS (
+  SELECT *, {_SD_PERIOD} * x - trend7 AS det7 FROM tr
+  WHERE trend7 IS NOT NULL
+),
+seas AS (
+  SELECT wd, CAST(SUM(det7) AS BIGINT) AS seas_num,
+         CAST(COUNT(*) AS BIGINT) AS seas_den
+  FROM det GROUP BY wd
+)
+SELECT CAST(tr.d AS TIMESTAMP) AS d, tr.x,
+       CAST(tr.trend7 AS BIGINT) AS trend7_sum,
+       CAST({_SD_PERIOD} * tr.x - tr.trend7 AS BIGINT) AS det7,
+       seas.seas_num, seas.seas_den,
+       CAST(tr.trend7 AS DOUBLE) / {_SD_PERIOD} AS trend,
+       CAST(seas.seas_num AS DOUBLE) / seas.seas_den / {_SD_PERIOD}
+         AS seasonal,
+       tr.x - CAST(tr.trend7 AS DOUBLE) / {_SD_PERIOD}
+            - CAST(seas.seas_num AS DOUBLE) / seas.seas_den / {_SD_PERIOD}
+         AS residual
+FROM tr JOIN seas ON seas.wd = tr.wd
+WHERE tr.trend7 IS NOT NULL
+""",
+    category="aggregations",
+)
+def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + weekly
+    seasonal + residual) of the click daily-revenue series — the
+    moving-average decomposition behind every STL-style seasonality
+    readout: the trend is a CENTERED 7-day moving average carried as
+    its exact integer SUM (trend7 = sum of the window; the /7 happens
+    once, in the display column), the detrended series det7 = 7x -
+    trend7 stays integer, the weekly seasonal component is the
+    per-weekday mean of det7 carried as an exact num/den rational
+    pair, and only the three display columns divide. Incomplete
+    edge windows are dropped (the centered MA is undefined there).
+    Spark weekday() == DuckDB isodow-1 (the engines' dayofweek
+    origins disagree — the agg_anova_weekday trap re-pinned). Scale:
+    everything runs on the value-domain-bounded day grid; the
+    weekday rollup is a 7-key aggregate fanned back by a broadcast
+    join."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    half = _SD_PERIOD // 2
+    wi = Window.orderBy("d")
+    wn = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    i = s.select(
+        "d",
+        "x",
+        F.row_number().over(wi).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.weekday("d").alias("wd"),
+    )
+    wma = Window.orderBy("rn").rowsBetween(-half, half)
+    tr = i.select(
+        "d",
+        "x",
+        "wd",
+        F.when(
+            (F.col("rn") > half) & (F.col("rn") <= F.col("n") - half),
+            F.sum("x").over(wma),
+        ).alias("trend7"),
+    ).where(F.col("trend7").isNotNull())
+    det7 = _SD_PERIOD * F.col("x") - F.col("trend7")
+    seas = (
+        tr.select("wd", det7.alias("det7"))
+        .groupBy("wd")
+        .agg(
+            F.sum("det7").cast("long").alias("seas_num"),
+            F.count(F.lit(1)).cast("long").alias("seas_den"),
+        )
+    )
+    j = tr.join(F.broadcast(seas), "wd")
+    trend = F.col("trend7").cast("double") / _SD_PERIOD
+    seasonal = (
+        F.col("seas_num").cast("double") / F.col("seas_den") / _SD_PERIOD
+    )
+    return j.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "x",
+        F.col("trend7").cast("long").alias("trend7_sum"),
+        det7.cast("long").alias("det7"),
+        "seas_num",
+        "seas_den",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("x") - trend - seasonal).alias("residual"),
+    )

@@ -655,3 +655,69 @@ def test_warc_parse_matches_independent_reader(spark, sf_dir):
             assert got.head_char == payload[0]
             assert got.tail_char == payload[-1]
             assert got.file_bytes == len(buf)
+
+
+# --- pipeline_ldiversity --------------------------------------------------------
+
+
+def test_ldiversity_matches_pandas(spark, sf_dir):
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+               c_custkey % 7 AS s
+            FROM '{sf_dir}/customer.parquet'"""
+    ).df()
+    row = run("pipeline_ldiversity", spark, sf_dir).collect()[0]
+    g = df.groupby(["c_nationkey", "c_mktsegment", "band"])
+    n_classes = len(g)
+    l_per = g.s.nunique()
+    sizes = g.size()
+    modal = g.s.agg(lambda v: v.value_counts().iloc[0])
+    assert row.n_classes == n_classes
+    assert row.n_classes_below_l == int((l_per < 3).sum())
+    assert row.n_rows_at_risk == int(sizes[l_per < 3].sum())
+    assert row.min_l == int(l_per.min())
+    assert row.n_classes_skewed == int((modal * 3 > sizes).sum())
+    assert row.n_rows == len(df)
+
+
+# --- agg_seasonal_decompose -----------------------------------------------------
+
+
+def test_seasonal_decompose_matches_reference(spark, sf_dir, day_grid):
+    """Centered-MA decomposition replayed in pure Python; the three
+    components must re-add to x, and the seasonal component must be
+    constant per weekday."""
+    sub = day_grid[day_grid.event_type == "click"].sort_values("d")
+    xs = [int(v) for v in sub.x]
+    days = list(sub.d)
+    n = len(xs)
+    trend7 = {
+        i: sum(xs[i - 3 : i + 4]) for i in range(3, n - 3)
+    }  # centered window of 7
+    det = {i: 7 * xs[i] - trend7[i] for i in trend7}
+    from collections import defaultdict
+
+    bywd = defaultdict(list)
+    for i in det:
+        bywd[days[i].isoweekday() - 1].append(det[i])
+    rows = sorted(
+        run("agg_seasonal_decompose", spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    assert len(rows) == len(det)
+    for r, i in zip(rows, sorted(det)):
+        assert r.x == xs[i]
+        assert r.trend7_sum == trend7[i]
+        assert r.det7 == det[i]
+        wd = days[i].isoweekday() - 1
+        assert r.seas_num == sum(bywd[wd]) and r.seas_den == len(bywd[wd])
+        assert r.trend == pytest.approx(trend7[i] / 7, rel=1e-12)
+        assert r.seasonal == pytest.approx(
+            sum(bywd[wd]) / len(bywd[wd]) / 7, rel=1e-12
+        )
+        assert r.x - r.trend - r.seasonal == pytest.approx(
+            r.residual, rel=1e-9, abs=1e-6
+        )

@@ -990,3 +990,284 @@ def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (F.col("x") - trend - seasonal).alias("residual"),
     )
+
+
+@query(
+    "agg_pettitt",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t,
+             COUNT(*) OVER () AS n
+      FROM s),
+v AS (
+  SELECT a.t, a.d, a.n,
+         CAST(SUM(CASE WHEN a.x > b.x THEN 1
+                       WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS vt
+  FROM i a JOIN i b ON a.t <> b.t
+  GROUP BY a.t, a.d, a.n
+),
+u AS (
+  SELECT t, d, n,
+         SUM(vt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ut
+  FROM v
+),
+k AS (
+  SELECT MAX(abs(ut)) AS kstat FROM u WHERE t < n
+)
+SELECT CAST(u.d AS TIMESTAMP) AS d, CAST(u.t AS BIGINT) AS t,
+       CAST(u.ut AS BIGINT) AS u_t,
+       CAST(k.kstat AS BIGINT) AS k_stat,
+       u.t < u.n AND abs(u.ut) = k.kstat
+         AND u.t = (SELECT MIN(t) FROM u u2
+                    WHERE abs(u2.ut) = k.kstat AND u2.t < u2.n)
+         AS is_changepoint
+FROM u CROSS JOIN k
+""",
+    category="aggregations",
+)
+def agg_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on the click daily-revenue series —
+    the rank-based single-changepoint detector that completes the
+    drift tier (win_cusum_changepoint and agg_page_hinkley watch the
+    MEAN; Pettitt is the Mann-Whitney-flavored nonparametric twin):
+    U_t = sum_{{i<=t, j>t}} sgn(x_i - x_j) via the exact recurrence
+    U_t = U_{{t-1}} + V_t with V_t = sum_j sgn(x_t - x_j), so one
+    O(days^2) sign rollup on the bounded grid plus one cumulative sum
+    replaces the O(days^3) direct enumeration; K = max |U_t| over
+    t < n and the changepoint is its first attaining index
+    (deterministic tie-break). Everything is exact integers — no
+    float enters at any point. Scale: the pair join runs on the
+    value-domain-bounded day grid, never on raw events."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wi = Window.orderBy("d")
+    wn = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    i = s.select(
+        "d",
+        "x",
+        F.row_number().over(wi).alias("t"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    a = i.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"),
+        F.col("x").alias("xa"), F.col("n").alias("na"),
+    )
+    b = i.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    v = (
+        a.join(b, F.col("ta") != F.col("tb"))
+        .groupBy("ta", "da", "na")
+        .agg(
+            F.sum(
+                F.when(F.col("xa") > F.col("xb"), 1)
+                .when(F.col("xa") < F.col("xb"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("vt")
+        )
+    )
+    wu = Window.orderBy("ta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = v.select(
+        "ta", "da", "na", F.sum("vt").over(wu).alias("ut")
+    )
+    k = u.where(F.col("ta") < F.col("na")).agg(
+        F.max(F.abs(F.col("ut"))).alias("kstat")
+    )
+    first = (
+        u.crossJoin(F.broadcast(k))
+        .where(
+            (F.col("ta") < F.col("na")) & (F.abs(F.col("ut")) == F.col("kstat"))
+        )
+        .agg(F.min("ta").alias("t_first"))
+    )
+    return (
+        u.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(first))
+        .select(
+            F.col("da").cast("timestamp").alias("d"),
+            F.col("ta").cast("long").alias("t"),
+            F.col("ut").cast("long").alias("u_t"),
+            F.col("kstat").cast("long").alias("k_stat"),
+            (
+                (F.col("ta") < F.col("na"))
+                & (F.abs(F.col("ut")) == F.col("kstat"))
+                & (F.col("ta") == F.col("t_first"))
+            ).alias("is_changepoint"),
+        )
+    )
+
+
+_MMR_CANDS = 32
+_MMR_K = 4
+_MMR_QUERY = [1 if j <= 32 else -1 for j in range(1, 65)]  # literal query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (lambda = 1/2, doubled scores: mmr2 =
+    rel - max_sim) as materialized CTE rounds, the _k_core_exact
+    unroll pattern."""
+    q_terms = " + ".join(
+        f"xq[{j}] * {c}" for j, c in enumerate(_MMR_QUERY, start=1)
+    )
+    dot_ab = " + ".join(f"a.xq[{j}] * b.xq[{j}]" for j in range(1, 65))
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS xq
+  FROM embeddings WHERE vec_id < {_MMR_CANDS}
+),
+rel AS MATERIALIZED (
+  SELECT vec_id, xq, CAST({q_terms} AS BIGINT) AS rel FROM base
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, xq, rel, CAST(0 AS BIGINT) AS max_sim, rel AS mmr2,
+         1 AS rank FROM rel
+  ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    prev_union = "SELECT * FROM p1"
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+picked{r - 1} AS MATERIALIZED ({prev_union}),
+scored{r} AS MATERIALIZED (
+  SELECT a.vec_id, a.xq, a.rel,
+         CAST(MAX({dot_ab}) AS BIGINT) AS max_sim
+  FROM rel a JOIN picked{r - 1} b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM picked{r - 1})
+  GROUP BY a.vec_id, a.xq, a.rel
+),
+p{r} AS MATERIALIZED (
+  SELECT vec_id, xq, rel, max_sim, rel - max_sim AS mmr2, {r} AS rank
+  FROM scored{r}
+  ORDER BY rel - max_sim DESC, vec_id LIMIT 1
+)"""
+        )
+        prev_union += f" UNION ALL SELECT * FROM p{r}"
+    parts.append(
+        f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, max_sim,
+       CAST(mmr2 AS BIGINT) AS mmr2
+FROM ({prev_union}) u"""
+    )
+    return "".join(parts)
+
+
+@query("pipeline_mmr_rerank", oracle=_mmr_oracle(), category="pipelines")
+def pipeline_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998) — the diversity-aware selection every RAG retriever runs
+    after similarity scoring: greedily pick k=4 of 32 candidates
+    maximizing relevance MINUS the max similarity to anything already
+    picked (lambda = 1/2; scores doubled so mmr2 = rel - max_sim
+    stays an exact int64 — relevance and similarities are integer
+    dots on the proven 1e-6 quantization grid). The greedy argmax is
+    inherently sequential, so the 4 rounds unroll: each is one
+    broadcast join of the <=3-row picked set against the candidates,
+    one exact-integer max-similarity rollup, and a TakeOrdered-1
+    pick with a deterministic vec_id tie-break; the only driver
+    traffic is the k picked ids (bounded fold, the kmeans/power-
+    iteration convention). The graded output re-derives relevance,
+    max-sim and mmr2 ENGINE-SIDE from the picked-id literals. Scale:
+    candidates stay distributed; per round the shuffled mass is
+    O(candidates), never O(candidates^2)."""
+    e = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _MMR_CANDS
+    )
+    base = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        ).alias("xq"),
+    ).localCheckpoint(eager=True)
+    q_terms = " + ".join(
+        f"element_at(xq, {j}) * {c}L"
+        for j, c in enumerate(_MMR_QUERY, start=1)
+    )
+    rel = base.select(
+        "vec_id", "xq", F.expr(q_terms).cast("long").alias("rel")
+    ).localCheckpoint(eager=True)
+
+    picked = []  # [(rank, vec_id)]
+    first = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
+    picked.append((1, int(first["vec_id"])))
+    for r in range(2, _MMR_K + 1):
+        pids = [vid for _, vid in picked]
+        pvec = rel.where(F.col("vec_id").isin(pids)).select(
+            F.col("vec_id").alias("pid"), F.col("xq").alias("pxq")
+        )
+        remaining = rel.where(~F.col("vec_id").isin(pids))
+        scored = (
+            remaining.crossJoin(F.broadcast(pvec))
+            .select(
+                "vec_id",
+                "rel",
+                F.expr(
+                    "aggregate(zip_with(xq, pxq, (a, b) -> a * b),"
+                    " 0L, (acc, t) -> acc + t)"
+                ).alias("sim"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").cast("long").alias("max_sim"))
+        )
+        pick = (
+            scored.orderBy(
+                F.desc(F.col("rel") - F.col("max_sim")), F.asc("vec_id")
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((r, int(pick["vec_id"])))
+    # engine-side re-derivation from the picked-id literals
+    spark_sess = base.sparkSession
+    ptab = F.broadcast(
+        spark_sess.createDataFrame(picked, "rank int, vec_id bigint")
+    )
+    out = ptab.join(rel, "vec_id").select(
+        "rank", "vec_id", "rel", "xq"
+    )
+    a = out.select(
+        F.col("rank").alias("ra"),
+        F.col("vec_id").alias("va"),
+        F.col("rel").alias("rel_a"),
+        F.col("xq").alias("xa"),
+    )
+    b = out.select(F.col("rank").alias("rb"), F.col("xq").alias("xb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ra") > F.col("rb"))
+        .select(
+            "ra",
+            "va",
+            "rel_a",
+            F.expr(
+                "aggregate(zip_with(xa, xb, (p, q) -> p * q),"
+                " 0L, (acc, t) -> acc + t)"
+            ).alias("sim"),
+        )
+        .groupBy("ra", "va", "rel_a")
+        .agg(F.max("sim").cast("long").alias("max_sim"))
+    )
+    firstrow = out.where(F.col("rank") == 1).select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        "rel",
+        F.lit(0).cast("long").alias("max_sim"),
+        F.col("rel").cast("long").alias("mmr2"),
+    )
+    rest = sims.select(
+        F.col("ra").cast("long").alias("rank"),
+        F.col("va").alias("vec_id"),
+        F.col("rel_a").alias("rel"),
+        "max_sim",
+        (F.col("rel_a") - F.col("max_sim")).cast("long").alias("mmr2"),
+    )
+    return firstrow.unionByName(rest)

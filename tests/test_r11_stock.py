@@ -721,3 +721,76 @@ def test_seasonal_decompose_matches_reference(spark, sf_dir, day_grid):
         assert r.x - r.trend - r.seasonal == pytest.approx(
             r.residual, rel=1e-9, abs=1e-6
         )
+
+
+# --- agg_pettitt --------------------------------------------------------------
+
+
+def test_pettitt_matches_direct_enumeration(spark, sf_dir, day_grid):
+    """U_t replayed by the O(n^2) direct double sum; K and the first
+    attaining index must match."""
+    xs = [
+        int(v)
+        for v in day_grid[day_grid.event_type == "click"].sort_values("d").x
+    ]
+    n = len(xs)
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    u_ref = {}
+    for t in range(1, n + 1):
+        u_ref[t] = sum(
+            sgn(xs[i], xs[j]) for i in range(t) for j in range(t, n)
+        )
+    k_ref = max(abs(u_ref[t]) for t in range(1, n))
+    cp = min(t for t in range(1, n) if abs(u_ref[t]) == k_ref)
+    rows = sorted(run("agg_pettitt", spark, sf_dir).collect(), key=lambda r: r.t)
+    assert len(rows) == n
+    for r in rows:
+        assert r.u_t == u_ref[r.t]
+        assert r.k_stat == k_ref
+        assert r.is_changepoint == (r.t == cp)
+
+
+# --- pipeline_mmr_rerank --------------------------------------------------------
+
+
+def test_mmr_matches_greedy_reference(spark, sf_dir):
+    """Greedy MMR replayed in pure Python over the same integer
+    lattice: picks, relevance, max-sims and scores all match; picks
+    are distinct and the first pick is the pure-relevance argmax."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT vec_id, embedding
+            FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < 32"""
+    ).fetchall()
+    w = [1 if j <= 32 else -1 for j in range(1, 65)]
+    xq = {
+        vid: [int(round(float(v) * 1_000_000)) for v in emb]
+        for vid, emb in df
+    }
+    rel = {vid: sum(a * b for a, b in zip(x, w)) for vid, x in xq.items()}
+
+    def dot(u, v):
+        return sum(a * b for a, b in zip(u, v))
+
+    picked = [min(rel, key=lambda v: (-rel[v], v))]
+    expect = {picked[0]: (1, rel[picked[0]], 0, rel[picked[0]])}
+    for r in range(2, 5):
+        best = None
+        for v in xq:
+            if v in picked:
+                continue
+            ms = max(dot(xq[v], xq[p]) for p in picked)
+            key = (-(rel[v] - ms), v)
+            if best is None or key < best[0]:
+                best = (key, v, ms)
+        _, v, ms = best
+        picked.append(v)
+        expect[v] = (r, rel[v], ms, rel[v] - ms)
+    rows = run("pipeline_mmr_rerank", spark, sf_dir).collect()
+    assert len(rows) == 4 and len({r.vec_id for r in rows}) == 4
+    for r in rows:
+        rank, relv, ms, mmr2 = expect[r.vec_id]
+        assert (r.rank, r.rel, r.max_sim, r.mmr2) == (rank, relv, ms, mmr2)

@@ -1404,3 +1404,87 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("degree * 1000000 DIV freq").cast("long").alias("rake_ppm"),
         )
     )
+
+
+@query(
+    "text_kneser_ney",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i])) AS v,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i + 1])) AS w
+  FROM d WHERE len(toks) >= 2
+),
+c AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw FROM bg GROUP BY v, w),
+cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+              CAST(COUNT(*) AS BIGINT) AS n1_fwd
+       FROM c GROUP BY v),
+cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1_back FROM c GROUP BY w),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c)
+SELECT c.v, c.w, c.c_vw, cv.c_v, cv.n1_fwd, cw.n1_back, b.bt,
+       CAST(b.bt * (4 * c.c_vw - 3) + 3 * cv.n1_fwd * cw.n1_back
+            AS BIGINT) AS p4_num,
+       CAST(4 * cv.c_v * b.bt AS BIGINT) AS d4_den,
+       CAST(b.bt * (4 * c.c_vw - 3) + 3 * cv.n1_fwd * cw.n1_back AS DOUBLE)
+         / (4 * cv.c_v * b.bt) AS p_kn
+FROM c JOIN cv ON cv.v = c.v JOIN cw ON cw.w = c.w CROSS JOIN b
+""",
+    category="text",
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (d = 0.75) — the
+    n-gram LM smoothing that defined pre-neural language modeling and
+    still powers fast contamination/novelty scoring: p(w|v) =
+    (c(v,w)-d)+/c(v) + d*N1+(v.)/c(v) * N1+(.w)/N1+(..). The
+    absolute discount 3/4 is cleared by 4x scaling so the whole
+    probability ships as the exact integer pair p4_num =
+    B*(4c-3) + 3*N1fwd*N1back over d4_den = 4*c(v)*B (observed
+    bigrams always have c >= 1, so the (.)+ never clips) — the ONE
+    double division is display-only, and the defining property
+    sum_w p(w|v) = 1 over the full vocab (unseen words get the pure
+    continuation backoff) is replayed exactly in the tests with
+    Fraction arithmetic. Scale shape: one corpus explode to bigrams,
+    then every aggregate lands on the bounded vocabulary / bigram-
+    type domain; the three context tables broadcast back."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= 2)
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS v,"
+                " element_at(toks, i + 1) AS w))"
+            )
+        ).alias("p")
+    ).select("p.v", "p.w")
+    c = bg.groupBy("v", "w").agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+    cv = c.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cw = c.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1_back"))
+    b = c.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    j = (
+        c.join(F.broadcast(cv), "v")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(b))
+    )
+    p4 = F.col("bt") * (4 * F.col("c_vw") - 3) + 3 * F.col("n1_fwd") * F.col(
+        "n1_back"
+    )
+    d4 = 4 * F.col("c_v") * F.col("bt")
+    return j.select(
+        "v",
+        "w",
+        "c_vw",
+        "c_v",
+        "n1_fwd",
+        "n1_back",
+        "bt",
+        p4.cast("long").alias("p4_num"),
+        d4.cast("long").alias("d4_den"),
+        (p4.cast("double") / d4).alias("p_kn"),
+    )

@@ -794,3 +794,37 @@ def test_mmr_matches_greedy_reference(spark, sf_dir):
     for r in rows:
         rank, relv, ms, mmr2 = expect[r.vec_id]
         assert (r.rank, r.rel, r.max_sim, r.mmr2) == (rank, relv, ms, mmr2)
+
+
+# --- text_kneser_ney ------------------------------------------------------------
+
+
+def test_kneser_ney_sums_to_one_exactly(spark, sf_dir):
+    """The defining property, in exact Fraction arithmetic: for every
+    context v, sum over the FULL vocab of p_KN(w|v) — observed
+    bigrams via the emitted num/den, unseen words via the pure
+    continuation backoff — equals exactly 1."""
+    from fractions import Fraction
+
+    rows = run("text_kneser_ney", spark, sf_dir).collect()
+    assert rows
+    bt = rows[0].bt
+    vocab_back = {}  # w -> n1_back
+    by_v = {}
+    for r in rows:
+        assert r.p4_num == r.bt * (4 * r.c_vw - 3) + 3 * r.n1_fwd * r.n1_back
+        assert r.d4_den == 4 * r.c_v * r.bt
+        assert r.p_kn == pytest.approx(r.p4_num / r.d4_den, abs=0)
+        vocab_back[r.w] = r.n1_back
+        by_v.setdefault(r.v, []).append(r)
+    assert sum(vocab_back.values()) == bt  # N1+(.w) partitions bigram types
+    for v, obs in by_v.items():
+        c_v, n1_fwd = obs[0].c_v, obs[0].n1_fwd
+        assert len(obs) == n1_fwd
+        seen_w = {r.w for r in obs}
+        total = sum(Fraction(r.p4_num, r.d4_den) for r in obs)
+        lam = Fraction(3 * n1_fwd, 4 * c_v)
+        for w, nb in vocab_back.items():
+            if w not in seen_w:
+                total += lam * Fraction(nb, bt)
+        assert total == 1

@@ -1271,3 +1271,165 @@ def pipeline_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rel_a") - F.col("max_sim")).cast("long").alias("mmr2"),
     )
     return firstrow.unionByName(rest)
+
+
+_VR_K = 4  # aggregation horizon for the variance-ratio test
+
+
+@query(
+    "win_variance_ratio",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM s),
+r1 AS (
+  SELECT t, x - lag(x) OVER (ORDER BY t) AS r
+  FROM i
+),
+rk AS (
+  SELECT t, x - lag(x, {_VR_K}) OVER (ORDER BY t) AS r
+  FROM i
+),
+m1 AS (
+  SELECT CAST(COUNT(r) AS BIGINT) AS n1, CAST(SUM(r) AS BIGINT) AS s1,
+         SUM(CAST(r AS HUGEINT) * r) AS q1
+  FROM r1 WHERE r IS NOT NULL
+),
+mk AS (
+  SELECT CAST(COUNT(r) AS BIGINT) AS nk, CAST(SUM(r) AS BIGINT) AS sk,
+         SUM(CAST(r AS HUGEINT) * r) AS qk
+  FROM rk WHERE r IS NOT NULL
+)
+SELECT m1.n1, mk.nk, m1.s1, mk.sk,
+       (CAST(CAST(m1.q1 AS VARCHAR) AS DOUBLE)
+        - CAST(m1.s1 AS DOUBLE) * m1.s1 / m1.n1) / (m1.n1 - 1) AS var1,
+       (CAST(CAST(mk.qk AS VARCHAR) AS DOUBLE)
+        - CAST(mk.sk AS DOUBLE) * mk.sk / mk.nk) / (mk.nk - 1) AS vark,
+       ((CAST(CAST(mk.qk AS VARCHAR) AS DOUBLE)
+         - CAST(mk.sk AS DOUBLE) * mk.sk / mk.nk) / (mk.nk - 1))
+       / ({_VR_K}.0 *
+          ((CAST(CAST(m1.q1 AS VARCHAR) AS DOUBLE)
+            - CAST(m1.s1 AS DOUBLE) * m1.s1 / m1.n1) / (m1.n1 - 1)))
+         AS vr
+FROM m1 CROSS JOIN mk
+""",
+    category="windows",
+)
+def win_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (k = 4) on the click
+    daily-revenue series — the random-walk diagnostic: under i.i.d.
+    increments Var(k-period change) = k * Var(1-period change), so
+    VR far from 1 signals mean-reversion (<1) or momentum (>1). Both
+    variance estimates come from exact integer power sums of the
+    lag-1 and lag-k differences (HUGEINT/DECIMAL via the VARCHAR
+    route), and VR is one fixed-order double chain shared by the
+    twins. Scale: two lag windows + two rollups on the value-domain-
+    bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    w = Window.orderBy("d")
+
+    def _moments(lag: int, pn: str, ps: str, pq: str) -> DataFrame:
+        r = s.select((F.col("x") - F.lag("x", lag).over(w)).alias("r")).where(
+            F.col("r").isNotNull()
+        )
+        return r.agg(
+            F.count("r").cast("long").alias(pn),
+            F.sum("r").cast("long").alias(ps),
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias(pq),
+        )
+
+    m1 = _moments(1, "n1", "s1", "q1")
+    mk = _moments(_VR_K, "nk", "sk", "qk")
+    j = m1.crossJoin(F.broadcast(mk))
+    var1 = (
+        F.col("q1").cast("string").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    vark = (
+        F.col("qk").cast("string").cast("double")
+        - F.col("sk").cast("double") * F.col("sk") / F.col("nk")
+    ) / (F.col("nk") - 1)
+    return j.select(
+        "n1",
+        "nk",
+        "s1",
+        "sk",
+        var1.alias("var1"),
+        vark.alias("vark"),
+        (vark / (float(_VR_K) * var1)).alias("vr"),
+    )
+
+
+@query(
+    "pipeline_quantile_normalize",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT event_type, d, x FROM g
+      WHERE event_type IN ('click', 'purchase')),
+rk AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, d) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+common AS (SELECT MIN(n) AS nc FROM (SELECT DISTINCT n FROM rk) t),
+trimmed AS (SELECT rk.* FROM rk CROSS JOIN common WHERE rk.rnk <= common.nc),
+ref AS (
+  SELECT rnk, CAST(SUM(x) AS BIGINT) AS ref2_num,
+         CAST(COUNT(*) AS BIGINT) AS n_series
+  FROM trimmed GROUP BY rnk
+)
+SELECT t.event_type, CAST(t.d AS TIMESTAMP) AS d, t.x,
+       CAST(t.rnk AS BIGINT) AS rnk, ref.ref2_num, ref.n_series,
+       CAST(ref.ref2_num AS DOUBLE) / ref.n_series AS x_qnorm
+FROM trimmed t JOIN ref ON ref.rnk = t.rnk
+""",
+    category="pipelines",
+)
+def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the click and purchase daily-revenue
+    series — the cross-sample distribution-matching transform
+    bioinformatics standardized (every series is remapped so its
+    order statistics agree with the cross-series mean order
+    statistic): each series is ranked internally (deterministic
+    (x, d) tie-break), ranks beyond the shortest series are trimmed
+    (both series cover the same days here, so this is a no-op guard),
+    and the reference distribution at each rank is the across-series
+    SUM carried exact (ref2_num) with the mean division display-only.
+    Scale shape: per-series ranking is key-partitioned on
+    event_type; the per-rank reference rollup and fan-back join are
+    key-partitioned on rank — nothing global, no broadcast of
+    anything data-proportional."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "d", "x"
+    )
+    wr = Window.partitionBy("event_type").orderBy("x", "d")
+    wn = Window.partitionBy("event_type")
+    rk = s.select(
+        "event_type",
+        "d",
+        "x",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    common = rk.select("n").distinct().agg(F.min("n").alias("nc"))
+    trimmed = rk.crossJoin(F.broadcast(common)).where(
+        F.col("rnk") <= F.col("nc")
+    )
+    ref = trimmed.groupBy("rnk").agg(
+        F.sum("x").cast("long").alias("ref2_num"),
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+    )
+    return trimmed.join(ref, "rnk").select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("d"),
+        "x",
+        F.col("rnk").cast("long").alias("rnk"),
+        "ref2_num",
+        "n_series",
+        (F.col("ref2_num").cast("double") / F.col("n_series")).alias(
+            "x_qnorm"
+        ),
+    )

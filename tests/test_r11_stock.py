@@ -828,3 +828,51 @@ def test_kneser_ney_sums_to_one_exactly(spark, sf_dir):
             if w not in seen_w:
                 total += lam * Fraction(nb, bt)
         assert total == 1
+
+
+# --- win_variance_ratio ---------------------------------------------------------
+
+
+def test_variance_ratio_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    xs = np.array(
+        [int(v) for v in day_grid[day_grid.event_type == "click"].sort_values("d").x],
+        dtype=float,
+    )
+    r1 = np.diff(xs)
+    rk = xs[4:] - xs[:-4]
+    row = run("win_variance_ratio", spark, sf_dir).collect()[0]
+    assert row.n1 == len(r1) and row.nk == len(rk)
+    assert row.var1 == pytest.approx(r1.var(ddof=1), rel=1e-12)
+    assert row.vark == pytest.approx(rk.var(ddof=1), rel=1e-12)
+    assert row.vr == pytest.approx(rk.var(ddof=1) / (4 * r1.var(ddof=1)), rel=1e-12)
+
+
+# --- pipeline_quantile_normalize ------------------------------------------------
+
+
+def test_quantile_normalize_properties(spark, sf_dir, day_grid):
+    """After quantile normalization the two series have IDENTICAL
+    multisets of normalized values, and within each series the
+    transform is monotone in the raw values."""
+    rows = run("pipeline_quantile_normalize", spark, sf_dir).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    assert set(by_series) == {"click", "purchase"}
+    vals = {
+        k: sorted(round(r.x_qnorm, 9) for r in v) for k, v in by_series.items()
+    }
+    assert vals["click"] == vals["purchase"]  # the defining property
+    for k, v in by_series.items():
+        srt = sorted(v, key=lambda r: r.rnk)
+        for p, q in zip(srt, srt[1:]):
+            assert p.x <= q.x and p.x_qnorm <= q.x_qnorm
+        # the reference at each rank is the cross-series mean of the
+        # order statistics
+        xs = {k2: sorted(r.x for r in v2) for k2, v2 in by_series.items()}
+        for r in srt:
+            expect = (xs["click"][r.rnk - 1] + xs["purchase"][r.rnk - 1]) / 2
+            assert r.x_qnorm == pytest.approx(expect, rel=1e-12)
+            assert r.ref2_num == xs["click"][r.rnk - 1] + xs["purchase"][r.rnk - 1]

@@ -1433,3 +1433,267 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_qnorm"
         ),
     )
+
+
+_DID_CUT = "2024-01-16"  # pre/post boundary (events span Jan 2024)
+
+
+@query(
+    "pipeline_did",
+    oracle=f"""
+WITH r AS (
+  SELECT ((user_id & {(1 << 31) - 1}) * 2654435761) % 2 AS treated,
+         CASE WHEN ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END AS post,
+         {_CENTS_SQL} AS y
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM r GROUP BY treated, post
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s11,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s10,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s01,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s00
+  FROM cells
+)
+SELECT n11, n10, n01, n00, s11, s10, s01, s00,
+       CAST(s11 AS DOUBLE) / n11 AS m11,
+       CAST(s10 AS DOUBLE) / n10 AS m10,
+       CAST(s01 AS DOUBLE) / n01 AS m01,
+       CAST(s00 AS DOUBLE) / n00 AS m00,
+       (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+         - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00) AS did
+FROM w
+""",
+    category="pipelines",
+)
+def pipeline_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal-inference
+    readout (treatment assigned by the deterministic Knuth hash of
+    the user id, the pipeline_ab_test convention; pre/post split at a
+    fixed calendar cutoff): the 2x2 cell means of purchase cents are
+    carried as exact BIGINT (sum, count) pairs, each mean is ONE
+    double division, and the DiD estimate (m11 - m10) - (m01 - m00)
+    is a fixed-order chain of those four correctly-rounded values —
+    identical in both engines. The parallel-trends counterfactual is
+    the analyst's burden; the query's job is exact cells. Scale: one
+    conditional aggregation onto the 4-cell domain — map-side
+    partials collapse everything."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    r = ev.select(
+        (
+            (F.col("user_id").bitwiseAND((1 << 31) - 1) * 2654435761) % 2
+        ).alias("treated"),
+        F.when(F.col("ts") >= F.lit(_DID_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        cents.alias("y"),
+    )
+    w = r.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), F.col("y")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+    )
+    m = {
+        f"m{t}{p}": F.col(f"s{t}{p}").cast("double") / F.col(f"n{t}{p}")
+        for t in (1, 0)
+        for p in (1, 0)
+    }
+    return w.select(
+        "n11", "n10", "n01", "n00", "s11", "s10", "s01", "s00",
+        m["m11"].alias("m11"),
+        m["m10"].alias("m10"),
+        m["m01"].alias("m01"),
+        m["m00"].alias("m00"),
+        ((m["m11"] - m["m10"]) - (m["m01"] - m["m00"])).alias("did"),
+    )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM d
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM tok GROUP BY token, doc_id
+),
+agg AS (
+  SELECT token, CAST(SUM(k) AS BIGINT) AS tot,
+         CAST(SUM(k * k) AS BIGINT) AS sumsq,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY token
+)
+SELECT token, tot, sumsq, df, ndocs.nd AS n_docs,
+       (CAST(sumsq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / ndocs.nd)
+         / (ndocs.nd - 1)
+         / (CAST(tot AS DOUBLE) / ndocs.nd) AS vmr
+FROM agg CROSS JOIN ndocs
+""",
+    category="text",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church-Gale variance-to-mean ratio) — the
+    corpus statistic separating bursty content words (a word that
+    appears once in a doc tends to appear again) from evenly-spread
+    function words; VMR = 1 is the Poisson baseline, the quantity
+    deduplication and topicality heuristics key off. Per-doc counts
+    include the zero-count docs ANALYTICALLY (zeros contribute
+    nothing to sum or sumsq, so sum over present docs + the exact
+    total doc count give the full-population moments), every sum is
+    an exact BIGINT, and VMR is one fixed-order double chain. Scale:
+    one corpus explode, a (token, doc) rollup, then a
+    vocabulary-domain-bounded aggregate with the 1-row doc-count
+    broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.sum("k").cast("long").alias("tot"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sumsq"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    j = agg.crossJoin(F.broadcast(nd))
+    totd = F.col("tot").cast("double")
+    return j.select(
+        "token",
+        "tot",
+        "sumsq",
+        "df",
+        F.col("nd").alias("n_docs"),
+        (
+            (F.col("sumsq").cast("double") - totd * F.col("tot") / F.col("nd"))
+            / (F.col("nd") - 1)
+            / (totd / F.col("nd"))
+        ).alias("vmr"),
+    )
+
+
+@query(
+    "agg_leverage",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x AS y, ROW_NUMBER() OVER (ORDER BY d) AS t,
+             COUNT(*) OVER () AS n
+      FROM s),
+m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM i
+)
+SELECT CAST(i.d AS TIMESTAMP) AS d, CAST(i.t AS BIGINT) AS t, i.y,
+       CAST((m.n * m.n - 1) + 3 * (2 * i.t - m.n - 1) * (2 * i.t - m.n - 1)
+            AS BIGINT) AS h_num,
+       CAST(m.n * (m.n * m.n - 1) AS BIGINT) AS h_den,
+       CAST((m.n * m.n - 1)
+            + 3 * (2 * i.t - m.n - 1) * (2 * i.t - m.n - 1) AS DOUBLE)
+         / (m.n * (m.n * m.n - 1.0)) AS leverage,
+       (m.n * m.n - 1)
+         + 3 * (2 * i.t - m.n - 1) * (2 * i.t - m.n - 1)
+         > 4 * (m.n * m.n - 1) AS high_leverage,
+       (CAST(12 * m.sty AS DOUBLE) - 6.0 * (m.n + 1) * m.sy)
+         / (m.n * (CAST(m.n AS DOUBLE) * m.n - 1)) AS slope,
+       CAST(m.sy AS DOUBLE) / m.n
+         - (CAST(12 * m.sty AS DOUBLE) - 6.0 * (m.n + 1) * m.sy)
+           / (m.n * (CAST(m.n AS DOUBLE) * m.n - 1)) * (m.n + 1) / 2.0
+         + (CAST(12 * m.sty AS DOUBLE) - 6.0 * (m.n + 1) * m.sy)
+           / (m.n * (CAST(m.n AS DOUBLE) * m.n - 1)) * i.t
+         AS fitted
+FROM i CROSS JOIN m
+""",
+    category="aggregations",
+)
+def agg_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression leverage diagnostics for the trend fit of click
+    daily revenue on time — the hat-matrix diagonal every influence
+    audit starts from: for simple regression on the equispaced index
+    t = 1..n the leverage has the CLOSED integer form h_t = [(n^2-1)
+    + 3(2t-n-1)^2] / [n(n^2-1)] (exact h_num/h_den pair; the >2p/n
+    rule-of-thumb flag h > 4/n is the exact integer comparison h_num
+    > 4(n^2-1)), the OLS slope over the same index is b = [12*Sty -
+    6(n+1)*Sy] / [n(n^2-1)] from two exact integer sums, and the
+    fitted line is one fixed-order double chain. agg_linear_
+    regression fits y-on-cents; this is its DIAGNOSTIC companion on
+    the design the hat matrix is closed-form for. Scale: the grid
+    rollup is bounded; the 1-row moment table broadcasts back."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wi = Window.orderBy("d")
+    wn = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    i = s.select(
+        "d",
+        F.col("x").alias("y"),
+        F.row_number().over(wi).alias("t"),
+        F.count(F.lit(1)).over(wn).alias("n0"),
+    )
+    m = i.agg(
+        F.max("n0").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    j = i.crossJoin(F.broadcast(m))
+    n, t, sy, sty = F.col("n"), F.col("t"), F.col("sy"), F.col("sty")
+    dev = 2 * t - n - 1
+    h_num = (n * n - 1) + 3 * dev * dev
+    h_den = n * (n * n - 1)
+    slope = (
+        (12 * sty).cast("double") - 6.0 * (n + 1) * sy
+    ) / (n * (n.cast("double") * n - 1))
+    fitted = (
+        sy.cast("double") / n
+        - slope * (n + 1) / 2.0
+        + slope * t
+    )
+    return j.select(
+        F.col("d").cast("timestamp").alias("d"),
+        t.cast("long").alias("t"),
+        "y",
+        h_num.cast("long").alias("h_num"),
+        h_den.cast("long").alias("h_den"),
+        (h_num.cast("double") / (n * (n * n - 1.0))).alias("leverage"),
+        (h_num > 4 * (n * n - 1)).alias("high_leverage"),
+        slope.alias("slope"),
+        fitted.alias("fitted"),
+    )

@@ -876,3 +876,90 @@ def test_quantile_normalize_properties(spark, sf_dir, day_grid):
             expect = (xs["click"][r.rnk - 1] + xs["purchase"][r.rnk - 1]) / 2
             assert r.x_qnorm == pytest.approx(expect, rel=1e-12)
             assert r.ref2_num == xs["click"][r.rnk - 1] + xs["purchase"][r.rnk - 1]
+
+
+# --- pipeline_did ---------------------------------------------------------------
+
+
+def test_did_matches_pandas(spark, sf_dir):
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT ((user_id & 2147483647) * 2654435761) % 2 AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+            FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"""
+    ).df()
+    row = run("pipeline_did", spark, sf_dir).collect()[0]
+    g = df.groupby(["treated", "post"]).y
+    means = {}
+    for (t, p), grp in g:
+        assert getattr(row, f"n{t}{p}") == len(grp)
+        assert getattr(row, f"s{t}{p}") == int(grp.sum())
+        means[(t, p)] = grp.sum() / len(grp)
+        assert getattr(row, f"m{t}{p}") == pytest.approx(means[(t, p)], rel=1e-12)
+    assert row.did == pytest.approx(
+        (means[(1, 1)] - means[(1, 0)]) - (means[(0, 1)] - means[(0, 0)]),
+        rel=1e-9,
+    )
+
+
+# --- text_burstiness ------------------------------------------------------------
+
+
+def test_burstiness_matches_population_vmr(spark, sf_dir):
+    """VMR recomputed including the zero-count docs explicitly."""
+    import numpy as np
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for did, txt in docs:
+        for tok in txt.split(" "):
+            per[tok][did] += 1
+    nd = len(docs)
+    rows = run("text_burstiness", spark, sf_dir).collect()
+    assert {r.token for r in rows} == set(per)
+    for r in rows:
+        ks = np.zeros(nd)
+        for j, (_, k) in enumerate(per[r.token].items()):
+            ks[j] = k  # remaining entries stay zero
+        assert r.tot == int(ks.sum())
+        assert r.sumsq == int((ks**2).sum())
+        assert r.df == len(per[r.token])
+        assert r.n_docs == nd
+        assert r.vmr == pytest.approx(
+            ks.var(ddof=1) / ks.mean(), rel=1e-9
+        )
+
+
+# --- agg_leverage ---------------------------------------------------------------
+
+
+def test_leverage_matches_hat_matrix(spark, sf_dir, day_grid):
+    """h_t replayed from the hat-matrix definition; leverages sum to
+    p = 2 exactly (in Fractions), and the fitted line matches
+    numpy's least squares."""
+    import numpy as np
+    from fractions import Fraction
+
+    ys = [int(v) for v in day_grid[day_grid.event_type == "click"].sort_values("d").x]
+    n = len(ys)
+    ts = np.arange(1, n + 1, dtype=float)
+    rows = sorted(run("agg_leverage", spark, sf_dir).collect(), key=lambda r: r.t)
+    assert len(rows) == n
+    sxx = (ts - ts.mean()) @ (ts - ts.mean())
+    b, a = np.polyfit(ts, np.array(ys, dtype=float), 1)
+    total_h = Fraction(0)
+    for r in rows:
+        h_ref = 1 / n + (r.t - ts.mean()) ** 2 / sxx
+        assert r.leverage == pytest.approx(h_ref, rel=1e-12)
+        assert r.h_num / r.h_den == pytest.approx(h_ref, rel=1e-12)
+        total_h += Fraction(r.h_num, r.h_den)
+        assert r.high_leverage == (r.h_num > 4 * (n * n - 1))
+        assert r.slope == pytest.approx(b, rel=1e-9)
+        assert r.fitted == pytest.approx(a + b * r.t, rel=1e-9)
+    assert total_h == 2  # trace of the hat matrix == #parameters

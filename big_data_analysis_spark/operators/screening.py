@@ -1697,3 +1697,171 @@ def agg_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         fitted.alias("fitted"),
     )
+
+
+@query(
+    "agg_c_index",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS churn_day,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS spend
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  SELECT a.user_id AS ia, b.user_id AS ib,
+         CASE WHEN a.spend > b.spend THEN 2
+              WHEN a.spend = b.spend THEN 1 ELSE 0 END AS conc2
+  FROM u a JOIN u b
+    ON a.churn_day < b.churn_day
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable,
+         CAST(SUM(conc2) AS BIGINT) AS conc2_sum
+  FROM pairs
+)
+SELECT n_comparable, conc2_sum,
+       CAST(conc2_sum AS DOUBLE) / (2 * n_comparable) AS c_index
+FROM t
+""",
+    category="aggregations",
+)
+def agg_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index — the survival-analysis ranking
+    metric joining agg_survival_hazard (whose churn clock this
+    reuses: a user's event time is their last observed day) to
+    pipeline_eval_auc (whose tie convention this doubles the same
+    way): over all COMPARABLE pairs (i churns strictly before j),
+    count score-concordant pairs — here score = lifetime spend, so
+    c > 0.5 means higher spenders survive longer — with ties worth
+    1/2, carried as the exact integer conc2 in {{0, 1, 2}} so
+    c_index = conc2_sum / (2 * n_comparable) is exact integers + one
+    double division. Scale shape: the comparable-pair join is a
+    range join on churn_day — at production scale it blocks on the
+    bounded day domain (every pair join here follows the
+    dedup-blocking discipline); user count is data-proportional, so
+    the demo's direct pair join stands in for the day-blocked plan
+    the docstrings of dedup_edit_distance describe."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("churn_day"),
+        F.sum(cents).cast("long").alias("spend"),
+    )
+    a = u.select(
+        F.col("user_id").alias("ia"),
+        F.col("churn_day").alias("da"),
+        F.col("spend").alias("sa"),
+    )
+    b = u.select(
+        F.col("user_id").alias("ib"),
+        F.col("churn_day").alias("db"),
+        F.col("spend").alias("sb"),
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(F.col("sa") > F.col("sb"), 2)
+        .when(F.col("sa") == F.col("sb"), 1)
+        .otherwise(0)
+        .alias("conc2")
+    )
+    t = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comparable"),
+        F.sum("conc2").cast("long").alias("conc2_sum"),
+    )
+    return t.select(
+        "n_comparable",
+        "conc2_sum",
+        (F.col("conc2_sum").cast("double") / (2 * F.col("n_comparable"))).alias(
+            "c_index"
+        ),
+    )
+
+
+_NW_LAGS = 3  # Bartlett truncation L
+
+
+@query(
+    "agg_newey_west",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM s),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM i),
+c AS (SELECT i.t, CAST(m.n * i.x - m.sx AS BIGINT) AS e, m.n
+      FROM i CROSS JOIN m),
+l AS (
+  SELECT e, n,
+         {", ".join(f"lead(e, {k}) OVER (ORDER BY t) AS e{k}" for k in range(1, _NW_LAGS + 1))}
+  FROM c
+),
+a AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(e AS HUGEINT) * e) AS g0,
+         {", ".join(f"SUM(CAST(e AS HUGEINT) * e{k}) AS g{k}" for k in range(1, _NW_LAGS + 1))}
+  FROM l
+)
+SELECT CAST(n AS BIGINT) AS n, CAST({_NW_LAGS} AS BIGINT) AS n_lags,
+       CAST(CAST(g0 AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * n * n) AS gamma0,
+       (CAST(CAST(g0 AS VARCHAR) AS DOUBLE)
+        + {" + ".join(
+            f"2.0 * {_NW_LAGS + 1 - k} / {_NW_LAGS + 1}.0"
+            f" * CAST(CAST(g{k} AS VARCHAR) AS DOUBLE)"
+            for k in range(1, _NW_LAGS + 1))})
+         / (CAST(n AS DOUBLE) * n * n) AS nw_variance
+FROM a
+""",
+    category="aggregations",
+)
+def agg_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC) long-run variance of the click daily-revenue
+    series (Bartlett kernel, L = 3) — the autocorrelation-robust
+    variance every serially-correlated standard error leans on:
+    sigma^2_NW = gamma_0 + 2 sum_l (1 - l/(L+1)) gamma_l. The
+    autocovariance numerators come from n-SCALED deviations e_t =
+    n*x_t - S (the agg_ljung_box machinery — exact HUGEINT products,
+    VARCHAR route), and each Bartlett weight 1 - l/4 enters the one
+    fixed-order double chain as the exact rational (4-l)/4 — no
+    float accumulates across rows anywhere. Scale: lead windows and
+    the rollup on the value-domain-bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    c = s.crossJoin(F.broadcast(m)).select(
+        "d",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("e"),
+        "n",
+    )
+    w = Window.orderBy("d")
+    l = c.select(
+        "e",
+        "n",
+        *[F.lead("e", k).over(w).alias(f"e{k}") for k in range(1, _NW_LAGS + 1)],
+    )
+    edec = F.col("e").cast("decimal(38,0)")
+    a = l.agg(
+        F.max("n").alias("n"),
+        F.sum(edec * F.col("e")).alias("g0"),
+        *[
+            F.sum(edec * F.col(f"e{k}")).alias(f"g{k}")
+            for k in range(1, _NW_LAGS + 1)
+        ],
+    )
+    n = F.col("n")
+    n3 = n.cast("double") * n * n
+    g0d = F.col("g0").cast("string").cast("double")
+    nw = g0d
+    for k in range(1, _NW_LAGS + 1):
+        nw = nw + 2.0 * (_NW_LAGS + 1 - k) / float(_NW_LAGS + 1) * F.col(
+            f"g{k}"
+        ).cast("string").cast("double")
+    return a.select(
+        n.cast("long").alias("n"),
+        F.lit(_NW_LAGS).cast("long").alias("n_lags"),
+        (g0d / n3).alias("gamma0"),
+        (nw / n3).alias("nw_variance"),
+    )

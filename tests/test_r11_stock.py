@@ -963,3 +963,48 @@ def test_leverage_matches_hat_matrix(spark, sf_dir, day_grid):
         assert r.slope == pytest.approx(b, rel=1e-9)
         assert r.fitted == pytest.approx(a + b * r.t, rel=1e-9)
     assert total_h == 2  # trace of the hat matrix == #parameters
+
+
+# --- agg_c_index ----------------------------------------------------------------
+
+
+def test_c_index_matches_pairwise(spark, sf_dir):
+    con = duckdb.connect()
+    users = con.execute(
+        f"""SELECT user_id, MAX(CAST(date_trunc('day', ts) AS DATE)) AS cd,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sp
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    n_comp = conc2 = 0
+    for _, da, sa in users:
+        for _, db, sb in users:
+            if da < db:
+                n_comp += 1
+                conc2 += 2 if sa > sb else (1 if sa == sb else 0)
+    row = run("agg_c_index", spark, sf_dir).collect()[0]
+    assert row.n_comparable == n_comp
+    assert row.conc2_sum == conc2
+    assert row.c_index == pytest.approx(conc2 / (2 * n_comp), abs=0)
+    assert 0.0 <= row.c_index <= 1.0
+
+
+# --- agg_newey_west -------------------------------------------------------------
+
+
+def test_newey_west_matches_numpy(spark, sf_dir, day_grid):
+    import numpy as np
+
+    xs = np.array(
+        [int(v) for v in day_grid[day_grid.event_type == "click"].sort_values("d").x],
+        dtype=float,
+    )
+    n = len(xs)
+    e = xs - xs.mean()
+    gam = lambda k: (e[:-k] * e[k:]).sum() / n if k else (e * e).sum() / n
+    nw = gam(0) + 2 * sum((1 - k / 4) * gam(k) for k in range(1, 4))
+    row = run("agg_newey_west", spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert row.gamma0 == pytest.approx(gam(0), rel=1e-9)
+    assert row.nw_variance == pytest.approx(nw, rel=1e-9)
+    # HAC >= 0 by Bartlett psd-ness
+    assert row.nw_variance >= 0

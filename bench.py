@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     # becomes visible here; hits/pagerank/k_core medians are recorded
     # in BASELINE.md but kept out of the suite to bound its runtime.
     "vec_power_iteration_exact",
+    "pipeline_basket_lift",
+    "text_kneser_ney",
 ]
 
 

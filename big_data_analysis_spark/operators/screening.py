@@ -1865,3 +1865,220 @@ def agg_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         (g0d / n3).alias("gamma0"),
         (nw / n3).alias("nw_variance"),
     )
+
+_KFOLD_K = 5
+
+
+@query(
+    "pipeline_group_kfold",
+    oracle=f"""
+WITH anchors AS (
+  SELECT source, CAST(MIN(doc_id) AS BIGINT) AS anchor
+  FROM documents GROUP BY source
+),
+folds AS (
+  SELECT source,
+         ((anchor & {(1 << 31) - 1}) * 2654435761) % {_KFOLD_K} AS fold
+  FROM anchors
+),
+d AS (
+  SELECT doc.doc_id, doc.n_chars, folds.source, folds.fold
+  FROM documents doc JOIN folds ON folds.source = doc.source
+),
+per_fold AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM d GROUP BY fold
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_sources
+  FROM (SELECT source FROM d GROUP BY source
+        HAVING COUNT(DISTINCT fold) > 1) t
+)
+SELECT CAST(per_fold.fold AS BIGINT) AS fold, per_fold.n_docs,
+       per_fold.sum_chars, per_fold.n_sources, leak.n_leaky_sources
+FROM per_fold CROSS JOIN leak
+""",
+    category="pipelines",
+)
+def pipeline_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment (k = 5) — the leakage-proof eval split
+    pipeline_train_split and pipeline_stratified_split do NOT give
+    you: the fold is a pure function of the GROUP (source), so every
+    document of a source lands in the same fold and a model evaluated
+    on fold i never saw fold i's sources (the held-out-domain
+    protocol). Portability subtlety this query pins: hashing the
+    source STRING with each engine's hash() would silently diverge
+    (Spark xxhash vs DuckDB's hash are different functions), so the
+    group key is reduced to an engine-portable integer anchor first —
+    the source's MIN doc id — and the fold is the 31-bit-masked Knuth
+    hash of that anchor, identical arithmetic in both engines. The
+    output is the per-fold manifest plus the leakage certificate
+    n_leaky_sources == 0 (sources spanning more than one fold; pinned
+    by test). Scale shape: one per-source anchor rollup (broadcast
+    back — the source domain is small), one fold-domain rollup."""
+    docs = table(spark, sf_dir, "documents")
+    anchors = docs.groupBy("source").agg(
+        F.min("doc_id").cast("long").alias("anchor")
+    )
+    folds = anchors.select(
+        "source",
+        (
+            (F.col("anchor").bitwiseAND((1 << 31) - 1) * 2654435761)
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    d = docs.join(F.broadcast(folds), "source")
+    per_fold = d.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    leak = (
+        d.groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_sources"))
+    )
+    return per_fold.crossJoin(F.broadcast(leak)).select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_docs",
+        "sum_chars",
+        "n_sources",
+        "n_leaky_sources",
+    )
+
+
+@query(
+    "pipeline_eval_threshold",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM q
+),
+th AS (
+  SELECT CAST(score AS BIGINT) AS thr,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp_at,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS fp_at
+  FROM q GROUP BY score
+),
+cum AS (
+  SELECT thr,
+         SUM(tp_at) OVER (ORDER BY thr DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+         SUM(fp_at) OVER (ORDER BY thr DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS fp
+  FROM th
+),
+j AS (
+  SELECT cum.thr, cum.tp, cum.fp, tot.np, tot.nn,
+         CAST(cum.tp * tot.nn - cum.fp * tot.np AS BIGINT) AS j_num
+  FROM cum CROSS JOIN tot
+),
+best AS (
+  SELECT MAX(j_num) AS best_j FROM j
+),
+pick AS (
+  SELECT MIN(thr) AS best_thr FROM j CROSS JOIN best
+  WHERE j.j_num = best.best_j
+)
+SELECT j.thr, CAST(j.tp AS BIGINT) AS tp, CAST(j.fp AS BIGINT) AS fp,
+       j.np, j.nn, j.j_num,
+       CAST(j.tp AS DOUBLE) / j.np AS tpr,
+       CAST(j.fp AS DOUBLE) / j.nn AS fpr,
+       CAST(j.tp AS DOUBLE) / j.np - CAST(j.fp AS DOUBLE) / j.nn
+         AS youden_j,
+       j.thr = pick.best_thr AS is_optimal
+FROM j CROSS JOIN pick
+""",
+    category="pipelines",
+)
+def pipeline_eval_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating-point selection by Youden's J — the
+    threshold-picking step downstream of pipeline_eval_auc (same
+    scorer, same exact-int machinery): for every candidate threshold
+    (each distinct score; predict positive when score >= thr) the TP
+    and FP counts come from ONE descending cumulative sum over the
+    score-grouped counts, and the argmax of J = TPR - FPR is decided
+    by the EXACT integer cross-product j_num = tp*nn - fp*np (equal
+    denominators np*nn for every threshold, so comparing j_num IS
+    comparing J — no float ever ranks thresholds; ties break to the
+    smallest threshold). TPR/FPR/J doubles are display-only. Scale:
+    score-domain-bounded rollup + cumulative sum; at data-proportional
+    score domains the cumsum runs through grouped_cumsum_distributed
+    (this demo's score domain is the bounded quantized-dot lattice)."""
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for jj in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", jj).cast("double") * 1_000_000
+        ).cast("long") * (1 if jj % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select((F.col("label") >= 5).alias("pos"), score.alias("score"))
+    tot = q.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1))
+        .cast("long")
+        .alias("nn"),
+    )
+    th = q.groupBy(F.col("score").alias("thr")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp_at"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1))
+        .cast("long")
+        .alias("fp_at"),
+    )
+    wc = Window.orderBy(F.desc("thr")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = th.select(
+        "thr",
+        F.sum("tp_at").over(wc).alias("tp"),
+        F.sum("fp_at").over(wc).alias("fp"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        "np",
+        "nn",
+        (F.col("tp") * F.col("nn") - F.col("fp") * F.col("np"))
+        .cast("long")
+        .alias("j_num"),
+    )
+    best = j.agg(F.max("j_num").alias("best_j"))
+    pick = (
+        j.crossJoin(F.broadcast(best))
+        .where(F.col("j_num") == F.col("best_j"))
+        .agg(F.min("thr").alias("best_thr"))
+    )
+    return j.crossJoin(F.broadcast(pick)).select(
+        "thr",
+        "tp",
+        "fp",
+        "np",
+        "nn",
+        "j_num",
+        (F.col("tp").cast("double") / F.col("np")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("nn")).alias("fpr"),
+        (
+            F.col("tp").cast("double") / F.col("np")
+            - F.col("fp").cast("double") / F.col("nn")
+        ).alias("youden_j"),
+        (F.col("thr") == F.col("best_thr")).alias("is_optimal"),
+    )

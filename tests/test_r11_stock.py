@@ -1008,3 +1008,67 @@ def test_newey_west_matches_numpy(spark, sf_dir, day_grid):
     assert row.nw_variance == pytest.approx(nw, rel=1e-9)
     # HAC >= 0 by Bartlett psd-ness
     assert row.nw_variance >= 0
+
+
+# --- pipeline_group_kfold -------------------------------------------------------
+
+
+def test_group_kfold_no_leakage_and_partition(spark, sf_dir):
+    """Folds partition the corpus; no source spans two folds; the fold
+    replays from the source's min doc id."""
+    con = duckdb.connect()
+    src = con.execute(
+        f"""SELECT source, MIN(doc_id) AS anchor, COUNT(*) AS n,
+               SUM(n_chars) AS sc
+            FROM '{sf_dir}/documents.parquet' GROUP BY source"""
+    ).fetchall()
+    rows = run("pipeline_group_kfold", spark, sf_dir).collect()
+    assert all(r.n_leaky_sources == 0 for r in rows)
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0, 0])
+    for source, anchor, n, sc in src:
+        fold = ((anchor & 2147483647) * 2654435761) % 5
+        expect[fold][0] += n
+        expect[fold][1] += sc
+        expect[fold][2] += 1
+    got = {r.fold: (r.n_docs, r.sum_chars, r.n_sources) for r in rows}
+    assert got == {f: tuple(v) for f, v in expect.items()}
+    n_total = sum(n for _, _, n, _ in src)
+    assert sum(r.n_docs for r in rows) == n_total
+
+
+# --- pipeline_eval_threshold ----------------------------------------------------
+
+
+def test_eval_threshold_matches_sklearnless_roc(spark, sf_dir):
+    """TP/FP at every threshold replayed directly; the optimal row
+    maximizes J with exact-integer comparison and the smallest-thr
+    tie-break."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT embedding, label FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    w = [1 if j % 2 == 1 else -1 for j in range(1, 65)]
+    data = [
+        (
+            sum(int(round(float(v) * 1_000_000)) * c for v, c in zip(emb, w)),
+            lab >= 5,
+        )
+        for emb, lab in df
+    ]
+    np_ = sum(1 for _, p in data if p)
+    nn_ = len(data) - np_
+    rows = run("pipeline_eval_threshold", spark, sf_dir).collect()
+    assert len(rows) == len({s for s, _ in data})
+    best = None
+    for r in rows:
+        tp = sum(1 for s, p in data if p and s >= r.thr)
+        fp = sum(1 for s, p in data if not p and s >= r.thr)
+        assert (r.tp, r.fp, r.np, r.nn) == (tp, fp, np_, nn_)
+        assert r.j_num == tp * nn_ - fp * np_
+        assert r.youden_j == pytest.approx(tp / np_ - fp / nn_, rel=1e-12)
+        if best is None or (r.j_num, -r.thr) > (best.j_num, -best.thr):
+            best = r
+    for r in rows:
+        assert r.is_optimal == (r.thr == best.thr)

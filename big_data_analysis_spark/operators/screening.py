@@ -2082,3 +2082,257 @@ def pipeline_eval_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("youden_j"),
         (F.col("thr") == F.col("best_thr")).alias("is_optimal"),
     )
+
+
+@query(
+    "text_yule_k",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS m
+  FROM tok GROUP BY lang, token
+),
+fof AS (
+  SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS vm
+  FROM tf GROUP BY lang, m
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+         CAST(SUM(vm) AS BIGINT) AS n_types,
+         CAST(SUM(m * m * vm) AS BIGINT) AS s2
+  FROM fof GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       CAST(10000 * (s2 - n_tokens) AS BIGINT) AS k_num,
+       CAST(n_tokens * n_tokens AS BIGINT) AS k_den,
+       CAST(10000 * (s2 - n_tokens) AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * n_tokens) AS yule_k
+FROM agg
+""",
+    category="text",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the classic lexical-
+    diversity constant (author-attribution era) that, unlike TTR or
+    hapax ratio (text_hapax_ratio), is length-invariant: K = 10^4 *
+    (sum_m m^2*V_m - N) / N^2 over the frequency-of-frequencies
+    spectrum V_m (how many types occur exactly m times). Every
+    quantity is an exact BIGINT off two nested rollups (type
+    frequencies, then the frequency spectrum), K ships as an exact
+    num/den pair with the double display-only. Scale: one corpus
+    explode, then everything lands on the bounded (lang, frequency)
+    spectrum domain."""
+    tok = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    fof = tf.groupBy("lang", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("vm")
+    )
+    agg = fof.groupBy("lang").agg(
+        F.sum(F.col("m") * F.col("vm")).cast("long").alias("n_tokens"),
+        F.sum("vm").cast("long").alias("n_types"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm"))
+        .cast("long")
+        .alias("s2"),
+    )
+    k_num = 10000 * (F.col("s2") - F.col("n_tokens"))
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        k_num.cast("long").alias("k_num"),
+        (F.col("n_tokens") * F.col("n_tokens")).cast("long").alias("k_den"),
+        (
+            k_num.cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        ).alias("yule_k"),
+    )
+
+
+@query(
+    "pipeline_eval_pr",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+tot AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM q),
+th AS (
+  SELECT CAST(score AS BIGINT) AS thr,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp_at,
+         CAST(COUNT(*) AS BIGINT) AS n_at
+  FROM q GROUP BY score
+),
+cum AS (
+  SELECT thr, tp_at,
+         SUM(tp_at) OVER w AS tp,
+         SUM(n_at) OVER w AS pred_pos
+  FROM th
+  WINDOW w AS (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+terms AS (
+  SELECT cum.thr, CAST(cum.tp AS BIGINT) AS tp,
+         CAST(cum.pred_pos AS BIGINT) AS pred_pos, tot.np,
+         CAST(cum.tp_at * cum.tp AS BIGINT) AS ap_term_num,
+         CAST(tot.np * cum.pred_pos AS BIGINT) AS ap_term_den
+  FROM cum CROSS JOIN tot
+)
+SELECT thr, tp, pred_pos, np,
+       CAST(tp AS DOUBLE) / pred_pos AS precision,
+       CAST(tp AS DOUBLE) / np AS recall,
+       ap_term_num, ap_term_den
+FROM terms
+""",
+    category="pipelines",
+)
+def pipeline_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + average precision — the ranking eval
+    that matters under class imbalance where ROC flatters
+    (pipeline_eval_auc's PR companion, same scorer): per threshold
+    (descending), precision tp/pred_pos and recall tp/np come from
+    one cumulative sum, and each AP summand dRecall_k * Precision_k
+    ships as the EXACT integer pair tp_at*tp / (np*pred_pos) — a
+    float running sum was tried first and the parity run caught
+    DuckDB's windowed SUM aggregating through a SEGMENT TREE (tree
+    addition order != sequential order -> last-ulp divergence), so
+    the engine emits exact rationals and the caller folds AP (the
+    tests certify it in Fraction arithmetic). Counts exact;
+    divisions per-row. Scale: score-domain rollup + ordered
+    cumsums, the eval_threshold shape."""
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for jj in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", jj).cast("double") * 1_000_000
+        ).cast("long") * (1 if jj % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select((F.col("label") >= 5).alias("pos"), score.alias("score"))
+    tot = q.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("np")
+    )
+    th = q.groupBy(F.col("score").alias("thr")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp_at"),
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+    )
+    wc = Window.orderBy(F.desc("thr")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = th.select(
+        "thr",
+        "tp_at",
+        F.sum("tp_at").over(wc).alias("tp"),
+        F.sum("n_at").over(wc).alias("pred_pos"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pred_pos").cast("long").alias("pred_pos"),
+        "np",
+        (F.col("tp_at") * F.col("tp")).cast("long").alias("ap_term_num"),
+        (F.col("np") * F.col("pred_pos")).cast("long").alias("ap_term_den"),
+    )
+    return terms.select(
+        "thr",
+        "tp",
+        "pred_pos",
+        "np",
+        (F.col("tp").cast("double") / F.col("pred_pos")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("np")).alias("recall"),
+        "ap_term_num",
+        "ap_term_den",
+    )
+
+
+def _mod97_weights(length: int) -> list:
+    """10^(length-1-i) mod 97 for i = 0..length-1 (leftmost digit
+    first) — the positional coefficients that turn the big-number
+    mod into a bounded weighted sum."""
+    return [pow(10, length - 1 - i, 97) for i in range(length)]
+
+
+def _mod97_sql(col: str, length: int) -> str:
+    ws = _mod97_weights(length)
+    terms = " + ".join(
+        f"CAST(substring({col}, {i + 1}, 1) AS BIGINT) * {w}"
+        for i, w in enumerate(ws)
+    )
+    return f"(({terms}) % 97)"
+
+
+@query(
+    "fn_mod97",
+    oracle=f"""
+WITH b AS (
+  SELECT c_custkey,
+         lpad(CAST(c_custkey * 7919 + 13 AS VARCHAR), 18, '0') AS bban
+  FROM customer
+),
+c AS (
+  SELECT c_custkey, bban,
+         {_mod97_sql("bban || '353500'", 24)} AS r
+  FROM b
+),
+d AS (
+  SELECT c_custkey, bban,
+         lpad(CAST(98 - r AS VARCHAR), 2, '0') AS check_digits
+  FROM c
+)
+SELECT c_custkey, bban, check_digits,
+       'ZZ' || check_digits || bban AS iban,
+       {_mod97_sql("bban || '3535' || check_digits", 24)} AS mod97_verify,
+       {_mod97_sql("bban || '3535' || check_digits", 24)} = 1 AS is_valid
+FROM d
+""",
+    category="functions",
+)
+def fn_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 7064 mod-97-10 check digits (the IBAN algorithm) — compute
+    AND verify: an 18-digit account body derives deterministically
+    from the customer key, the check digits are 98 minus the mod-97
+    of the rearranged string (country 'ZZ' maps to '3535' per the
+    letter table A=10..Z=35), and the verification column re-runs the
+    mod on the completed string and must equal 1 on EVERY row (pinned
+    by test). The 24-digit number never exists as a number: mod 97 is
+    taken positionally — each digit times its precomputed 10^k mod 97
+    coefficient, a bounded weighted sum (the fn_adler32 closed-form
+    discipline; both engines share the literal coefficient table).
+    Map-only codegen plan, no UDF."""
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        F.lpad(
+            (F.col("c_custkey") * 7919 + 13).cast("string"), 18, "0"
+        ).alias("bban"),
+    )
+    r = F.expr(_mod97_sql("concat(bban, '353500')", 24))
+    d = b.select(
+        "c_custkey",
+        "bban",
+        F.lpad((98 - r).cast("string"), 2, "0").alias("check_digits"),
+    )
+    verify = F.expr(_mod97_sql("concat(bban, '3535', check_digits)", 24))
+    return d.select(
+        "c_custkey",
+        "bban",
+        "check_digits",
+        F.concat(F.lit("ZZ"), F.col("check_digits"), F.col("bban")).alias(
+            "iban"
+        ),
+        verify.cast("long").alias("mod97_verify"),
+        (verify == 1).alias("is_valid"),
+    )

@@ -1072,3 +1072,90 @@ def test_eval_threshold_matches_sklearnless_roc(spark, sf_dir):
             best = r
     for r in rows:
         assert r.is_optimal == (r.thr == best.thr)
+
+
+# --- text_yule_k ----------------------------------------------------------------
+
+
+def test_yule_k_matches_reference(spark, sf_dir):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    freq = defaultdict(Counter)
+    for lang, t in docs:
+        freq[lang].update(t.split(" "))
+    rows = {r.lang: r for r in run("text_yule_k", spark, sf_dir).collect()}
+    assert set(rows) == set(freq)
+    for lang, cnt in freq.items():
+        n = sum(cnt.values())
+        s2 = sum(m * m for m in cnt.values())
+        r = rows[lang]
+        assert r.n_tokens == n and r.n_types == len(cnt)
+        assert r.k_num == 10000 * (s2 - n) and r.k_den == n * n
+        assert r.yule_k == pytest.approx(10000 * (s2 - n) / n**2, rel=1e-12)
+
+
+# --- pipeline_eval_pr -----------------------------------------------------------
+
+
+def test_eval_pr_ap_in_fractions(spark, sf_dir):
+    """The exact AP folded from the emitted rational summands equals
+    the direct step-wise AP computed from scratch; precision/recall
+    per row are exact ratios."""
+    from fractions import Fraction
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT embedding, label FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    w = [1 if j % 2 == 1 else -1 for j in range(1, 65)]
+    data = sorted(
+        (
+            sum(int(round(float(v) * 1_000_000)) * c for v, c in zip(emb, w)),
+            lab >= 5,
+        )
+        for emb, lab in df
+    )
+    rows = run("pipeline_eval_pr", spark, sf_dir).collect()
+    np_ = rows[0].np
+    # reference AP: iterate thresholds descending
+    from collections import Counter
+
+    by_score = {}
+    for s, p in data:
+        tp, n = by_score.get(s, (0, 0))
+        by_score[s] = (tp + (1 if p else 0), n + 1)
+    ap_ref = Fraction(0)
+    tp = pp = 0
+    for s in sorted(by_score, reverse=True):
+        tpa, na = by_score[s]
+        tp += tpa
+        pp += na
+        ap_ref += Fraction(tpa, np_) * Fraction(tp, pp)
+    ap_got = sum(Fraction(r.ap_term_num, r.ap_term_den) for r in rows)
+    assert ap_got == ap_ref
+    for r in rows:
+        assert r.precision == pytest.approx(r.tp / r.pred_pos, abs=0)
+        assert r.recall == pytest.approx(r.tp / r.np, abs=0)
+    assert 0 < float(ap_got) <= 1
+
+
+# --- fn_mod97 -------------------------------------------------------------------
+
+
+def test_mod97_check_digits_are_valid_ibans(spark, sf_dir):
+    """Every generated IBAN validates by the textbook big-integer
+    mod-97 rule (rearrange, letters->numbers, mod 97 == 1)."""
+    rows = run("fn_mod97", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.bban) == 18 and len(r.check_digits) == 2
+        # textbook validation with Python big ints: move country+check
+        # to the end, map Z->35
+        rearranged = r.bban + "3535" + r.check_digits
+        assert int(rearranged) % 97 == 1
+        assert r.mod97_verify == 1 and r.is_valid
+        assert r.iban == "ZZ" + r.check_digits + r.bban

@@ -2336,3 +2336,193 @@ def fn_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify.cast("long").alias("mod97_verify"),
         (verify == 1).alias("is_valid"),
     )
+
+
+_MP_W = 8  # motif window length
+_MP_EXCL = 4  # exclusion half-width (trivial-match zone)
+
+
+@query(
+    "win_matrix_profile",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t,
+             COUNT(*) OVER () AS n
+      FROM s),
+win AS (
+  SELECT t AS wstart, d,
+         array_agg(x) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                            AND {_MP_W - 1} FOLLOWING) AS w,
+         n
+  FROM i
+),
+full_win AS (
+  SELECT wstart, d, w FROM win WHERE len(w) = {_MP_W}
+),
+dists AS (
+  SELECT a.wstart, a.d,
+         CAST(MIN(list_sum(list_transform(range(1, {_MP_W + 1}),
+              k -> CAST(a.w[k] - b.w[k] AS HUGEINT)
+                   * (a.w[k] - b.w[k])))) AS HUGEINT) AS min_sed
+  FROM full_win a JOIN full_win b
+    ON abs(a.wstart - b.wstart) > {_MP_EXCL}
+  GROUP BY a.wstart, a.d
+),
+best AS (SELECT MIN(min_sed) AS motif_sed FROM dists)
+SELECT CAST(dists.d AS TIMESTAMP) AS d,
+       CAST(dists.wstart AS BIGINT) AS wstart,
+       CAST(CAST(dists.min_sed AS VARCHAR) AS DOUBLE) AS profile_sed,
+       dists.min_sed = best.motif_sed AS is_motif
+FROM dists CROSS JOIN best
+""",
+    category="windows",
+)
+def win_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (unnormalized squared-Euclidean variant) of the
+    click daily-revenue series — the time-series motif/discord
+    primitive (Yeh et al., the all-pairs-similarity-search backbone):
+    for every length-8 window, the distance to its NEAREST
+    NON-TRIVIAL neighbor (exclusion zone |i-j| > 4 suppresses
+    self-overlap matches), with the window pair marked is_motif where
+    the profile attains its global minimum. Distances are exact
+    HUGEINT/DECIMAL integer sums of squared cent differences (the
+    z-normalized variant's per-window sqrt would break cross-engine
+    exactness; the unnormalized SED profile is the standard
+    exact-arithmetic member of the family), crossing to double via
+    the VARCHAR route for display. Profile minima and the motif flag
+    are integer comparisons. Scale: O(windows^2 * w) pair join on
+    the value-domain-bounded day grid (the agg_isotonic O(domain^3)
+    precedent); at raw-events scale the MASS/STOMP streaming
+    recurrences replace the pair join."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wt = Window.orderBy("d")
+    i = s.select("d", "x", F.row_number().over(wt).alias("t"))
+    ww = Window.orderBy("t").rowsBetween(Window.currentRow, _MP_W - 1)
+    win = i.select(
+        F.col("t").alias("wstart"),
+        "d",
+        F.collect_list("x").over(ww).alias("w"),
+    ).where(F.size("w") == _MP_W)
+    a = win.select(
+        F.col("wstart").alias("sa"), F.col("d").alias("da"), F.col("w").alias("wa")
+    )
+    b = win.select(F.col("wstart").alias("sb"), F.col("w").alias("wb"))
+    sed_terms = " + ".join(
+        f"CAST(element_at(wa, {k}) - element_at(wb, {k}) AS DECIMAL(38,0))"
+        f" * (element_at(wa, {k}) - element_at(wb, {k}))"
+        for k in range(1, _MP_W + 1)
+    )
+    dists = (
+        a.join(b, F.abs(F.col("sa") - F.col("sb")) > _MP_EXCL)
+        .select("sa", "da", F.expr(sed_terms).alias("sed"))
+        .groupBy("sa", "da")
+        .agg(F.min("sed").alias("min_sed"))
+    )
+    best = dists.agg(F.min("min_sed").alias("motif_sed"))
+    return dists.crossJoin(F.broadcast(best)).select(
+        F.col("da").cast("timestamp").alias("d"),
+        F.col("sa").cast("long").alias("wstart"),
+        F.col("min_sed").cast("string").cast("double").alias("profile_sed"),
+        (F.col("min_sed") == F.col("motif_sed")).alias("is_motif"),
+    )
+
+
+_SAX_W = 6  # PAA segment length (days per symbol)
+# Standard SAX breakpoints for a 4-symbol alphabet (standard-normal
+# quartiles): fixed literal constants, identical in both engines.
+_SAX_BPS = (-0.6745, 0.0, 0.6745)
+
+
+@query(
+    "win_sax",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM s),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM i),
+seg AS (
+  SELECT (t - 1) // {_SAX_W} AS seg_id,
+         CAST(MIN(d) AS TIMESTAMP) AS seg_start,
+         CAST(COUNT(*) AS BIGINT) AS seg_n,
+         CAST(SUM(x) AS BIGINT) AS seg_sum
+  FROM i GROUP BY (t - 1) // {_SAX_W}
+  HAVING COUNT(*) = {_SAX_W}
+),
+z AS (
+  SELECT seg.seg_id, seg.seg_start, seg.seg_n, seg.seg_sum,
+         (CAST(seg.seg_sum AS DOUBLE) / seg.seg_n
+          - CAST(m.sx AS DOUBLE) / m.n)
+         / sqrt((CAST(CAST(m.sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(m.sx AS DOUBLE) * m.sx / m.n) / (m.n - 1))
+           AS zpaa
+  FROM seg CROSS JOIN m
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id, seg_start, seg_n, seg_sum, zpaa,
+       CASE WHEN zpaa < {_SAX_BPS[0]} THEN 'a'
+            WHEN zpaa < {_SAX_BPS[1]} THEN 'b'
+            WHEN zpaa < {_SAX_BPS[2]} THEN 'c' ELSE 'd' END AS symbol
+FROM z
+""",
+    category="windows",
+)
+def win_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin-Keogh) of the click daily-revenue
+    series — Piecewise Aggregate Approximation (6-day segment means,
+    exact integer sums; ragged tail segments dropped) followed by
+    quantization of the series-z-scored PAA values against the
+    standard-normal quartile breakpoints for a 4-symbol alphabet
+    {{a,b,c,d}}. The breakpoints are FIXED LITERAL constants
+    (+-0.6745, 0) identical in both engines, the z-score is one
+    fixed-order double chain from exact integer moments (HUGEINT
+    sxx, VARCHAR route), and a threshold comparison of
+    identically-computed doubles is deterministic cross-engine — the
+    same argument every exact-tier flag column here makes. Scale:
+    segment rollup + 1-row moments broadcast on the bounded grid;
+    the symbol string feeds motif mining (win_matrix_profile's
+    discrete sibling)."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wt = Window.orderBy("d")
+    i = s.select("d", "x", F.row_number().over(wt).alias("t"))
+    m = i.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    seg = (
+        i.groupBy(((F.col("t") - 1) / _SAX_W).cast("long").alias("seg_id"))
+        .agg(
+            F.min("d").cast("timestamp").alias("seg_start"),
+            F.count(F.lit(1)).cast("long").alias("seg_n"),
+            F.sum("x").cast("long").alias("seg_sum"),
+        )
+        .where(F.col("seg_n") == _SAX_W)
+    )
+    j = seg.crossJoin(F.broadcast(m))
+    mean = F.col("sx").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("sxx").cast("string").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    zpaa = (F.col("seg_sum").cast("double") / F.col("seg_n") - mean) / sd
+    sym = (
+        F.when(zpaa < _SAX_BPS[0], "a")
+        .when(zpaa < _SAX_BPS[1], "b")
+        .when(zpaa < _SAX_BPS[2], "c")
+        .otherwise("d")
+    )
+    return j.select(
+        "seg_id",
+        "seg_start",
+        "seg_n",
+        "seg_sum",
+        zpaa.alias("zpaa"),
+        sym.alias("symbol"),
+    )

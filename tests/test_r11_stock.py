@@ -1159,3 +1159,51 @@ def test_mod97_check_digits_are_valid_ibans(spark, sf_dir):
         assert int(rearranged) % 97 == 1
         assert r.mod97_verify == 1 and r.is_valid
         assert r.iban == "ZZ" + r.check_digits + r.bban
+
+
+# --- win_matrix_profile ---------------------------------------------------------
+
+
+def test_matrix_profile_matches_brute_force(spark, sf_dir, day_grid):
+    xs = [
+        int(v)
+        for v in day_grid[day_grid.event_type == "click"].sort_values("d").x
+    ]
+    n = len(xs)
+    wins = {i + 1: xs[i : i + 8] for i in range(n - 7)}
+    rows = {r.wstart: r for r in run("win_matrix_profile", spark, sf_dir).collect()}
+    assert set(rows) == set(wins)
+    profile = {}
+    for i, wa in wins.items():
+        best = None
+        for j, wb in wins.items():
+            if abs(i - j) > 4:
+                d = sum((a - b) ** 2 for a, b in zip(wa, wb))
+                best = d if best is None or d < best else best
+        profile[i] = best
+    motif = min(profile.values())
+    for i, r in rows.items():
+        assert r.profile_sed == float(profile[i])
+        assert r.is_motif == (profile[i] == motif)
+
+
+# --- win_sax --------------------------------------------------------------------
+
+
+def test_sax_matches_reference(spark, sf_dir, day_grid):
+    import numpy as np
+
+    xs = np.array(
+        [int(v) for v in day_grid[day_grid.event_type == "click"].sort_values("d").x],
+        dtype=float,
+    )
+    mean, sd = xs.mean(), xs.std(ddof=1)
+    rows = sorted(run("win_sax", spark, sf_dir).collect(), key=lambda r: r.seg_id)
+    assert len(rows) == len(xs) // 6
+    for r in rows:
+        seg = xs[r.seg_id * 6 : r.seg_id * 6 + 6]
+        assert r.seg_sum == int(seg.sum()) and r.seg_n == 6
+        z = (seg.mean() - mean) / sd
+        assert r.zpaa == pytest.approx(z, rel=1e-12)
+        expect = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r.symbol == expect

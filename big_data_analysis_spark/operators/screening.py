@@ -2526,3 +2526,144 @@ def win_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         zpaa.alias("zpaa"),
         sym.alias("symbol"),
     )
+
+
+_HAAR_N = 16  # dyadic window (first 16 days of the series)
+
+
+def _haar_terms() -> list:
+    """(name, [+1/-1/0 coefficient per t in 1..16]) for the
+    unnormalized Haar basis: details at levels 1..4 + the level-4
+    approximation (total sum)."""
+    out = []
+    for lvl in range(1, 5):
+        blk = 1 << lvl
+        for i in range(_HAAR_N // blk):
+            co = [0] * _HAAR_N
+            for t in range(i * blk, i * blk + blk // 2):
+                co[t] = 1
+            for t in range(i * blk + blk // 2, (i + 1) * blk):
+                co[t] = -1
+            out.append((f"d{lvl}_{i}", co))
+    out.append(("a4_0", [1] * _HAAR_N))
+    return out
+
+
+def _haar_sql(col_t: str, col_x: str) -> str:
+    cols = []
+    for name, co in _haar_terms():
+        terms = " + ".join(
+            f"({c}) * (CASE WHEN {col_t} = {t + 1} THEN {col_x} ELSE 0 END)"
+            for t, c in enumerate(co)
+            if c
+        )
+        cols.append(f"CAST(SUM({terms}) AS BIGINT) AS {name}")
+    return ", ".join(cols)
+
+
+@query(
+    "win_haar_dwt",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM s),
+head AS (SELECT * FROM i WHERE t <= {_HAAR_N})
+SELECT {_haar_sql('t', 'x')} FROM head
+""",
+    category="windows",
+)
+def win_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet transform of the first 16 days of
+    click revenue — the multiresolution decomposition behind
+    wavelet-based compression/anomaly tiers: details d_l,i = (sum of
+    the first half of each dyadic block) - (second half) at levels
+    1..4 plus the level-4 approximation (the total), 16 coefficients
+    in all. The transform is CLOSED-FORMED into one aggregation of
+    16 conditional integer sums (no iterative pairing rounds — the
+    basis is known, so each coefficient is a literal +-1 pattern over
+    the window; the fn_hamming74/adler32 discipline applied to a
+    transform), exactly invertible and Parseval-checked in the tests
+    with pure integers. Scale: a single bounded-window aggregation;
+    on a hypertable the same 16 patterns run per series key."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wt = Window.orderBy("d")
+    i = s.select("x", F.row_number().over(wt).alias("t")).where(
+        F.col("t") <= _HAAR_N
+    )
+    aggs = []
+    for name, co in _haar_terms():
+        expr = None
+        for t, c in enumerate(co):
+            if not c:
+                continue
+            term = F.when(F.col("t") == t + 1, F.col("x")).otherwise(0) * c
+            expr = term if expr is None else expr + term
+        aggs.append(F.sum(expr).cast("long").alias(name))
+    return i.agg(*aggs)
+
+
+_WHT_D = 16  # transform size (first 16 embedding dims)
+
+
+def _wht_signs() -> list:
+    return [
+        [(-1) ** bin(i & j).count("1") for i in range(_WHT_D)]
+        for j in range(_WHT_D)
+    ]
+
+
+@query(
+    "vec_hadamard_transform",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(range(1, {_WHT_D + 1}),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS xq
+  FROM embeddings WHERE vec_id < 64
+)
+SELECT vec_id, CAST(g.j AS BIGINT) AS component,
+       CAST(CASE {" ".join(
+         f"WHEN g.j = {j} THEN ("
+         + " + ".join(f"({s}) * xq[{i + 1}]" for i, s in enumerate(signs))
+         + ")"
+         for j, signs in enumerate(_wht_signs()))}
+       END AS BIGINT) AS coef
+FROM q, LATERAL (SELECT unnest(generate_series(0, {_WHT_D - 1})) AS j) g
+""",
+    category="similarity",
+)
+def vec_hadamard_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh-Hadamard transform (H_16) of the leading 16 embedding
+    dimensions — the +-1 orthogonal transform fast-JL projections and
+    LSH preconditioners apply before sampling (rotating the energy so
+    no single coordinate dominates): y_j = sum_i (-1)^popcount(i&j)
+    x_i over the 1e-6-quantized lattice, EXACT int64 throughout (the
+    only weights are +-1). The sign matrix is generated once in
+    Python and embedded as literals in both engines' expressions —
+    16 components x 16 terms of pure add/subtract, the rp_project
+    sign-literal discipline. Tests certify Parseval (sum y^2 = 16 *
+    sum x^2, exact integers) and the involution H(Hx) = 16x. Scale:
+    map-only, zero shuffle beyond the final posexplode projection."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 64)
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {_WHT_D}),"
+            " i -> CAST(round(CAST(element_at(embedding, i) AS DOUBLE)"
+            " * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    comps = []
+    for j, signs in enumerate(_wht_signs()):
+        expr = " + ".join(
+            f"({s}) * element_at(xq, {i + 1})" for i, s in enumerate(signs)
+        )
+        comps.append(f"CAST(({expr}) AS BIGINT)")
+    return q.select(
+        "vec_id",
+        F.posexplode(F.expr("array(" + ", ".join(comps) + ")")).alias(
+            "component", "coef"
+        ),
+    ).select("vec_id", F.col("component").cast("long").alias("component"), "coef")

@@ -1207,3 +1207,76 @@ def test_sax_matches_reference(spark, sf_dir, day_grid):
         assert r.zpaa == pytest.approx(z, rel=1e-12)
         expect = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
         assert r.symbol == expect
+
+
+# --- win_haar_dwt ---------------------------------------------------------------
+
+
+def test_haar_dwt_invertible_and_parseval(spark, sf_dir, day_grid):
+    """Exact reconstruction from the 16 coefficients and the
+    unnormalized-Haar Parseval identity (integers only)."""
+    xs = [
+        int(v)
+        for v in day_grid[day_grid.event_type == "click"].sort_values("d").x
+    ][:16]
+    row = run("win_haar_dwt", spark, sf_dir).collect()[0]
+    # rebuild the basis and verify each coefficient
+    coefs = {}
+    for lvl in range(1, 5):
+        blk = 1 << lvl
+        for i in range(16 // blk):
+            first = sum(xs[i * blk : i * blk + blk // 2])
+            second = sum(xs[i * blk + blk // 2 : (i + 1) * blk])
+            coefs[f"d{lvl}_{i}"] = first - second
+    coefs["a4_0"] = sum(xs)
+    for name, v in coefs.items():
+        assert getattr(row, name) == v
+    # exact inverse: x_t = a/16 + sum_l d_{l,block(t)} * sign / 2^l
+    for t in range(16):
+        acc = coefs["a4_0"] * 1  # work at scale 16: x_t*16
+        val16 = coefs["a4_0"]
+        for lvl in range(1, 5):
+            blk = 1 << lvl
+            i = t // blk
+            sign = 1 if (t % blk) < blk // 2 else -1
+            val16 += sign * coefs[f"d{lvl}_{i}"] * (16 // blk)
+        assert val16 == 16 * xs[t]
+    # Parseval (unnormalized): 16*sum x^2 == sum_l (16/2^l)*d_l^2 + a^2
+    lhs = 16 * sum(v * v for v in xs)
+    rhs = coefs["a4_0"] ** 2 + sum(
+        (16 >> lvl) * coefs[f"d{lvl}_{i}"] ** 2
+        for lvl in range(1, 5)
+        for i in range(16 >> lvl)
+    )
+    assert lhs == rhs
+
+
+# --- vec_hadamard_transform -----------------------------------------------------
+
+
+def test_hadamard_parseval_and_involution(spark, sf_dir):
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'
+            WHERE vec_id < 64"""
+    ).fetchall()
+    xqs = {
+        vid: [int(round(float(v) * 1_000_000)) for v in emb[:16]]
+        for vid, emb in df
+    }
+    rows = run("vec_hadamard_transform", spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.component] = r.coef
+    assert set(by_vec) == set(xqs)
+    sign = lambda i, j: (-1) ** bin(i & j).count("1")
+    for vid, x in xqs.items():
+        y = by_vec[vid]
+        assert len(y) == 16
+        for j in range(16):
+            assert y[j] == sum(sign(i, j) * x[i] for i in range(16))
+        # Parseval: sum y^2 = 16 * sum x^2 (exact integers)
+        assert sum(v * v for v in y.values()) == 16 * sum(v * v for v in x)
+        # involution: H(Hx) = 16x
+        for i in range(16):
+            assert sum(sign(i, j) * y[j] for j in range(16)) == 16 * x[i]

@@ -1280,3 +1280,69 @@ def test_hadamard_parseval_and_involution(spark, sf_dir):
         # involution: H(Hx) = 16x
         for i in range(16):
             assert sum(sign(i, j) * y[j] for j in range(16)) == 16 * x[i]
+
+
+# --- vec_dbscan_core / vec_silhouette --------------------------------------------
+
+
+def _lattice(sf_dir, cap):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, label, embedding
+            FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {cap}"""
+    ).fetchall()
+    return {
+        vid: (lab, [int(round(float(v) * 1_000_000)) for v in emb])
+        for vid, lab, emb in rows
+    }
+
+
+def test_dbscan_roles_match_reference(spark, sf_dir):
+    data = _lattice(sf_dir, 96)
+    d2 = lambda u, v: sum((a - b) ** 2 for a, b in zip(u, v))
+    eps2, minpts = 1_600_000_000_000, 6
+    nbrs = {
+        i: 1
+        + sum(
+            1
+            for j, (_, xj) in data.items()
+            if j != i and d2(xi, xj) <= eps2
+        )
+        for i, (_, xi) in data.items()
+    }
+    core = {i for i, n in nbrs.items() if n >= minpts}
+    rows = {r.vec_id: r for r in run("vec_dbscan_core", spark, sf_dir).collect()}
+    assert set(rows) == set(data)
+    for i, r in rows.items():
+        assert r.n_nbrs == nbrs[i]
+        assert r.is_core == (i in core)
+        if i in core:
+            assert r.role == "core"
+        else:
+            near_core = any(
+                j in core and j != i and d2(data[i][1], data[j][1]) <= eps2
+                for j in data
+            )
+            assert r.role == ("border" if near_core else "noise")
+    roles = {r.role for r in rows.values()}
+    assert "core" in roles and "noise" in roles  # non-degenerate mix
+
+
+def test_silhouette_matches_reference(spark, sf_dir):
+    data = _lattice(sf_dir, 128)
+    d2 = lambda u, v: sum((a - b) ** 2 for a, b in zip(u, v))
+    rows = {r.vec_id: r for r in run("vec_silhouette", spark, sf_dir).collect()}
+    assert set(rows) == set(data)
+    for i, (li, xi) in data.items():
+        by_label = {}
+        for j, (lj, xj) in data.items():
+            if j != i:
+                s, c = by_label.get(lj, (0, 0))
+                by_label[lj] = (s + d2(xi, xj), c + 1)
+        a = by_label[li][0] / by_label[li][1]
+        b = min(s / c for l, (s, c) in by_label.items() if l != li)
+        r = rows[i]
+        assert r.a_mean == pytest.approx(a, rel=1e-12)
+        assert r.b_mean == pytest.approx(b, rel=1e-12)
+        assert r.silhouette == pytest.approx((b - a) / max(a, b), rel=1e-12)
+        assert -1.0 <= r.silhouette <= 1.0

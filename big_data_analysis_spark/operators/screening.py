@@ -2905,3 +2905,106 @@ def vec_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("a_mean"), F.col("b_mean"))
         ).alias("silhouette"),
     )
+
+
+@query(
+    "agg_kneedle",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+s AS (SELECT d, x FROM g WHERE event_type = 'click'),
+i AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM s),
+c AS (
+  SELECT d, t,
+         SUM(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM i
+),
+ends AS (
+  SELECT MIN(t) AS t1, MAX(t) AS t2,
+         MIN(CASE WHEN t = 1 THEN cum END) AS y1,
+         MAX(CASE WHEN t = tmax THEN cum END) AS y2
+  FROM (SELECT c.*, MAX(t) OVER () AS tmax FROM c) w
+),
+cross_ AS (
+  SELECT c.d, c.t, CAST(c.cum AS BIGINT) AS cum,
+         CAST((ends.t2 - ends.t1) * (c.cum - ends.y1)
+              - (ends.y2 - ends.y1) * (c.t - ends.t1) AS BIGINT)
+           AS cross_num
+  FROM c CROSS JOIN ends
+),
+best AS (
+  SELECT MAX(abs(cross_num)) AS k FROM cross_
+  WHERE t NOT IN (SELECT t1 FROM ends) AND t NOT IN (SELECT t2 FROM ends)
+),
+pick AS (
+  SELECT MIN(t) AS t_knee FROM cross_ CROSS JOIN best
+  WHERE abs(cross_num) = best.k
+)
+SELECT CAST(cross_.d AS TIMESTAMP) AS d, CAST(cross_.t AS BIGINT) AS t,
+       cross_.cum, cross_.cross_num,
+       cross_.t = pick.t_knee AS is_knee
+FROM cross_ CROSS JOIN pick
+""",
+    category="aggregations",
+)
+def agg_kneedle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee-point detection (the Kneedle idea reduced to its exact
+    geometric core) on the cumulative click-revenue curve — the
+    diminishing-returns cutoff pickers use for k selection, budget
+    cutoffs and CCDF truncation: the knee is the interior point
+    maximizing distance to the first-to-last chord, and since that
+    distance is |cross product| / |chord| with the chord CONSTANT,
+    the argmax is decided entirely by the exact integer cross product
+    (t2-t1)(cum-y1) - (y2-y1)(t-t1) — no normalization, no float,
+    deterministic first-index tie-break. Scale: one cumulative sum
+    and a 1-row endpoint broadcast on the bounded day grid."""
+    g = _day_grid(spark, sf_dir)
+    s = g.where(F.col("event_type") == "click").select("d", "x")
+    wt = Window.orderBy("d")
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    i = s.select("d", "x", F.row_number().over(wt).alias("t"))
+    c = i.select("d", "t", F.sum("x").over(wc).alias("cum"))
+    ends = c.agg(
+        F.min("t").alias("t1"),
+        F.max("t").alias("t2"),
+        F.min(F.when(F.col("t") == 1, F.col("cum"))).alias("y1"),
+        F.max(F.col("cum")).alias("y2_tmp"),
+        F.max("t").alias("tmax"),
+    ).select(
+        "t1",
+        "t2",
+        "y1",
+        F.col("y2_tmp").alias("y2"),
+    )
+    # y2 = cum at t = tmax == running max of a positive series == max
+    cross = c.crossJoin(F.broadcast(ends)).select(
+        "d",
+        "t",
+        F.col("cum").cast("long").alias("cum"),
+        (
+            (F.col("t2") - F.col("t1")) * (F.col("cum") - F.col("y1"))
+            - (F.col("y2") - F.col("y1")) * (F.col("t") - F.col("t1"))
+        )
+        .cast("long")
+        .alias("cross_num"),
+        "t1",
+        "t2",
+    )
+    interior = cross.where(
+        (F.col("t") != F.col("t1")) & (F.col("t") != F.col("t2"))
+    )
+    best = interior.agg(F.max(F.abs(F.col("cross_num"))).alias("k"))
+    pick = (
+        interior.crossJoin(F.broadcast(best))
+        .where(F.abs(F.col("cross_num")) == F.col("k"))
+        .agg(F.min("t").alias("t_knee"))
+    )
+    return cross.crossJoin(F.broadcast(pick)).select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.col("t").cast("long").alias("t"),
+        "cum",
+        "cross_num",
+        (F.col("t") == F.col("t_knee")).alias("is_knee"),
+    )

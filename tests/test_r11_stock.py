@@ -1346,3 +1346,34 @@ def test_silhouette_matches_reference(spark, sf_dir):
         assert r.b_mean == pytest.approx(b, rel=1e-12)
         assert r.silhouette == pytest.approx((b - a) / max(a, b), rel=1e-12)
         assert -1.0 <= r.silhouette <= 1.0
+
+
+# --- agg_kneedle ----------------------------------------------------------------
+
+
+def test_kneedle_matches_reference(spark, sf_dir, day_grid):
+    """The knee maximizes chord distance; replayed with exact integer
+    cross products and first-index tie-break."""
+    xs = [
+        int(v)
+        for v in day_grid[day_grid.event_type == "click"].sort_values("d").x
+    ]
+    cum = []
+    s = 0
+    for v in xs:
+        s += v
+        cum.append(s)
+    n = len(cum)
+    t1, t2, y1, y2 = 1, n, cum[0], cum[-1]
+    crosses = {
+        t: (t2 - t1) * (cum[t - 1] - y1) - (y2 - y1) * (t - t1)
+        for t in range(1, n + 1)
+    }
+    k = max(abs(c) for t, c in crosses.items() if t not in (t1, t2))
+    knee = min(t for t, c in crosses.items() if abs(c) == k and t not in (t1, t2))
+    rows = sorted(run("agg_kneedle", spark, sf_dir).collect(), key=lambda r: r.t)
+    assert len(rows) == n
+    for r in rows:
+        assert r.cum == cum[r.t - 1]
+        assert r.cross_num == crosses[r.t]
+        assert r.is_knee == (r.t == knee)

@@ -1470,3 +1470,107 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("harmonic60"),
         (reached.cast("double") / F.sum("dist")).alias("closeness"),
     )
+
+
+_CP_ROUNDS = 6  # relaxation rounds; grades longest paths of <= 6 edges
+
+_CP_EDGE_SQL = """
+  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+    SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+    FROM lineitem WHERE l_orderkey % 100 < l_partkey % 100
+  ) e
+"""
+
+
+def _critical_path_oracle() -> str:
+    """Unrolled fixed-round longest-path relaxation over the a<b DAG
+    (the _k_core_exact_oracle unroll pattern: per-round VALUE tables,
+    never path enumeration — path counts explode, value tables are
+    always |V| rows)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_CP_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM e UNION SELECT dst FROM e) u),",
+        "l0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM n)",
+    ]
+    for r in range(1, _CP_ROUNDS + 1):
+        parts.append(
+            f""",
+l{r} AS MATERIALIZED (
+  SELECT n.node,
+         GREATEST(
+           (SELECT dist FROM l{r - 1} WHERE l{r - 1}.node = n.node),
+           COALESCE((SELECT MAX(p.dist + e.w)
+                     FROM e JOIN l{r - 1} p ON p.node = e.src
+                     WHERE e.dst = n.node), 0)
+         ) AS dist
+  FROM n
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(dist AS BIGINT) AS longest_dist,
+       CAST({_CP_ROUNDS} AS BIGINT) AS rounds
+FROM l{_CP_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_critical_path", oracle=_critical_path_oracle(), category="graph")
+def graph_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path (longest weighted path) relaxation over the a<b
+    DAG derived from the demo graph (edges only from smaller to
+    larger node id — acyclic BY CONSTRUCTION — with deterministic
+    integer weights 1 + (u+v) % 5): the PERT/scheduling primitive and
+    the DAG-analytics sibling of graph_bfs_distance. Six relaxation
+    rounds of L(v) <- max(L(v), max over in-edges of L(u) + w) run as
+    per-round joins (value tables, never path enumeration — path
+    counts explode exponentially, value tables stay |V| rows), so the
+    grade certifies longest paths of <= 6 edges; the oracle unrolls
+    the same six rounds as materialized CTEs (the graph_k_core_exact
+    pattern). All integer arithmetic. Scale: per round ONE edge join
+    shuffling |V| rows + a max rollup; the bounded-round contract is
+    the same one the exact CC/HITS kernels document."""
+    spark_sess = spark
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 100).alias("src"),
+            (F.col("l_partkey") % 100).alias("dst"),
+        )
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+        .select("src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).alias("w"))
+        .persist()
+    )
+    n = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    l = n.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_CP_ROUNDS):
+        relaxed = (
+            l.join(e, l["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.max("cand").alias("cand"))
+        )
+        l = (
+            l.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("dist"), F.coalesce(F.col("cand"), F.lit(0)))
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return l.select(
+        "node",
+        F.col("dist").alias("longest_dist"),
+        F.lit(_CP_ROUNDS).cast("long").alias("rounds"),
+    )

@@ -1377,3 +1377,32 @@ def test_kneedle_matches_reference(spark, sf_dir, day_grid):
         assert r.cum == cum[r.t - 1]
         assert r.cross_num == crosses[r.t]
         assert r.is_knee == (r.t == knee)
+
+
+# --- graph_critical_path --------------------------------------------------------
+
+
+def test_critical_path_matches_dag_dp(spark, sf_dir):
+    """Longest <=6-edge path replayed with a bounded DP over the a<b
+    DAG; the full DP (unbounded) upper-bounds the 6-round value."""
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT l_orderkey % 100 AS s, l_partkey % 100 AS d
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_orderkey % 100 < l_partkey % 100"""
+    ).fetchall()
+    w = {(s, d): 1 + (s + d) % 5 for s, d in edges}
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    dist = {v: 0 for v in nodes}
+    for _ in range(6):
+        nxt = dict(dist)
+        for (s, d), wt in w.items():
+            nxt[d] = max(nxt[d], dist[s] + wt)
+        dist = nxt
+    rows = {r.node: r for r in run("graph_critical_path", spark, sf_dir).collect()}
+    assert set(rows) == set(nodes)
+    for v in nodes:
+        assert rows[v].longest_dist == dist[v]
+        assert rows[v].rounds == 6
+    # sanity: some node accumulated a genuinely multi-hop path
+    assert max(dist.values()) > max(w.values())

@@ -1,14 +1,23 @@
-"""Screening / robust-filter wave (r9, for the r11 grading window;
-SURVEY.md §2.4/§2.5 additions): the clamped running balance (the
-reflected-walk identity that makes a NONLINEAR recurrence windowable),
-the Hampel rolling median/MAD outlier filter, and Benjamini-Hochberg
-step-up screening with the accept rule cross-multiplied into exact
-integers.
+"""The r9-continuation wave module (r11 grading-window stock;
+SURVEY.md §2 wave notes 18-36): screening and robust filters
+(clamped balance via the reflected-walk identity, Hampel, BH step-up,
+Pettitt, Kneedle), model-eval machinery (exact ROC-AUC companions:
+Youden-J operating point, PR curve with exact rational AP summands,
+survival hazard + Harrell's C, group k-fold with a leakage
+certificate, DiD), time-series tiers (Sharpe/Sortino, variance
+ratio, Newey-West HAC, seasonal decomposition, isotonic regression,
+matrix profile, SAX, Haar DWT), corpus statistics (burstiness,
+Yule's K via screening's neighbors in text.py), vector-analytics
+exacts (Walsh-Hadamard, DBSCAN roles, silhouette), byte codecs
+(base64 dialect, ISO 7064 mod-97), and privacy (l-diversity).
 
-Same discipline as stats_ext / stats_np: exact integer cents, doubled
-medians (2x scale so even-split medians stay integral), fixed-order
-double chains only in display columns, and bounded-domain windows —
-the one data-proportional ranking goes through the certified
+Shared discipline (stats_ext / stats_np lineage): exact integer
+cents and lattice dots, doubled medians/midranks so ties stay
+integral, HUGEINT/DECIMAL(38,0) with the VARCHAR double-crossing for
+anything past int64, decision rules CROSS-MULTIPLIED into integer
+comparisons (no float ever ranks or flags), fixed-order double
+chains only in display columns, bounded-domain windows — and every
+data-proportional ranking through the certified
 global_rank_distributed kernel, never a single-partition window.
 """
 

@@ -2361,3 +2361,191 @@ def multimodal_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.tail_char").alias("tail_char"),
         "file_bytes",
     )
+
+
+_ICO_DOCS = 40
+_ICO_ENTRIES = 3
+
+
+@query(
+    "multimodal_ico_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_ICO_DOCS}),
+ent AS (
+  SELECT ids.doc_id, g.m,
+         CAST(16 * (1 << g.m) AS BIGINT) AS dim,
+         CAST(40 + (ids.doc_id * 19 + g.m * 23) % 100 AS BIGINT) AS sz
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, {_ICO_ENTRIES - 1}))
+                     AS m) g
+),
+offs AS (
+  SELECT *,
+         6 + 16 * {_ICO_ENTRIES}
+           + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off,
+         6 + 16 * {_ICO_ENTRIES} + SUM(sz) OVER (PARTITION BY doc_id)
+           AS file_bytes
+  FROM ent
+),
+bytes AS (
+  SELECT offs.doc_id, offs.m,
+         CAST(SUM((offs.doc_id + offs.m + j.j) % 256) AS BIGINT) AS bsum
+  FROM offs, LATERAL (
+    SELECT unnest(generate_series(0, CAST(offs.sz - 1 AS INT))) AS j) j
+  GROUP BY offs.doc_id, offs.m
+)
+SELECT offs.doc_id, CAST(offs.m AS BIGINT) AS entry,
+       offs.dim AS width, offs.dim AS height,
+       CAST(1 AS BIGINT) AS planes, CAST(32 AS BIGINT) AS bpp,
+       offs.sz AS bytes_in_res, CAST(offs.off AS BIGINT) AS img_offset,
+       bytes.bsum AS img_byte_sum,
+       CAST(offs.file_bytes AS BIGINT) AS file_bytes,
+       TRUE AS chain_ok
+FROM offs JOIN bytes ON bytes.doc_id = offs.doc_id AND bytes.m = offs.m
+""",
+    category="multimodal",
+)
+def multimodal_ico_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO icon-container walk — the TENTH from-spec wire format
+    (and the second little-endian one after ZIP): real .ico files
+    (ICONDIR: reserved 0 / type 1 / count, then 16-byte
+    ICONDIRENTRYs with LE u16 planes/bpp and LE u32 size/offset,
+    then the image blobs) are synthesized as hex strings per doc,
+    and the entry table is re-derived from the BYTES ALONE — count
+    parsed from the header drives the directory walk, each entry's
+    parsed LE size/offset locate its image blob, the blob's byte sum
+    is recomputed FROM THE PARSED OFFSET (a mis-walk or an
+    endianness slip lands the checksum in the wrong bytes), and
+    chain_ok verifies offset_m + size_m == offset_{{m+1}} (the last
+    against the parsed file end). The oracle knows only the
+    generator formulas. Pure JVM codegen: hex/substring/conv chains,
+    no UDF, no shuffle beyond the final projection."""
+    ids = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _ICO_DOCS
+    ).select("doc_id")
+
+    def size_sql(m: int) -> str:
+        return f"CAST(40 + (doc_id * 19 + {m} * 23) % 100 AS BIGINT)"
+
+    def le16(v: str) -> str:
+        # little-endian u16 as 4 hex chars
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) DIV 256), 2, '0'))"
+        )
+
+    def le32(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex((({v}) DIV 256) % 256), 2, '0'),"
+            f" lpad(hex((({v}) DIV 65536) % 256), 2, '0'),"
+            f" lpad(hex((({v}) DIV 16777216) % 256), 2, '0'))"
+        )
+
+    def off_sql(m: int) -> str:
+        base = f"{6 + 16 * _ICO_ENTRIES}"
+        prior = " + ".join([size_sql(k) for k in range(m)]) or "0"
+        return f"({base} + {prior})"
+
+    def entry_hex(m: int) -> str:
+        dim = 16 << m
+        return (
+            f"concat(lpad(hex({dim % 256}), 2, '0'),"  # width (u8)
+            f" lpad(hex({dim % 256}), 2, '0'),"  # height (u8)
+            f" '00', '00',"  # colorCount, reserved
+            f" {le16('1')}, {le16('32')},"  # planes, bpp
+            f" {le32(size_sql(m))}, {le32(off_sql(m))})"
+        )
+
+    def blob_hex(m: int) -> str:
+        return (
+            f"array_join(transform(sequence(0, CAST({size_sql(m)} - 1 AS INT)),"
+            f" j -> lpad(hex((doc_id + {m} + CAST(j AS BIGINT)) % 256), 2,"
+            f" '0')), '')"
+        )
+
+    hexf = (
+        "concat('0000', '0100', "
+        + le16(str(_ICO_ENTRIES))
+        + ", "
+        + ", ".join(entry_hex(m) for m in range(_ICO_ENTRIES))
+        + ", "
+        + ", ".join(blob_hex(m) for m in range(_ICO_ENTRIES))
+        + ")"
+    )
+    f = ids.select("doc_id", F.expr(hexf).alias("hexf")).localCheckpoint(
+        eager=True
+    )
+
+    # --- parse from bytes alone ---
+    def rd_u8(byte_off: str) -> str:
+        return f"CAST(conv(substring(hexf, 2 * ({byte_off}) + 1, 2), 16, 10) AS BIGINT)"
+
+    def rd_le16(byte_off: str) -> str:
+        return (
+            f"CAST(conv(concat(substring(hexf, 2 * ({byte_off}) + 3, 2),"
+            f" substring(hexf, 2 * ({byte_off}) + 1, 2)), 16, 10) AS BIGINT)"
+        )
+
+    def rd_le32(byte_off: str) -> str:
+        return (
+            f"CAST(conv(concat("
+            f"substring(hexf, 2 * ({byte_off}) + 7, 2),"
+            f" substring(hexf, 2 * ({byte_off}) + 5, 2),"
+            f" substring(hexf, 2 * ({byte_off}) + 3, 2),"
+            f" substring(hexf, 2 * ({byte_off}) + 1, 2)), 16, 10) AS BIGINT)"
+        )
+
+    p = f.select(
+        "doc_id",
+        "hexf",
+        F.expr(rd_le16("4")).alias("count_parsed"),
+        (F.length("hexf") / 2).cast("long").alias("file_bytes"),
+    )
+    entries = []
+    for m in range(_ICO_ENTRIES):
+        base = str(6 + 16 * m)
+        sz = rd_le32(f"{6 + 16 * m + 8}")
+        off = rd_le32(f"{6 + 16 * m + 12}")
+        bsum = (
+            f"aggregate(sequence(0, CAST(({sz}) - 1 AS INT)), 0L,"
+            f" (acc, j) -> acc + CAST(conv(substring(hexf,"
+            f" 2 * (({off}) + j) + 1, 2), 16, 10) AS BIGINT))"
+        )
+        nxt_off = (
+            rd_le32(f"{6 + 16 * (m + 1) + 12}")
+            if m + 1 < _ICO_ENTRIES
+            else "CAST(length(hexf) DIV 2 AS BIGINT)"
+        )
+        entries.append(
+            F.struct(
+                F.expr(rd_u8(base)).alias("width"),
+                F.expr(rd_u8(f"{6 + 16 * m + 1}")).alias("height"),
+                F.expr(rd_le16(f"{6 + 16 * m + 4}")).alias("planes"),
+                F.expr(rd_le16(f"{6 + 16 * m + 6}")).alias("bpp"),
+                F.expr(sz).alias("bytes_in_res"),
+                F.expr(off).alias("img_offset"),
+                F.expr(bsum).alias("img_byte_sum"),
+                F.expr(f"({off}) + ({sz}) = {nxt_off}").alias("chain_ok"),
+            )
+        )
+    per = p.select(
+        "doc_id",
+        "file_bytes",
+        "count_parsed",
+        F.posexplode(F.array(*entries)).alias("entry", "s"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("entry").cast("long").alias("entry"),
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.col("s.planes").alias("planes"),
+        F.col("s.bpp").alias("bpp"),
+        F.col("s.bytes_in_res").alias("bytes_in_res"),
+        F.col("s.img_offset").alias("img_offset"),
+        F.col("s.img_byte_sum").alias("img_byte_sum"),
+        "file_bytes",
+        F.col("s.chain_ok").alias("chain_ok"),
+    )

@@ -1406,3 +1406,49 @@ def test_critical_path_matches_dag_dp(spark, sf_dir):
         assert rows[v].rounds == 6
     # sanity: some node accumulated a genuinely multi-hop path
     assert max(dist.values()) > max(w.values())
+
+
+# --- multimodal_ico_parse -------------------------------------------------------
+
+
+def test_ico_parse_matches_independent_reader(spark, sf_dir):
+    """Rebuild each doc's ICO from the generative law in pure Python
+    bytes, parse it with an independent struct-based reader, and
+    compare every field with the Spark rows."""
+    import struct
+
+    rows = run("multimodal_ico_parse", spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 40 and all(len(v) == 3 for v in by_doc.values())
+    for doc_id, recs in by_doc.items():
+        sizes = [40 + (doc_id * 19 + m * 23) % 100 for m in range(3)]
+        blobs = [
+            bytes((doc_id + m + j) % 256 for j in range(sizes[m]))
+            for m in range(3)
+        ]
+        buf = struct.pack("<HHH", 0, 1, 3)
+        off = 6 + 16 * 3
+        offsets = []
+        for m in range(3):
+            dim = 16 << m
+            offsets.append(off)
+            buf += struct.pack(
+                "<BBBBHHII", dim, dim, 0, 0, 1, 32, sizes[m], off
+            )
+            off += sizes[m]
+        for b in blobs:
+            buf += b
+        # independent reader
+        reserved, typ, count = struct.unpack_from("<HHH", buf, 0)
+        assert (reserved, typ, count) == (0, 1, 3)
+        for m, r in enumerate(sorted(recs, key=lambda x: x.entry)):
+            w, h, _, _, planes, bpp, sz, o = struct.unpack_from(
+                "<BBBBHHII", buf, 6 + 16 * m
+            )
+            assert (r.width, r.height, r.planes, r.bpp) == (w, h, planes, bpp)
+            assert (r.bytes_in_res, r.img_offset) == (sz, o)
+            assert r.img_byte_sum == sum(buf[o : o + sz])
+            assert r.file_bytes == len(buf)
+            assert r.chain_ok

@@ -980,9 +980,13 @@ def test_driver_window_converts_new_evidence():
     """The first 50 slots of ordered_registry() must be ~all
     never-graded oracle-bearing queries while any ungraded-oracle
     backlog remains — slot 1 is the tpch_q1 smoke flagship, the rest
-    must each buy a NEW hash grade."""
+    must each buy a NEW hash grade.  Exception: slots explicitly
+    curated into _GRADE_FIRST without an oracle are deliberate
+    rows-only re-queues (the r1/r2 ``err: no_oracle`` ledger cleanup,
+    VERDICT r9 item 4) and count as productive too."""
     from big_data_analysis_spark.registry import (
         _DRIVER_GRADED,
+        _GRADE_FIRST,
         ordered_registry,
     )
 
@@ -997,7 +1001,8 @@ def test_driver_window_converts_new_evidence():
     got_new = sum(
         1
         for s in window[1:]
-        if s.oracle is not None and s.name not in _DRIVER_GRADED
+        if (s.oracle is not None and s.name not in _DRIVER_GRADED)
+        or (s.oracle is None and s.name in _GRADE_FIRST)
     )
     assert got_new >= expected_new, (got_new, expected_new)
 

@@ -1440,12 +1440,18 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned (no broadcast of anything data-proportional)."""
     e = _edges(spark, sf_dir).persist()
     nodes = e.select(F.col("src").alias("node")).distinct()
-    visited = nodes.select(
+    frontier = nodes.select(
         F.col("node").alias("root"),
         "node",
         F.lit(0).alias("dist"),
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # visited stays a LAZY union of the per-hop checkpointed
+    # frontiers: only the new frontier is materialized each round
+    # (each pair is written exactly once), while the old
+    # union-then-checkpoint re-wrote every previously-materialized
+    # pair every hop — O(hops * V * reachable) redundant writes on an
+    # already-quadratic structure (r9 ADVICE).
+    visited = frontier
     for hop in range(1, _CLOSENESS_HOPS + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -1456,7 +1462,7 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt)
         frontier = nxt
     e.unpersist()
     reached = F.count(F.when(F.col("dist") > 0, 1))

@@ -1515,7 +1515,8 @@ u{r} AS MATERIALIZED (
   FROM xq x JOIN p{r} p ON p.vec_id = x.vec_id GROUP BY x.pos
 ),
 v{r + 1} AS MATERIALIZED (
-  SELECT pos, (u * {S}) // (SELECT MAX(ABS(u)) FROM u{r}) AS val
+  SELECT pos,
+         (u * {S}) // GREATEST((SELECT MAX(ABS(u)) FROM u{r}), 1) AS val
   FROM u{r}
 ),"""
         )
@@ -1612,12 +1613,19 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_prev = list(v)
         row = _round_sums(v).collect()[0]
         u = [int(row[f"u{j}"]) for j in range(1, d + 1)]
-        m = max(abs(x) for x in u)
+        # max(..., 1): all-zero embeddings would give m=0 (divide by
+        # zero); the guard maps the degenerate case to the zero vector
+        # identically in the driver fold, the engine projection, and
+        # the oracle twin.  Unreachable on the fixture.
+        m = max(max(abs(x) for x in u), 1)
         v = [_tdiv(x * S, m) for x in u]
     # the graded output re-derives the final round ENGINE-SIDE from
     # the distributed sums (same integers the driver fold saw)
     final = _round_sums(v_prev)
-    m_col = F.greatest(*[F.abs(F.col(f"u{j}")) for j in range(1, d + 1)])
+    m_col = F.greatest(
+        *[F.abs(F.col(f"u{j}")) for j in range(1, d + 1)],
+        F.lit(1).cast("decimal(38,0)"),
+    )
     arr = F.array(*[F.col(f"u{j}") for j in range(1, d + 1)])
     out = final.select(
         m_col.alias("m"), F.posexplode(arr).alias("pos0", "u")

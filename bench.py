@@ -148,6 +148,16 @@ BENCH_QUERIES = [
     "vec_power_iteration_exact",
     "pipeline_basket_lift",
     "text_kneser_ney",
+    # r10-added: the five heaviest engine-side kernels of the r9 wave
+    # backlog (VERDICT r9 item 5), each entering with its own isolated
+    # warmup+5 first-measurement baseline per the r1 protocol —
+    # threshold-sweep LSH dedup, multi-source-BFS centrality, the two
+    # cluster-quality kernels, and the matrix-profile window.
+    "dedup_threshold_sweep",
+    "graph_closeness",
+    "vec_dbscan_core",
+    "vec_silhouette",
+    "win_matrix_profile",
 ]
 
 

@@ -1,0 +1,552 @@
+"""Generation-eval metrics (r10 wave 1) — the per-example scores an
+LLM eval harness reduces generated text to: ROUGE-N recall, BLEU
+modified n-gram precisions, token-level WER, NDCG@k and MRR.  All
+five follow the house exactness convention: every count, overlap,
+edit distance and discount sum is an exact integer cross-engine
+(scaled-integer DCG with precomputed literal discount weights; WER
+rides the JVM/DuckDB `levenshtein` both engines ship), and the only
+float op per row is one final division of exact integers.
+
+Kept in their own module per the r9 ADVICE (category-per-module
+layout; screening.py had grown into a catch-all).
+
+Execution shape: ROUGE/BLEU/WER are pure per-row array-lambda maps —
+zero explode, zero shuffle; at 100 TB eval scoring is a map over
+(pred, ref) pairs.  NDCG/MRR group a bounded query×rank grid (the
+candidate lists), broadcast against the corpus — the corpus is
+scanned once and never reshuffled.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+# ---------------------------------------------------------------- #
+# shared n-gram / multiset-overlap expression builders (SQL strings
+# usable verbatim on BOTH engines via each one's lambda dialect)
+# ---------------------------------------------------------------- #
+
+
+def _spark_ngrams(arr: str, n: int) -> str:
+    """Overlapping n-grams of a token array as space-joined strings.
+    Guarded: Spark's sequence(1, 0) yields [1, 0] (auto step -1), so
+    short arrays must short-circuit to array() explicitly."""
+    if n == 1:
+        return arr
+    return (
+        f"CASE WHEN size({arr}) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size({arr}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({arr}, i, {n}))) END"
+    )
+
+
+def _duck_ngrams(arr: str, n: int) -> str:
+    if n == 1:
+        return arr
+    return (
+        f"list_transform(generate_series(1, len({arr}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({arr}, i, i + {n} - 1), ' '))"
+    )
+
+
+def _spark_overlap(pred: str, ref: str) -> str:
+    """Multiset overlap: sum over distinct pred grams of
+    min(count_pred, count_ref) — the pipeline_eval_em_f1 kernel."""
+    return (
+        f"aggregate(array_distinct({pred}), 0, (acc, g) -> acc + "
+        f"least(size(filter({pred}, x -> x = g)), "
+        f"size(filter({ref}, x -> x = g))))"
+    )
+
+
+def _duck_overlap(pred: str, ref: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(list_distinct({pred}), "
+        f"g -> least(len(list_filter({pred}, x -> x = g)), "
+        f"len(list_filter({ref}, x -> x = g))))), 0)"
+    )
+
+
+# ---------------------------------------------------------------- #
+# ROUGE-N
+# ---------------------------------------------------------------- #
+
+_ROUGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         list_slice(toks, 1, 12) AS ref,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN list_slice(toks, 1, 12)
+           WHEN 1 THEN list_slice(toks, 5, 16)
+           ELSE list_reverse_sort(list_slice(toks, 1, 12))
+         END AS pred
+  FROM t
+),
+g AS (
+  SELECT doc_id, ref, pred,
+         {_duck_ngrams('ref', 2)} AS ref2,
+         {_duck_ngrams('pred', 2)} AS pred2
+  FROM pr
+),
+s AS (
+  SELECT doc_id,
+         CAST({_duck_overlap('pred', 'ref')} AS BIGINT) AS r1_match,
+         CAST(len(ref) AS BIGINT) AS r1_ref_n,
+         CAST({_duck_overlap('pred2', 'ref2')} AS BIGINT) AS r2_match,
+         CAST(len(ref2) AS BIGINT) AS r2_ref_n
+  FROM g
+)
+SELECT doc_id, r1_match, r1_ref_n,
+       CAST(r1_match AS DOUBLE) / r1_ref_n AS rouge1_recall,
+       r2_match, r2_ref_n,
+       CAST(r2_match AS DOUBLE) / r2_ref_n AS rouge2_recall
+FROM s
+"""
+
+
+@query("pipeline_eval_rouge_n", oracle=_ROUGE_SQL, category="pipelines")
+def pipeline_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 recall (Lin 2004) of a prediction against a
+    reference — the summarization-eval staple: multiset n-gram
+    overlap over the reference's gram count.  References are the
+    first 12 tokens of each document; predictions exercise the three
+    regimes (identical -> recall 1; shifted window -> partial;
+    sorted permutation -> ROUGE-1 = 1 but ROUGE-2 near 0, the case
+    that separates the orders).  Overlap counts are exact integers
+    via per-row array lambdas (the em_f1 multiset kernel); one
+    division per metric.  Zero shuffle — a pure map at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ref = F.slice(toks, 1, 12)
+    pred = (
+        F.when((F.col("doc_id") % 3) == 0, F.slice(toks, 1, 12))
+        .when((F.col("doc_id") % 3) == 1, F.slice(toks, 5, 12))
+        .otherwise(F.reverse(F.array_sort(F.slice(toks, 1, 12))))
+    )
+    g = d.select("doc_id", ref.alias("ref"), pred.alias("pred")).select(
+        "doc_id",
+        "ref",
+        "pred",
+        F.expr(_spark_ngrams("ref", 2)).alias("ref2"),
+        F.expr(_spark_ngrams("pred", 2)).alias("pred2"),
+    )
+    s = g.select(
+        "doc_id",
+        F.expr(_spark_overlap("pred", "ref")).cast("long").alias("r1_match"),
+        F.size("ref").cast("long").alias("r1_ref_n"),
+        F.expr(_spark_overlap("pred2", "ref2")).cast("long").alias("r2_match"),
+        F.size("ref2").cast("long").alias("r2_ref_n"),
+    )
+    return s.select(
+        "doc_id",
+        "r1_match",
+        "r1_ref_n",
+        (F.col("r1_match").cast("double") / F.col("r1_ref_n")).alias(
+            "rouge1_recall"
+        ),
+        "r2_match",
+        "r2_ref_n",
+        (F.col("r2_match").cast("double") / F.col("r2_ref_n")).alias(
+            "rouge2_recall"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- #
+# BLEU components
+# ---------------------------------------------------------------- #
+
+
+def _bleu_oracle() -> str:
+    gram_cols = ",\n         ".join(
+        f"{_duck_ngrams('ref', n)} AS ref{n}, "
+        f"{_duck_ngrams('pred', n)} AS pred{n}"
+        for n in range(1, 5)
+    )
+    match_cols = ",\n         ".join(
+        f"CAST({_duck_overlap(f'pred{n}', f'ref{n}')} AS BIGINT) "
+        f"AS p{n}_match,\n         "
+        f"CAST(len(pred{n}) AS BIGINT) AS p{n}_total"
+        for n in range(1, 5)
+    )
+    prec_cols = ",\n       ".join(
+        f"CAST(p{n}_match AS DOUBLE) / p{n}_total AS p{n}" for n in range(1, 5)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         list_slice(toks, 1, 16) AS ref,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN list_slice(toks, 1, 16)
+           WHEN 1 THEN list_slice(toks, 3, 18)
+           ELSE list_slice(toks, 1, 10)
+         END AS pred
+  FROM t
+),
+g AS (
+  SELECT doc_id, ref, pred,
+         {gram_cols}
+  FROM pr
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(pred) AS BIGINT) AS pred_len,
+         CAST(len(ref) AS BIGINT) AS ref_len,
+         {match_cols}
+  FROM g
+)
+SELECT doc_id, pred_len, ref_len,
+       p1_match, p1_total, p2_match, p2_total,
+       p3_match, p3_total, p4_match, p4_total,
+       {prec_cols},
+       CAST(pred_len AS DOUBLE) / ref_len AS brevity_ratio
+FROM s
+"""
+
+
+@query("pipeline_eval_bleu", oracle=_bleu_oracle(), category="pipelines")
+def pipeline_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU components (Papineni et al. 2002) — clipped (modified)
+    n-gram precisions p1..p4 and the brevity ratio, per example.
+    The final BLEU = BP * exp(mean log p_n) is a driver-side scalar
+    fold over these (exp/ln would break bit-exactness; the
+    COMPONENTS are the distributed computation and ship exact:
+    clipped match counts are the multiset-overlap kernel per order,
+    totals are gram counts, each precision is one int/int division).
+    Predictions exercise identical (all p=1), shifted (partial) and
+    truncated (brevity < 1) regimes.  Zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ref = F.slice(toks, 1, 16)
+    pred = (
+        F.when((F.col("doc_id") % 3) == 0, F.slice(toks, 1, 16))
+        .when((F.col("doc_id") % 3) == 1, F.slice(toks, 3, 16))
+        .otherwise(F.slice(toks, 1, 10))
+    )
+    g = d.select("doc_id", ref.alias("ref"), pred.alias("pred"))
+    for n in range(1, 5):
+        g = g.withColumn(f"ref{n}", F.expr(_spark_ngrams("ref", n))).withColumn(
+            f"pred{n}", F.expr(_spark_ngrams("pred", n))
+        )
+    s = g.select(
+        "doc_id",
+        F.size("pred").cast("long").alias("pred_len"),
+        F.size("ref").cast("long").alias("ref_len"),
+        *[
+            c
+            for n in range(1, 5)
+            for c in (
+                F.expr(_spark_overlap(f"pred{n}", f"ref{n}"))
+                .cast("long")
+                .alias(f"p{n}_match"),
+                F.size(f"pred{n}").cast("long").alias(f"p{n}_total"),
+            )
+        ],
+    )
+    return s.select(
+        "doc_id",
+        "pred_len",
+        "ref_len",
+        *[c for n in range(1, 5) for c in (f"p{n}_match", f"p{n}_total")],
+        *[
+            (F.col(f"p{n}_match").cast("double") / F.col(f"p{n}_total")).alias(
+                f"p{n}"
+            )
+            for n in range(1, 5)
+        ],
+        (F.col("pred_len").cast("double") / F.col("ref_len")).alias(
+            "brevity_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- #
+# token-level WER
+# ---------------------------------------------------------------- #
+
+_WER_CAP = 24  # per-side token cap -> per-row vocab <= 48 distinct
+
+_WER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         list_slice(toks, 1, {_WER_CAP}) AS ref,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN list_slice(toks, 1, {_WER_CAP})
+           WHEN 1 THEN list_slice(toks, 3, {_WER_CAP} + 2)
+           WHEN 2 THEN list_transform(
+             list_filter(generate_series(1, least(len(toks), {_WER_CAP})),
+                         i -> i % 3 <> 0),
+             i -> toks[i])
+           ELSE list_reverse(list_slice(toks, 1, {_WER_CAP}))
+         END AS pred
+  FROM t
+),
+v AS (
+  SELECT doc_id, ref, pred,
+         list_distinct(list_concat(ref, pred)) AS vocab
+  FROM pr
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(ref) AS BIGINT) AS ref_len,
+         CAST(len(pred) AS BIGINT) AS pred_len,
+         array_to_string(list_transform(ref,
+           tk -> chr(48 + list_position(vocab, tk))), '') AS enc_ref,
+         array_to_string(list_transform(pred,
+           tk -> chr(48 + list_position(vocab, tk))), '') AS enc_pred
+  FROM v
+)
+SELECT doc_id, ref_len, pred_len,
+       CAST(levenshtein(enc_ref, enc_pred) AS BIGINT) AS edit_ops,
+       CAST(levenshtein(enc_ref, enc_pred) AS DOUBLE) / ref_len AS wer
+FROM e
+"""
+
+
+@query("pipeline_eval_wer", oracle=_WER_SQL, category="pipelines")
+def pipeline_eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level word error rate — the ASR/translation eval metric:
+    Levenshtein distance over TOKEN sequences divided by reference
+    length.  Both engines only ship character-level levenshtein, so
+    each row's token sequences are recoded through a per-row vocab
+    (distinct tokens of ref++pred, <= 48 entries under the 24-token
+    cap) onto single ASCII characters chr(48+idx) — after which
+    char-level levenshtein IS token-level WER, bit-exact in both
+    engines.  Predictions exercise identical (WER 0), shifted,
+    every-3rd-token-deleted and reversed regimes.  Per-row lambdas +
+    one JVM levenshtein call: zero shuffle, a pure map at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    cap = _WER_CAP
+    toks = F.split(F.col("text"), " ")
+    ref = F.slice(toks, 1, cap)
+    drop3 = F.expr(
+        f"transform(filter(sequence(1, least(size(split(text, ' ')), {cap})),"
+        " i -> i % 3 != 0), i -> element_at(split(text, ' '), i))"
+    )
+    pred = (
+        F.when((F.col("doc_id") % 4) == 0, F.slice(toks, 1, cap))
+        .when((F.col("doc_id") % 4) == 1, F.slice(toks, 3, cap))
+        .when((F.col("doc_id") % 4) == 2, drop3)
+        .otherwise(F.reverse(F.slice(toks, 1, cap)))
+    )
+    v = d.select("doc_id", ref.alias("ref"), pred.alias("pred")).withColumn(
+        "vocab", F.array_distinct(F.concat("ref", "pred"))
+    )
+    enc = lambda col: F.expr(
+        f"concat_ws('', transform({col},"
+        " tk -> char(48 + array_position(vocab, tk))))"
+    )
+    e = v.select(
+        "doc_id",
+        F.size("ref").cast("long").alias("ref_len"),
+        F.size("pred").cast("long").alias("pred_len"),
+        enc("ref").alias("enc_ref"),
+        enc("pred").alias("enc_pred"),
+    )
+    dist = F.levenshtein("enc_ref", "enc_pred")
+    return e.select(
+        "doc_id",
+        "ref_len",
+        "pred_len",
+        dist.cast("long").alias("edit_ops"),
+        (dist.cast("double") / F.col("ref_len")).alias("wer"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# NDCG@10 and MRR over a deterministic ranked-candidate grid
+# ---------------------------------------------------------------- #
+
+_NDCG_K = 10
+_NDCG_QUERIES = 20
+# discount weights 1/log2(rank+1) pre-scaled to 1e12 integers — the
+# SAME literals ride in both twins, so the DCG sum is an exact int64
+# sum (a float discount sum would be order-sensitive cross-engine).
+_DCG_W = [
+    round(10**12 / math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+]
+
+_GRID_SQL = f"""
+  SELECT q.query_id, r.rank,
+         CAST((q.query_id * 37 + r.rank * 11) % 500 AS BIGINT) AS doc_id
+  FROM (SELECT UNNEST(generate_series(0, {_NDCG_QUERIES - 1})) AS query_id) q
+  CROSS JOIN (SELECT UNNEST(generate_series(1, {_NDCG_K})) AS rank) r
+"""
+
+_W_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_DCG_W)
+) + " END"
+
+
+def _ndcg_oracle() -> str:
+    w_rank = _W_CASE.replace("rnk", "rank")
+    w_ideal = _W_CASE.replace("rnk", "ideal_pos")
+    return f"""
+WITH grid AS ({_GRID_SQL}),
+rel AS (
+  SELECT g.query_id, g.rank, CAST(d.n_chars % 4 AS BIGINT) AS rel,
+         CAST(CASE CAST(d.n_chars % 4 AS INT)
+              WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+           AS BIGINT) AS gain
+  FROM grid g JOIN documents d ON d.doc_id = g.doc_id
+),
+ideal AS (
+  SELECT query_id, rank, gain,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, rank) AS BIGINT)
+           AS ideal_pos
+  FROM rel
+),
+s AS (
+  SELECT query_id,
+         CAST(SUM(gain * ({w_rank})) AS BIGINT) AS dcg_scaled,
+         CAST(SUM(gain * ({w_ideal})) AS BIGINT) AS idcg_scaled
+  FROM ideal GROUP BY query_id
+)
+SELECT query_id, dcg_scaled, idcg_scaled,
+       CAST(dcg_scaled AS DOUBLE) / GREATEST(idcg_scaled, 1) AS ndcg
+FROM s
+"""
+
+
+def _candidate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic query×rank candidate grid joined to the
+    corpus for graded relevance (rel = n_chars % 4 of the candidate
+    document) — the bounded grid is broadcast; the corpus is scanned
+    once and never reshuffled."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    grid = (
+        spark.range(_NDCG_QUERIES)
+        .select(F.col("id").alias("query_id"))
+        .crossJoin(
+            spark.range(1, _NDCG_K + 1).select(F.col("id").alias("rank"))
+        )
+        .select(
+            "query_id",
+            "rank",
+            ((F.col("query_id") * 37 + F.col("rank") * 11) % 500).alias(
+                "doc_id"
+            ),
+        )
+    )
+    return (
+        d.join(F.broadcast(grid), "doc_id")
+        .select("query_id", "rank", (F.col("n_chars") % 4).alias("rel"))
+    )
+
+
+@query("pipeline_eval_ndcg", oracle=_ndcg_oracle(), category="pipelines")
+def pipeline_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 (Järvelin & Kekäläinen 2002) per query over a
+    deterministic ranked-candidate grid with graded relevance from
+    the corpus (rel = n_chars % 4, exponential gains 2^rel - 1).
+    The log2 discounts are pre-scaled 1e12 INTEGER LITERALS embedded
+    identically in both twins, so DCG and ideal DCG are exact int64
+    sums (a float discount accumulation would be ordering-sensitive
+    cross-engine); the ideal ordering is one bounded per-query
+    window (rel DESC, rank as the deterministic tie-break).  One
+    double division per query, zero corpus shuffle."""
+    rel = _candidate_grid(spark, sf_dir)
+    gain = (
+        F.when(F.col("rel") == 0, 0)
+        .when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .otherwise(7)
+        .cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("rank"))
+    ideal = rel.select(
+        "query_id",
+        "rank",
+        gain.alias("gain"),
+        F.row_number().over(w).cast("long").alias("ideal_pos"),
+    )
+    w_rank = F.expr(_W_CASE.replace("rnk", "rank"))
+    w_ideal = F.expr(_W_CASE.replace("rnk", "ideal_pos"))
+    s = ideal.groupBy("query_id").agg(
+        F.sum(F.col("gain") * w_rank).cast("long").alias("dcg_scaled"),
+        F.sum(F.col("gain") * w_ideal).cast("long").alias("idcg_scaled"),
+    )
+    return s.select(
+        "query_id",
+        "dcg_scaled",
+        "idcg_scaled",
+        (
+            F.col("dcg_scaled").cast("double")
+            / F.greatest(F.col("idcg_scaled"), F.lit(1))
+        ).alias("ndcg"),
+    )
+
+
+def _mrr_oracle() -> str:
+    return f"""
+WITH grid AS ({_GRID_SQL}),
+rel AS (
+  SELECT g.query_id, g.rank,
+         CASE WHEN d.n_chars % 4 >= 2 THEN 1 ELSE 0 END AS relevant
+  FROM grid g JOIN documents d ON d.doc_id = g.doc_id
+),
+s AS (
+  SELECT query_id,
+         CAST(COALESCE(MIN(CASE WHEN relevant = 1 THEN rank END), 0)
+           AS BIGINT) AS first_rel_rank,
+         CAST(SUM(relevant) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY query_id
+)
+SELECT query_id, first_rel_rank, n_relevant,
+       CAST(CASE WHEN first_rel_rank > 0
+                 THEN 1000000000000 // first_rel_rank
+                 ELSE 0 END AS BIGINT) AS rr_scaled
+FROM s
+"""
+
+
+@query("pipeline_eval_mrr", oracle=_mrr_oracle(), category="pipelines")
+def pipeline_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank components per query over the same
+    candidate grid (binary relevance rel >= 2): the first relevant
+    rank and its reciprocal as an exact 1e12-scaled floor division
+    (Spark DIV == DuckDB //) — MRR itself is the driver's one-line
+    mean over rr_scaled.  Queries with no relevant candidate emit
+    rank 0 / rr 0 explicitly (NULL-free for the hash grade)."""
+    rel = _candidate_grid(spark, sf_dir).select(
+        "query_id",
+        "rank",
+        F.when(F.col("rel") >= 2, 1).otherwise(0).alias("relevant"),
+    )
+    s = rel.groupBy("query_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("relevant") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum("relevant").cast("long").alias("n_relevant"),
+    )
+    return s.select(
+        "query_id",
+        "first_rel_rank",
+        "n_relevant",
+        F.when(
+            F.col("first_rel_rank") > 0,
+            F.expr("1000000000000 DIV first_rel_rank"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rr_scaled"),
+    )

@@ -1074,3 +1074,121 @@ def dedup_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(n_shingles) AS BIGINT)"
         ).alias("internal_dup_bp"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 2: Bloom-filter membership prefilter
+# ------------------------------------------------------------------ #
+
+_BLOOM_HEX = "0123456789abcdef"
+
+
+def _bloom_pos_spark(h: str, off: int) -> str:
+    """16-bit bucket from 4 md5-hex chars at 1-based offset `off` —
+    pure digit arithmetic (instr into the hex alphabet), identical
+    semantics in both engines; no engine-native hex parse needed."""
+    terms = " + ".join(
+        f"(instr('{_BLOOM_HEX}', substr(h, {off + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _bloom_pos_duck(h: str, off: int) -> str:
+    terms = " + ".join(
+        f"(strpos('{_BLOOM_HEX}', substr(h, {off + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _bloom_oracle() -> str:
+    a_pos = ", ".join(_bloom_pos_duck("h", 1 + 4 * k) for k in range(4))
+    return f"""
+WITH a AS (
+  SELECT md5(text) AS h, text FROM documents WHERE doc_id % 2 = 0
+),
+bits AS (
+  SELECT DISTINCT UNNEST([{a_pos}]) AS pos
+  FROM a
+),
+b AS (
+  SELECT doc_id, text, md5(text) AS h
+  FROM documents WHERE doc_id % 2 = 1
+),
+bp AS (
+  SELECT doc_id, UNNEST([{a_pos}]) AS pos FROM b
+),
+hits AS (
+  SELECT bp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM bp JOIN bits ON bits.pos = bp.pos
+  GROUP BY bp.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) = 4 AS INT) AS maybe_member,
+       CAST(EXISTS (SELECT 1 FROM a WHERE a.text = b.text) AS INT)
+         AS is_member
+FROM b LEFT JOIN hits ON hits.doc_id = b.doc_id
+"""
+
+
+@query("dedup_bloom_prefilter", oracle=_bloom_oracle(), category="dedup")
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership PREFILTER — the cheap gate in front of
+    an exact dedup join (the incremental-ingest pattern: probe each
+    arriving document against the bit set of the persisted corpus,
+    and only maybe-members pay the exact text join): k=4 hash
+    functions are four disjoint 16-bit slices of the md5 hex digest,
+    decoded by pure digit arithmetic (instr into the hex alphabet —
+    identical cross-engine, no native hex parse), over a 2^16-bit
+    space.  Emitted per probe doc: the hit count, the Bloom verdict
+    (all 4 bits set), and ground truth from the exact join — the
+    test asserts the filter's defining guarantee, ZERO false
+    negatives, and measures the false-positive count.
+
+    Execution shape: the bit set is a bounded DISTINCT (<= 4 bits
+    per build doc, capped by the 65,536-bit space) broadcast to the
+    probe side; the probe is a per-row map + one broadcast join +
+    one key-local count — the corpus crosses the wire as bit
+    positions, never as text.  At 100 TB the same plan stands with
+    the space parameter scaled (or Spark's native bloom_filter_agg /
+    DataFrame.stat.bloomFilter building the bitmap as one
+    aggregate); the prefilter is what keeps the exact join's shuffle
+    proportional to the MAYBE set, not the corpus."""
+    d = table(spark, sf_dir, "documents")
+    pos_arr = F.expr(
+        "array("
+        + ", ".join(_bloom_pos_spark("h", 1 + 4 * k) for k in range(4))
+        + ")"
+    )
+    a = d.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("h"), "text"
+    )
+    bits = (
+        a.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    b = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", F.md5("text").alias("h")
+    )
+    bp = b.select("doc_id", F.explode(pos_arr).alias("pos"))
+    hits = (
+        bp.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    a_texts = a.select("text").distinct().withColumn("im", F.lit(1))
+    return (
+        b.join(hits, "doc_id", "left")
+        .join(F.broadcast(a_texts), "text", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) == 4).cast("int").alias(
+                "maybe_member"
+            ),
+            F.coalesce("im", F.lit(0)).cast("int").alias("is_member"),
+        )
+    )

@@ -1811,3 +1811,222 @@ def sim_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("centroid_distance"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 2: compressed-index read paths — binary quantization with
+# Hamming ANN, and two-level residual quantization
+# ------------------------------------------------------------------ #
+
+_BQ_NQ = 8  # bounded probe set
+_BQ_K = 3
+
+_BQ_PACK_DUCK = """
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+           i -> CASE WHEN CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+           AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(generate_series(33, 64),
+           i -> CASE WHEN CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+           AS BIGINT) AS w1
+  FROM embeddings
+"""
+
+
+@query(
+    "vec_bq_hamming",
+    oracle=f"""
+WITH packed AS ({_BQ_PACK_DUCK}),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, d.w0)) + bit_count(xor(q.w1, d.w1))
+           AS BIGINT) AS hamming
+  FROM packed q JOIN packed d ON d.vec_id <> q.vec_id
+  WHERE q.vec_id < {_BQ_NQ}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id)
+           AS BIGINT) AS rnk
+  FROM pairs
+)
+SELECT query_id, rnk, neighbor_id, hamming
+FROM ranked WHERE rnk <= {_BQ_K}
+""",
+    category="similarity",
+)
+def vec_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN read path — the 32x-compression tier
+    below int8 (vec_quantize_int8) and PQ (sim_pq_adc): each 64-dim
+    vector collapses to its SIGN BITS packed into two int64 words
+    (bits 0..31 and 32..63 — one word would need bit 63 and overflow
+    both engines' signed BIGINT), and nearest-neighbor search becomes
+    bit_count(xor) Hamming distance — the popcount trick every
+    binary-embedding index (faiss IndexBinaryFlat) runs.  Both the
+    packing (shiftleft folds on the 1e-6 sign grid) and the distance
+    are exact integers; top-3 per probe via one bounded window.
+
+    Execution shape: packing is a zero-shuffle scan-speed map; the
+    8-row probe set broadcasts against the packed corpus (corpus
+    scanned once, never reshuffled — the sim_hard_negatives
+    discipline); the rank window partitions by query over <= corpus
+    rows per probe.  At 100 TB the packed corpus is 16 bytes/vector —
+    the index that actually fits in RAM."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def word(lo: int, hi: int) -> Column:
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, i) ->"
+            " acc + IF(CAST(round(CAST(element_at(embedding, i) AS DOUBLE)"
+            " * 1000000) AS BIGINT) > 0,"
+            f" shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+        )
+
+    packed = e.select(
+        "vec_id", word(1, 32).alias("w0"), word(33, 64).alias("w1")
+    )
+    q = packed.where(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    pairs = packed.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _BQ_K)
+        .select("query_id", "rnk", "neighbor_id", "hamming")
+    )
+
+
+def _rq_oracle() -> str:
+    """Two-level residual quantization against in-data codebooks
+    (level 1 = vectors 0..3 on the 1e-6 grid; level 2 = vectors 4..7
+    floor-divided by 4 to residual scale)."""
+    return """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c1 AS (SELECT vec_id AS code1, qv AS cv FROM q WHERE vec_id < 4),
+c2 AS (
+  SELECT vec_id - 4 AS code2,
+         list_transform(qv, x -> CAST(floor(x / 4.0) AS BIGINT)) AS cv
+  FROM q WHERE vec_id >= 4 AND vec_id < 8
+),
+d1 AS (
+  SELECT q.vec_id, c1.code1,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i])))
+           AS BIGINT) AS dist1,
+         list_transform(generate_series(1, 64),
+           i -> q.qv[i] - c1.cv[i]) AS resid,
+         CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) AS err0
+  FROM q CROSS JOIN c1
+),
+b1 AS (
+  SELECT * FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist1, code1) = 1
+),
+d2 AS (
+  SELECT b1.vec_id, b1.code1, b1.dist1 AS err1, b1.err0, c2.code2,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (b1.resid[i] - c2.cv[i]) * (b1.resid[i] - c2.cv[i])))
+           AS BIGINT) AS dist2
+  FROM b1 CROSS JOIN c2
+)
+SELECT vec_id, CAST(code1 AS BIGINT) AS code1, err1,
+       CAST(code2 AS BIGINT) AS code2, dist2 AS err2, err0
+FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, code2) = 1
+"""
+
+
+@query("vec_rq_encode", oracle=_rq_oracle(), category="similarity")
+def vec_rq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level RESIDUAL quantization encode (Chen et al.;
+    faiss ResidualQuantizer) — the additive-codebook alternative to
+    PQ's subspace split (vec_pq_encode): level 1 picks the nearest
+    of 4 coarse codewords by exact integer L2^2 on the 1e-6 grid,
+    level 2 encodes the RESIDUAL against a second 4-word codebook,
+    and the emitted (code1, code2, err0/err1/err2) ledger exposes the
+    variance each level removes.  Codebooks are IN-DATA (vectors 0..3
+    raw; vectors 4..7 floor-div 4 to residual scale — the pmod floor
+    trick, Spark == DuckDB //), so the whole construction is
+    cross-engine reproducible with no fitted state.  Both argmins
+    are deterministic (dist, code) windows.
+
+    Execution: two broadcast joins against 4-row codebooks + two
+    bounded windows keyed by vec_id — the corpus is scanned once;
+    at 100 TB real codebooks ride as literals (the sim_ivf_probe /
+    vec_pq_encode pattern) and the argmin is the same map."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    c1 = q.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code1"), F.col("qv").alias("cv1")
+    )
+    c2 = q.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+        (F.col("vec_id") - 4).alias("code2"),
+        F.transform(
+            F.col("qv"), lambda x: ((x - F.pmod(x, 4)) / 4).cast("long")
+        ).alias("cv2"),
+    )
+    sq_l2 = lambda a, b: F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    d1 = q.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "code1",
+        sq_l2("qv", "cv1").alias("dist1"),
+        F.zip_with("qv", "cv1", lambda x, y: x - y).alias("resid"),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("err0"),
+    )
+    w1 = Window.partitionBy("vec_id").orderBy("dist1", "code1")
+    b1 = (
+        d1.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    d2 = b1.crossJoin(F.broadcast(c2)).select(
+        "vec_id",
+        F.col("code1").cast("long").alias("code1"),
+        F.col("dist1").alias("err1"),
+        "err0",
+        F.col("code2").cast("long").alias("code2"),
+        sq_l2("resid", "cv2").alias("dist2"),
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("dist2", "code2")
+    return (
+        d2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "code1", "err1", "code2",
+                F.col("dist2").alias("err2"), "err0")
+    )

@@ -186,3 +186,107 @@ def test_eval_gen_regimes_all_present(spark, sf_dir):
     ndcg = run("pipeline_eval_ndcg", spark, sf_dir).collect()
     assert any(r.ndcg < 1.0 for r in ndcg)
     assert any(r.idcg_scaled > 0 for r in ndcg)
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 2: compressed-index reads + Bloom prefilter
+# ---------------------------------------------------------------- #
+
+
+def _qvecs(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    return {
+        int(v): [round(float(x) * 1_000_000) for x in emb]
+        for v, emb in rows
+    }
+
+
+def test_bq_hamming_matches_popcount(spark, sf_dir):
+    vecs = _qvecs(sf_dir)
+    packed = {}
+    for v, qv in vecs.items():
+        w0 = sum(1 << (i - 1) for i in range(1, 33) if qv[i - 1] > 0)
+        w1 = sum(1 << (i - 33) for i in range(33, 65) if qv[i - 1] > 0)
+        packed[v] = (w0, w1)
+    got = {}
+    for r in run("vec_bq_hamming", spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rnk, r.neighbor_id, r.hamming)
+        )
+    for q in range(8):
+        qw = packed[q]
+        dists = sorted(
+            (
+                bin(qw[0] ^ w0).count("1") + bin(qw[1] ^ w1).count("1"),
+                v,
+            )
+            for v, (w0, w1) in packed.items()
+            if v != q
+        )
+        want = [(i + 1, v, d) for i, (d, v) in enumerate(dists[:3])]
+        assert sorted(got[q]) == want
+
+
+def test_rq_encode_two_level_argmin(spark, sf_dir):
+    vecs = _qvecs(sf_dir)
+    c1 = {c: vecs[c] for c in range(4)}
+    c2 = {c - 4: [x // 4 for x in vecs[c]] for c in range(4, 8)}
+    rows = {r.vec_id: r for r in run("vec_rq_encode", spark, sf_dir).collect()}
+    assert set(rows) == set(vecs)
+    for v, qv in vecs.items():
+        d1 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), c)
+            for c, cv in c1.items()
+        )
+        err1, code1 = d1[0]
+        resid = [a - b for a, b in zip(qv, c1[code1])]
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(resid, cv)), c)
+            for c, cv in c2.items()
+        )
+        err2, code2 = d2[0]
+        r = rows[v]
+        assert (r.code1, r.err1, r.code2, r.err2) == (
+            code1,
+            err1,
+            code2,
+            err2,
+        )
+        assert r.err0 == sum(x * x for x in qv)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    import hashlib
+
+    rows = run("dedup_bloom_prefilter", spark, sf_dir).collect()
+    assert rows, "probe side empty"
+    for r in rows:
+        # the Bloom guarantee: a true member is NEVER rejected
+        if r.is_member == 1:
+            assert r.maybe_member == 1, r.doc_id
+        assert 0 <= r.n_hits <= 4
+        assert r.maybe_member == (1 if r.n_hits == 4 else 0)
+    # replay the hash positions for a sample of probe docs
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    bits = set()
+    texts_a = set()
+    probe = {}
+    for doc_id, text in docs:
+        h = hashlib.md5(text.encode()).hexdigest()
+        pos = [int(h[4 * k : 4 * k + 4], 16) for k in range(4)]
+        if doc_id % 2 == 0:
+            bits.update(pos)
+            texts_a.add(text)
+        else:
+            probe[int(doc_id)] = (pos, text)
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, (pos, text) in probe.items():
+        r = by_id[doc_id]
+        assert r.n_hits == sum(p in bits for p in pos)
+        assert r.is_member == (1 if text in texts_a else 0)

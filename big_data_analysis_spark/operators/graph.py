@@ -1580,3 +1580,185 @@ def graph_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("longest_dist"),
         F.lit(_CP_ROUNDS).cast("long").alias("rounds"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 3: link prediction + bipartite projection
+# ------------------------------------------------------------------ #
+
+_RA_SCALE = 10**12
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+n AS (
+  SELECT a AS node, b AS nbr FROM u
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM u
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY node),
+pairs AS (
+  SELECT n1.node AS node_a, n2.node AS node_b, n1.nbr AS z
+  FROM n n1 JOIN n n2 ON n1.nbr = n2.nbr AND n1.node < n2.node
+),
+scored AS (
+  SELECT p.node_a, p.node_b,
+         CAST(COUNT(*) AS BIGINT) AS common_cnt,
+         CAST(SUM({_RA_SCALE} // dz.d) AS BIGINT) AS ra_scaled
+  FROM pairs p JOIN deg dz ON dz.node = p.z
+  GROUP BY p.node_a, p.node_b
+)
+SELECT s.node_a, s.node_b, s.common_cnt, s.ra_scaled,
+       CAST(CASE WHEN u.a IS NULL THEN 0 ELSE 1 END AS INT) AS is_edge
+FROM scored s
+LEFT JOIN u ON u.a = s.node_a AND u.b = s.node_b
+""",
+    category="graph",
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009) —
+    the degree-penalized upgrade of common-neighbor counting: score
+    (a, b) = sum over common neighbors z of 1/deg(z), so a hub
+    shared by everyone contributes almost nothing while a rare
+    mutual contact dominates.  The reciprocal ships EXACT as the
+    1e12-scaled floor division both engines share (Spark DIV ==
+    DuckDB // on non-negative operands) — no float accumulation;
+    is_edge tags pairs already linked (the candidate filter a link
+    recommender applies).  RA beats Adamic-Adar's 1/ln(deg) on most
+    benchmarks AND is the member of the family with an exact integer
+    form — AA's log would force a libm crossing per neighbor.
+
+    Shape: the common-neighbor pair generation is one equi-join on
+    the shared neighbor (never all-pairs), a broadcast-joined degree
+    lookup, one hash-agg.  Per-z fanout is deg(z)^2 — at 100 TB the
+    standard hub cap (drop z with deg above a percentile) bounds the
+    quadratic mass exactly like the dedup df-cap discipline."""
+    e = _edges(spark, sf_dir)
+    u = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = n.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = n.select(F.col("node").alias("node_a"), F.col("nbr").alias("z"))
+    n2 = n.select(F.col("node").alias("node_b"), F.col("nbr").alias("z"))
+    pairs = n1.join(n2, "z").where(F.col("node_a") < F.col("node_b"))
+    scored = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("node").alias("z"), "d")), "z"
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_cnt"),
+            F.sum(F.expr(f"{_RA_SCALE} DIV d")).cast("long").alias(
+                "ra_scaled"
+            ),
+        )
+    )
+    return (
+        scored.join(
+            u.withColumn("ie", F.lit(1)),
+            (F.col("a") == F.col("node_a")) & (F.col("b") == F.col("node_b")),
+            "left",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_cnt",
+            "ra_scaled",
+            F.coalesce("ie", F.lit(0)).cast("int").alias("is_edge"),
+        )
+    )
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle="""
+WITH bi AS (
+  SELECT DISTINCT o.o_custkey % 40 AS cust, l.l_partkey % 60 AS part
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+pdeg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY part),
+proj AS (
+  SELECT b1.part AS part_a, b2.part AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM bi b1 JOIN bi b2 ON b2.cust = b1.cust AND b1.part < b2.part
+  GROUP BY b1.part, b2.part
+)
+SELECT p.part_a, p.part_b, p.weight,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(p.weight AS DOUBLE) / (da.d + db.d - p.weight) AS overlap_jaccard
+FROM proj p
+JOIN pdeg da ON da.part = p.part_a
+JOIN pdeg db ON db.part = p.part_b
+""",
+    category="graph",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITE PROJECTION — the co-purchase graph construction
+    (Newman 2001's one-mode projection): the customer–part bipartite
+    graph from orders⋈lineitem projects onto parts, linking two
+    parts with weight = number of distinct shared customers, plus
+    the degree-normalized Jaccard overlap (weight / |N(a) ∪ N(b)|,
+    one double division of exact integers).  This is how
+    recommendation / substitute-detection graphs are actually built
+    from transaction logs.
+
+    Shape: ONE self-equi-join of the deduplicated bipartite edge
+    list on the shared customer (the shuffle key), then a hash-agg —
+    never an all-pairs product; per-customer fanout is basket^2,
+    the same bounded quadratic as pipeline_basket_lift, and the
+    hub-cap discipline applies to super-customers at scale.  The
+    degree lookup is a broadcast join (bounded by the part domain)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 60).alias("part")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 40).alias("cust")
+    )
+    bi = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("cust", "part")
+        .distinct()
+    )
+    pdeg = bi.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    b1 = bi.select("cust", F.col("part").alias("part_a"))
+    b2 = bi.select("cust", F.col("part").alias("part_b"))
+    proj = (
+        b1.join(b2, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return (
+        proj.join(
+            F.broadcast(pdeg.select(F.col("part").alias("part_a"),
+                                    F.col("d").alias("deg_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pdeg.select(F.col("part").alias("part_b"),
+                                    F.col("d").alias("deg_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "weight",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("weight").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("weight"))
+            ).alias("overlap_jaccard"),
+        )
+    )

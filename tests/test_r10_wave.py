@@ -290,3 +290,90 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         r = by_id[doc_id]
         assert r.n_hits == sum(p in bits for p in pos)
         assert r.is_member == (1 if text in texts_a else 0)
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 3: link prediction + bipartite projection
+# ---------------------------------------------------------------- #
+
+
+def _undirected_adj(sf_dir):
+    rows = duckdb.sql(
+        f"""
+        SELECT DISTINCT least(l_orderkey % 100, l_partkey % 100) a,
+                        greatest(l_orderkey % 100, l_partkey % 100) b
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_orderkey % 100 <> l_partkey % 100
+        """
+    ).fetchall()
+    adj = {}
+    edges = set()
+    for a, b in rows:
+        a, b = int(a), int(b)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        edges.add((a, b))
+    return adj, edges
+
+
+def test_resource_allocation_matches_definition(spark, sf_dir):
+    adj, edges = _undirected_adj(sf_dir)
+    rows = {
+        (r.node_a, r.node_b): r
+        for r in run("graph_resource_allocation", spark, sf_dir).collect()
+    }
+    nodes = sorted(adj)
+    n_checked = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            common = adj[a] & adj[b]
+            if not common:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            assert r.common_cnt == len(common)
+            assert r.ra_scaled == sum(10**12 // len(adj[z]) for z in common)
+            assert r.is_edge == (1 if (a, b) in edges else 0)
+            n_checked += 1
+    assert n_checked == len(rows)
+    # a rare mutual contact must outscore the same COUNT via hubs:
+    # ra is degree-sensitive while common_cnt is not
+    by_cnt = {}
+    for r in rows.values():
+        by_cnt.setdefault(r.common_cnt, set()).add(r.ra_scaled)
+    assert any(len(v) > 1 for v in by_cnt.values())
+
+
+def test_bipartite_projection_matches_definition(spark, sf_dir):
+    pairs = duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey % 40 AS cust, l.l_partkey % 60 AS part
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/orders.parquet') o
+          ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    custs_of = {}
+    for cust, part in pairs:
+        custs_of.setdefault(int(part), set()).add(int(cust))
+    rows = {
+        (r.part_a, r.part_b): r
+        for r in run("graph_bipartite_projection", spark, sf_dir).collect()
+    }
+    parts = sorted(custs_of)
+    n_checked = 0
+    for i, a in enumerate(parts):
+        for b in parts[i + 1 :]:
+            shared = custs_of[a] & custs_of[b]
+            if not shared:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            assert r.weight == len(shared)
+            assert r.deg_a == len(custs_of[a])
+            assert r.deg_b == len(custs_of[b])
+            assert r.overlap_jaccard == len(shared) / len(
+                custs_of[a] | custs_of[b]
+            )
+            n_checked += 1
+    assert n_checked == len(rows)

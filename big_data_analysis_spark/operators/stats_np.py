@@ -2000,3 +2000,534 @@ def win_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ddev.alias("downside_dev"),
         (mean_r / ddev).alias("sortino"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 4: ordered-alternative trend tests, mean-centered Levene,
+# and the pairwise-distance dispersion family
+# ------------------------------------------------------------------ #
+
+
+@query(
+    "agg_jonckheere",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN g1.x < g2.x THEN 2
+                       WHEN g1.x = g2.x THEN 1 ELSE 0 END) AS BIGINT) AS j2
+  FROM g g1 JOIN g g2 ON g1.event_type < g2.event_type
+),
+sizes AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sn2,
+         CAST(SUM(cnt * cnt * (2 * cnt + 3)) AS BIGINT) AS sn23
+  FROM (SELECT COUNT(*) AS cnt FROM g GROUP BY event_type)
+)
+SELECT s.n, p.j2,
+       (s.n * s.n - s.sn2) // 2 AS e_j2,
+       s.n * s.n * (2 * s.n + 3) - s.sn23 AS var72,
+       (CAST(p.j2 - (s.n * s.n - s.sn2) // 2 AS DOUBLE) / 2.0)
+         / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.sn23 AS DOUBLE) / 72.0)
+         AS z
+FROM pairs p, sizes s
+""",
+    category="aggregations",
+)
+def agg_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative — the
+    trend-aware upgrade of Kruskal-Wallis (which only detects "some
+    group differs"): with groups ordered by event_type (the dose
+    ordering here), J = sum over ordered group pairs of the
+    Mann-Whitney count #{x_i < x_j}, ties at half weight.  J rides
+    doubled (2 per strict win, 1 per tie — the house midrank trick),
+    E[2J] = (N^2 - sum n_i^2)/2 and the 72-scaled null variance are
+    exact integers, and z is one fixed-shape double expression
+    (no-ties variance, the standard base form).  The pair join is
+    bounded by the day grid (types x days); at raw-event scale the
+    per-pair counts collapse to the value-grid prefix machinery
+    (agg_mann_whitney's)."""
+    g = _day_grid(spark, sf_dir)
+    g1 = g.select(F.col("event_type").alias("t1"), F.col("x").alias("x1"))
+    g2 = g.select(F.col("event_type").alias("t2"), F.col("x").alias("x2"))
+    j2 = (
+        g1.join(g2, F.col("t1") < F.col("t2"))
+        .agg(
+            F.sum(
+                F.when(F.col("x1") < F.col("x2"), 2)
+                .when(F.col("x1") == F.col("x2"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("j2")
+        )
+    )
+    sizes = (
+        g.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sn2"),
+            F.sum(F.col("cnt") * F.col("cnt") * (2 * F.col("cnt") + 3))
+            .cast("long")
+            .alias("sn23"),
+        )
+    )
+    m = j2.crossJoin(sizes)
+    e_j2 = (F.col("n") * F.col("n") - F.col("sn2")) / 2
+    var72 = (
+        F.col("n") * F.col("n") * (2 * F.col("n") + 3) - F.col("sn23")
+    )
+    return m.select(
+        "n",
+        "j2",
+        e_j2.cast("long").alias("e_j2"),
+        var72.cast("long").alias("var72"),
+        (
+            (F.col("j2") - e_j2).cast("double")
+            / 2.0
+            / F.sqrt(var72.cast("double") / 72.0)
+        ).alias("z"),
+    )
+
+
+_PAGE_ORDER = {t: i + 1 for i, t in enumerate(sorted(_TYPES))}
+_PAGE_ORDER_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {i}" for t, i in _PAGE_ORDER.items()
+) + " END"
+
+
+@query(
+    "agg_page_l",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+full_days AS (
+  SELECT d FROM g GROUP BY d HAVING COUNT(*) = {len(_TYPES)}
+),
+b AS (SELECT g.* FROM g JOIN full_days USING (d)),
+rk AS (
+  SELECT b1.d, b1.event_type,
+         CAST(2 * SUM(CASE WHEN b2.x < b1.x THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b2.x = b1.x THEN 1 ELSE 0 END) + 1
+           AS BIGINT) AS rank2
+  FROM b b1 JOIN b b2 ON b2.d = b1.d
+  GROUP BY b1.d, b1.event_type
+),
+rs AS (
+  SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS r2
+  FROM rk GROUP BY event_type
+),
+m AS (
+  SELECT CAST(SUM(({_PAGE_ORDER_SQL}) * r2) AS BIGINT) AS l2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM full_days) AS blocks
+  FROM rs
+)
+SELECT blocks, l2,
+       blocks * {len(_TYPES) * (len(_TYPES) + 1) ** 2} // 2 AS e_l2,
+       blocks * {len(_TYPES) ** 2 * (len(_TYPES) - 1)
+                 * (len(_TYPES) + 1) ** 2} AS var144,
+       (CAST(l2 - blocks * {len(_TYPES) * (len(_TYPES) + 1) ** 2} // 2
+         AS DOUBLE) / 2.0)
+       / sqrt(CAST(blocks * {len(_TYPES) ** 2 * (len(_TYPES) - 1)
+                             * (len(_TYPES) + 1) ** 2}
+              AS DOUBLE) / 144.0) AS z
+FROM m
+""",
+    category="aggregations",
+)
+def agg_page_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (Page 1963) — the ordered-alternative
+    companion of agg_friedman_test: within each complete block (a
+    day with all 5 event types), rank the treatments (midranks
+    doubled, the within-block self-join count trick), then L = sum
+    over treatments of (hypothesized order index) x (rank sum).
+    With event types ordered alphabetically as the trend, 2L, E[2L]
+    = b*k(k+1)^2/2 and the 144-scaled variance b*k^2(k-1)(k+1)^2
+    are exact integers; z is one fixed double.  Blocks without all
+    k treatments drop (the balanced-design requirement).  Bounded:
+    the block join is k rows x k rows per day."""
+    k = len(_TYPES)
+    g = _day_grid(spark, sf_dir)
+    full_days = (
+        g.groupBy("d").agg(F.count(F.lit(1)).alias("c")).where(
+            F.col("c") == k
+        ).select("d")
+    )
+    b = g.join(F.broadcast(full_days), "d")
+    b1 = b.select("d", "event_type", F.col("x").alias("x1"))
+    b2 = b.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    rk = (
+        b1.join(b2, F.col("d") == F.col("d2"))
+        .groupBy("d", "event_type")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("x2") < F.col("x1"), 1).otherwise(0))
+                + F.sum(F.when(F.col("x2") == F.col("x1"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("rank2")
+        )
+    )
+    order_col = F.expr(_PAGE_ORDER_SQL)
+    rs = rk.groupBy("event_type").agg(
+        F.sum("rank2").cast("long").alias("r2")
+    )
+    m = rs.agg(
+        F.sum(order_col * F.col("r2")).cast("long").alias("l2")
+    ).crossJoin(
+        full_days.agg(F.count(F.lit(1)).cast("long").alias("blocks"))
+    )
+    e_l2 = F.col("blocks") * (k * (k + 1) ** 2) / 2
+    var144 = F.col("blocks") * (k**2 * (k - 1) * (k + 1) ** 2)
+    return m.select(
+        "blocks",
+        "l2",
+        e_l2.cast("long").alias("e_l2"),
+        var144.cast("long").alias("var144"),
+        (
+            (F.col("l2") - e_l2).cast("double")
+            / 2.0
+            / F.sqrt(var144.cast("double") / 144.0)
+        ).alias("z"),
+    )
+
+
+@query(
+    "agg_levene_mean",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+full_days AS (
+  SELECT d FROM g GROUP BY d HAVING COUNT(*) = {len(_TYPES)}
+),
+b AS (SELECT g.* FROM g JOIN full_days USING (d)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_days),
+grp AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS s
+  FROM b GROUP BY event_type
+),
+z AS (
+  SELECT b.event_type,
+         CAST(ABS(nn.n * b.x - grp.s) AS BIGINT) AS zq
+  FROM b JOIN grp USING (event_type) CROSS JOIN nn
+),
+t AS (
+  SELECT event_type, CAST(SUM(zq) AS HUGEINT) AS tt
+  FROM z GROUP BY event_type
+),
+gt AS (SELECT CAST(SUM(tt) AS HUGEINT) AS g FROM t),
+num AS (
+  SELECT SUM((CAST({len(_TYPES)} AS HUGEINT) * t.tt - gt.g)
+             * ({len(_TYPES)} * t.tt - gt.g)) AS numh
+  FROM t CROSS JOIN gt
+),
+den AS (
+  SELECT SUM((CAST(nn.n AS HUGEINT) * z.zq - t.tt)
+             * (nn.n * z.zq - t.tt)) AS denh
+  FROM z JOIN t USING (event_type) CROSS JOIN nn
+)
+SELECT nn.n AS n_days,
+       {len(_TYPES)} * nn.n AS n_total,
+       CAST(CAST(num.numh AS VARCHAR) AS DOUBLE) AS num_d,
+       CAST(CAST(den.denh AS VARCHAR) AS DOUBLE) AS den_d,
+       (CAST({len(_TYPES)} * nn.n - {len(_TYPES)} AS DOUBLE)
+        * CAST(nn.n AS DOUBLE)
+        * CAST(CAST(num.numh AS VARCHAR) AS DOUBLE))
+       / ({(len(_TYPES) - 1) * len(_TYPES) ** 2}.0
+          * CAST(CAST(den.denh AS VARCHAR) AS DOUBLE)) AS w
+FROM nn, num, den
+""",
+    category="aggregations",
+)
+def agg_levene_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test with MEAN centers (Levene
+    1960) — the classical companion of agg_brown_forsythe's median
+    variant: W = ((N-k)/(k-1)) * sum_i n(Zbar_i - Zbar)^2 /
+    sum_ij (Z_ij - Zbar_i)^2 with Z = |x - groupmean|.  Mean centers
+    make Z irrational on the raw grid, so the whole statistic runs
+    on the n-SCALED lattice over the BALANCED panel (days all k
+    types share): Z'_ij = |n*x_ij - S_i| is an exact integer, and
+    algebra collapses W to ((N-k) * n * sum(k*T_i - G)^2) /
+    ((k-1) * k^2 * sum(n*Z'_ij - T_i)^2) — numerator and denominator
+    exact in DECIMAL(38,0)/HUGEINT, crossing to double via the
+    VARCHAR route (the agg_jarque_bera rounding rule), one final
+    fixed-shape division.  Balanced-panel restriction is what makes
+    the single scale n exist; the unbalanced case is Brown-Forsythe
+    territory."""
+    k = len(_TYPES)
+    g = _day_grid(spark, sf_dir)
+    full_days = (
+        g.groupBy("d").agg(F.count(F.lit(1)).alias("c")).where(
+            F.col("c") == k
+        ).select("d")
+    )
+    b = g.join(F.broadcast(full_days), "d")
+    n_days = full_days.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grp = b.groupBy("event_type").agg(F.sum("x").cast("long").alias("s"))
+    z = (
+        b.join(F.broadcast(grp), "event_type")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "event_type",
+            "n",
+            F.abs(F.col("n") * F.col("x") - F.col("s"))
+            .cast("long")
+            .alias("zq"),
+        )
+    )
+    t = z.groupBy("event_type").agg(
+        F.sum(F.col("zq").cast("decimal(38,0)")).alias("tt")
+    )
+    gt = t.agg(F.sum("tt").cast("decimal(38,0)").alias("g"))
+    num = (
+        t.crossJoin(F.broadcast(gt))
+        .agg(
+            F.sum(
+                (F.lit(k).cast("decimal(38,0)") * F.col("tt") - F.col("g"))
+                * (F.lit(k) * F.col("tt") - F.col("g"))
+            ).alias("numh")
+        )
+    )
+    den = (
+        z.join(F.broadcast(t), "event_type")
+        .agg(
+            F.sum(
+                (F.col("n").cast("decimal(38,0)") * F.col("zq") - F.col("tt"))
+                * (F.col("n") * F.col("zq") - F.col("tt"))
+            ).alias("denh")
+        )
+    )
+    m = n_days.crossJoin(num).crossJoin(den)
+    num_d = F.col("numh").cast("string").cast("double")
+    den_d = F.col("denh").cast("string").cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.lit(k) * F.col("n")).cast("long").alias("n_total"),
+        num_d.alias("num_d"),
+        den_d.alias("den_d"),
+        (
+            (F.lit(k) * F.col("n") - k).cast("double")
+            * F.col("n").cast("double")
+            * num_d
+            / (F.lit(float((k - 1) * k**2)) * den_d)
+        ).alias("w"),
+    )
+
+
+_ED_PREFIX_SQL = """
+  SELECT v, ca, cb,
+         SUM(ca) OVER w AS cum_a,
+         SUM(ca * v) OVER w AS cums_a,
+         SUM(cb) OVER w AS cum_b,
+         SUM(cb * v) OVER w AS cums_b,
+         SUM(ca) OVER () AS tot_a,
+         SUM(ca * v) OVER () AS tots_a,
+         SUM(cb) OVER () AS tot_b,
+         SUM(cb * v) OVER () AS tots_b
+  FROM u
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "agg_energy_distance",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS v FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+u AS (
+  SELECT v,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS ca,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS cb
+  FROM c GROUP BY v
+),
+w AS ({_ED_PREFIX_SQL}),
+s AS (
+  SELECT
+    CAST(SUM(cb * (v * cum_a - cums_a + (tots_a - cums_a)
+                   - v * (tot_a - cum_a))) AS BIGINT) AS s_ab,
+    CAST(SUM(ca * (v * cum_a - cums_a + (tots_a - cums_a)
+                   - v * (tot_a - cum_a))) AS BIGINT) AS s_aa,
+    CAST(SUM(cb * (v * cum_b - cums_b + (tots_b - cums_b)
+                   - v * (tot_b - cum_b))) AS BIGINT) AS s_bb,
+    CAST(MAX(tot_a) AS BIGINT) AS n,
+    CAST(MAX(tot_b) AS BIGINT) AS m
+  FROM w
+)
+SELECT n, m, s_ab, s_aa, s_bb,
+       2.0 * CAST(s_ab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+       - CAST(s_aa AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       - CAST(s_bb AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+         AS energy_dist2
+FROM s
+""",
+    category="aggregations",
+)
+def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the click and purchase value samples
+    (Székely & Rizzo) — the metric two-sample statistic D^2 =
+    2E|X-Y| - E|X-X'| - E|Y-Y'|: zero iff the distributions are
+    equal, the basis of the energy two-sample/k-sample tests and of
+    distance correlation.  The three pairwise |.| sums are exact
+    int64 WITHOUT a pair join: on the cents value grid, the sorted
+    prefix identity sum_b |v - b| = v*cnt_le - sum_le + sum_gt -
+    v*cnt_gt collapses each to one ordered cumulative pass (the
+    agg_wasserstein_1d CDF discipline) — O(distinct values), never
+    O(n*m).  Self-pair sums count ordered pairs, matching the n^2 /
+    m^2 normalizations; the final combination is one fixed-shape
+    double expression over exact integers.  The grid window is
+    value-domain-bounded (the documented bounded-grid exemption);
+    at scale the grid itself shards by value range."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    u = e.select(F.col("event_type").alias("t"), cents.alias("v")).groupBy(
+        "v"
+    ).agg(
+        F.count(F.when(F.col("t") == "click", 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("t") == "purchase", 1)).cast("long").alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    w = u.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum(F.col("ca") * F.col("v")).over(wc).alias("cums_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum(F.col("cb") * F.col("v")).over(wc).alias("cums_b"),
+        F.sum("ca").over(wt).alias("tot_a"),
+        F.sum(F.col("ca") * F.col("v")).over(wt).alias("tots_a"),
+        F.sum("cb").over(wt).alias("tot_b"),
+        F.sum(F.col("cb") * F.col("v")).over(wt).alias("tots_b"),
+    )
+
+    def against_a(cnt: str):
+        return F.col(cnt) * (
+            F.col("v") * F.col("cum_a")
+            - F.col("cums_a")
+            + (F.col("tots_a") - F.col("cums_a"))
+            - F.col("v") * (F.col("tot_a") - F.col("cum_a"))
+        )
+
+    def against_b(cnt: str):
+        return F.col(cnt) * (
+            F.col("v") * F.col("cum_b")
+            - F.col("cums_b")
+            + (F.col("tots_b") - F.col("cums_b"))
+            - F.col("v") * (F.col("tot_b") - F.col("cum_b"))
+        )
+
+    s = w.agg(
+        F.sum(against_a("cb")).cast("long").alias("s_ab"),
+        F.sum(against_a("ca")).cast("long").alias("s_aa"),
+        F.sum(against_b("cb")).cast("long").alias("s_bb"),
+        F.max("tot_a").cast("long").alias("n"),
+        F.max("tot_b").cast("long").alias("m"),
+    )
+    dn, dm = F.col("n").cast("double"), F.col("m").cast("double")
+    return s.select(
+        "n",
+        "m",
+        "s_ab",
+        "s_aa",
+        "s_bb",
+        (
+            2.0 * F.col("s_ab").cast("double") / (dn * dm)
+            - F.col("s_aa").cast("double") / (dn * dn)
+            - F.col("s_bb").cast("double") / (dm * dm)
+        ).alias("energy_dist2"),
+    )
+
+
+@query(
+    "agg_gini_mean_diff",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL} AS v FROM events
+),
+u AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY event_type, v
+),
+w AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER pw AS cum,
+         SUM(cnt * v) OVER pw AS cums,
+         SUM(cnt) OVER p AS tot,
+         SUM(cnt * v) OVER p AS tots
+  FROM u
+  WINDOW pw AS (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY event_type)
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(cnt * (v * cum - cums + (tots - cums)
+                         - v * (tot - cum))) AS BIGINT) AS s_abs,
+         CAST(MAX(tot) AS BIGINT) AS n
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n, s_abs,
+       CAST(s_abs AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS gmd_cents
+FROM s
+""",
+    category="aggregations",
+)
+def agg_gini_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference per event type — E|X-X'| over distinct
+    draws, the dispersion measure underlying the Gini coefficient
+    (agg_gini's Lorenz form equals GMD/(2*mean)) and the robust
+    scale estimator competing with the IQR: the ordered-pair
+    absolute sum is exact int64 via the same per-partition sorted
+    prefix identity as agg_energy_distance (one cumulative pass over
+    the per-type value grid, never a pair join), divided by n(n-1).
+    Value-domain-bounded windows partitioned by type."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    u = e.select("event_type", cents.alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = Window.partitionBy("event_type")
+    w = u.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(pw).alias("cum"),
+        F.sum(F.col("cnt") * F.col("v")).over(pw).alias("cums"),
+        F.sum("cnt").over(p).alias("tot"),
+        F.sum(F.col("cnt") * F.col("v")).over(p).alias("tots"),
+    )
+    s = w.groupBy("event_type").agg(
+        F.sum(
+            F.col("cnt")
+            * (
+                F.col("v") * F.col("cum")
+                - F.col("cums")
+                + (F.col("tots") - F.col("cums"))
+                - F.col("v") * (F.col("tot") - F.col("cum"))
+            )
+        )
+        .cast("long")
+        .alias("s_abs"),
+        F.max("tot").cast("long").alias("n"),
+    )
+    dn = F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        "s_abs",
+        (F.col("s_abs").cast("double") / (dn * (dn - 1.0))).alias(
+            "gmd_cents"
+        ),
+    )

@@ -377,3 +377,157 @@ def test_bipartite_projection_matches_definition(spark, sf_dir):
             )
             n_checked += 1
     assert n_checked == len(rows)
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 4: ordered-alternative trend tests, Levene (mean),
+# pairwise-distance dispersion
+# ---------------------------------------------------------------- #
+
+
+def _grid_series(sf_dir):
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) x
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    out = {}
+    for et, d, x in rows:
+        out.setdefault(et, {})[d] = int(x)
+    return out
+
+
+def test_jonckheere_matches_definition(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    types = sorted(series)
+    j2 = 0
+    for i, t1 in enumerate(types):
+        for t2 in types[i + 1 :]:
+            for x1 in series[t1].values():
+                for x2 in series[t2].values():
+                    j2 += 2 if x1 < x2 else (1 if x1 == x2 else 0)
+    ns = [len(series[t]) for t in types]
+    N = sum(ns)
+    e_j2 = (N * N - sum(n * n for n in ns)) // 2
+    var72 = N * N * (2 * N + 3) - sum(n * n * (2 * n + 3) for n in ns)
+    r = run("agg_jonckheere", spark, sf_dir).collect()[0]
+    assert (r.n, r.j2, r.e_j2, r.var72) == (N, j2, e_j2, var72)
+    assert r.z == ((j2 - e_j2) / 2.0) / math.sqrt(var72 / 72.0)
+
+
+def test_page_l_matches_definition(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    days = set.intersection(*(set(series[t]) for t in types))
+    r2 = {t: 0 for t in types}
+    for d in days:
+        vals = [(series[t][d], t) for t in types]
+        for v, t in vals:
+            lt = sum(1 for w, _ in vals if w < v)
+            eq = sum(1 for w, _ in vals if w == v)
+            r2[t] += 2 * lt + eq + 1
+    l2 = sum((i + 1) * r2[t] for i, t in enumerate(types))
+    b = len(days)
+    e_l2 = b * k * (k + 1) ** 2 // 2
+    var144 = b * k**2 * (k - 1) * (k + 1) ** 2
+    r = run("agg_page_l", spark, sf_dir).collect()[0]
+    assert (r.blocks, r.l2, r.e_l2, r.var144) == (b, l2, e_l2, var144)
+    assert r.z == ((l2 - e_l2) / 2.0) / math.sqrt(var144 / 144.0)
+
+
+def test_levene_mean_matches_definition(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    days = sorted(set.intersection(*(set(series[t]) for t in types)))
+    n = len(days)
+    T, den = {}, 0
+    zq = {}
+    for t in types:
+        s = sum(series[t][d] for d in days)
+        zq[t] = [abs(n * series[t][d] - s) for d in days]
+        T[t] = sum(zq[t])
+    G = sum(T.values())
+    num = sum((k * T[t] - G) ** 2 for t in types)
+    den = sum(
+        (n * z - T[t]) ** 2 for t in types for z in zq[t]
+    )
+    r = run("agg_levene_mean", spark, sf_dir).collect()[0]
+    assert (r.n_days, r.n_total) == (n, k * n)
+    assert r.num_d == float(num) and r.den_d == float(den)
+    want_w = (
+        float(k * n - k) * float(n) * float(num)
+    ) / (float((k - 1) * k**2) * float(den))
+    assert r.w == want_w
+    # sanity vs the statistic's definition computed in floats
+    means = {t: sum(series[t][d] for d in days) / n for t in types}
+    Z = {t: [abs(series[t][d] - means[t]) for d in days] for t in types}
+    zbar_i = {t: sum(Z[t]) / n for t in types}
+    zbar = sum(sum(Z[t]) for t in types) / (k * n)
+    w_def = (
+        (k * n - k)
+        / (k - 1)
+        * sum(n * (zbar_i[t] - zbar) ** 2 for t in types)
+        / sum((v - zbar_i[t]) ** 2 for t in types for v in Z[t])
+    )
+    assert r.w == pytest.approx(w_def, rel=1e-9)
+
+
+def _cents(sf_dir, et):
+    return [
+        int(v)
+        for (v,) in duckdb.sql(
+            f"""
+            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = '{et}'
+            """
+        ).fetchall()
+    ]
+
+
+def _pair_abs_sum(xs, ys):
+    """O(n log n) replay of the ordered-pair |x-y| sum."""
+    ys_sorted = sorted(ys)
+    import bisect
+
+    pre = [0]
+    for y in ys_sorted:
+        pre.append(pre[-1] + y)
+    tot_n, tot_s = len(ys_sorted), pre[-1]
+    out = 0
+    for x in xs:
+        le = bisect.bisect_right(ys_sorted, x)
+        out += x * le - pre[le] + (tot_s - pre[le]) - x * (tot_n - le)
+    return out
+
+
+def test_energy_distance_matches_definition(spark, sf_dir):
+    a, b = _cents(sf_dir, "click"), _cents(sf_dir, "purchase")
+    s_ab = _pair_abs_sum(b, a)  # B rows against A prefix, as the query
+    s_aa = _pair_abs_sum(a, a)
+    s_bb = _pair_abs_sum(b, b)
+    n, m = len(a), len(b)
+    r = run("agg_energy_distance", spark, sf_dir).collect()[0]
+    assert (r.n, r.m, r.s_ab, r.s_aa, r.s_bb) == (n, m, s_ab, s_aa, s_bb)
+    want = 2.0 * s_ab / (n * m) - s_aa / (n * n) - s_bb / (m * m)
+    assert r.energy_dist2 == want
+    assert r.energy_dist2 >= 0.0  # energy distance is a metric
+
+
+def test_gini_mean_diff_matches_definition(spark, sf_dir):
+    rows = {
+        r.event_type: r
+        for r in run("agg_gini_mean_diff", spark, sf_dir).collect()
+    }
+    for et in ("click", "purchase", "view", "signup", "error"):
+        xs = _cents(sf_dir, et)
+        s = _pair_abs_sum(xs, xs)
+        r = rows[et]
+        assert (r.n, r.s_abs) == (len(xs), s)
+        assert r.gmd_cents == s / (len(xs) * (len(xs) - 1.0))

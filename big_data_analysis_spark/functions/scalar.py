@@ -2349,3 +2349,368 @@ def fn_hamming74(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr(sx["decoded"]) == F.col("nibble"))
         ).alias("ok"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 5: table-driven check digits (Verhoeff, Damm, EAN-13) and
+# the Hilbert space-filling index
+# ------------------------------------------------------------------ #
+
+# Verhoeff dihedral-group D5 tables (flattened row-major: [c][v] ->
+# c*10 + v) and the inverse permutation.
+_VF_D = [
+    0,1,2,3,4,5,6,7,8,9, 1,2,3,4,0,6,7,8,9,5, 2,3,4,0,1,7,8,9,5,6,
+    3,4,0,1,2,8,9,5,6,7, 4,0,1,2,3,9,5,6,7,8, 5,9,8,7,6,0,4,3,2,1,
+    6,5,9,8,7,1,0,4,3,2, 7,6,5,9,8,2,1,0,4,3, 8,7,6,5,9,3,2,1,0,4,
+    9,8,7,6,5,4,3,2,1,0,
+]
+_VF_P = [
+    0,1,2,3,4,5,6,7,8,9, 1,5,7,6,2,8,3,0,9,4, 5,8,0,3,7,9,6,1,4,2,
+    8,9,1,6,0,4,3,5,2,7, 9,4,5,3,1,2,6,8,7,0, 4,2,8,6,5,7,3,9,0,1,
+    2,7,9,3,8,0,6,4,1,5, 7,0,4,6,9,1,3,2,5,8,
+]
+_VF_INV = [0, 4, 3, 2, 1, 5, 6, 7, 8, 9]
+
+# Damm totally-antisymmetric quasigroup (flattened row-major).
+_DAMM = [
+    0,3,1,7,5,9,8,6,4,2, 7,0,9,2,1,5,4,8,6,3, 4,2,0,6,8,7,1,3,5,9,
+    1,7,5,0,9,8,3,4,2,6, 6,1,2,3,0,4,5,9,7,8, 3,6,7,4,2,0,9,5,8,1,
+    5,8,6,9,7,2,0,1,3,4, 8,9,4,5,3,6,2,0,1,7, 9,4,3,8,6,1,7,2,0,5,
+    2,5,8,1,4,3,6,7,9,0,
+]
+
+_PAYLOAD_SQL = (
+    "lpad(CAST(((c_custkey & 2147483647) * 2654435761) % 10000000000"
+    " AS VARCHAR), 10, '0')"
+)
+
+
+def _arr(vals, duck: bool) -> str:
+    body = ",".join(str(v) for v in vals)
+    return f"[{body}]" if duck else f"array({body})"
+
+
+def _idx(arr: str, i: str, duck: bool) -> str:
+    return f"({arr})[{i}]" if duck else f"element_at({arr}, {i})"
+
+
+def _digit(col: str, pos: int) -> str:
+    return f"CAST(substr({col}, {pos}, 1) AS INT)"
+
+
+def _verhoeff_c(col: str, width: int, start_i: int, duck: bool) -> str:
+    """Unrolled Verhoeff state fold: digits right-to-left, position
+    index i starting at `start_i` (1 for generation over the payload,
+    0 for validation over payload||check)."""
+    d, p = _arr(_VF_D, duck), _arr(_VF_P, duck)
+    c = "0"
+    for k in range(width):
+        i = start_i + k
+        dig = _digit(col, width - k)
+        perm = _idx(p, f"{(i % 8) * 10} + {dig} + 1", duck)
+        c = _idx(d, f"({c}) * 10 + {perm} + 1", duck)
+    return c
+
+
+def _damm_c(col: str, width: int, duck: bool) -> str:
+    """Unrolled Damm quasigroup fold: digits left-to-right."""
+    t = _arr(_DAMM, duck)
+    c = "0"
+    for pos in range(1, width + 1):
+        c = _idx(t, f"({c}) * 10 + {_digit(col, pos)} + 1", duck)
+    return c
+
+
+def _checkdigit_oracle(name: str) -> str:
+    duck = True
+    inv = _arr(_VF_INV, duck)
+    if name == "verhoeff":
+        gen = f"{_idx(inv, f'({_verhoeff_c(chr(112) + chr(97) + chr(121), 10, 1, duck)}) + 1', duck)}"
+        val = f"({_verhoeff_c('fullcode', 11, 0, duck)}) = 0"
+    else:
+        gen = _damm_c("pay", 10, duck)
+        val = f"({_damm_c('fullcode', 11, duck)}) = 0"
+    return f"""
+WITH acct AS (
+  SELECT c_custkey, c_mktsegment, {_PAYLOAD_SQL} AS pay FROM customer
+),
+gen AS (
+  SELECT c_mktsegment, pay, CAST({gen} AS BIGINT) AS check_digit,
+         pay || CAST({gen} AS VARCHAR) AS fullcode
+  FROM acct
+),
+v AS (
+  SELECT c_mktsegment, check_digit,
+         CASE WHEN {val} THEN 1 ELSE 0 END AS ok
+  FROM gen
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(ok) AS BIGINT) AS n_valid,
+       CAST(SUM(check_digit) AS BIGINT) AS sum_check_digits,
+       CAST(COUNT(DISTINCT check_digit) AS BIGINT) AS n_distinct_checks
+FROM v GROUP BY c_mktsegment
+"""
+
+
+def _checkdigit_spark(spark, sf_dir, name: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    payload = F.lpad(
+        (
+            (F.col("c_custkey").bitwiseAND(2147483647) * F.lit(2654435761))
+            % F.lit(10000000000)
+        ).cast("string"),
+        10,
+        "0",
+    )
+    duck = False
+    inv = _arr(_VF_INV, duck)
+    if name == "verhoeff":
+        gen = _idx(inv, f"({_verhoeff_c('pay', 10, 1, duck)}) + 1", duck)
+        val = f"({_verhoeff_c('fullcode', 11, 0, duck)}) = 0"
+    else:
+        gen = _damm_c("pay", 10, duck)
+        val = f"({_damm_c('fullcode', 11, duck)}) = 0"
+    g = (
+        c.select("c_mktsegment", payload.alias("pay"))
+        .withColumn("check_digit", F.expr(gen).cast("long"))
+        .withColumn(
+            "fullcode", F.concat("pay", F.col("check_digit").cast("string"))
+        )
+    )
+    v = g.withColumn(
+        "ok", F.when(F.expr(val), 1).otherwise(0)
+    )
+    return v.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum("ok").cast("long").alias("n_valid"),
+        F.sum("check_digit").cast("long").alias("sum_check_digits"),
+        F.countDistinct("check_digit").cast("long").alias(
+            "n_distinct_checks"
+        ),
+    )
+
+
+@query(
+    "fn_verhoeff",
+    oracle=_checkdigit_oracle("verhoeff"),
+    category="functions",
+)
+def fn_verhoeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verhoeff dihedral-group check digit — the strongest classical
+    single-digit scheme (catches ALL single-digit errors AND all
+    adjacent transpositions, which Luhn misses for 09<->90): the
+    D5 multiplication, permutation and inverse tables ride as
+    literal flat arrays, and the position-dependent state fold is
+    UNROLLED into a pure table-lookup expression chain (state depth
+    10 for generation, 11 for round-trip validation) — identical
+    element_at arithmetic in both engines, zero UDFs.  n_valid ==
+    n_accounts is the self-authentication; generation (positions
+    from 1) and validation (positions from 0) cannot share a bug.
+    One codegen map + one segment rollup shuffle."""
+    return _checkdigit_spark(spark, sf_dir, "verhoeff")
+
+
+@query("fn_damm", oracle=_checkdigit_oracle("damm"), category="functions")
+def fn_damm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damm quasigroup check digit — the modern alternative to
+    Verhoeff (same error classes caught, no inverse/permutation
+    tables: the totally antisymmetric quasigroup makes the final
+    state itself the check digit, and appending it drives the fold
+    to 0).  The 10x10 table rides as one literal array; generation
+    is the left-to-right unrolled fold over the payload, validation
+    the same fold over payload||check asserting state 0.  Same
+    self-authenticating rollup shape as fn_verhoeff/fn_luhn."""
+    return _checkdigit_spark(spark, sf_dir, "damm")
+
+
+@query(
+    "fn_ean13",
+    oracle="""
+WITH acct AS (
+  SELECT c_custkey, c_mktsegment,
+         lpad(CAST(((c_custkey & 2147483647) * 2654435761) % 1000000000000
+              AS VARCHAR), 12, '0') AS pay
+  FROM customer
+),
+gen AS (
+  SELECT c_mktsegment, pay,
+         (10 - list_sum(list_transform(generate_series(1, 12), j ->
+            CASE WHEN j % 2 = 1 THEN CAST(substr(pay, j, 1) AS INT)
+                 ELSE 3 * CAST(substr(pay, j, 1) AS INT) END)) % 10) % 10
+           AS check_digit
+  FROM acct
+),
+v AS (
+  SELECT c_mktsegment, check_digit,
+         pay || CAST(check_digit AS VARCHAR) AS fullcode,
+         substr(pay, 1, 4)
+           || CAST((CAST(substr(pay, 5, 1) AS INT) + 1) % 10 AS VARCHAR)
+           || substr(pay, 6, 7) || CAST(check_digit AS VARCHAR) AS mutated
+  FROM gen
+),
+chk AS (
+  SELECT c_mktsegment, check_digit,
+         CASE WHEN list_sum(list_transform(generate_series(1, 13), j ->
+            CASE WHEN j % 2 = 1 THEN CAST(substr(fullcode, j, 1) AS INT)
+                 ELSE 3 * CAST(substr(fullcode, j, 1) AS INT) END)) % 10 = 0
+              THEN 1 ELSE 0 END AS ok,
+         CASE WHEN list_sum(list_transform(generate_series(1, 13), j ->
+            CASE WHEN j % 2 = 1 THEN CAST(substr(mutated, j, 1) AS INT)
+                 ELSE 3 * CAST(substr(mutated, j, 1) AS INT) END)) % 10 = 0
+              THEN 1 ELSE 0 END AS ok_mutated
+  FROM v
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_codes,
+       CAST(SUM(ok) AS BIGINT) AS n_valid,
+       CAST(SUM(ok_mutated) AS BIGINT) AS n_valid_mutated,
+       CAST(SUM(check_digit) AS BIGINT) AS sum_check_digits
+FROM chk GROUP BY c_mktsegment
+""",
+    category="functions",
+)
+def fn_ean13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAN-13 / GTIN check digit (ISO/IEC 15420) — the barcode
+    weighted mod-10 scheme (weights 1,3 alternating): generation
+    over a synthetic 12-digit payload, round-trip validation of the
+    13-digit code, AND a single-digit MUTATION probe (digit 5
+    bumped +1 mod 10) — EAN-13 provably catches every single-digit
+    error, so n_valid == n_codes and n_valid_mutated == 0 are both
+    asserted structure, not fixture luck.  Pure digit folds, one
+    rollup shuffle."""
+    c = table(spark, sf_dir, "customer")
+    pay = F.lpad(
+        (
+            (F.col("c_custkey").bitwiseAND(2147483647) * F.lit(2654435761))
+            % F.lit(1000000000000)
+        ).cast("string"),
+        12,
+        "0",
+    )
+
+    def wsum(col: str, width: int) -> str:
+        return (
+            f"aggregate(transform(sequence(1, {width}), j -> "
+            f"IF(j % 2 = 1, CAST(substr({col}, j, 1) AS INT), "
+            f"3 * CAST(substr({col}, j, 1) AS INT))), 0, (a, x) -> a + x)"
+        )
+
+    g = c.select("c_mktsegment", pay.alias("pay")).withColumn(
+        "check_digit",
+        ((10 - F.expr(wsum("pay", 12)) % 10) % 10).cast("long"),
+    )
+    v = g.withColumn(
+        "fullcode", F.concat("pay", F.col("check_digit").cast("string"))
+    ).withColumn(
+        "mutated",
+        F.concat(
+            F.expr("substr(pay, 1, 4)"),
+            ((F.expr("CAST(substr(pay, 5, 1) AS INT)") + 1) % 10).cast(
+                "string"
+            ),
+            F.expr("substr(pay, 6, 7)"),
+            F.col("check_digit").cast("string"),
+        ),
+    )
+    chk = v.select(
+        "c_mktsegment",
+        "check_digit",
+        F.when(F.expr(wsum("fullcode", 13)) % 10 == 0, 1).otherwise(0).alias(
+            "ok"
+        ),
+        F.when(F.expr(wsum("mutated", 13)) % 10 == 0, 1)
+        .otherwise(0)
+        .alias("ok_mutated"),
+    )
+    return chk.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes"),
+        F.sum("ok").cast("long").alias("n_valid"),
+        F.sum("ok_mutated").cast("long").alias("n_valid_mutated"),
+        F.sum("check_digit").cast("long").alias("sum_check_digits"),
+    )
+
+
+def _hilbert_sql(intdiv: str) -> str:
+    """One SQL text computing the order-8 Hilbert index (xy2d) AND
+    its inverse (d2xy) as two chained 8-level CTE walks, ending in a
+    round-trip assertion.  `intdiv` is the engine's integer-division
+    operator (Spark DIV / DuckDB //; operands non-negative, so both
+    are plain truncation)."""
+    ctes = [
+        "h0 AS (SELECT c_custkey, c_custkey % 256 AS x0,"
+        " (c_custkey * 7) % 256 AS y0, c_custkey % 256 AS x,"
+        " (c_custkey * 7) % 256 AS y, 0 AS d FROM customer)"
+    ]
+    lvl = 0
+    # forward rotation reflects by the FULL grid (n-1 = 255), per the
+    # standard xy2d; the inverse below reflects by the level's s.
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        prev, lvl = f"h{lvl}", lvl + 1
+        ctes.append(f"""h{lvl} AS (
+  SELECT c_custkey, x0, y0,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+                                     ELSE y END) ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+                                     ELSE x END) ELSE y END AS y,
+         d + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                             WHEN rx = 0 AND ry = 1 THEN 1
+                             WHEN rx = 1 AND ry = 1 THEN 2
+                             ELSE 3 END) AS d
+  FROM (SELECT c_custkey, x0, y0, x, y, d,
+               CASE WHEN x % {2 * s} >= {s} THEN 1 ELSE 0 END AS rx,
+               CASE WHEN y % {2 * s} >= {s} THEN 1 ELSE 0 END AS ry
+        FROM {prev}) t{lvl})""")
+    ctes.append(
+        f"g0 AS (SELECT c_custkey, d AS hd, 0 AS x, 0 AS y, d AS t"
+        f" FROM h{lvl})"
+    )
+    glvl = 0
+    for s in (1, 2, 4, 8, 16, 32, 64, 128):
+        prev, glvl = f"g{glvl}", glvl + 1
+        ctes.append(f"""g{glvl} AS (
+  SELECT c_custkey, hd,
+         (CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - y
+                                      ELSE y END) ELSE x END)
+           + {s} * rx AS x,
+         (CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - x
+                                      ELSE x END) ELSE y END)
+           + {s} * ry AS y,
+         t {intdiv} 4 AS t
+  FROM (SELECT c_custkey, hd, x, y, t,
+               CASE WHEN t % 4 = 2 OR t % 4 = 3 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN t % 4 = 1 OR t % 4 = 2 THEN 1 ELSE 0 END AS ry
+        FROM {prev}) u{glvl})""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT f.c_custkey,
+       CAST(f.x0 AS BIGINT) AS x, CAST(f.y0 AS BIGINT) AS y,
+       CAST(f.d AS BIGINT) AS hilbert_d,
+       CAST(CASE WHEN inv.x = f.x0 AND inv.y = f.y0 THEN 1 ELSE 0 END
+         AS INT) AS ok_roundtrip
+FROM h{lvl} f JOIN g{glvl} inv ON inv.c_custkey = f.c_custkey
+"""
+
+
+@query(
+    "fn_hilbert_curve",
+    oracle=_hilbert_sql("//"),
+    category="functions",
+)
+def fn_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-8 Hilbert space-filling index over a 256x256 grid — the
+    locality-preserving alternative to fn_zorder_key's Morton
+    interleave (Hilbert keeps ALL curve-adjacent cells spatially
+    adjacent, the property data-layout clustering and range-sharded
+    spatial indexes want): the xy2d walk is 8 chained
+    reflect-swap-accumulate levels of pure integer CASE arithmetic,
+    and the INVERSE d2xy walk re-derives (x, y) from the index in
+    the same query — ok_roundtrip == 1 everywhere is the
+    self-authentication (any slip in either walk's rotation algebra
+    breaks the bijection).  Identical SQL text runs on both engines
+    (only the integer-division token differs); Spark executes it as
+    entry-point-2 SQL over a temp view, one codegen map per level,
+    one self-join on custkey at the end.  At 100 TB the index is a
+    scan-speed derived column feeding a range repartition."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_hilbert_sql("DIV"))

@@ -531,3 +531,147 @@ def test_gini_mean_diff_matches_definition(spark, sf_dir):
         r = rows[et]
         assert (r.n, r.s_abs) == (len(xs), s)
         assert r.gmd_cents == s / (len(xs) * (len(xs) - 1.0))
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 5: table-driven check digits + Hilbert curve
+# ---------------------------------------------------------------- #
+
+_VF_D = [
+    [0,1,2,3,4,5,6,7,8,9],[1,2,3,4,0,6,7,8,9,5],[2,3,4,0,1,7,8,9,5,6],
+    [3,4,0,1,2,8,9,5,6,7],[4,0,1,2,3,9,5,6,7,8],[5,9,8,7,6,0,4,3,2,1],
+    [6,5,9,8,7,1,0,4,3,2],[7,6,5,9,8,2,1,0,4,3],[8,7,6,5,9,3,2,1,0,4],
+    [9,8,7,6,5,4,3,2,1,0],
+]
+_VF_P = [
+    [0,1,2,3,4,5,6,7,8,9],[1,5,7,6,2,8,3,0,9,4],[5,8,0,3,7,9,6,1,4,2],
+    [8,9,1,6,0,4,3,5,2,7],[9,4,5,3,1,2,6,8,7,0],[4,2,8,6,5,7,3,9,0,1],
+    [2,7,9,3,8,0,6,4,1,5],[7,0,4,6,9,1,3,2,5,8],
+]
+_VF_INV = [0,4,3,2,1,5,6,7,8,9]
+_DAMM = [
+    [0,3,1,7,5,9,8,6,4,2],[7,0,9,2,1,5,4,8,6,3],[4,2,0,6,8,7,1,3,5,9],
+    [1,7,5,0,9,8,3,4,2,6],[6,1,2,3,0,4,5,9,7,8],[3,6,7,4,2,0,9,5,8,1],
+    [5,8,6,9,7,2,0,1,3,4],[8,9,4,5,3,6,2,0,1,7],[9,4,3,8,6,1,7,2,0,5],
+    [2,5,8,1,4,3,6,7,9,0],
+]
+
+
+def _verhoeff_check(payload: str) -> int:
+    c = 0
+    for i, ch in enumerate(reversed(payload), 1):
+        c = _VF_D[c][_VF_P[i % 8][int(ch)]]
+    return _VF_INV[c]
+
+
+def _verhoeff_valid(num: str) -> bool:
+    c = 0
+    for i, ch in enumerate(reversed(num)):
+        c = _VF_D[c][_VF_P[i % 8][int(ch)]]
+    return c == 0
+
+
+def _damm_check(payload: str) -> int:
+    c = 0
+    for ch in payload:
+        c = _DAMM[c][int(ch)]
+    return c
+
+
+def _custs(sf_dir):
+    return duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+
+
+def test_verhoeff_matches_reference(spark, sf_dir):
+    rows = {
+        r.c_mktsegment: r for r in run("fn_verhoeff", spark, sf_dir).collect()
+    }
+    agg = {}
+    for ck, seg in _custs(sf_dir):
+        pay = str(((int(ck) & 2147483647) * 2654435761) % 10**10).zfill(10)
+        chk = _verhoeff_check(pay)
+        assert _verhoeff_valid(pay + str(chk))
+        a = agg.setdefault(seg, [0, 0, set()])
+        a[0] += 1
+        a[1] += chk
+        a[2].add(chk)
+    for seg, (n, s, dist) in agg.items():
+        r = rows[seg]
+        assert r.n_accounts == n and r.n_valid == n
+        assert r.sum_check_digits == s
+        assert r.n_distinct_checks == len(dist)
+
+
+def test_damm_matches_reference_and_catches_errors(spark, sf_dir):
+    rows = {
+        r.c_mktsegment: r for r in run("fn_damm", spark, sf_dir).collect()
+    }
+    agg = {}
+    for ck, seg in _custs(sf_dir):
+        pay = str(((int(ck) & 2147483647) * 2654435761) % 10**10).zfill(10)
+        chk = _damm_check(pay)
+        assert _damm_check(pay + str(chk)) == 0
+        # Damm catches every single-digit substitution
+        mutated = pay[:4] + str((int(pay[4]) + 1) % 10) + pay[5:]
+        assert _damm_check(mutated + str(chk)) != 0
+        a = agg.setdefault(seg, [0, 0])
+        a[0] += 1
+        a[1] += chk
+    for seg, (n, s) in agg.items():
+        assert rows[seg].n_accounts == n and rows[seg].n_valid == n
+        assert rows[seg].sum_check_digits == s
+
+
+def test_ean13_mutation_always_caught(spark, sf_dir):
+    for r in run("fn_ean13", spark, sf_dir).collect():
+        assert r.n_valid == r.n_codes  # round trip
+        assert r.n_valid_mutated == 0  # single-digit error detection
+
+
+def _hilbert_xy2d(order: int, x: int, y: int) -> int:
+    """The standard xy2d: the rotation reflects by the FULL grid
+    (order-1), while the d2xy inverse reflects by the level's s."""
+    d, s = 0, order // 2
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = order - 1 - x, order - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_curve_matches_reference(spark, sf_dir):
+    rows = run("fn_hilbert_curve", spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.ok_roundtrip == 1
+        assert r.hilbert_d == _hilbert_xy2d(256, r.x, r.y)
+        seen.add((r.x, r.y, r.hilbert_d))
+    # Hilbert is a bijection on the grid: distinct cells map to
+    # distinct indices
+    assert len({c[:2] for c in seen}) == len({c[2] for c in seen})
+    # locality spot-check on the fixture where consecutive indices
+    # happen to occur (sparse at small SF), plus the full property on
+    # the reference walk over a complete 16x16 grid
+    by_d = {c[2]: c[:2] for c in seen}
+    for d_, (x, y) in by_d.items():
+        if d_ + 1 in by_d:
+            x2, y2 = by_d[d_ + 1]
+            assert abs(x - x2) + abs(y - y2) == 1
+    grid = {
+        _hilbert_xy2d(16, x, y): (x, y)
+        for x in range(16)
+        for y in range(16)
+    }
+    assert sorted(grid) == list(range(256))  # bijection
+    for d_ in range(255):  # every curve step is one grid step
+        (x, y), (x2, y2) = grid[d_], grid[d_ + 1]
+        assert abs(x - x2) + abs(y - y2) == 1

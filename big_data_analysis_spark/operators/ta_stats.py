@@ -3021,3 +3021,299 @@ def win_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signal"
         ),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 6: SPC control rules, EMA-compound trend lines, volume
+# oscillator, and the zigzag pivot state machine
+# ------------------------------------------------------------------ #
+
+
+def _spc_sql(grid_ref: str, bigt: str, datefmt: str) -> str:
+    """Western Electric control-rule query text shared by both
+    engines.  Zone tests avoid sqrt entirely: |x - mu| > k*sigma over
+    the per-type series is equivalent to (n*x - S)^2 > k^2*(n*Sx2 -
+    S^2) — all exact integers (squares in {bigt}: DECIMAL(38,0) /
+    HUGEINT), so the zone flags are bit-exact cross-engine."""
+    return f"""
+WITH g AS (
+  SELECT event_type, d, x,
+         CAST(COUNT(*) OVER p AS BIGINT) AS n,
+         CAST(SUM(x) OVER p AS BIGINT) AS s,
+         SUM(CAST(x AS {bigt}) * x) OVER p AS sx2
+  FROM {grid_ref}
+  WINDOW p AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, d, x,
+         CASE WHEN n * x - s > 0 THEN 1
+              WHEN n * x - s < 0 THEN -1 ELSE 0 END AS side,
+         CASE WHEN (CAST(n AS {bigt}) * x - s) * (n * x - s)
+                   > 1 * (n * sx2 - CAST(s AS {bigt}) * s)
+              THEN 1 ELSE 0 END AS beyond1,
+         CASE WHEN (CAST(n AS {bigt}) * x - s) * (n * x - s)
+                   > 4 * (n * sx2 - CAST(s AS {bigt}) * s)
+              THEN 1 ELSE 0 END AS beyond2,
+         CASE WHEN (CAST(n AS {bigt}) * x - s) * (n * x - s)
+                   > 9 * (n * sx2 - CAST(s AS {bigt}) * s)
+              THEN 1 ELSE 0 END AS beyond3
+  FROM g
+),
+r AS (
+  SELECT event_type, d, x, side, beyond1, beyond2, beyond3,
+         CAST(beyond3 AS INT) AS rule1,
+         CASE WHEN COUNT(*) OVER w3 = 3 AND
+                   (SUM(CASE WHEN beyond2 = 1 AND side = 1
+                             THEN 1 ELSE 0 END) OVER w3 >= 2
+                    OR SUM(CASE WHEN beyond2 = 1 AND side = -1
+                                THEN 1 ELSE 0 END) OVER w3 >= 2)
+              THEN 1 ELSE 0 END AS rule2,
+         CASE WHEN COUNT(*) OVER w5 = 5 AND
+                   (SUM(CASE WHEN beyond1 = 1 AND side = 1
+                             THEN 1 ELSE 0 END) OVER w5 >= 4
+                    OR SUM(CASE WHEN beyond1 = 1 AND side = -1
+                                THEN 1 ELSE 0 END) OVER w5 >= 4)
+              THEN 1 ELSE 0 END AS rule3,
+         CASE WHEN COUNT(*) OVER w8 = 8
+                   AND MIN(side) OVER w8 = MAX(side) OVER w8
+                   AND MIN(side) OVER w8 <> 0
+              THEN 1 ELSE 0 END AS rule4
+  FROM z
+  WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, {datefmt} AS day, CAST(x AS BIGINT) AS x,
+       CAST(side AS INT) AS side,
+       CAST(beyond1 AS INT) AS beyond1, CAST(beyond2 AS INT) AS beyond2,
+       CAST(beyond3 AS INT) AS beyond3,
+       rule1, rule2, rule3, rule4
+FROM r
+""".replace("%D%", datefmt)
+
+
+@query(
+    "win_spc_rules",
+    oracle=_spc_sql(f"({_GRID_SQL})", "HUGEINT", "strftime(d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric SPC control rules over the per-type daily
+    revenue series — the process-monitoring classifier run on every
+    manufacturing/SRE control chart: rule 1 (point beyond 3 sigma),
+    rule 2 (2 of 3 beyond 2 sigma, same side), rule 3 (4 of 5 beyond
+    1 sigma, same side), rule 4 (8 consecutive on one side of
+    center).  sqrt never happens: |x-mu| > k*sigma is evaluated as
+    (n*x-S)^2 > k^2*(n*Sx2-S^2) in DECIMAL(38,0)/HUGEINT — zone
+    membership is an exact integer predicate, so every flag is
+    bit-stable cross-engine; the rule windows are bounded ROWS
+    frames.  One shared SQL text, entry-point-2 style.  Scale: the
+    center/sigma stats come from one per-partition window over the
+    bounded day grid; at raw-event scale the same flags ride on the
+    streaming day rollup."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _spc_sql("{g}", "DECIMAL(38,0)", "date_format(d, 'yyyy-MM-dd')"),
+        g=g,
+    )
+
+
+def _dema_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """DEMA/TEMA query text: the EMA-of-EMA-of-EMA chain as one
+    recursive CTE, each level the win_macd integer recurrence at
+    1000x scale (period 10: e' = (2*v + 9*e) idiv 11)."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, e1, e2, e3) AS (
+  SELECT event_type, idx, x * 1000, x * 1000, x * 1000
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         (2 * g.x * 1000 + 9 * r.e1) {idiv} 11,
+         (2 * ((2 * g.x * 1000 + 9 * r.e1) {idiv} 11) + 9 * r.e2)
+           {idiv} 11,
+         (2 * ((2 * ((2 * g.x * 1000 + 9 * r.e1) {idiv} 11)
+                + 9 * r.e2) {idiv} 11) + 9 * r.e3) {idiv} 11
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day, CAST(gi.x AS BIGINT) AS x,
+       CAST(r.e1 AS BIGINT) AS ema_s,
+       CAST(2 * r.e1 - r.e2 AS BIGINT) AS dema_s,
+       CAST(3 * r.e1 - 3 * r.e2 + r.e3 AS BIGINT) AS tema_s
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+"""
+
+
+@query(
+    "win_dema_tema",
+    oracle=_dema_sql(f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_dema_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMA and TEMA (Mulloy 1994) — the lag-compensated EMA
+    compounds: DEMA = 2*EMA - EMA(EMA), TEMA = 3*EMA - 3*EMA(EMA) +
+    EMA(EMA(EMA)), period 10.  All three nesting levels advance
+    together in ONE recursive CTE as the win_macd integer recurrence
+    (1000x scale, shared floor division), so the whole compound is
+    bit-exact cross-engine — the inner EMA's fresh value feeds the
+    outer level within the same recursion step (the repeated-
+    subexpression text keeps both parsers on identical arithmetic).
+    Depth = calendar days; each level a 1-row-per-series join."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _dema_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+def _chaikin_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Chaikin A/D oscillator text: money-flow volume per bar as one
+    exact scaled floor division (range-degenerate bars contribute 0),
+    the A/D line as a running sum, and the EMA3/EMA10 pair of the
+    line as one recursive CTE."""
+    return f"""
+WITH RECURSIVE mf AS (
+  SELECT event_type, d,
+         CASE WHEN h = l THEN 0
+              ELSE (vol * ((2 * c - h - l) * 1000)) {idiv} (h - l) END
+           AS mfv_s
+  FROM {grid_ref}
+),
+ad AS (
+  SELECT event_type, d,
+         CAST(SUM(mfv_s) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ad_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM mf
+),
+r(event_type, idx, e3, e10) AS (
+  SELECT event_type, idx, ad_s, ad_s FROM ad WHERE idx = 1
+  UNION ALL
+  SELECT a.event_type, a.idx,
+         (2 * a.ad_s + 2 * r.e3) {idiv} 4,
+         (2 * a.ad_s + 9 * r.e10) {idiv} 11
+  FROM r JOIN ad a ON a.event_type = r.event_type AND a.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day,
+       CAST(a.ad_s AS BIGINT) AS ad_line_s,
+       CAST(r.e3 AS BIGINT) AS ema3_s,
+       CAST(r.e10 AS BIGINT) AS ema10_s,
+       CAST(r.e3 - r.e10 AS BIGINT) AS chaikin_s
+FROM r JOIN ad a ON a.event_type = r.event_type AND a.idx = r.idx
+"""
+
+
+_OHLCV_SQL = f"""
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         MAX({_CENTS_SQL}) AS h,
+         MIN({_CENTS_SQL}) AS l,
+         arg_max({_CENTS_SQL}, ts) AS c,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM events
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+"""
+
+
+@query(
+    "win_chaikin_osc",
+    oracle=_chaikin_sql(
+        f"({_OHLCV_SQL})", "//", "strftime(a.d, '%Y-%m-%d')"
+    ),
+    category="windows",
+)
+def win_chaikin_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Accumulation/Distribution oscillator — the volume-flow
+    divergence detector: per-bar money-flow volume vol * ((c-l)-(h-c))
+    / (h-l) ships as ONE exact 1000x-scaled floor division (the
+    close-location value; degenerate h = l bars contribute 0 by the
+    standard convention), the A/D line is its running sum, and the
+    oscillator is EMA3(AD) - EMA10(AD) advancing as the win_macd
+    integer recurrence in one recursive CTE.  Signed numerators make
+    this the floor-division case that VERIFIES the shared Spark DIV
+    == DuckDB // truncation on negatives (the supertrend
+    precedent)."""
+    g = _ohlcv_grid(spark, sf_dir)
+    return spark.sql(
+        _chaikin_sql("{g}", "DIV", "date_format(a.d, 'yyyy-MM-dd')"), g=g
+    )
+
+
+def _zigzag_sql(grid_ref: str, datefmt: str) -> str:
+    """ZigZag 5% reversal pivots as a recursive state machine over
+    (direction, running extreme, extreme index): a flip confirms the
+    PRIOR extreme as a pivot.  All comparisons are integer products
+    (100*c vs 95/105 * ext)."""
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, dir, ext, extidx, flip, piv, pividx) AS (
+  SELECT event_type, idx, 1, c, idx, 0, CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         CASE WHEN r.dir = 1 AND 100 * g.c <= 95 * r.ext THEN -1
+              WHEN r.dir = -1 AND 100 * g.c >= 105 * r.ext THEN 1
+              ELSE r.dir END,
+         CASE WHEN r.dir = 1 AND 100 * g.c <= 95 * r.ext THEN g.c
+              WHEN r.dir = -1 AND 100 * g.c >= 105 * r.ext THEN g.c
+              WHEN r.dir = 1 AND g.c > r.ext THEN g.c
+              WHEN r.dir = -1 AND g.c < r.ext THEN g.c
+              ELSE r.ext END,
+         CASE WHEN r.dir = 1 AND 100 * g.c <= 95 * r.ext THEN g.idx
+              WHEN r.dir = -1 AND 100 * g.c >= 105 * r.ext THEN g.idx
+              WHEN r.dir = 1 AND g.c > r.ext THEN g.idx
+              WHEN r.dir = -1 AND g.c < r.ext THEN g.idx
+              ELSE r.extidx END,
+         CASE WHEN (r.dir = 1 AND 100 * g.c <= 95 * r.ext)
+                OR (r.dir = -1 AND 100 * g.c >= 105 * r.ext)
+              THEN 1 ELSE 0 END,
+         CASE WHEN (r.dir = 1 AND 100 * g.c <= 95 * r.ext)
+                OR (r.dir = -1 AND 100 * g.c >= 105 * r.ext)
+              THEN r.ext ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN (r.dir = 1 AND 100 * g.c <= 95 * r.ext)
+                OR (r.dir = -1 AND 100 * g.c >= 105 * r.ext)
+              THEN CAST(r.extidx AS BIGINT) ELSE CAST(0 AS BIGINT) END
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS confirm_day,
+       CAST(r.piv AS BIGINT) AS pivot_cents,
+       CAST(r.pividx AS BIGINT) AS pivot_idx,
+       CASE WHEN r.dir = -1 THEN 'high' ELSE 'low' END AS pivot_kind
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+WHERE r.flip = 1
+"""
+
+
+@query(
+    "win_zigzag",
+    oracle=_zigzag_sql(f"({_OHLC_SQL})", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZigZag 5% reversal pivots over the daily close series — the
+    swing-structure extractor chartists and pattern miners run
+    before wave/support analysis: a rising leg tracks its running
+    high; a close 5% below it CONFIRMS that high as a pivot and
+    flips the leg (symmetrically for lows).  Inherently a per-series
+    STATE MACHINE (the running extreme resets on flips — no window
+    frame expresses it), so it rides the recursive-CTE state pattern
+    (win_supertrend's), with all reversal tests as exact integer
+    products (100*c vs 95*ext / 105*ext — no percent floats).  The
+    emitted rows are the CONFIRMATIONS: (confirm day, pivot value,
+    pivot index, kind); dir at the flip row has already flipped, so
+    kind reads from the new direction."""
+    g = _ohlc_grid(spark, sf_dir)
+    return spark.sql(
+        _zigzag_sql("{g}", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )

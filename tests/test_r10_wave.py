@@ -675,3 +675,152 @@ def test_hilbert_curve_matches_reference(spark, sf_dir):
     for d_ in range(255):  # every curve step is one grid step
         (x, y), (x2, y2) = grid[d_], grid[d_ + 1]
         assert abs(x - x2) + abs(y - y2) == 1
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 6: SPC rules, DEMA/TEMA, Chaikin oscillator, ZigZag
+# ---------------------------------------------------------------- #
+
+
+def test_spc_rules_match_definition(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    rows = {}
+    for r in run("win_spc_rules", spark, sf_dir).collect():
+        rows[(r.event_type, r.day)] = r
+    for et, sd in series.items():
+        days = sorted(sd)
+        xs = [sd[d] for d in days]
+        n, S = len(xs), sum(xs)
+        Sx2 = sum(x * x for x in xs)
+        flags = []
+        for i, (d, x) in enumerate(zip(days, xs)):
+            side = 1 if n * x - S > 0 else (-1 if n * x - S < 0 else 0)
+            bey = [
+                1 if (n * x - S) ** 2 > k * k * (n * Sx2 - S * S) else 0
+                for k in (1, 2, 3)
+            ]
+            flags.append((side, *bey))
+            r = rows[(et, d.isoformat())]
+            assert (r.side, r.beyond1, r.beyond2, r.beyond3) == flags[-1]
+            assert r.rule1 == bey[2]
+            w3 = flags[max(0, i - 2) : i + 1]
+            r2 = int(
+                len(w3) == 3
+                and (
+                    sum(1 for s_, _, b2, _ in w3 if b2 and s_ == 1) >= 2
+                    or sum(1 for s_, _, b2, _ in w3 if b2 and s_ == -1) >= 2
+                )
+            )
+            w5 = flags[max(0, i - 4) : i + 1]
+            r3 = int(
+                len(w5) == 5
+                and (
+                    sum(1 for s_, b1, _, _ in w5 if b1 and s_ == 1) >= 4
+                    or sum(1 for s_, b1, _, _ in w5 if b1 and s_ == -1) >= 4
+                )
+            )
+            w8 = flags[max(0, i - 7) : i + 1]
+            sides = {s_ for s_, *_ in w8}
+            r4 = int(len(w8) == 8 and len(sides) == 1 and 0 not in sides)
+            assert (r.rule2, r.rule3, r.rule4) == (r2, r3, r4), (et, d)
+
+
+def _ema_step(prev, x_s, n):
+    return (2 * x_s + (n - 1) * prev) // (n + 1)
+
+
+def _tdiv(a, b):
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def test_dema_tema_matches_recurrence(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    rows = {}
+    for r in run("win_dema_tema", spark, sf_dir).collect():
+        rows[(r.event_type, r.day)] = r
+    for et, sd in series.items():
+        days = sorted(sd)
+        e1 = e2 = e3 = sd[days[0]] * 1000
+        for i, d in enumerate(days):
+            if i:
+                x_s = sd[d] * 1000
+                e1 = _tdiv(2 * x_s + 9 * e1, 11)
+                e2 = _tdiv(2 * e1 + 9 * e2, 11)
+                e3 = _tdiv(2 * e2 + 9 * e3, 11)
+            r = rows[(et, d.isoformat())]
+            assert r.ema_s == e1
+            assert r.dema_s == 2 * e1 - e2
+            assert r.tema_s == 3 * e1 - 3 * e2 + e3
+
+
+def _ohlcv(sf_dir):
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) d,
+               MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) h,
+               MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) l,
+               arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                       ts) c,
+               COUNT(*) vol
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    out = {}
+    for et, d, h, l, c, vol in rows:
+        out.setdefault(et, []).append((d, int(h), int(l), int(c), int(vol)))
+    return out
+
+
+def test_chaikin_osc_matches_recurrence(spark, sf_dir):
+    bars = _ohlcv(sf_dir)
+    rows = {}
+    for r in run("win_chaikin_osc", spark, sf_dir).collect():
+        rows[(r.event_type, r.day)] = r
+    for et, bs in bars.items():
+        ad = 0
+        e3 = e10 = None
+        for d, h, l, c, vol in bs:
+            mfv = 0 if h == l else _tdiv(vol * ((2 * c - h - l) * 1000), h - l)
+            ad += mfv
+            if e3 is None:
+                e3, e10 = ad, ad
+            else:
+                e3 = _tdiv(2 * ad + 2 * e3, 4)
+                e10 = _tdiv(2 * ad + 9 * e10, 11)
+            r = rows[(et, d.isoformat())]
+            assert r.ad_line_s == ad
+            assert (r.ema3_s, r.ema10_s) == (e3, e10)
+            assert r.chaikin_s == e3 - e10
+
+
+def test_zigzag_pivots_match_state_machine(spark, sf_dir):
+    bars = _ohlcv(sf_dir)
+    got = {}
+    for r in run("win_zigzag", spark, sf_dir).collect():
+        got.setdefault(r.event_type, []).append(
+            (r.confirm_day, r.pivot_idx, r.pivot_cents, r.pivot_kind)
+        )
+    total = 0
+    for et, bs in bars.items():
+        closes = [(d, c) for d, _, _, c, _ in bs]
+        want = []
+        dirn, ext, extidx = 1, closes[0][1], 1
+        for idx in range(2, len(closes) + 1):
+            d, c = closes[idx - 1]
+            if dirn == 1 and 100 * c <= 95 * ext:
+                want.append((d.isoformat(), extidx, ext, "high"))
+                dirn, ext, extidx = -1, c, idx
+            elif dirn == -1 and 100 * c >= 105 * ext:
+                want.append((d.isoformat(), extidx, ext, "low"))
+                dirn, ext, extidx = 1, c, idx
+            elif dirn == 1 and c > ext:
+                ext, extidx = c, idx
+            elif dirn == -1 and c < ext:
+                ext, extidx = c, idx
+        assert sorted(got.get(et, [])) == sorted(
+            (d, i, v, k) for d, i, v, k in want
+        ), et
+        total += len(want)
+    assert total > 0  # the fixture must exercise flips

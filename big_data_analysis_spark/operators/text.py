@@ -1488,3 +1488,204 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         d4.cast("long").alias("d4_den"),
         (p4.cast("double") / d4).alias("p_kn"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 7: corpus-linguistics tier — Heaps' law, Zipf rank table,
+# KWIC concordance
+# ------------------------------------------------------------------ #
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+),
+firsts AS (
+  SELECT tk, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY tk
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM tok GROUP BY doc_id
+),
+dom AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+deciles AS (
+  SELECT UNNEST(generate_series(1, 10)) AS decile
+),
+cuts AS (
+  SELECT d.decile,
+         (d.decile * dom.n_docs) // 10 - 1 AS cut_doc
+  FROM deciles d CROSS JOIN dom
+)
+SELECT c.decile, c.cut_doc,
+       (SELECT CAST(SUM(n_toks) AS BIGINT) FROM counts
+        WHERE doc_id <= c.cut_doc) AS n_tokens_cum,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+        WHERE first_doc <= c.cut_doc) AS vocab_cum
+FROM cuts c
+""",
+    category="text",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — V(n) vs N(n) after each
+    decile of the corpus (docs in doc_id order): the diagnostic that
+    tells a tokenizer/dedup pipeline whether vocabulary is still
+    growing (natural text: V ~ K*N^b, b in 0.4-0.6) or the corpus
+    has saturated (templated/duplicated content flattens the curve).
+    Both curves are exact integers: each token type is reduced to
+    its FIRST document (one hash-agg over the exploded corpus — the
+    only data-proportional shuffle), and every decile checkpoint is
+    then a count over that bounded first-occurrence table, NOT a
+    rescan — the corpus is exploded exactly once at any scale."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    )
+    firsts = tok.groupBy("tk").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    n_docs = d.agg((F.max("doc_id") + 1).cast("long").alias("n")).collect()[
+        0
+    ]["n"]
+    cuts = spark.range(1, 11).select(
+        F.col("id").alias("decile"),
+        ((F.col("id") * n_docs) / 10 - 1).cast("long").alias("cut_doc"),
+    )
+    tok_cum = (
+        cuts.join(counts, counts["doc_id"] <= cuts["cut_doc"], "left")
+        .groupBy("decile", "cut_doc")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens_cum"))
+    )
+    voc_cum = (
+        cuts.join(
+            firsts, firsts["first_doc"] <= cuts["cut_doc"], "left"
+        )
+        .groupBy("decile")
+        .agg(F.count("tk").cast("long").alias("vocab_cum"))
+    )
+    return tok_cum.join(voc_cum, "decile").select(
+        "decile", "cut_doc", "n_tokens_cum", "vocab_cum"
+    )
+
+
+@query(
+    "text_zipf_rank",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+),
+tf AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tk
+),
+ranked AS (
+  SELECT tk, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tk) AS BIGINT) AS rnk
+  FROM tf
+),
+top1 AS (SELECT MAX(freq) AS f1 FROM tf)
+SELECT rnk, tk, freq,
+       rnk * freq AS rank_freq_product,
+       CAST(freq AS DOUBLE) / (SELECT f1 FROM top1) AS freq_ratio
+FROM ranked WHERE rnk <= 20
+""",
+    category="text",
+)
+def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table — the top-20 terms with their
+    rank x frequency product (Zipf's law predicts it near-constant:
+    f_r ~ f_1/r) and the frequency ratio to the top term.  The
+    corpus-wide term-frequency aggregate is the one shuffle; the
+    top-20 cut is a bounded window with a deterministic (freq DESC,
+    term) tie-break, and the product/ratio columns are exact integer
+    / one-division outputs.  The report a corpus card
+    (pipeline_dataset_card) embeds to show vocabulary shape."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tk"))
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= 20)
+    top1 = tf.agg(F.max("freq").alias("f1"))
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        "rnk",
+        "tk",
+        "freq",
+        (F.col("rnk") * F.col("freq")).alias("rank_freq_product"),
+        (F.col("freq").cast("double") / F.col("f1")).alias("freq_ratio"),
+    )
+
+
+_KWIC_TERM = "spark"
+
+
+@query(
+    "text_kwic",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(toks) AS tk,
+         generate_subscripts(toks, 1) AS p
+  FROM t
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       COALESCE(array_to_string(
+         list_slice(toks, GREATEST(p - 3, 1), p - 1), ' '), '')
+         AS left_ctx,
+       COALESCE(array_to_string(
+         list_slice(toks, p + 1, LEAST(p + 3, len(toks))), ' '), '')
+         AS right_ctx
+FROM pos WHERE tk = '{_KWIC_TERM}'
+""",
+    category="text",
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance — the corpus-linguistics
+    view every annotation/QA tool renders: every occurrence of the
+    keyword with 3 tokens of left and right context, addressed by
+    (doc, position).  One posexplode (the only fanout — positions
+    per doc), a predicate on the keyword that prunes before any
+    string assembly, and per-row array slicing for the context
+    windows; exact strings end-to-end.  At 100 TB the keyword
+    predicate makes this scan-bound — context assembly only runs on
+    the matching positions."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pos = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode("toks").alias("p0", "tk"),
+    ).where(F.col("tk") == _KWIC_TERM)
+    p = F.col("p0") + 1  # 1-based position
+    return pos.select(
+        "doc_id",
+        p.cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                "toks",
+                F.greatest(p - 3, F.lit(1)),
+                F.greatest(p - F.greatest(p - 3, F.lit(1)), F.lit(0)),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                "toks",
+                p + 1,
+                F.greatest(
+                    F.least(p + 3, F.size("toks")) - p, F.lit(0)
+                ),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )

@@ -824,3 +824,62 @@ def test_zigzag_pivots_match_state_machine(spark, sf_dir):
         ), et
         total += len(want)
     assert total > 0  # the fixture must exercise flips
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 7: corpus-linguistics text tier
+# ---------------------------------------------------------------- #
+
+
+def test_heaps_law_matches_definition(spark, sf_dir):
+    docs = _docs(sf_dir)
+    n_docs = max(docs) + 1
+    rows = {r.decile: r for r in run("text_heaps_law", spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 11))
+    for dec in range(1, 11):
+        cut = dec * n_docs // 10 - 1
+        toks_cum = sum(
+            len(t) for i, (t, _) in docs.items() if i <= cut
+        )
+        vocab = set()
+        for i in sorted(docs):
+            if i <= cut:
+                vocab.update(docs[i][0])
+        r = rows[dec]
+        assert r.cut_doc == cut
+        assert r.n_tokens_cum == toks_cum
+        assert r.vocab_cum == len(vocab)
+    # monotone growth, the Heaps property
+    vs = [rows[d].vocab_cum for d in range(1, 11)]
+    assert vs == sorted(vs)
+
+
+def test_zipf_rank_matches_definition(spark, sf_dir):
+    docs = _docs(sf_dir)
+    tf = Counter(t for toks, _ in docs.values() for t in toks)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = sorted(
+        run("text_zipf_rank", spark, sf_dir).collect(), key=lambda r: r.rnk
+    )
+    f1 = ranked[0][1]
+    for i, ((tk, freq), r) in enumerate(zip(ranked, rows), 1):
+        assert (r.rnk, r.tk, r.freq) == (i, tk, freq)
+        assert r.rank_freq_product == i * freq
+        assert r.freq_ratio == freq / f1
+
+
+def test_kwic_matches_definition(spark, sf_dir):
+    docs = _docs(sf_dir)
+    want = set()
+    for doc_id, (toks, _) in docs.items():
+        for p, t in enumerate(toks, 1):
+            if t == "spark":
+                left = " ".join(toks[max(p - 4, 0) : p - 1])
+                right = " ".join(toks[p : p + 3])
+                want.add((doc_id, p, left, right))
+    got = {
+        (r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+        for r in run("text_kwic", spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # keyword must occur in the fixture

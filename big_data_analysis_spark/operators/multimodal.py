@@ -2549,3 +2549,310 @@ def multimodal_ico_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_bytes",
         F.col("s.chain_ok").alias("chain_ok"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 8: JPEG marker-segment walk (11th wire format) and TIFF
+# IFD walk (12th — BOTH endiannesses in one format)
+# ------------------------------------------------------------------ #
+
+_JPEG_DOCS = 30
+
+
+@query(
+    "multimodal_jpeg_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_JPEG_DOCS}),
+g AS (
+  SELECT doc_id,
+         CAST(10 + doc_id % 20 AS BIGINT) AS comment_len,
+         CAST(100 + doc_id % 400 AS BIGINT) AS height,
+         CAST(200 + doc_id % 300 AS BIGINT) AS width,
+         CAST(30 + doc_id % 40 AS BIGINT) AS entropy_bytes
+  FROM ids
+),
+es AS (
+  SELECT g.doc_id,
+         CAST(SUM((g.doc_id * 3 + j.j) % 255) AS BIGINT) AS entropy_sum
+  FROM g, LATERAL (SELECT unnest(generate_series(0,
+                    CAST(g.entropy_bytes - 1 AS INT))) AS j) j
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id, g.height, g.width,
+       CAST(8 AS BIGINT) AS precision_bits,
+       CAST(3 AS BIGINT) AS n_components,
+       g.comment_len, g.entropy_bytes, es.entropy_sum,
+       CAST(2 + (2 + 16) + (2 + 2 + g.comment_len) + (2 + 17)
+            + (2 + 12) + g.entropy_bytes + 2 AS BIGINT) AS file_bytes,
+       TRUE AS markers_ok
+FROM g JOIN es ON es.doc_id = g.doc_id
+""",
+    category="multimodal",
+)
+def multimodal_jpeg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG/JFIF marker-segment walk — the ELEVENTH from-spec wire
+    format: real SOI + APP0(JFIF) + COM + SOF0 + SOS + entropy data
+    + EOI streams are synthesized per doc (variable-length COM and
+    entropy segments; entropy bytes drawn mod 255 so 0xFF stuffing
+    never arises), and everything is re-derived from the BYTES
+    ALONE: each segment's big-endian length field drives the hop to
+    the next marker (a mis-read length derails every downstream
+    offset), frame dimensions/precision/component count come out of
+    the SOF0 found by the walk, the entropy byte sum is recomputed
+    from the SOS-derived start, and markers_ok certifies all four
+    expected markers plus SOI/EOI framing.  The hop chain rides as
+    chained columns (o1 -> l1 -> o2 -> ...) so codegen sees linear
+    expressions.  Pure hex/conv arithmetic, no UDF; one row per
+    container."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def be16(v: str) -> str:
+        return f"lpad(hex({v}), 4, '0')"
+
+    cl = "(10 + doc_id % 20)"
+    h = "(100 + doc_id % 400)"
+    w = "(200 + doc_id % 300)"
+    en = "(30 + doc_id % 40)"
+    com_hex = (
+        f"array_join(transform(sequence(0, CAST({cl} - 1 AS INT)),"
+        f" j -> lpad(hex((doc_id + CAST(j AS BIGINT)) % 255), 2, '0')), '')"
+    )
+    ent_hex = (
+        f"array_join(transform(sequence(0, CAST({en} - 1 AS INT)),"
+        f" j -> lpad(hex((doc_id * 3 + CAST(j AS BIGINT)) % 255), 2, '0')),"
+        f" '')"
+    )
+    hexf = (
+        "concat('FFD8',"
+        f" 'FFE0', {be16('16')}, '4A46494600', '0102', '00',"
+        " '0048', '0048', '00', '00',"
+        f" 'FFFE', {be16(f'{cl} + 2')}, {com_hex},"
+        f" 'FFC0', {be16('17')}, '08', {be16(h)}, {be16(w)}, '03',"
+        " '011100', '021101', '031101',"
+        f" 'FFDA', {be16('12')}, '03', '010002110311', '003F00',"
+        f" {ent_hex}, 'FFD9')"
+    )
+    f = ids.select("doc_id", F.expr(hexf).alias("hexf")).localCheckpoint(
+        eager=True
+    )
+
+    def rd8(off: str) -> str:
+        return (
+            f"CAST(conv(substring(hexf, 2 * ({off}) + 1, 2), 16, 10)"
+            " AS BIGINT)"
+        )
+
+    def rd16(off: str) -> str:
+        return (
+            f"CAST(conv(substring(hexf, 2 * ({off}) + 1, 4), 16, 10)"
+            " AS BIGINT)"
+        )
+
+    def mk(off: str) -> str:  # marker hex at byte offset
+        return f"substring(hexf, 2 * ({off}) + 1, 4)"
+
+    p = f.withColumn("file_bytes", (F.length("hexf") / 2).cast("long"))
+    p = p.withColumn("o1", F.lit(2).cast("long"))
+    p = p.withColumn("l1", F.expr(rd16("o1 + 2")))
+    p = p.withColumn("o2", F.col("o1") + 2 + F.col("l1"))
+    p = p.withColumn("l2", F.expr(rd16("o2 + 2")))
+    p = p.withColumn("o3", F.col("o2") + 2 + F.col("l2"))
+    p = p.withColumn("l3", F.expr(rd16("o3 + 2")))
+    p = p.withColumn("o4", F.col("o3") + 2 + F.col("l3"))
+    p = p.withColumn("l4", F.expr(rd16("o4 + 2")))
+    p = p.withColumn("ent_start", F.col("o4") + 2 + F.col("l4"))
+    p = p.withColumn(
+        "entropy_bytes", F.col("file_bytes") - F.col("ent_start") - 2
+    )
+    p = p.withColumn(
+        "entropy_sum",
+        F.expr(
+            "aggregate(sequence(0, CAST(entropy_bytes - 1 AS INT)), 0L,"
+            " (acc, j) -> acc + CAST(conv(substring(hexf,"
+            " 2 * (ent_start + j) + 1, 2), 16, 10) AS BIGINT))"
+        ),
+    )
+    markers_ok = F.expr(
+        f"substring(hexf, 1, 4) = 'FFD8' AND {mk('o1')} = 'FFE0'"
+        f" AND {mk('o2')} = 'FFFE' AND {mk('o3')} = 'FFC0'"
+        f" AND {mk('o4')} = 'FFDA'"
+        " AND substring(hexf, length(hexf) - 3, 4) = 'FFD9'"
+    )
+    return p.select(
+        "doc_id",
+        F.expr(rd16("o3 + 5")).alias("height"),
+        F.expr(rd16("o3 + 7")).alias("width"),
+        F.expr(rd8("o3 + 4")).alias("precision_bits"),
+        F.expr(rd8("o3 + 9")).alias("n_components"),
+        (F.col("l2") - 2).cast("long").alias("comment_len"),
+        F.col("entropy_bytes").cast("long").alias("entropy_bytes"),
+        F.col("entropy_sum").alias("entropy_sum"),
+        "file_bytes",
+        markers_ok.alias("markers_ok"),
+    )
+
+
+_TIFF_DOCS = 40
+_TIFF_TAGS = (256, 257, 273, 279)  # width, height, strip off, strip bytes
+_TIFF_STRIP_OFF = 8 + 2 + 4 * 12 + 4  # header + count + entries + next-IFD
+
+
+@query(
+    "multimodal_tiff_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_TIFF_DOCS}),
+g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         CAST(64 + doc_id % 100 AS BIGINT) AS width,
+         CAST(32 + doc_id % 50 AS BIGINT) AS height,
+         CAST(50 + doc_id % 60 AS BIGINT) AS strip_bytes
+  FROM ids
+),
+ss AS (
+  SELECT g.doc_id,
+         CAST(SUM((g.doc_id * 7 + j.j) % 256) AS BIGINT) AS strip_sum
+  FROM g, LATERAL (SELECT unnest(generate_series(0,
+                    CAST(g.strip_bytes - 1 AS INT))) AS j) j
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id, g.byte_order,
+       CAST(42 AS BIGINT) AS magic,
+       CAST(4 AS BIGINT) AS ifd_entries,
+       g.width, g.height,
+       CAST({_TIFF_STRIP_OFF} AS BIGINT) AS strip_offset,
+       g.strip_bytes, ss.strip_sum,
+       CAST(0 AS BIGINT) AS next_ifd,
+       TRUE AS header_ok
+FROM g JOIN ss ON ss.doc_id = g.doc_id
+""",
+    category="multimodal",
+)
+def multimodal_tiff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF IFD walk — the TWELFTH from-spec wire format and the
+    first to carry BOTH byte orders in one dataset: even docs are
+    little-endian ('II'), odd docs big-endian ('MM'), so every
+    multi-byte read in the parser BRANCHES ON THE PARSED ORDER FLAG
+    — the defining TIFF hazard (readers that assume one order parse
+    garbage dimensions on half the files).  Real structure: order
+    flag + magic 42 + IFD pointer, a 4-entry IFD (ImageWidth,
+    ImageLength, StripOffsets, StripByteCounts as LONG tags, tag ids
+    ascending per spec) + next-IFD 0, then the strip bytes.  The
+    parser re-derives the IFD location from the parsed pointer,
+    matches tags by parsed id (not position assumptions), recomputes
+    the strip byte sum from the parsed StripOffsets/ByteCounts, and
+    header_ok certifies flag/magic/tag-order/next-IFD.  One hex map
+    per doc, chained-column hops, zero UDFs."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _TIFF_DOCS)
+        .select("doc_id")
+    )
+    w = "(64 + doc_id % 100)"
+    h = "(32 + doc_id % 50)"
+    sb = "(50 + doc_id % 60)"
+
+    def num(v: str, nbytes: int) -> str:
+        """Hex of `v` in the doc's byte order (doc_id parity)."""
+        be = f"lpad(hex({v}), {2 * nbytes}, '0')"
+        le_parts = ", ".join(
+            f"lpad(hex(({v}) DIV {256 ** k} % 256), 2, '0')"
+            for k in range(nbytes)
+        )
+        return f"IF(doc_id % 2 = 0, concat({le_parts}), {be})"
+
+    def entry(tag: int, val: str) -> str:
+        return (
+            f"concat({num(str(tag), 2)}, {num('4', 2)},"
+            f" {num('1', 4)}, {num(val, 4)})"
+        )
+
+    strip_hex = (
+        f"array_join(transform(sequence(0, CAST({sb} - 1 AS INT)),"
+        f" j -> lpad(hex((doc_id * 7 + CAST(j AS BIGINT)) % 256), 2, '0')),"
+        f" '')"
+    )
+    hexf = (
+        "concat(IF(doc_id % 2 = 0, '4949', '4D4D'),"
+        f" {num('42', 2)}, {num('8', 4)},"
+        f" {num('4', 2)},"
+        f" {entry(256, w)}, {entry(257, h)},"
+        f" {entry(273, str(_TIFF_STRIP_OFF))}, {entry(279, sb)},"
+        f" {num('0', 4)}, {strip_hex})"
+    )
+    f = ids.select("doc_id", F.expr(hexf).alias("hexf")).localCheckpoint(
+        eager=True
+    )
+
+    # --- parse from bytes alone: every read branches on the flag ---
+    flag = "substring(hexf, 1, 4)"
+
+    def rd(off: str, nbytes: int) -> str:
+        be = f"substring(hexf, 2 * ({off}) + 1, {2 * nbytes})"
+        le = "concat(" + ", ".join(
+            f"substring(hexf, 2 * ({off}) + {2 * (nbytes - 1 - k) + 1}, 2)"
+            for k in range(nbytes)
+        ) + ")"
+        return (
+            f"CAST(conv(IF({flag} = '4949', {le}, {be}), 16, 10) AS BIGINT)"
+        )
+
+    p = f.withColumn(
+        "byte_order",
+        F.expr(f"IF({flag} = '4949', 'II', 'MM')"),
+    )
+    p = p.withColumn("magic", F.expr(rd("2", 2)))
+    p = p.withColumn("ifd_off", F.expr(rd("4", 4)))
+    p = p.withColumn("n_entries", F.expr(rd("ifd_off", 2)))
+
+    def tag_val(tag: int) -> str:
+        """Value of the IFD entry whose PARSED tag id matches."""
+        cases = " ".join(
+            f"WHEN {rd(f'ifd_off + 2 + 12 * {m}', 2)} = {tag}"
+            f" THEN {rd(f'ifd_off + 2 + 12 * {m} + 8', 4)}"
+            for m in range(4)
+        )
+        return f"CASE {cases} END"
+
+    p = (
+        p.withColumn("width", F.expr(tag_val(256)))
+        .withColumn("height", F.expr(tag_val(257)))
+        .withColumn("strip_offset", F.expr(tag_val(273)))
+        .withColumn("strip_bytes", F.expr(tag_val(279)))
+        .withColumn("next_ifd", F.expr(rd("ifd_off + 2 + 12 * 4", 4)))
+    )
+    p = p.withColumn(
+        "strip_sum",
+        F.expr(
+            "aggregate(sequence(0, CAST(strip_bytes - 1 AS INT)), 0L,"
+            " (acc, j) -> acc + CAST(conv(substring(hexf,"
+            " 2 * (strip_offset + j) + 1, 2), 16, 10) AS BIGINT))"
+        ),
+    )
+    tags_ascending = " AND ".join(
+        f"({rd(f'ifd_off + 2 + 12 * {m}', 2)})"
+        f" < ({rd(f'ifd_off + 2 + 12 * {m + 1}', 2)})"
+        for m in range(3)
+    )
+    header_ok = F.expr(
+        f"({flag} = '4949' OR {flag} = '4D4D') AND magic = 42"
+        f" AND next_ifd = 0 AND {tags_ascending}"
+        " AND strip_offset + strip_bytes = length(hexf) DIV 2"
+    )
+    return p.select(
+        "doc_id",
+        "byte_order",
+        "magic",
+        F.col("n_entries").alias("ifd_entries"),
+        "width",
+        "height",
+        "strip_offset",
+        "strip_bytes",
+        "strip_sum",
+        "next_ifd",
+        header_ok.alias("header_ok"),
+    )

@@ -883,3 +883,129 @@ def test_kwic_matches_definition(spark, sf_dir):
     }
     assert got == want
     assert want  # keyword must occur in the fixture
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 8: JPEG + TIFF wire-format parsers
+# ---------------------------------------------------------------- #
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    cl = 10 + doc_id % 20
+    h, w = 100 + doc_id % 400, 200 + doc_id % 300
+    en = 30 + doc_id % 40
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + (16).to_bytes(2, "big")
+    out += b"JFIF\x00" + bytes([1, 2, 0]) + (72).to_bytes(2, "big")
+    out += (72).to_bytes(2, "big") + b"\x00\x00"
+    out += b"\xff\xfe" + (cl + 2).to_bytes(2, "big")
+    out += bytes((doc_id + j) % 255 for j in range(cl))
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    out += bytes.fromhex("011100021101031101")
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    out += bytes.fromhex("010002110311003f00")
+    out += bytes((doc_id * 3 + j) % 255 for j in range(en))
+    out += b"\xff\xd9"
+    return out
+
+
+def _parse_jpeg(b: bytes):
+    """Independent marker walk over real bytes."""
+    import struct
+
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    off, segs = 2, {}
+    while b[off : off + 2] != b"\xff\xda":
+        marker = b[off + 1]
+        (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
+        segs[marker] = (off, ln, b[off + 4 : off + 2 + ln])
+        off += 2 + ln
+    (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
+    ent = b[off + 2 + ln : -2]
+    sof = segs[0xC0][2]
+    return {
+        "precision": sof[0],
+        "height": struct.unpack(">H", sof[1:3])[0],
+        "width": struct.unpack(">H", sof[3:5])[0],
+        "ncomp": sof[5],
+        "comment_len": segs[0xFE][1] - 2,
+        "entropy": ent,
+    }
+
+
+def test_jpeg_parse_matches_struct_reader(spark, sf_dir):
+    rows = {
+        r.doc_id: r
+        for r in run("multimodal_jpeg_parse", spark, sf_dir).collect()
+    }
+    assert len(rows) == 30
+    for doc_id in range(30):
+        b = _jpeg_bytes(doc_id)
+        got = _parse_jpeg(b)
+        r = rows[doc_id]
+        assert r.markers_ok
+        assert r.height == got["height"] and r.width == got["width"]
+        assert r.precision_bits == got["precision"]
+        assert r.n_components == got["ncomp"]
+        assert r.comment_len == got["comment_len"]
+        assert r.entropy_bytes == len(got["entropy"])
+        assert r.entropy_sum == sum(got["entropy"])
+        assert r.file_bytes == len(b)
+
+
+def _tiff_bytes(doc_id: int) -> bytes:
+    import struct
+
+    le = doc_id % 2 == 0
+    e = "<" if le else ">"
+    w, h = 64 + doc_id % 100, 32 + doc_id % 50
+    sb = 50 + doc_id % 60
+    so = 8 + 2 + 4 * 12 + 4
+    out = (b"II" if le else b"MM") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", 4)
+    for tag, val in ((256, w), (257, h), (273, so), (279, sb)):
+        out += struct.pack(e + "HHII", tag, 4, 1, val)
+    out += struct.pack(e + "I", 0)
+    out += bytes((doc_id * 7 + j) % 256 for j in range(sb))
+    return out
+
+
+def _parse_tiff(b: bytes):
+    import struct
+
+    e = "<" if b[:2] == b"II" else ">"
+    (magic,) = struct.unpack(e + "H", b[2:4])
+    (ifd,) = struct.unpack(e + "I", b[4:8])
+    (n,) = struct.unpack(e + "H", b[ifd : ifd + 2])
+    tags = {}
+    for m in range(n):
+        base = ifd + 2 + 12 * m
+        tag, typ, cnt, val = struct.unpack(e + "HHII", b[base : base + 12])
+        tags[tag] = val
+    (nxt,) = struct.unpack(e + "I", b[ifd + 2 + 12 * n : ifd + 6 + 12 * n])
+    return magic, n, tags, nxt
+
+
+def test_tiff_parse_handles_both_endiannesses(spark, sf_dir):
+    rows = {
+        r.doc_id: r
+        for r in run("multimodal_tiff_parse", spark, sf_dir).collect()
+    }
+    assert len(rows) == 40
+    orders = set()
+    for doc_id in range(40):
+        b = _tiff_bytes(doc_id)
+        magic, n, tags, nxt = _parse_tiff(b)
+        r = rows[doc_id]
+        orders.add(r.byte_order)
+        assert r.byte_order == ("II" if doc_id % 2 == 0 else "MM")
+        assert r.header_ok
+        assert (r.magic, r.ifd_entries, r.next_ifd) == (magic, n, nxt)
+        assert r.width == tags[256] and r.height == tags[257]
+        assert r.strip_offset == tags[273]
+        assert r.strip_bytes == tags[279]
+        strip = b[tags[273] : tags[273] + tags[279]]
+        assert r.strip_sum == sum(strip)
+    assert orders == {"II", "MM"}  # both endiannesses exercised

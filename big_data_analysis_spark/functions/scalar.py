@@ -2714,3 +2714,70 @@ def fn_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed derived column feeding a range repartition."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_hilbert_sql("DIV"))
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_DIGITS = 6  # 58^6 > 1e10, the payload domain
+
+
+def _base58_sql(strpos_fn: str) -> str:
+    """Fixed-width base58 encode of the Knuth payload plus the
+    polynomial decode round trip — one SQL text, parameterized only
+    by the engine's strpos function name (instr / strpos)."""
+    enc_chars = ", ".join(
+        f"substr('{_B58_ALPHABET}',"
+        f" CAST((v {{idiv}} {58 ** (_B58_DIGITS - 1 - k)}) % 58 AS INT)"
+        f" + 1, 1)"
+        for k in range(_B58_DIGITS)
+    )
+    dec_terms = " + ".join(
+        f"CAST({strpos_fn}('{_B58_ALPHABET}', substr(code, {k + 1}, 1)) - 1"
+        f" AS BIGINT) * {58 ** (_B58_DIGITS - 1 - k)}"
+        for k in range(_B58_DIGITS)
+    )
+    return f"""
+WITH pay AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(((c_custkey & 2147483647) * 2654435761) % 10000000000
+           AS BIGINT) AS v
+  FROM customer
+),
+enc AS (
+  SELECT c_custkey, c_mktsegment, v,
+         concat({enc_chars}) AS code
+  FROM pay
+),
+dec AS (
+  SELECT c_mktsegment, v, code,
+         CAST({dec_terms} AS BIGINT) AS v_back
+  FROM enc
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_codes,
+       CAST(SUM(CASE WHEN v_back = v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_distinct_codes,
+       MIN(code) AS min_code, MAX(code) AS max_code
+FROM dec GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "fn_base58",
+    oracle=_base58_sql("strpos").replace("{idiv}", "//"),
+    category="functions",
+)
+def fn_base58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base58 encode/decode round trip (the Bitcoin/IPFS alphabet —
+    no 0/O/I/l, so codes survive human transcription): fixed-width
+    6-symbol encoding of the Knuth payload by unrolled divmod
+    (58^6 > the 1e10 payload domain), decoded back by the unrolled
+    polynomial over alphabet positions — n_roundtrip == n_codes is
+    the self-authentication, and n_distinct_codes == n_codes
+    certifies injectivity on the fixture.  Base58's defining
+    property vs base64 is ORDER PRESERVATION with a sorted alphabet
+    is NOT guaranteed (the alphabet skips characters), hence the
+    min/max code columns pin lexical behavior cross-engine.  Pure
+    substr/arithmetic codegen; one rollup shuffle."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_base58_sql("instr").replace("{idiv}", "DIV"))

@@ -1762,3 +1762,66 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_jaccard"),
         )
     )
+
+
+@query(
+    "graph_eccentricity",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100
+),
+n AS (SELECT DISTINCT src AS node FROM e),
+bfs(root, node, dist) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT bfs.root, e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.dist < {_CLOSENESS_HOPS}
+),
+d AS (
+  SELECT root, node, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM bfs GROUP BY root, node
+)
+SELECT root AS src,
+       CAST(MAX(dist) AS BIGINT) AS eccentricity,
+       CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached
+FROM d GROUP BY root
+""",
+    category="graph",
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity of every source node — max hop distance over its
+    reachable set (the per-node quantity whose min over nodes is the
+    graph RADIUS and max the DIAMETER): the same multi-source-BFS
+    frontier kernel as graph_closeness (per-hop frontier equi-join +
+    anti-join vs the lazy visited union, only frontiers
+    checkpointed), with the terminal rollup flipped from sums to
+    MAX.  Hop cap {_CLOSENESS_HOPS} >= the fixture diameter, matching
+    the oracle recursion bound.  Same quadratic-in-reachable-mass
+    bound as all-pairs centrality; key-partitioned throughout."""
+    e = _edges(spark, sf_dir).persist()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    frontier = nodes.select(
+        F.col("node").alias("root"), "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for hop in range(1, _CLOSENESS_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("root", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    e.unpersist()
+    return visited.groupBy(F.col("root").alias("src")).agg(
+        F.max("dist").cast("long").alias("eccentricity"),
+        F.count(F.when(F.col("dist") > 0, 1)).cast("long").alias(
+            "n_reached"
+        ),
+    )

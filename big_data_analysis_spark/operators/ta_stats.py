@@ -3317,3 +3317,77 @@ def win_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _zigzag_sql("{g}", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
     )
+
+
+def _holt_winters_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Additive Holt-Winters (weekly period 7, alpha=beta=gamma=1/2)
+    query text: the recursive CTE carries level, trend and ALL SEVEN
+    seasonal slots, rotating the active slot by (idx-1) % 7 — the
+    dyadic smoothing constants keep every update one shared floor
+    division at 1000x scale.  Seeds: l = x_1*1000, b = 0, s_i = 0
+    (the zero-season convention; the recurrences converge to the
+    weekly pattern within two seasons and the certification target
+    is the exact ROUND STRUCTURE, not a fitted forecast)."""
+    slots = ", ".join(f"s{i}" for i in range(7))
+    zero_slots = ", ".join("CAST(0 AS BIGINT)" for _ in range(7))
+    s_prev = "CASE (g.idx - 1) % 7 " + " ".join(
+        f"WHEN {i} THEN r.s{i}" for i in range(7)
+    ) + " END"
+    l_new = f"(g.x * 1000 - ({s_prev}) + r.l + r.b) {idiv} 2"
+    b_new = f"(({l_new}) - r.l + r.b) {idiv} 2"
+    s_new = f"(g.x * 1000 - ({l_new}) + ({s_prev})) {idiv} 2"
+    slot_updates = ", ".join(
+        f"CASE WHEN (g.idx - 1) % 7 = {i} THEN {s_new} ELSE r.s{i} END"
+        for i in range(7)
+    )
+    return f"""
+WITH RECURSIVE gi AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS idx
+  FROM {grid_ref}
+),
+r(event_type, idx, l, b, fc, {slots}) AS (
+  SELECT event_type, idx, x * 1000, CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), {zero_slots}
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         {l_new}, {b_new},
+         r.l + r.b + ({s_prev}),
+         {slot_updates}
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, {datefmt} AS day, CAST(gi.x AS BIGINT) AS x,
+       CAST(r.l AS BIGINT) AS level_s,
+       CAST(r.b AS BIGINT) AS trend_s,
+       CAST(r.fc AS BIGINT) AS forecast_s,
+       CAST(gi.x * 1000 - r.fc AS BIGINT) AS resid_s
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+WHERE r.idx > 1
+"""
+
+
+@query(
+    "win_holt_winters",
+    oracle=_holt_winters_sql(
+        f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"
+    ),
+    category="windows",
+)
+def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS triple exponential smoothing (weekly
+    period 7) — the seasonal forecaster agg_holt_linear lacks a
+    season term for: level, trend and the seven seasonal components
+    advance together in ONE recursive CTE, the active slot rotating
+    by day-of-sequence, every update a shared dyadic floor division
+    at 1000x scale (alpha = beta = gamma = 1/2) — the whole state
+    trajectory is bit-exact cross-engine, and the one-step-ahead
+    forecast l + b + s_{{t-7}} plus its residual are emitted per
+    day.  The seasonal state is SEVEN rotating columns, not an
+    array — the recursion stays flat-typed in both engines.  Depth
+    = calendar days; each level one bounded join."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _holt_winters_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"),
+        g=g,
+    )

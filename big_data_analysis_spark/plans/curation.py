@@ -1546,3 +1546,89 @@ def pipeline_speculative_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("tokens_per_step"),
     )
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 9: storage-layout quality report (Hilbert vs row-major)
+# ------------------------------------------------------------------ #
+
+_LAYOUT_FILES = 16
+
+
+def _layout_hilbert_cte() -> str:
+    """The fn_hilbert_curve forward walk, reused as the layout key
+    (order-8, reflection by the full grid 255)."""
+    ctes = [
+        "h0 AS (SELECT c_custkey, c_custkey % 256 AS x0,"
+        " (c_custkey * 7) % 256 AS y0, c_custkey % 256 AS x,"
+        " (c_custkey * 7) % 256 AS y, 0 AS d FROM customer)"
+    ]
+    lvl = 0
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        prev, lvl = f"h{lvl}", lvl + 1
+        ctes.append(f"""h{lvl} AS (
+  SELECT c_custkey, x0, y0,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+                                     ELSE y END) ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+                                     ELSE x END) ELSE y END AS y,
+         d + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                             WHEN rx = 0 AND ry = 1 THEN 1
+                             WHEN rx = 1 AND ry = 1 THEN 2
+                             ELSE 3 END) AS d
+  FROM (SELECT c_custkey, x0, y0, x, y, d,
+               CASE WHEN x % {2 * s} >= {s} THEN 1 ELSE 0 END AS rx,
+               CASE WHEN y % {2 * s} >= {s} THEN 1 ELSE 0 END AS ry
+        FROM {prev}) t{lvl})""")
+    return ", ".join(ctes), lvl
+
+
+def _layout_sql(intdiv: str) -> str:
+    h_ctes, lvl = _layout_hilbert_cte()
+    per_file = 65536 // _LAYOUT_FILES
+    return f"""
+WITH {h_ctes},
+keys AS (
+  SELECT c_custkey, x0 AS x, y0 AS y,
+         d {intdiv} {per_file} AS hilbert_file,
+         (x0 * 256 + y0) {intdiv} {per_file} AS rowmajor_file
+  FROM h{lvl}
+),
+layouts AS (
+  SELECT 'hilbert' AS layout, hilbert_file AS file_id, x, y FROM keys
+  UNION ALL
+  SELECT 'rowmajor' AS layout, rowmajor_file AS file_id, x, y FROM keys
+)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+         AS bbox_area
+FROM layouts
+GROUP BY layout, file_id
+"""
+
+
+@query(
+    "pipeline_layout_cluster",
+    oracle=_layout_sql("//"),
+    category="pipelines",
+)
+def pipeline_layout_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout QUALITY report — the study a lakehouse team
+    runs before choosing a clustering key: the same points (the
+    fn_hilbert_curve grid) are assigned to {_LAYOUT_FILES} files two
+    ways — by Hilbert-index range (the curve-clustered layout Delta
+    liquid clustering / Iceberg z-ordering approximate) and by
+    row-major (x*256+y) range (the naive sorted layout) — and each
+    file's min/max bounding box is emitted.  The per-file bbox IS
+    the file-skipping statistic: a 2-D range predicate prunes a file
+    iff its box misses the query box, so total box area ~ expected
+    scan amplification.  Hilbert's boxes are near-square and small;
+    row-major's are 256-wide stripes — the report makes the
+    difference a number (the test asserts hilbert's total area is
+    strictly smaller).  Everything exact integers; one shared SQL
+    text, two layouts in one grouped pass."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_layout_sql("DIV"))

@@ -550,3 +550,132 @@ def pipeline_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_scaled"),
     )
+
+
+# ---------------------------------------------------------------- #
+# chrF — character n-gram F-score
+# ---------------------------------------------------------------- #
+
+_CHRF_CAP = 40  # chars per side
+_CHRF_BETA2 = 4  # beta = 2, the sacrebleu default
+
+
+def _spark_chargrams(col: str, n: int) -> str:
+    return (
+        f"CASE WHEN length({col}) < {n} THEN array() ELSE "
+        f"transform(sequence(1, length({col}) - {n} + 1), "
+        f"i -> substring({col}, i, {n})) END"
+    )
+
+
+def _duck_chargrams(col: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, length({col}) - {n} + 1), "
+        f"i -> substr({col}, i, {n}))"
+    )
+
+
+def _chrf_oracle() -> str:
+    gram_cols = ",\n         ".join(
+        f"{_duck_chargrams('ref', n)} AS ref{n}, "
+        f"{_duck_chargrams('pred', n)} AS pred{n}"
+        for n in range(1, 4)
+    )
+    stat_cols = ",\n         ".join(
+        f"CAST({_duck_overlap(f'pred{n}', f'ref{n}')} AS BIGINT)"
+        f" AS m{n},\n         "
+        f"CAST(len(pred{n}) AS BIGINT) AS pt{n},\n         "
+        f"CAST(len(ref{n}) AS BIGINT) AS rt{n}"
+        for n in range(1, 4)
+    )
+    f_cols = ",\n       ".join(
+        f"CASE WHEN m{n} = 0 THEN 0.0 ELSE"
+        f" (1.0 + {_CHRF_BETA2}) * (CAST(m{n} AS DOUBLE) / pt{n})"
+        f" * (CAST(m{n} AS DOUBLE) / rt{n})"
+        f" / ({_CHRF_BETA2}.0 * (CAST(m{n} AS DOUBLE) / pt{n})"
+        f"    + (CAST(m{n} AS DOUBLE) / rt{n})) END AS chrf{n}"
+        for n in range(1, 4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, {_CHRF_CAP}) AS ref,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN substr(text, 1, {_CHRF_CAP})
+           WHEN 1 THEN substr(text, 6, {_CHRF_CAP})
+           ELSE substr(text, 1, {_CHRF_CAP - 15})
+         END AS pred
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ref, pred,
+         {gram_cols}
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         {stat_cols}
+  FROM g
+)
+SELECT doc_id, m1, pt1, rt1, m2, pt2, rt2, m3, pt3, rt3,
+       {f_cols}
+FROM s
+"""
+
+
+@query("pipeline_eval_chrf", oracle=_chrf_oracle(), category="pipelines")
+def pipeline_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popović 2015) — the character n-gram F-score that
+    complements BLEU's token precisions (robust to tokenization and
+    morphology; sacrebleu's chrF2 is the MT-eval standard): per
+    order n = 1..3, the clipped character-gram match count, pred and
+    ref totals (exact multiset overlaps over per-row substring
+    arrays), and the F_beta (beta = 2, recall-weighted) as one
+    fixed-shape expression of the two exact-int ratios — zero-match
+    rows emit 0 explicitly (the sacrebleu convention) so the
+    division never sees 0/0.  The final chrF score is the driver's
+    mean over orders.  Zero shuffle — per-row lambdas only."""
+    d = table(spark, sf_dir, "documents")
+    ref = F.expr(f"substring(text, 1, {_CHRF_CAP})")
+    pred = (
+        F.when((F.col("doc_id") % 3) == 0, ref)
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.expr(f"substring(text, 6, {_CHRF_CAP})"),
+        )
+        .otherwise(F.expr(f"substring(text, 1, {_CHRF_CAP - 15})"))
+    )
+    g = d.select("doc_id", ref.alias("ref"), pred.alias("pred"))
+    for n in range(1, 4):
+        g = g.withColumn(
+            f"ref{n}", F.expr(_spark_chargrams("ref", n))
+        ).withColumn(f"pred{n}", F.expr(_spark_chargrams("pred", n)))
+    s = g.select(
+        "doc_id",
+        *[
+            c
+            for n in range(1, 4)
+            for c in (
+                F.expr(_spark_overlap(f"pred{n}", f"ref{n}"))
+                .cast("long")
+                .alias(f"m{n}"),
+                F.size(f"pred{n}").cast("long").alias(f"pt{n}"),
+                F.size(f"ref{n}").cast("long").alias(f"rt{n}"),
+            )
+        ],
+    )
+    b2 = float(_CHRF_BETA2)
+    f_cols = []
+    for n in range(1, 4):
+        p = F.col(f"m{n}").cast("double") / F.col(f"pt{n}")
+        r = F.col(f"m{n}").cast("double") / F.col(f"rt{n}")
+        f_cols.append(
+            F.when(F.col(f"m{n}") == 0, F.lit(0.0))
+            .otherwise((1.0 + b2) * p * r / (F.lit(b2) * p + r))
+            .alias(f"chrf{n}")
+        )
+    return s.select(
+        "doc_id",
+        *[c for n in range(1, 4) for c in (f"m{n}", f"pt{n}", f"rt{n}")],
+        *f_cols,
+    )

@@ -1009,3 +1009,150 @@ def test_tiff_parse_handles_both_endiannesses(spark, sf_dir):
         strip = b[tags[273] : tags[273] + tags[279]]
         assert r.strip_sum == sum(strip)
     assert orders == {"II", "MM"}  # both endiannesses exercised
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 9: Holt-Winters, chrF, eccentricity, layout report, base58
+# ---------------------------------------------------------------- #
+
+
+def test_holt_winters_matches_recurrence(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    rows = {}
+    for r in run("win_holt_winters", spark, sf_dir).collect():
+        rows[(r.event_type, r.day)] = r
+    for et, sd in series.items():
+        days = sorted(sd)
+        l, b = sd[days[0]] * 1000, 0
+        s = [0] * 7
+        for idx in range(2, len(days) + 1):
+            d = days[idx - 1]
+            x = sd[d] * 1000
+            slot = (idx - 1) % 7
+            sp = s[slot]
+            fc = l + b + sp
+            l_new = _tdiv(x - sp + l + b, 2)
+            b = _tdiv(l_new - l + b, 2)
+            s[slot] = _tdiv(x - l_new + sp, 2)
+            l = l_new
+            r = rows[(et, d.isoformat())]
+            assert (r.level_s, r.trend_s, r.forecast_s) == (l, b, fc)
+            assert r.resid_s == x - fc
+
+
+def test_chrf_matches_definition(spark, sf_dir):
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    rows = {
+        r.doc_id: r for r in run("pipeline_eval_chrf", spark, sf_dir).collect()
+    }
+    for doc_id, text in docs:
+        ref = text[:40]
+        if doc_id % 3 == 0:
+            pred = ref
+        elif doc_id % 3 == 1:
+            pred = text[5:45]
+        else:
+            pred = text[:25]
+        r = rows[doc_id]
+        for n in range(1, 4):
+            rg = [ref[i : i + n] for i in range(len(ref) - n + 1)]
+            pg = [pred[i : i + n] for i in range(len(pred) - n + 1)]
+            m = _overlap(pg, rg)
+            assert getattr(r, f"m{n}") == m
+            assert getattr(r, f"pt{n}") == len(pg)
+            assert getattr(r, f"rt{n}") == len(rg)
+            if m == 0:
+                assert getattr(r, f"chrf{n}") == 0.0
+            else:
+                p, rc = m / len(pg), m / len(rg)
+                assert getattr(r, f"chrf{n}") == pytest.approx(
+                    5.0 * p * rc / (4.0 * p + rc), rel=0, abs=0
+                )
+        if doc_id % 3 == 0:
+            assert r.chrf3 == 1.0
+
+
+def test_eccentricity_matches_bfs(spark, sf_dir):
+    adj = {}
+    for a, b in duckdb.sql(
+        f"""
+        SELECT DISTINCT l_orderkey % 100 src, l_partkey % 100 dst
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_orderkey % 100 <> l_partkey % 100
+        """
+    ).fetchall():
+        adj.setdefault(int(a), set()).add(int(b))
+    rows = {
+        r.src: r for r in run("graph_eccentricity", spark, sf_dir).collect()
+    }
+    from collections import deque
+
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        r = rows[src]
+        assert r.eccentricity == max(dist.values())
+        assert r.n_reached == len(dist) - 1
+
+
+def test_layout_cluster_hilbert_beats_rowmajor(spark, sf_dir):
+    rows = run("pipeline_layout_cluster", spark, sf_dir).collect()
+    custs = [ck for ck, _ in _custs(sf_dir)]
+    pts = [(ck % 256, (ck * 7) % 256) for ck in custs]
+    per_file = 65536 // 16
+    want = {}
+    for (x, y), ck in zip(pts, custs):
+        hf = _hilbert_xy2d(256, x, y) // per_file
+        rf = (x * 256 + y) // per_file
+        for layout, fid in (("hilbert", hf), ("rowmajor", rf)):
+            box = want.setdefault((layout, fid), [0, 256, -1, 256, -1])
+            box[0] += 1
+            box[1], box[2] = min(box[1], x), max(box[2], x)
+            box[3], box[4] = min(box[3], y), max(box[4], y)
+    assert len(rows) == len(want)
+    totals = {"hilbert": 0, "rowmajor": 0}
+    for r in rows:
+        n, mnx, mxx, mny, mxy = want[(r.layout, r.file_id)]
+        assert (r.n_points, r.min_x, r.max_x, r.min_y, r.max_y) == (
+            n, mnx, mxx, mny, mxy,
+        )
+        assert r.bbox_area == (mxx - mnx + 1) * (mxy - mny + 1)
+        totals[r.layout] += r.bbox_area
+    # the report's whole point: the curve layout prunes better
+    assert totals["hilbert"] < totals["rowmajor"]
+
+
+def test_base58_roundtrip_and_reference(spark, sf_dir):
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    rows = {
+        r.c_mktsegment: r for r in run("fn_base58", spark, sf_dir).collect()
+    }
+    agg = {}
+    for ck, seg in _custs(sf_dir):
+        v = ((int(ck) & 2147483647) * 2654435761) % 10**10
+        code = "".join(
+            alpha[(v // 58**k) % 58] for k in range(5, -1, -1)
+        )
+        back = sum(
+            alpha.index(c) * 58 ** (5 - i) for i, c in enumerate(code)
+        )
+        assert back == v
+        a = agg.setdefault(seg, [0, set()])
+        a[0] += 1
+        a[1].add(code)
+    for seg, (n, codes) in agg.items():
+        r = rows[seg]
+        assert r.n_codes == n and r.n_roundtrip == n
+        assert r.n_distinct_codes == len(codes)
+        assert r.min_code == min(codes) and r.max_code == max(codes)

@@ -1642,11 +1642,21 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard hub cap (drop z with deg above a percentile) bounds the
     quadratic mass exactly like the dedup df-cap discipline."""
     e = _edges(spark, sf_dir)
-    u = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    n = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
-        u.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    # u and n feed three plan branches each (n1, n2, deg, is_edge) —
+    # checkpoint once so Catalyst doesn't re-derive the edge list per
+    # branch (the _day_grid rationale; 12 -> ~6 Exchanges measured).
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = (
+        u.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(u.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
     )
     deg = n.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
     n1 = n.select(F.col("node").alias("node_a"), F.col("nbr").alias("z"))
@@ -1725,10 +1735,13 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", (F.col("o_custkey") % 40).alias("cust")
     )
+    # the bipartite edge list feeds both self-join sides plus the
+    # degree rollup — materialize once (15 -> ~7 Exchanges measured)
     bi = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("cust", "part")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pdeg = bi.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("d"))
     b1 = bi.select("cust", F.col("part").alias("part_a"))

@@ -805,3 +805,93 @@ def test_recursive_cte_indicators_plan_shape(spark, sf_dir):
         assert "SortMergeJoin" not in p, name
         cap = 3 if name == "win_trix" else 2
         assert p.count("Exchange") <= cap, (name, p.count("Exchange"))
+
+
+# ---------------------------------------------------------------- #
+# r10 wave plan locks
+# ---------------------------------------------------------------- #
+
+
+def test_eval_gen_rowmetrics_are_pure_maps(spark, sf_dir):
+    """ROUGE/BLEU/WER/chrF are per-row maps: zero Exchange, zero
+    Python — eval scoring must stay scan-speed at 100 TB."""
+    for name in (
+        "pipeline_eval_rouge_n",
+        "pipeline_eval_bleu",
+        "pipeline_eval_wer",
+        "pipeline_eval_chrf",
+    ):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_bq_hamming_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
+    """The packed corpus is joined via a broadcast of the 8-row probe
+    set — the only Exchanges allowed are the probe broadcast and the
+    bounded per-query rank window."""
+    plan = plan_of("vec_bq_hamming", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # corpus-side shuffle would add a hashpartitioning Exchange on
+    # the packed table BEFORE the join; only the post-join window
+    # repartition is allowed
+    pre_join = tree.split("Join")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_bloom_prefilter_broadcasts_bits_and_truth(spark, sf_dir):
+    """Both the bit set and the build-side text set ride as
+    broadcasts — the probe corpus is never reshuffled for the
+    membership checks."""
+    plan = plan_of("dedup_bloom_prefilter", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree
+
+
+def test_resource_allocation_broadcasts_degrees(spark, sf_dir):
+    plan = plan_of("graph_resource_allocation", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # post-fix shape: checkpointed neighbor list, no re-derivation
+    assert tree.count("Exchange") <= 6
+
+
+def test_bipartite_projection_single_selfjoin_shuffle(spark, sf_dir):
+    plan = plan_of("graph_bipartite_projection", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    # the cust-keyed self-join is the one data-proportional shuffle
+    # pair; degree lookups broadcast
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert tree.count("Exchange") <= 8
+
+
+def test_kwic_filters_before_context_assembly(spark, sf_dir):
+    """The keyword predicate must sit under the context-window
+    projection — scan-bound at scale."""
+    plan = plan_of("text_kwic", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree  # pure explode+filter+project map
+    assert "Filter" in tree
+
+
+def test_heaps_law_explodes_corpus_once(spark, sf_dir):
+    """Both curves must read the one exploded corpus: the plan may
+    aggregate twice (first-occurrence + per-doc counts) but a decile
+    fanout re-exploding text would show >2 Generate nodes."""
+    plan = plan_of("text_heaps_law", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") <= 2
+
+
+def test_spc_rules_single_partition_pass(spark, sf_dir):
+    """Center/sigma stats and all rule windows share the per-type
+    partitioning: exactly one hashpartitioning Exchange on
+    event_type above the grid aggregation."""
+    plan = plan_of("win_spc_rules", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange hashpartitioning(event_type") <= 2

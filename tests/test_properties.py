@@ -1506,3 +1506,265 @@ def test_bucketed_band_join_exact_recall(spark, rows):
         if i < j and gi == gj and abs(ci - cj) <= band
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- #
+# r10 wave algorithm properties (pure Python, no Spark per example:
+# these pin the REFERENCE algorithms that the wave queries are
+# definition-replay-tested against in test_r10_wave.py)
+# ---------------------------------------------------------------- #
+
+_FAST = dict(max_examples=100, deadline=None)
+
+_VFD = [
+    [0,1,2,3,4,5,6,7,8,9],[1,2,3,4,0,6,7,8,9,5],[2,3,4,0,1,7,8,9,5,6],
+    [3,4,0,1,2,8,9,5,6,7],[4,0,1,2,3,9,5,6,7,8],[5,9,8,7,6,0,4,3,2,1],
+    [6,5,9,8,7,1,0,4,3,2],[7,6,5,9,8,2,1,0,4,3],[8,7,6,5,9,3,2,1,0,4],
+    [9,8,7,6,5,4,3,2,1,0],
+]
+_VFP = [
+    [0,1,2,3,4,5,6,7,8,9],[1,5,7,6,2,8,3,0,9,4],[5,8,0,3,7,9,6,1,4,2],
+    [8,9,1,6,0,4,3,5,2,7],[9,4,5,3,1,2,6,8,7,0],[4,2,8,6,5,7,3,9,0,1],
+    [2,7,9,3,8,0,6,4,1,5],[7,0,4,6,9,1,3,2,5,8],
+]
+_VFI = [0,4,3,2,1,5,6,7,8,9]
+_DAMM_T = [
+    [0,3,1,7,5,9,8,6,4,2],[7,0,9,2,1,5,4,8,6,3],[4,2,0,6,8,7,1,3,5,9],
+    [1,7,5,0,9,8,3,4,2,6],[6,1,2,3,0,4,5,9,7,8],[3,6,7,4,2,0,9,5,8,1],
+    [5,8,6,9,7,2,0,1,3,4],[8,9,4,5,3,6,2,0,1,7],[9,4,3,8,6,1,7,2,0,5],
+    [2,5,8,1,4,3,6,7,9,0],
+]
+
+
+def _vf_valid(num: str) -> bool:
+    c = 0
+    for i, ch in enumerate(reversed(num)):
+        c = _VFD[c][_VFP[i % 8][int(ch)]]
+    return c == 0
+
+
+def _vf_full(payload: str) -> str:
+    c = 0
+    for i, ch in enumerate(reversed(payload), 1):
+        c = _VFD[c][_VFP[i % 8][int(ch)]]
+    return payload + str(_VFI[c])
+
+
+def _damm_interim(num: str) -> int:
+    c = 0
+    for ch in num:
+        c = _DAMM_T[c][int(ch)]
+    return c
+
+
+payload_st = st.integers(min_value=0, max_value=10**10 - 1).map(
+    lambda v: str(v).zfill(10)
+)
+
+
+@given(pay=payload_st, pos=st.integers(0, 10), delta=st.integers(1, 9))
+@settings(**_FAST)
+def test_verhoeff_catches_every_single_digit_error(pay, pos, delta):
+    full = _vf_full(pay)
+    assert _vf_valid(full)
+    mutated = (
+        full[:pos] + str((int(full[pos]) + delta) % 10) + full[pos + 1 :]
+    )
+    assert not _vf_valid(mutated)
+
+
+@given(pay=payload_st, pos=st.integers(0, 9))
+@settings(**_FAST)
+def test_verhoeff_catches_adjacent_transpositions(pay, pos):
+    full = _vf_full(pay)
+    if full[pos] == full[pos + 1]:
+        return  # transposing equal digits is the identity
+    swapped = (
+        full[:pos] + full[pos + 1] + full[pos] + full[pos + 2 :]
+    )
+    assert not _vf_valid(swapped)
+
+
+@given(pay=payload_st, pos=st.integers(0, 10), delta=st.integers(1, 9))
+@settings(**_FAST)
+def test_damm_catches_every_single_digit_error(pay, pos, delta):
+    full = pay + str(_damm_interim(pay))
+    assert _damm_interim(full) == 0
+    mutated = (
+        full[:pos] + str((int(full[pos]) + delta) % 10) + full[pos + 1 :]
+    )
+    assert _damm_interim(mutated) != 0
+
+
+@given(pay=payload_st, pos=st.integers(0, 9))
+@settings(**_FAST)
+def test_damm_catches_adjacent_transpositions(pay, pos):
+    full = pay + str(_damm_interim(pay))
+    if full[pos] == full[pos + 1]:
+        return
+    swapped = full[:pos] + full[pos + 1] + full[pos] + full[pos + 2 :]
+    assert _damm_interim(swapped) != 0
+
+
+@given(
+    pay=st.integers(min_value=0, max_value=10**12 - 1).map(
+        lambda v: str(v).zfill(12)
+    ),
+    pos=st.integers(0, 12),
+    delta=st.integers(1, 9),
+)
+@settings(**_FAST)
+def test_ean13_catches_every_single_digit_error(pay, pos, delta):
+    def wsum(s):
+        return sum(
+            int(c) * (1 if i % 2 == 0 else 3) for i, c in enumerate(s)
+        )
+
+    full = pay + str((10 - wsum(pay) % 10) % 10)
+    assert wsum(full) % 10 == 0
+    mutated = (
+        full[:pos] + str((int(full[pos]) + delta) % 10) + full[pos + 1 :]
+    )
+    assert wsum(mutated) % 10 != 0
+
+
+def _h_rot(n, x, y, rx, ry):
+    if ry == 0:
+        if rx == 1:
+            x, y = n - 1 - x, n - 1 - y
+        x, y = y, x
+    return x, y
+
+
+def _h_xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        x, y = _h_rot(n, x, y, rx, ry)
+        s //= 2
+    return d
+
+
+def _h_d2xy(n, d):
+    x = y = 0
+    t, s = d, 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        x, y = _h_rot(s, x, y, rx, ry)
+        x, y = x + s * rx, y + s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+@given(x=st.integers(0, 255), y=st.integers(0, 255))
+@settings(**_FAST)
+def test_hilbert_roundtrip_any_point(x, y):
+    d = _h_xy2d(256, x, y)
+    assert 0 <= d < 65536
+    assert _h_d2xy(256, d) == (x, y)
+
+
+@given(d=st.integers(0, 65534))
+@settings(**_FAST)
+def test_hilbert_consecutive_indices_are_grid_adjacent(d):
+    x1, y1 = _h_d2xy(256, d)
+    x2, y2 = _h_d2xy(256, d + 1)
+    assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def _tok_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, y in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (x != y))
+    return dp[len(b)]
+
+
+seq_st = st.lists(st.integers(0, 5), min_size=0, max_size=12)
+
+
+@given(a=seq_st, b=seq_st, c=seq_st)
+@settings(**_FAST)
+def test_token_levenshtein_is_a_metric(a, b, c):
+    assert _tok_lev(a, b) == _tok_lev(b, a)
+    assert (_tok_lev(a, b) == 0) == (a == b)
+    assert _tok_lev(a, c) <= _tok_lev(a, b) + _tok_lev(b, c)
+
+
+@given(
+    xs=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    ys=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+)
+@settings(**_FAST)
+def test_pair_abs_sum_prefix_identity_and_energy_nonneg(xs, ys):
+    """The sorted-prefix identity used by agg_energy_distance /
+    agg_gini_mean_diff equals brute force, and the resulting energy
+    distance is non-negative (zero on identical multisets)."""
+    import bisect
+
+    def prefix_sum(axs, ays):
+        ss = sorted(ays)
+        pre = [0]
+        for v in ss:
+            pre.append(pre[-1] + v)
+        tot_n, tot_s = len(ss), pre[-1]
+        out = 0
+        for x in axs:
+            le = bisect.bisect_right(ss, x)
+            out += x * le - pre[le] + (tot_s - pre[le]) - x * (tot_n - le)
+        return out
+
+    brute = sum(abs(x - y) for x in xs for y in ys)
+    assert prefix_sum(xs, ys) == brute
+    n, m = len(xs), len(ys)
+    s_ab, s_aa, s_bb = (
+        prefix_sum(xs, ys),
+        prefix_sum(xs, xs),
+        prefix_sum(ys, ys),
+    )
+    e2 = 2.0 * s_ab / (n * m) - s_aa / (n * n) - s_bb / (m * m)
+    assert e2 >= -1e-9
+    assert (
+        prefix_sum(xs, xs) == sum(abs(a - b) for a in xs for b in xs)
+    )
+    e_same = 2.0 * s_aa / (n * n) - 2.0 * s_aa / (n * n)
+    assert e_same == 0.0
+
+
+@given(v=st.integers(0, 10**10 - 1))
+@settings(**_FAST)
+def test_base58_fixed_width_roundtrip(v):
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    code = "".join(alpha[(v // 58**k) % 58] for k in range(5, -1, -1))
+    assert len(code) == 6
+    assert sum(
+        alpha.index(c) * 58 ** (5 - i) for i, c in enumerate(code)
+    ) == v
+
+
+@given(
+    xs=st.lists(st.integers(-1000, 1000), min_size=2, max_size=40),
+    k=st.integers(1, 3),
+    i=st.integers(0, 39),
+)
+@settings(**_FAST)
+def test_spc_integer_zone_test_equals_float_test(xs, k, i):
+    """The sqrt-free predicate (n*x-S)^2 > k^2*(n*Sx2-S^2) must agree
+    with |x - mu| > k*sigma computed in floats (ties at the boundary
+    cannot occur: equality would need (n*x-S)^2 exactly equal, and
+    then both sides say 'not beyond')."""
+    i = i % len(xs)
+    x = xs[i]
+    n, S = len(xs), sum(xs)
+    Sx2 = sum(v * v for v in xs)
+    lhs = (n * x - S) ** 2 > k * k * (n * Sx2 - S * S)
+    mu = S / n
+    sigma = math.sqrt(max(Sx2 / n - mu * mu, 0.0))
+    rhs = abs(x - mu) > k * sigma
+    if (n * x - S) ** 2 != k * k * (n * Sx2 - S * S):
+        assert lhs == rhs

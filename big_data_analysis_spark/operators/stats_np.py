@@ -2531,3 +2531,162 @@ def agg_gini_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gmd_cents"
         ),
     )
+
+
+@query(
+    "agg_brunner_munzel",
+    oracle=f"""
+WITH g AS ({_GRID_SQL}),
+c AS (
+  SELECT x AS v,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS ca,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS cb
+  FROM g WHERE event_type IN ('click', 'purchase')
+  GROUP BY x
+),
+w AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(ca + cb) OVER pw, 0) AS less_all,
+         COALESCE(SUM(ca) OVER pw, 0) AS less_a,
+         COALESCE(SUM(cb) OVER pw, 0) AS less_b,
+         SUM(ca) OVER () AS n, SUM(cb) OVER () AS m
+  FROM c
+  WINDOW pw AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+),
+r AS (
+  SELECT v, ca, cb, n, m,
+         2 * less_all + (ca + cb) + 1 AS r2c,
+         2 * less_a + ca + 1 AS r2a,
+         2 * less_b + cb + 1 AS r2b
+  FROM w
+),
+t AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(m) AS BIGINT) AS m,
+         CAST(SUM(ca * r2c) AS BIGINT) AS t2_a,
+         CAST(SUM(cb * r2c) AS BIGINT) AS t2_b
+  FROM r
+),
+e AS (
+  SELECT
+    CAST(SUM(r.ca * (t.n * (r.r2c - r.r2a) - t.t2_a + t.n * (t.n + 1))
+             * (t.n * (r.r2c - r.r2a) - t.t2_a + t.n * (t.n + 1)))
+      AS BIGINT) AS e_a,
+    CAST(SUM(r.cb * (t.m * (r.r2c - r.r2b) - t.t2_b + t.m * (t.m + 1))
+             * (t.m * (r.r2c - r.r2b) - t.t2_b + t.m * (t.m + 1)))
+      AS BIGINT) AS e_b
+  FROM r CROSS JOIN t
+)
+SELECT t.n, t.m, t.t2_a, t.t2_b, e.e_a, e.e_b,
+       CAST(t.t2_b - t.m * (t.m + 1) AS DOUBLE)
+         / (2.0 * CAST(t.n AS DOUBLE) * CAST(t.m AS DOUBLE)) AS p_hat,
+       CAST(t.n * t.t2_b - t.m * t.t2_a AS DOUBLE)
+         / (CAST(t.n + t.m AS DOUBLE)
+            * sqrt(CAST(e.e_a AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0))
+                   + CAST(e.e_b AS DOUBLE)
+                     / (CAST(t.m AS DOUBLE) * (CAST(t.m AS DOUBLE) - 1.0))))
+         AS t_stat
+FROM t CROSS JOIN e
+""",
+    category="aggregations",
+)
+def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (2000) — the nonparametric Behrens-Fisher
+    problem: does P(X < Y) + P(X = Y)/2 differ from 1/2, WITHOUT
+    Mann-Whitney's equal-variance assumption (the test R's
+    brunner.munzel.test runs; the recommended default over
+    wilcox.test when spreads differ).  Fully exact internals on the
+    doubled-midrank lattice: combined and within-sample midranks
+    come off ONE value-grid cumulative pass (2R = 2*cnt_less + ties
+    + 1), the rank-mean deviations are scaled by n_i to stay
+    integer (e_k = n_i*(2Rc - 2Ri) - T2_i + n_i(n_i+1), exact at
+    scale 2n_i), and the two squared-deviation sums E_A/E_B are
+    exact int64.  p_hat and the t statistic are fixed-shape double
+    expressions over those integers (T = (n*T2_B - m*T2_A) /
+    (N*sqrt(E_A/(n(n-1)) + E_B/(m(m-1)))), the algebraic collapse
+    of n1*n2*(mean_r2-mean_r1)/(N*sqrt(n1*v1+n2*v2)) onto the 2x
+    lattice).  One grid pass, bounded windows."""
+    g = _day_grid(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = g.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("ca"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("cb"),
+    )
+    pw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    r = c.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(pw), F.lit(0)).alias(
+            "less_all"
+        ),
+        F.coalesce(F.sum("ca").over(pw), F.lit(0)).alias("less_a"),
+        F.coalesce(F.sum("cb").over(pw), F.lit(0)).alias("less_b"),
+        F.sum("ca").over(tot).alias("n"),
+        F.sum("cb").over(tot).alias("m"),
+    ).select(
+        "v",
+        "ca",
+        "cb",
+        "n",
+        "m",
+        (2 * F.col("less_all") + F.col("ca") + F.col("cb") + 1).alias("r2c"),
+        (2 * F.col("less_a") + F.col("ca") + 1).alias("r2a"),
+        (2 * F.col("less_b") + F.col("cb") + 1).alias("r2b"),
+    )
+    t = r.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("m").cast("long").alias("m"),
+        F.sum(F.col("ca") * F.col("r2c")).cast("long").alias("t2_a"),
+        F.sum(F.col("cb") * F.col("r2c")).cast("long").alias("t2_b"),
+    )
+    j = r.drop("n", "m").crossJoin(F.broadcast(t))
+    ea_term = (
+        F.col("n") * (F.col("r2c") - F.col("r2a"))
+        - F.col("t2_a")
+        + F.col("n") * (F.col("n") + 1)
+    )
+    eb_term = (
+        F.col("m") * (F.col("r2c") - F.col("r2b"))
+        - F.col("t2_b")
+        + F.col("m") * (F.col("m") + 1)
+    )
+    e = j.agg(
+        F.sum(F.col("ca") * ea_term * ea_term).cast("long").alias("e_a"),
+        F.sum(F.col("cb") * eb_term * eb_term).cast("long").alias("e_b"),
+    )
+    mrow = t.crossJoin(e)
+    dn, dm = F.col("n").cast("double"), F.col("m").cast("double")
+    return mrow.select(
+        "n",
+        "m",
+        "t2_a",
+        "t2_b",
+        "e_a",
+        "e_b",
+        (
+            (F.col("t2_b") - F.col("m") * (F.col("m") + 1)).cast("double")
+            / (2.0 * dn * dm)
+        ).alias("p_hat"),
+        (
+            (F.col("n") * F.col("t2_b") - F.col("m") * F.col("t2_a")).cast(
+                "double"
+            )
+            / (
+                (dn + dm)
+                * F.sqrt(
+                    F.col("e_a").cast("double") / (dn * (dn - 1.0))
+                    + F.col("e_b").cast("double") / (dm * (dm - 1.0))
+                )
+            )
+        ).alias("t_stat"),
+    )

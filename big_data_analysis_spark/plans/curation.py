@@ -1632,3 +1632,189 @@ def pipeline_layout_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, two layouts in one grouped pass."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_layout_sql("DIV"))
+
+
+# ------------------------------------------------------------------ #
+# r10 wave 10: sampling-parameter census + domain importance weights
+# ------------------------------------------------------------------ #
+
+_SAMP_CTXS = 20
+_SAMP_TOKS = 50
+_SAMP_TOPK = 10
+_SAMP_TOPP_PCT = 90  # nucleus mass threshold
+
+
+@query(
+    "pipeline_sampling_census",
+    oracle=f"""
+WITH grid AS (
+  SELECT c.ctx_id, t.tok,
+         CAST(1 + ((c.ctx_id * 13 + t.tok * 7) % 97)
+              * ((c.ctx_id * 13 + t.tok * 7) % 97) AS BIGINT) AS w
+  FROM (SELECT UNNEST(generate_series(0, {_SAMP_CTXS - 1})) AS ctx_id) c
+  CROSS JOIN (SELECT UNNEST(generate_series(1, {_SAMP_TOKS})) AS tok) t
+),
+ranked AS (
+  SELECT ctx_id, tok, w,
+         CAST(row_number() OVER (PARTITION BY ctx_id
+                                 ORDER BY w DESC, tok) AS BIGINT) AS rnk,
+         CAST(SUM(w) OVER (PARTITION BY ctx_id
+                           ORDER BY w DESC, tok
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY ctx_id) AS BIGINT) AS total
+  FROM grid
+)
+SELECT ctx_id,
+       CAST(MAX(total) AS BIGINT) AS total_w,
+       CAST(MAX(CASE WHEN rnk = {_SAMP_TOPK} THEN cum END) AS BIGINT)
+         AS topk_mass,
+       CAST(MAX(CASE WHEN rnk = {_SAMP_TOPK} THEN cum END) AS DOUBLE)
+         / MAX(total) AS topk_share,
+       CAST(MIN(CASE WHEN 100 * cum >= {_SAMP_TOPP_PCT} * total
+                THEN rnk END) AS BIGINT) AS nucleus_size,
+       CAST(MAX(CASE WHEN rnk = 1 THEN w END) AS DOUBLE) / MAX(total)
+         AS top1_share
+FROM ranked GROUP BY ctx_id
+""",
+    category="pipelines",
+)
+def pipeline_sampling_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-parameter census — the study run before fixing
+    top-k / top-p (nucleus) decoding parameters: over deterministic
+    per-context next-token weight distributions, report the mass the
+    top-{_SAMP_TOPK} cut keeps, the NUCLEUS SIZE (smallest prefix
+    holding >= {_SAMP_TOPP_PCT}% of the mass — Holtzman et al.'s
+    top-p set, computed as the integer predicate 100*cum >=
+    {_SAMP_TOPP_PCT}*total, no float thresholding), and the top-1
+    share (the greedy-collapse diagnostic).  Weights are exact
+    integers, the per-context sort is a bounded window with a
+    deterministic tie-break, and each share is one division.  On a
+    real logit table the same plan applies with quantized
+    probabilities; the census is what reveals distributions where
+    top-k truncates too hard (flat) or nucleus degenerates to
+    greedy (peaked)."""
+    grid = (
+        spark.range(_SAMP_CTXS)
+        .select(F.col("id").alias("ctx_id"))
+        .crossJoin(
+            spark.range(1, _SAMP_TOKS + 1).select(F.col("id").alias("tok"))
+        )
+        .select(
+            "ctx_id",
+            "tok",
+            (
+                1
+                + ((F.col("ctx_id") * 13 + F.col("tok") * 7) % 97)
+                * ((F.col("ctx_id") * 13 + F.col("tok") * 7) % 97)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    ww = Window.partitionBy("ctx_id").orderBy(F.desc("w"), F.asc("tok"))
+    cum_w = ww.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
+        "ctx_id",
+        "tok",
+        "w",
+        F.row_number().over(ww).cast("long").alias("rnk"),
+        F.sum("w").over(cum_w).cast("long").alias("cum"),
+        F.sum("w").over(Window.partitionBy("ctx_id")).cast("long").alias(
+            "total"
+        ),
+    )
+    return ranked.groupBy("ctx_id").agg(
+        F.max("total").cast("long").alias("total_w"),
+        F.max(F.when(F.col("rnk") == _SAMP_TOPK, F.col("cum")))
+        .cast("long")
+        .alias("topk_mass"),
+        (
+            F.max(
+                F.when(F.col("rnk") == _SAMP_TOPK, F.col("cum"))
+            ).cast("double")
+            / F.max("total")
+        ).alias("topk_share"),
+        F.min(
+            F.when(
+                100 * F.col("cum") >= _SAMP_TOPP_PCT * F.col("total"),
+                F.col("rnk"),
+            )
+        )
+        .cast("long")
+        .alias("nucleus_size"),
+        (
+            F.max(F.when(F.col("rnk") == 1, F.col("w"))).cast("double")
+            / F.max("total")
+        ).alias("top1_share"),
+    )
+
+
+# target mix in permille, matching the fixture's five languages
+_MIX_TARGET = (("de", 150), ("en", 400), ("es", 150), ("fr", 100),
+               ("zh", 200))
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{l}' THEN {p}" for l, p in _MIX_TARGET
+) + " ELSE 0 END"
+
+
+@query(
+    "pipeline_importance_weights",
+    oracle=f"""
+WITH src AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM src)
+SELECT s.lang, s.n_docs,
+       CAST({_MIX_CASE.replace('lang', 's.lang')} AS BIGINT)
+         AS target_permille,
+       CAST(s.n_docs * 1000 // tot.total AS BIGINT) AS source_permille,
+       CAST((({_MIX_CASE.replace('lang', 's.lang')}) * tot.total * 1000)
+            // (1000 * s.n_docs) AS BIGINT) AS weight_ppk,
+       CAST((({_MIX_CASE.replace('lang', 's.lang')}) * tot.total * 1000)
+            // (1000 * s.n_docs) * s.n_docs // 1000 AS BIGINT)
+         AS expected_docs
+FROM src s CROSS JOIN tot
+""",
+    category="pipelines",
+)
+def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain importance weights — the reweighting table a data-mix
+    pipeline (DoReMi-style target mixes, pipeline_domain_resample's
+    upstream) materializes: for each language, the per-document
+    sampling weight that transforms the SOURCE share into the
+    declared TARGET mix, w = target_share / source_share, carried
+    exact at 1000x (weight_ppk = target_permille * total DIV
+    n_lang... all shared floor divisions), plus the expected
+    post-resample document count (n * w, floored at the same scale)
+    as the audit column — a mix that over-asks a tiny domain shows
+    up as expected_docs far above n_docs (the upsampling-repetition
+    red flag).  One groupBy + a broadcast scalar total; the weight
+    table is domain-bounded and broadcasts back onto the corpus at
+    apply time."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = src.agg(F.sum("n_docs").cast("long").alias("total"))
+    target = F.expr(_MIX_CASE).cast("long")
+    j = src.crossJoin(F.broadcast(tot))
+    weight = F.expr(
+        f"(({_MIX_CASE}) * total * 1000) DIV (1000 * n_docs)"
+    )
+    return j.select(
+        "lang",
+        "n_docs",
+        target.alias("target_permille"),
+        F.expr("n_docs * 1000 DIV total").cast("long").alias(
+            "source_permille"
+        ),
+        weight.cast("long").alias("weight_ppk"),
+        F.expr(
+            f"(({_MIX_CASE}) * total * 1000) DIV (1000 * n_docs)"
+            " * n_docs DIV 1000"
+        )
+        .cast("long")
+        .alias("expected_docs"),
+    )

@@ -1156,3 +1156,108 @@ def test_base58_roundtrip_and_reference(spark, sf_dir):
         assert r.n_codes == n and r.n_roundtrip == n
         assert r.n_distinct_codes == len(codes)
         assert r.min_code == min(codes) and r.max_code == max(codes)
+
+
+# ---------------------------------------------------------------- #
+# r10 wave 10: Brunner-Munzel, sampling census, importance weights
+# ---------------------------------------------------------------- #
+
+
+def test_brunner_munzel_matches_rank_reference(spark, sf_dir):
+    series = _grid_series(sf_dir)
+    a = sorted(series["click"].values())
+    b = sorted(series["purchase"].values())
+    n, m = len(a), len(b)
+    comb = sorted(a + b)
+
+    def midrank2(xs, v):
+        lt = sum(1 for x in xs if x < v)
+        eq = sum(1 for x in xs if x == v)
+        return 2 * lt + eq + 1
+
+    r2c_a = [midrank2(comb, v) for v in a]
+    r2c_b = [midrank2(comb, v) for v in b]
+    r2a = [midrank2(a, v) for v in a]
+    r2b = [midrank2(b, v) for v in b]
+    t2_a, t2_b = sum(r2c_a), sum(r2c_b)
+    e_a = sum(
+        (n * (rc - ri) - t2_a + n * (n + 1)) ** 2
+        for rc, ri in zip(r2c_a, r2a)
+    )
+    e_b = sum(
+        (m * (rc - ri) - t2_b + m * (m + 1)) ** 2
+        for rc, ri in zip(r2c_b, r2b)
+    )
+    r = run("agg_brunner_munzel", spark, sf_dir).collect()[0]
+    assert (r.n, r.m, r.t2_a, r.t2_b, r.e_a, r.e_b) == (
+        n, m, t2_a, t2_b, e_a, e_b,
+    )
+    # the collapsed T equals the canonical brunner.munzel.test form
+    mean1, mean2 = t2_a / (2 * n), t2_b / (2 * m)
+    v1 = (e_a / (4 * n * n)) / (n - 1)
+    v2 = (e_b / (4 * m * m)) / (m - 1)
+    t_canon = (
+        n * m * (mean2 - mean1) / (n + m) / math.sqrt(n * v1 + m * v2)
+    )
+    assert r.t_stat == pytest.approx(t_canon, rel=1e-12)
+    assert r.p_hat == (t2_b - m * (m + 1)) / (2.0 * n * m)
+    assert 0.0 <= r.p_hat <= 1.0
+
+
+def test_sampling_census_matches_definition(spark, sf_dir):
+    rows = {
+        r.ctx_id: r
+        for r in run("pipeline_sampling_census", spark, sf_dir).collect()
+    }
+    for ctx in range(20):
+        ws = sorted(
+            (
+                (1 + ((ctx * 13 + tok * 7) % 97) ** 2, tok)
+                for tok in range(1, 51)
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        total = sum(w for w, _ in ws)
+        cum = 0
+        cums = []
+        for w, _ in ws:
+            cum += w
+            cums.append(cum)
+        nucleus = next(
+            i + 1 for i, c in enumerate(cums) if 100 * c >= 90 * total
+        )
+        r = rows[ctx]
+        assert r.total_w == total
+        assert r.topk_mass == cums[9]
+        assert r.topk_share == cums[9] / total
+        assert r.nucleus_size == nucleus
+        assert r.top1_share == ws[0][0] / total
+        assert 1 <= r.nucleus_size <= 50
+
+
+def test_importance_weights_recover_target_mix(spark, sf_dir):
+    docs = _docs(sf_dir)
+    langs = duckdb.sql(
+        f"SELECT lang, count(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1"
+    ).fetchall()
+    counts = {l: int(c) for l, c in langs}
+    total = sum(counts.values())
+    target = {"de": 150, "en": 400, "es": 150, "fr": 100, "zh": 200}
+    rows = {
+        r.lang: r
+        for r in run("pipeline_importance_weights", spark, sf_dir).collect()
+    }
+    assert set(rows) == set(counts)
+    for lang, n in counts.items():
+        r = rows[lang]
+        w = target[lang] * total * 1000 // (1000 * n)
+        assert r.n_docs == n
+        assert r.target_permille == target[lang]
+        assert r.source_permille == n * 1000 // total
+        assert r.weight_ppk == w
+        assert r.expected_docs == w * n // 1000
+        # the reweighted share approaches the target (floor slack)
+        assert abs(r.expected_docs * 1000 - target[lang] * total) <= 1000 * (
+            n // 1000 + 2
+        )

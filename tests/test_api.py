@@ -1156,3 +1156,115 @@ def test_api_gif_stats_parses_a_real_gif_layout(spark):
     assert r.sum_r == sum(p[0] for p in palette)
     assert r.sum_g == sum(p[1] for p in palette)
     assert r.sum_b == sum(p[2] for p in palette)
+
+
+# ---------------------------------------------------------------- #
+# r10 API additions: generation-eval metrics, Hilbert key, Bloom
+# prefilter, importance weights — all on synthetic non-fixture data
+# ---------------------------------------------------------------- #
+
+
+def test_api_rouge_and_bleu_hand_checked(spark):
+    rows = [
+        (1, ["a", "b", "c", "d"], ["a", "b", "c", "d"]),   # identical
+        (2, ["c", "d", "e", "f"], ["a", "b", "c", "d"]),   # half overlap
+        (3, ["x", "y"], ["a", "b", "c", "d"]),             # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, pred array<string>, ref array<string>"
+    )
+    r = {x.id: x for x in api.rouge_n(df, "pred", "ref", n=2).collect()}
+    assert r[1].rouge2_recall == 1.0
+    assert r[2].r2_match == 1 and r[2].r2_ref_n == 3  # only "c d"
+    assert r[3].r2_match == 0
+    b = {x.id: x for x in api.bleu_components(df, "pred", "ref").collect()}
+    assert b[1].p4 == 1.0 and b[1].brevity_ratio == 1.0
+    assert b[2].p1_match == 2 and b[2].p1_total == 4
+    assert b[3].p1 == 0.0
+
+
+def test_api_wer_hand_checked(spark):
+    rows = [
+        (1, ["a", "b", "c"], ["a", "b", "c"]),
+        (2, ["a", "x", "c"], ["a", "b", "c"]),   # 1 substitution
+        (3, ["b", "c"], ["a", "b", "c"]),        # 1 deletion
+        (4, ["c", "b", "a"], ["a", "b", "c"]),   # 2 ops
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, pred array<string>, ref array<string>"
+    )
+    r = {x.id: x for x in api.wer(df, "pred", "ref").collect()}
+    assert r[1].edit_ops == 0 and r[1].wer == 0.0
+    assert r[2].edit_ops == 1
+    assert r[3].edit_ops == 1
+    assert r[4].edit_ops == 2
+    assert r[2].wer == 1 / 3
+
+
+def test_api_chrf_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd", "abcd"), (2, "abxd", "abcd"), (3, "zzzz", "abcd")],
+        "id long, pred string, ref string",
+    )
+    r = {x.id: x for x in api.chrf(df, "pred", "ref").collect()}
+    assert r[1].chrf3 == 1.0
+    assert r[3].chrf1 == 0.0 and r[3].m1 == 0
+    assert 0.0 < r[2].chrf1 < 1.0
+
+
+def test_api_hilbert_index_roundtrip_vs_reference(spark):
+    def ref_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = api.hilbert_index(df, "x", "y", "hkey").collect()
+    for r in out:
+        assert r.hkey == ref_xy2d(256, r.x, r.y)
+    import pytest
+
+    with pytest.raises(ValueError):
+        api.hilbert_index(df, "x", "y", "hkey", order=100)
+
+
+def test_api_bloom_prefilter_no_false_negatives(spark):
+    build = spark.createDataFrame(
+        [(f"key{i}",) for i in range(0, 200, 2)], "k string"
+    )
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "k string"
+    )
+    out = api.bloom_prefilter(build, probe, "k").collect()
+    assert len(out) == 200
+    members = {f"key{i}" for i in range(0, 200, 2)}
+    for r in out:
+        if r.k in members:
+            assert r.maybe_member == 1, r.k  # the Bloom guarantee
+        assert 0 <= r.n_hits <= 4
+
+
+def test_api_importance_weights_hand_checked(spark):
+    df = spark.createDataFrame(
+        [("web",)] * 80 + [("code",)] * 20, "domain string"
+    )
+    out = {
+        r.domain: r
+        for r in api.importance_weights(
+            df, "domain", {"web": 500, "code": 500}
+        ).collect()
+    }
+    # code is 20% of source but 50% of target: weight 2.5x
+    assert out["code"].weight_ppk == 2500
+    assert out["web"].weight_ppk == 625
+    assert out["code"].expected_docs == 50
+    assert out["web"].expected_docs == 50

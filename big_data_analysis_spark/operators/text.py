@@ -1553,7 +1553,10 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]["n"]
     cuts = spark.range(1, 11).select(
         F.col("id").alias("decile"),
-        ((F.col("id") * n_docs) / 10 - 1).cast("long").alias("cut_doc"),
+        # integer floor division (DIV), matching the oracle's `//` —
+        # float `/` + cast truncates toward zero, which diverges on
+        # corpora of <10 docs (cut_doc 0 vs -1) [ADVICE r10]
+        F.expr(f"(id * {n_docs}) DIV 10 - 1").cast("long").alias("cut_doc"),
     )
     tok_cum = (
         cuts.join(counts, counts["doc_id"] <= cuts["cut_doc"], "left")

@@ -201,6 +201,13 @@ def main() -> int:
         release_kernel_persists()
 
     total = round(sum(times.values()), 3)
+    # 1-minute load average at suite end: a loaded driver box inflates
+    # wall-clock uniformly (r10: 90.3 s loaded vs 61.5 s idle for the
+    # same plans), so the run self-documents its conditions.
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -209,6 +216,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "loadavg": loadavg,
             }
         )
     )

@@ -1692,3 +1692,142 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("right_ctx"),
     )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM d
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM tok GROUP BY token, doc_id
+),
+agg AS (
+  SELECT token, CAST(SUM(k) AS BIGINT) AS tot,
+         CAST(SUM(k * k) AS BIGINT) AS sumsq,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY token
+)
+SELECT token, tot, sumsq, df, ndocs.nd AS n_docs,
+       (CAST(sumsq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / ndocs.nd)
+         / (ndocs.nd - 1)
+         / (CAST(tot AS DOUBLE) / ndocs.nd) AS vmr
+FROM agg CROSS JOIN ndocs
+""",
+    category="text",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church-Gale variance-to-mean ratio) — the
+    corpus statistic separating bursty content words (a word that
+    appears once in a doc tends to appear again) from evenly-spread
+    function words; VMR = 1 is the Poisson baseline, the quantity
+    deduplication and topicality heuristics key off. Per-doc counts
+    include the zero-count docs ANALYTICALLY (zeros contribute
+    nothing to sum or sumsq, so sum over present docs + the exact
+    total doc count give the full-population moments), every sum is
+    an exact BIGINT, and VMR is one fixed-order double chain. Scale:
+    one corpus explode, a (token, doc) rollup, then a
+    vocabulary-domain-bounded aggregate with the 1-row doc-count
+    broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.sum("k").cast("long").alias("tot"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sumsq"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    j = agg.crossJoin(F.broadcast(nd))
+    totd = F.col("tot").cast("double")
+    return j.select(
+        "token",
+        "tot",
+        "sumsq",
+        "df",
+        F.col("nd").alias("n_docs"),
+        (
+            (F.col("sumsq").cast("double") - totd * F.col("tot") / F.col("nd"))
+            / (F.col("nd") - 1)
+            / (totd / F.col("nd"))
+        ).alias("vmr"),
+    )
+
+@query(
+    "text_yule_k",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS m
+  FROM tok GROUP BY lang, token
+),
+fof AS (
+  SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS vm
+  FROM tf GROUP BY lang, m
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+         CAST(SUM(vm) AS BIGINT) AS n_types,
+         CAST(SUM(m * m * vm) AS BIGINT) AS s2
+  FROM fof GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       CAST(10000 * (s2 - n_tokens) AS BIGINT) AS k_num,
+       CAST(n_tokens * n_tokens AS BIGINT) AS k_den,
+       CAST(10000 * (s2 - n_tokens) AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * n_tokens) AS yule_k
+FROM agg
+""",
+    category="text",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the classic lexical-
+    diversity constant (author-attribution era) that, unlike TTR or
+    hapax ratio (text_hapax_ratio), is length-invariant: K = 10^4 *
+    (sum_m m^2*V_m - N) / N^2 over the frequency-of-frequencies
+    spectrum V_m (how many types occur exactly m times). Every
+    quantity is an exact BIGINT off two nested rollups (type
+    frequencies, then the frequency spectrum), K ships as an exact
+    num/den pair with the double display-only. Scale: one corpus
+    explode, then everything lands on the bounded (lang, frequency)
+    spectrum domain."""
+    tok = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    fof = tf.groupBy("lang", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("vm")
+    )
+    agg = fof.groupBy("lang").agg(
+        F.sum(F.col("m") * F.col("vm")).cast("long").alias("n_tokens"),
+        F.sum("vm").cast("long").alias("n_types"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm"))
+        .cast("long")
+        .alias("s2"),
+    )
+    k_num = 10000 * (F.col("s2") - F.col("n_tokens"))
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        k_num.cast("long").alias("k_num"),
+        (F.col("n_tokens") * F.col("n_tokens")).cast("long").alias("k_den"),
+        (
+            k_num.cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        ).alias("yule_k"),
+    )

@@ -101,7 +101,14 @@ FROM orders
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing (total order incl. tie-break: ntile splits
-    tie runs across buckets by row position)."""
+    tie runs across buckets by row position).
+
+    SCALE NOTE: this is the ANSI-semantics demo form — an
+    unpartitioned Window (Spark logs `WindowExec: No Partition
+    Defined`) that sorts on a single task, a genuine scale-killer at
+    100 TB.  The scale path is `win_ntile_distributed` below
+    (range-repartition + broadcast per-partition offsets,
+    bit-identical output); see docs/SCALE.md "Windows"."""
     o = table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))

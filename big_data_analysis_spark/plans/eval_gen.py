@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import table
+from ..operators.windows import global_rank_distributed
 from ..registry import query
 
 # ---------------------------------------------------------------- #
@@ -678,4 +679,332 @@ def pipeline_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c for n in range(1, 4) for c in (f"m{n}", f"pt{n}", f"rt{n}")],
         *f_cols,
+    )
+
+
+@query(
+    "pipeline_eval_auc",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, pos, score,
+         ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rk
+  FROM q
+),
+g AS (
+  SELECT score,
+         CAST(MIN(rk) + MAX(rk) AS BIGINT) AS r2,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s
+  FROM r GROUP BY score
+),
+t AS (
+  SELECT CAST(SUM(n_pos_s * r2) AS BIGINT) AS r2_pos,
+         CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM((SELECT COUNT(*) FROM r WHERE r.score = g.score))
+              AS BIGINT) AS n_chk
+  FROM g
+),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+SELECT c.n, t.n_pos, CAST(c.n - t.n_pos AS BIGINT) AS n_neg,
+       t.r2_pos,
+       CAST(t.r2_pos - t.n_pos * (t.n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * t.n_pos * (c.n - t.n_pos) AS BIGINT) AS auc_den,
+       CAST(t.r2_pos - t.n_pos * (t.n_pos + 1) AS DOUBLE)
+         / (2 * t.n_pos * (c.n - t.n_pos)) AS auc
+FROM t CROSS JOIN c
+""",
+    category="pipelines",
+)
+def pipeline_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a deterministic linear scorer over the
+    embedding corpus — the ranking-quality metric every classifier
+    eval reports, computed through the rank-sum identity AUC =
+    (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with TIES handled by
+    midranks (the probabilistic definition: P(s_pos > s_neg) + 0.5 *
+    P(tie)): scores are exact int64 dots of the 1e-6-quantized
+    embeddings with an alternating +/-1 literal vector, the doubled
+    midrank of a tie group is MIN(rank)+MAX(rank) (integer — the
+    agg_mann_whitney machinery), and the AUC numerator/denominator
+    ship as exact BIGINTs next to the one double division. Scale
+    shape: the global ranking runs through the certified
+    global_rank_distributed kernel (range repartition + broadcast
+    offsets, no single-partition window); tie-group rollup and the
+    positive-midrank sum are key-partitioned on score; totals are
+    1-row broadcasts."""
+    from ..operators.windows import global_rank_distributed as _grd
+
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for j in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", j).cast("double") * 1_000_000
+        ).cast("long") * (1 if j % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select(
+        "vec_id", (F.col("label") >= 5).alias("pos"), score.alias("score")
+    )
+    r = _grd(q, ["score", "vec_id"], "rk")
+    g = r.groupBy("score").agg(
+        (F.min("rk") + F.max("rk")).cast("long").alias("r2"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos_s"),
+    )
+    t = g.agg(
+        F.sum(F.col("n_pos_s") * F.col("r2")).cast("long").alias("r2_pos"),
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+    )
+    c = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = t.crossJoin(F.broadcast(c))
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))
+    return j.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        "r2_pos",
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        (num.cast("double") / den).alias("auc"),
+    )
+
+@query(
+    "pipeline_eval_threshold",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM q
+),
+th AS (
+  SELECT CAST(score AS BIGINT) AS thr,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp_at,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS fp_at
+  FROM q GROUP BY score
+),
+cum AS (
+  SELECT thr,
+         SUM(tp_at) OVER (ORDER BY thr DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+         SUM(fp_at) OVER (ORDER BY thr DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS fp
+  FROM th
+),
+j AS (
+  SELECT cum.thr, cum.tp, cum.fp, tot.np, tot.nn,
+         CAST(cum.tp * tot.nn - cum.fp * tot.np AS BIGINT) AS j_num
+  FROM cum CROSS JOIN tot
+),
+best AS (
+  SELECT MAX(j_num) AS best_j FROM j
+),
+pick AS (
+  SELECT MIN(thr) AS best_thr FROM j CROSS JOIN best
+  WHERE j.j_num = best.best_j
+)
+SELECT j.thr, CAST(j.tp AS BIGINT) AS tp, CAST(j.fp AS BIGINT) AS fp,
+       j.np, j.nn, j.j_num,
+       CAST(j.tp AS DOUBLE) / j.np AS tpr,
+       CAST(j.fp AS DOUBLE) / j.nn AS fpr,
+       CAST(j.tp AS DOUBLE) / j.np - CAST(j.fp AS DOUBLE) / j.nn
+         AS youden_j,
+       j.thr = pick.best_thr AS is_optimal
+FROM j CROSS JOIN pick
+""",
+    category="pipelines",
+)
+def pipeline_eval_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating-point selection by Youden's J — the
+    threshold-picking step downstream of pipeline_eval_auc (same
+    scorer, same exact-int machinery): for every candidate threshold
+    (each distinct score; predict positive when score >= thr) the TP
+    and FP counts come from ONE descending cumulative sum over the
+    score-grouped counts, and the argmax of J = TPR - FPR is decided
+    by the EXACT integer cross-product j_num = tp*nn - fp*np (equal
+    denominators np*nn for every threshold, so comparing j_num IS
+    comparing J — no float ever ranks thresholds; ties break to the
+    smallest threshold). TPR/FPR/J doubles are display-only. Scale:
+    score-domain-bounded rollup + cumulative sum; at data-proportional
+    score domains the cumsum runs through grouped_cumsum_distributed
+    (this demo's score domain is the bounded quantized-dot lattice)."""
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for jj in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", jj).cast("double") * 1_000_000
+        ).cast("long") * (1 if jj % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select((F.col("label") >= 5).alias("pos"), score.alias("score"))
+    tot = q.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1))
+        .cast("long")
+        .alias("nn"),
+    )
+    th = q.groupBy(F.col("score").alias("thr")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp_at"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1))
+        .cast("long")
+        .alias("fp_at"),
+    )
+    wc = Window.orderBy(F.desc("thr")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = th.select(
+        "thr",
+        F.sum("tp_at").over(wc).alias("tp"),
+        F.sum("fp_at").over(wc).alias("fp"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        "np",
+        "nn",
+        (F.col("tp") * F.col("nn") - F.col("fp") * F.col("np"))
+        .cast("long")
+        .alias("j_num"),
+    )
+    best = j.agg(F.max("j_num").alias("best_j"))
+    pick = (
+        j.crossJoin(F.broadcast(best))
+        .where(F.col("j_num") == F.col("best_j"))
+        .agg(F.min("thr").alias("best_thr"))
+    )
+    return j.crossJoin(F.broadcast(pick)).select(
+        "thr",
+        "tp",
+        "fp",
+        "np",
+        "nn",
+        "j_num",
+        (F.col("tp").cast("double") / F.col("np")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("nn")).alias("fpr"),
+        (
+            F.col("tp").cast("double") / F.col("np")
+            - F.col("fp").cast("double") / F.col("nn")
+        ).alias("youden_j"),
+        (F.col("thr") == F.col("best_thr")).alias("is_optimal"),
+    )
+
+@query(
+    "pipeline_eval_pr",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label >= 5 AS pos,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS score
+  FROM embeddings
+),
+tot AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM q),
+th AS (
+  SELECT CAST(score AS BIGINT) AS thr,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp_at,
+         CAST(COUNT(*) AS BIGINT) AS n_at
+  FROM q GROUP BY score
+),
+cum AS (
+  SELECT thr, tp_at,
+         SUM(tp_at) OVER w AS tp,
+         SUM(n_at) OVER w AS pred_pos
+  FROM th
+  WINDOW w AS (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+terms AS (
+  SELECT cum.thr, CAST(cum.tp AS BIGINT) AS tp,
+         CAST(cum.pred_pos AS BIGINT) AS pred_pos, tot.np,
+         CAST(cum.tp_at * cum.tp AS BIGINT) AS ap_term_num,
+         CAST(tot.np * cum.pred_pos AS BIGINT) AS ap_term_den
+  FROM cum CROSS JOIN tot
+)
+SELECT thr, tp, pred_pos, np,
+       CAST(tp AS DOUBLE) / pred_pos AS precision,
+       CAST(tp AS DOUBLE) / np AS recall,
+       ap_term_num, ap_term_den
+FROM terms
+""",
+    category="pipelines",
+)
+def pipeline_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + average precision — the ranking eval
+    that matters under class imbalance where ROC flatters
+    (pipeline_eval_auc's PR companion, same scorer): per threshold
+    (descending), precision tp/pred_pos and recall tp/np come from
+    one cumulative sum, and each AP summand dRecall_k * Precision_k
+    ships as the EXACT integer pair tp_at*tp / (np*pred_pos) — a
+    float running sum was tried first and the parity run caught
+    DuckDB's windowed SUM aggregating through a SEGMENT TREE (tree
+    addition order != sequential order -> last-ulp divergence), so
+    the engine emits exact rationals and the caller folds AP (the
+    tests certify it in Fraction arithmetic). Counts exact;
+    divisions per-row. Scale: score-domain rollup + ordered
+    cumsums, the eval_threshold shape."""
+    e = table(spark, sf_dir, "embeddings")
+    score = None
+    for jj in range(1, 65):
+        term = F.round(
+            F.element_at("embedding", jj).cast("double") * 1_000_000
+        ).cast("long") * (1 if jj % 2 == 1 else -1)
+        score = term if score is None else score + term
+    q = e.select((F.col("label") >= 5).alias("pos"), score.alias("score"))
+    tot = q.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("np")
+    )
+    th = q.groupBy(F.col("score").alias("thr")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp_at"),
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+    )
+    wc = Window.orderBy(F.desc("thr")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = th.select(
+        "thr",
+        "tp_at",
+        F.sum("tp_at").over(wc).alias("tp"),
+        F.sum("n_at").over(wc).alias("pred_pos"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pred_pos").cast("long").alias("pred_pos"),
+        "np",
+        (F.col("tp_at") * F.col("tp")).cast("long").alias("ap_term_num"),
+        (F.col("np") * F.col("pred_pos")).cast("long").alias("ap_term_den"),
+    )
+    return terms.select(
+        "thr",
+        "tp",
+        "pred_pos",
+        "np",
+        (F.col("tp").cast("double") / F.col("pred_pos")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("np")).alias("recall"),
+        "ap_term_num",
+        "ap_term_den",
     )

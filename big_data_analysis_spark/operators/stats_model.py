@@ -1059,3 +1059,169 @@ def agg_kneedle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_num",
         (F.col("t") == F.col("t_knee")).alias("is_knee"),
     )
+
+
+# ------------------------------------------------------------------ #
+# CUPED variance reduction (r11 wave 1)
+# ------------------------------------------------------------------ #
+
+_CUPED_CUT = "2024-01-16"  # pre/post boundary (events span Jan 2024)
+
+_CUPED_SHARED = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                       THEN {{cents}} ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                       THEN {{cents}} ELSE 0 END) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM events GROUP BY user_id
+),
+cohort AS (
+  SELECT x, y FROM per_user WHERE n_pre > 0 AND n_post > 0
+),
+moms AS (
+  SELECT CAST(COUNT(*) AS {{big}}) AS n,
+         CAST(SUM(CAST(x AS {{big}})) AS {{big}}) AS sx,
+         CAST(SUM(CAST(y AS {{big}})) AS {{big}}) AS sy,
+         CAST(SUM(CAST(x AS {{big}}) * CAST(y AS {{big}})) AS {{big}}) AS sxy,
+         CAST(SUM(CAST(x AS {{big}}) * CAST(x AS {{big}})) AS {{big}}) AS sxx,
+         CAST(SUM(CAST(y AS {{big}}) * CAST(y AS {{big}})) AS {{big}}) AS syy
+  FROM cohort
+),
+dets AS (
+  SELECT CAST(n AS BIGINT) AS n_users,
+         n * sxy - sx * sy AS cov_c,
+         n * sxx - sx * sx AS varx_c,
+         n * syy - sy * sy AS vary_c
+  FROM moms
+)
+SELECT n_users,
+       (CAST(CAST(cov_c AS {{vc}}) AS DOUBLE)
+          / CAST(CAST(varx_c AS {{vc}}) AS DOUBLE)) AS theta,
+       ((CAST(CAST(cov_c AS {{vc}}) AS DOUBLE)
+           / CAST(CAST(varx_c AS {{vc}}) AS DOUBLE))
+        * (CAST(CAST(cov_c AS {{vc}}) AS DOUBLE)
+           / CAST(CAST(vary_c AS {{vc}}) AS DOUBLE))) AS rho2
+FROM dets
+"""
+
+
+def _cuped_sql(engine: str) -> str:
+    big = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+    vc = "STRING" if engine == "spark" else "VARCHAR"
+    return _CUPED_SHARED.format(cents=_CENTS_SQL, big=big, vc=vc)
+
+
+@query("agg_cuped", oracle=_cuped_sql("duck"), category="aggregations")
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et
+    al. WSDM'13) — the variance-reduction coefficient an A/B platform
+    fits before reading out an experiment: per-user pre-period spend
+    X and post-period spend Y (exact cents, pre/post split at
+    {cut}), theta* = cov(X,Y)/var(X) over users active in BOTH
+    periods, and the achieved variance-reduction fraction rho^2 =
+    theta* x cov/var(Y).  All five moment sums run on the integer
+    cents lattice in DECIMAL(38,0)/HUGEINT (cross-products of
+    per-user cent totals pass int64), determinants n*Sxy - Sx*Sy
+    stay exact, and each engine does the identical fixed-order
+    double chain on VARCHAR-crossed operands — bit-equal output.
+
+    Execution shape: one user-keyed groupBy (map-side partial aggs)
+    then a single 6-column global reduce; nothing data-proportional
+    crosses the wire after the first shuffle.  At 100 TB this is the
+    canonical two-stage mean/moment plan."""
+    sql = _cuped_sql("spark")
+    io_mod = __import__(
+        "big_data_analysis_spark.io", fromlist=["register_views"]
+    )
+    io_mod.register_views(spark, sf_dir, "events")
+    return spark.sql(sql)
+
+
+# ------------------------------------------------------------------ #
+# Mantel-Haenszel stratified odds ratio (r11 wave 1)
+# ------------------------------------------------------------------ #
+
+_MH_OUT_CENTS = 5000  # outcome: event value >= 50.00
+_MH_STRATA = range(1, 8)  # weekday 1..7 (Spark dayofweek convention)
+
+
+def _mh_sql(engine: str) -> str:
+    big = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+    vc = "STRING" if engine == "spark" else "VARCHAR"
+    dow = (
+        "CAST(dayofweek(ts) AS BIGINT)"
+        if engine == "spark"
+        else "CAST(dayofweek(ts) + 1 AS BIGINT)"
+    )
+    cells = []
+    for k in _MH_STRATA:
+        for cell, e, o in (("a", 1, 1), ("b", 1, 0), ("c", 0, 1), ("d", 0, 0)):
+            cells.append(
+                f"CAST(SUM(CASE WHEN dow = {k} AND exposed = {e} AND"
+                f" outcome = {o} THEN 1 ELSE 0 END) AS {big}) AS {cell}{k}"
+            )
+        cells.append(
+            f"CAST(SUM(CASE WHEN dow = {k} THEN 1 ELSE 0 END) AS {big})"
+            f" AS n{k}"
+        )
+    def others(i: int) -> str:
+        return " * ".join(f"n{j}" for j in _MH_STRATA if j != i)
+    num = " + ".join(f"a{i} * d{i} * {others(i)}" for i in _MH_STRATA)
+    den = " + ".join(f"b{i} * c{i} * {others(i)}" for i in _MH_STRATA)
+    sa = " + ".join(f"a{i}" for i in _MH_STRATA)
+    sb = " + ".join(f"b{i}" for i in _MH_STRATA)
+    sc = " + ".join(f"c{i}" for i in _MH_STRATA)
+    sd = " + ".join(f"d{i}" for i in _MH_STRATA)
+    return f"""
+WITH flagged AS (
+  SELECT {dow} AS dow,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN {_CENTS_SQL} >= {_MH_OUT_CENTS} THEN 1 ELSE 0 END
+           AS outcome
+  FROM events
+),
+cells AS (
+  SELECT {', '.join(cells)}
+  FROM flagged
+)
+SELECT CAST({sa} AS BIGINT) AS n_a,
+       CAST({sb} AS BIGINT) AS n_b,
+       CAST({sc} AS BIGINT) AS n_c,
+       CAST({sd} AS BIGINT) AS n_d,
+       (CAST(CAST({num} AS {vc}) AS DOUBLE)
+          / CAST(CAST({den} AS {vc}) AS DOUBLE)) AS mh_odds_ratio,
+       (CAST(CAST(({sa}) * ({sd}) AS {vc}) AS DOUBLE)
+          / CAST(CAST(({sb}) * ({sc}) AS {vc}) AS DOUBLE)) AS crude_odds_ratio
+FROM cells
+"""
+
+
+@query("agg_mantel_haenszel", oracle=_mh_sql("duck"), category="aggregations")
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across weekday strata — the
+    confounder-adjusted effect estimate (does 'purchase' exposure
+    predict a high-value outcome once day-of-week is held fixed?)
+    next to the crude pooled OR it corrects (Simpson's-paradox
+    guard).  The MH estimator Sum(a_i d_i / n_i) / Sum(b_i c_i / n_i)
+    is cleared of its per-stratum divisions by multiplying through
+    by prod(n_j): both numerator and denominator become EXACT
+    DECIMAL(38,0)/HUGEINT integers (7 strata x 8 factors stays under
+    38 digits through sf0.1), VARCHAR-crossed to double for the one
+    final division — bit-equal cross-engine, no float ever touches a
+    cell count.
+
+    Execution shape: one pass over events building 35 conditional
+    integer sums map-side (the bounded 7x4+7 pivot — agg_chi_square's
+    one-row trick), then pure literal arithmetic on a single row; at
+    100 TB the cost is one scan + one 35-column partial-agg reduce."""
+    sql = _mh_sql("spark")
+    io_mod = __import__(
+        "big_data_analysis_spark.io", fromlist=["register_views"]
+    )
+    io_mod.register_views(spark, sf_dir, "events")
+    return spark.sql(sql)

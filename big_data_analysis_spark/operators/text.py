@@ -1831,3 +1831,110 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
         ).alias("yule_k"),
     )
+
+
+# ------------------------------------------------------------------ #
+# PMI collocation mining (r11 wave 1)
+# ------------------------------------------------------------------ #
+
+_PMI_MIN_PAIR = 5  # minimum bigram frequency
+_PMI_TOP = 30
+
+
+@query(
+    "pipeline_pmi_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM tok
+),
+uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni),
+bi AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, UNNEST(range(1, greatest(len(toks), 1))) AS t(i)
+  WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bi GROUP BY w1, w2
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+         CAST(b.c_xy * nt.n_tok * nt.n_tok AS DOUBLE)
+           / (nb.n_bi * u1.c * u2.c) AS pmi_ratio
+  FROM bc b
+  JOIN uc u1 ON u1.w = b.w1
+  JOIN uc u2 ON u2.w = b.w2
+  CROSS JOIN nt CROSS JOIN nb
+  WHERE b.c_xy >= {_PMI_MIN_PAIR}
+)
+SELECT w1, w2, c_xy, c_x, c_y, pmi_ratio
+FROM scored
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT {_PMI_TOP}
+""",
+    category="text",
+)
+def pipeline_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — the pointwise-mutual-information
+    ratio p(xy)/(p(x)p(y)) per adjacent bigram, the classic
+    phrase-detection signal a tokenizer-training pipeline uses to
+    promote multi-word units (Mikolov et al.'s phrase pass).  The
+    ratio is emitted as ONE division of exact integers (c_xy *
+    N_tok^2 as numerator lattice, N_bi * c_x * c_y as denominator —
+    both < 2^63 through sf0.1) and the top-30 ranking orders by
+    that double (bit-identical cross-engine because division of
+    identical exact operands is correctly rounded in both) with the
+    word pair as total-order tiebreak.
+
+    Execution shape: one token explode feeding both the unigram
+    groupBy and the position-paired bigram groupBy (two hash aggs),
+    two broadcast-joined count lookups, one bounded top-k.  At
+    100 TB: explode + two partial-agg shuffles over the vocabulary,
+    never doc x doc."""
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_tok = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    bi = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    n_bi = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    return (
+        bc.where(F.col("c_xy") >= _PMI_MIN_PAIR)
+        .join(F.broadcast(uc.selectExpr("w AS w1", "c AS c_x")), "w1")
+        .join(F.broadcast(uc.selectExpr("w AS w2", "c AS c_y")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n_tok") * F.col("n_tok")).cast(
+                    "double"
+                )
+                / (F.col("n_bi") * F.col("c_x") * F.col("c_y"))
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

@@ -539,3 +539,83 @@ def win_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = term if expr is None else expr + term
         aggs.append(F.sum(expr).cast("long").alias(name))
     return i.agg(*aggs)
+
+
+# ------------------------------------------------------------------ #
+# tabular CUSUM control chart (r11 wave 1)
+# ------------------------------------------------------------------ #
+
+_CUSUM_K_CENTS = 250  # allowance k (cents of daily revenue)
+_CUSUM_H_CENTS = 1250  # decision interval h = 5k
+
+
+def _cusum_sql(grid_ref: str, idiv: str, datefmt: str) -> str:
+    """Tabular CUSUM shared text (grid_ref/idiv/datefmt as in
+    _macd_sql).  Centering is exact: at per-series scale N (= day
+    count) the deviation X'_t = N*x_t - Sx is an integer, the
+    allowance and decision interval scale the same way, and the
+    one-sided recursions S+ = max(0, S+ + X' - kN) / S- =
+    max(0, S- - X' - kN) advance as pure integer max/add — bit-exact
+    in any engine, no mean ever materialized as a float."""
+    return f"""
+WITH RECURSIVE stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx
+  FROM {grid_ref} GROUP BY event_type
+),
+gi AS (
+  SELECT g.event_type, g.d, g.x, s.n, s.sx,
+         g.x * s.n - s.sx AS xc,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.d) AS idx
+  FROM {grid_ref} g JOIN stats s ON s.event_type = g.event_type
+),
+r(event_type, idx, s_plus, s_minus) AS (
+  SELECT event_type, idx,
+         GREATEST(CAST(0 AS BIGINT), xc - {_CUSUM_K_CENTS} * n),
+         GREATEST(CAST(0 AS BIGINT), -xc - {_CUSUM_K_CENTS} * n)
+  FROM gi WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx,
+         GREATEST(CAST(0 AS BIGINT),
+                  r.s_plus + g.xc - {_CUSUM_K_CENTS} * g.n),
+         GREATEST(CAST(0 AS BIGINT),
+                  r.s_minus - g.xc - {_CUSUM_K_CENTS} * g.n)
+  FROM r JOIN gi g ON g.event_type = r.event_type AND g.idx = r.idx + 1
+)
+SELECT r.event_type, %DATEFMT_GI% AS day,
+       CAST(gi.x AS BIGINT) AS x,
+       CAST(gi.n AS BIGINT) AS n_days,
+       CAST(r.s_plus AS BIGINT) AS s_plus_scaled,
+       CAST(r.s_minus AS BIGINT) AS s_minus_scaled,
+       CAST(CASE WHEN r.s_plus > {_CUSUM_H_CENTS} * gi.n
+                 THEN 1 ELSE 0 END AS INT) AS shift_up,
+       CAST(CASE WHEN r.s_minus > {_CUSUM_H_CENTS} * gi.n
+                 THEN 1 ELSE 0 END AS INT) AS shift_down
+FROM r JOIN gi ON gi.event_type = r.event_type AND gi.idx = r.idx
+""".replace("%DATEFMT_GI%", datefmt)
+
+
+@query(
+    "win_cusum",
+    oracle=_cusum_sql(f"({_GRID_SQL})", "//", "strftime(gi.d, '%Y-%m-%d')"),
+    category="windows",
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's tabular CUSUM over the daily-revenue grid — the
+    change-detection chart (one-sided cumulative sums with allowance
+    k, decision interval h = 5k) that flags small persistent mean
+    shifts Shewhart charts miss; the sequential complement to the
+    retrospective Pettitt test and the win_spc_rules Western-Electric
+    screen.  The recursion S+_t = max(0, S+_{t-1} + (x_t - mu) - k)
+    runs entirely on integers: at per-series scale N the centered
+    deviation N*x_t - Sx is exact, k and h scale by N, and each step
+    is one integer max — WITH RECURSIVE over the bounded day grid
+    (Spark 4 first-class), bit-exact cross-engine with no float mean.
+
+    Scale: the grid is one data-proportional groupBy (bounded
+    types x days domain); recursion depth = calendar days, never row
+    count — same envelope as win_macd."""
+    g = _day_grid(spark, sf_dir)
+    return spark.sql(
+        _cusum_sql("{g}", "DIV", "date_format(gi.d, 'yyyy-MM-dd')"), g=g
+    )

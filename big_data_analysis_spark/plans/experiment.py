@@ -538,3 +538,121 @@ def pipeline_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         "n_leaky_sources",
     )
+
+
+# ------------------------------------------------------------------ #
+# differentially-private histogram release (r11 wave 1)
+# ------------------------------------------------------------------ #
+
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 1  # epsilon = 1 (sensitivity 1 per count)
+_DP_TRUNC = 8  # two-sided geometric truncated at +/-8 (renormalized)
+_DP_UBITS = 40  # uniform draw: top 40 bits of md5 -> [0, 2^40)
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """Inverse-CDF thresholds of the truncated two-sided geometric
+    (discrete Laplace) with alpha = exp(-eps), as EXACT int64
+    literals over the 2^40 uniform space — computed once at import
+    from the same closed form on both sides, so the noise drawn for
+    a given md5 uniform is identical cross-engine (no transcendental
+    evaluated inside either engine)."""
+    import math
+
+    a = math.exp(-_DP_EPS_NUM / _DP_EPS_DEN)
+    ks = list(range(-_DP_TRUNC, _DP_TRUNC + 1))
+    probs = [(1 - a) / (1 + a) * a ** abs(k) for k in ks]
+    tot = sum(probs)
+    u_max = 1 << _DP_UBITS
+    out, cum = [], 0.0
+    for k, p in zip(ks, probs):
+        cum += p / tot
+        out.append((k, min(u_max, round(cum * u_max))))
+    out[-1] = (out[-1][0], u_max)
+    return out
+
+
+def _dp_noise_case(u: str) -> str:
+    """CASE ladder mapping a 40-bit uniform to its geometric noise —
+    identical SQL text on both engines."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {t} THEN CAST({k} AS BIGINT)"
+            for k, t in _dp_thresholds()
+        )
+        + " END"
+    )
+
+
+_DP_SHARED = """
+WITH base AS (
+  SELECT event_type, {dow} AS dow, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY event_type, {dow}
+),
+noised AS (
+  SELECT event_type, dow, true_cnt,
+         {uhash} AS u
+  FROM base
+)
+SELECT event_type, dow, true_cnt,
+       {noise} AS noise,
+       GREATEST(CAST(0 AS BIGINT), true_cnt + ({noise})) AS released_cnt,
+       ABS({noise}) AS abs_err
+FROM noised
+ORDER BY event_type, dow
+"""
+
+
+def _dp_oracle() -> str:
+    u = "CAST(('0x' || substring(md5('dp|' || event_type || '|' || CAST({d} AS VARCHAR)), 1, 10)) AS BIGINT)"
+    # DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — shift
+    dow = "CAST(dayofweek(ts) + 1 AS BIGINT)"
+    return _DP_SHARED.format(
+        dow=dow, uhash=u.format(d="dow"), noise=_dp_noise_case("u")
+    )
+
+
+@query("pipeline_dp_histogram", oracle=_dp_oracle(), category="pipelines")
+def pipeline_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP histogram release (the aggregate-statistics export a
+    training-data pipeline publishes about a private corpus): per
+    (event_type, weekday) counts plus two-sided-geometric noise — the
+    discrete Laplace mechanism, the integer-valued mechanism of
+    Ghosh-Roughgarden-Sundararajan — drawn by inverse CDF from a
+    40-bit md5 uniform keyed on the released cell.  The CDF is a
+    17-entry EXACT integer literal table (alpha = e^-1 evaluated once
+    in Python at import), so no engine ever evaluates exp/ln and the
+    release is hash-exact cross-engine while still being a faithful
+    geometric sample per cell.  Released counts clamp at 0
+    (post-processing keeps DP).  Deterministic salt = cell key: the
+    demo trades the secret seed for replayability — swap the salt
+    for a vault secret in production, nothing else changes.
+
+    Execution shape: one groupBy over the bounded (type x weekday)
+    domain (map-side partial agg — the only data-proportional
+    stage), then a per-row literal CASE ladder; at 100 TB the noise
+    addition costs nothing beyond the count itself."""
+    ev = table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    u = (
+        "CAST(conv(substring(md5(concat('dp|', event_type, '|',"
+        " CAST(dow AS STRING))), 1, 10), 16, 10) AS BIGINT)"
+    )
+    noised = base.withColumn("u", F.expr(u))
+    noise = _dp_noise_case("u")
+    return noised.select(
+        "event_type",
+        "dow",
+        "true_cnt",
+        F.expr(noise).alias("noise"),
+        F.expr(
+            f"GREATEST(CAST(0 AS BIGINT), true_cnt + ({noise}))"
+        ).alias("released_cnt"),
+        F.expr(f"ABS({noise})").alias("abs_err"),
+    ).orderBy("event_type", "dow")

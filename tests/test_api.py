@@ -1268,3 +1268,47 @@ def test_api_importance_weights_hand_checked(spark):
     assert out["web"].weight_ppk == 625
     assert out["code"].expected_docs == 50
     assert out["web"].expected_docs == 50
+
+
+def test_api_minhash_pairs_hand_checked(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),   # near-dup of 1 (shares 5/9 shingles? verify below)
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w"),   # exact dup of 3
+        (5, "z z z y y y x x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in api.minhash_near_dup_pairs(df, "id", "text").collect()
+    }
+    assert (3, 4) in got and got[(3, 4)].jaccard == 1.0
+    # (1,2): 6-shingle sets of 8 tokens share 5 of 6 -> J = 5/7 >= 1/2
+    assert (1, 2) in got and got[(1, 2)].inter_cnt == 5
+    assert (1, 5) not in got and (2, 3) not in got
+
+
+def test_api_simhash_identical_texts_equal_sigs(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sig = {r.id: r.simhash for r in api.simhash_signature(df, "id", "text").collect()}
+    assert sig[1] == sig[2] != sig[3]
+    assert 0 <= sig[1] < (1 << 32)
+
+
+def test_api_dp_noisy_counts_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 60, "grp string"
+    )
+    out1 = {r.grp: r for r in api.dp_noisy_counts(df, ["grp"]).collect()}
+    out2 = {r.grp: r for r in api.dp_noisy_counts(df, ["grp"]).collect()}
+    for g, true in (("a", 40), ("b", 60)):
+        assert out1[g].true_cnt == true
+        assert out1[g].noise == out2[g].noise  # replayable
+        assert abs(out1[g].noise) <= 8  # truncation bound
+        assert out1[g].released_cnt == max(0, true + out1[g].noise)
+    # a different salt is a different (still deterministic) noise lane
+    alt = {r.grp: r for r in api.dp_noisy_counts(df, ["grp"], salt="s2").collect()}
+    for g in ("a", "b"):
+        assert abs(alt[g].noise) <= 8

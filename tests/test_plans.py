@@ -895,3 +895,41 @@ def test_spc_rules_single_partition_pass(spark, sf_dir):
     plan = plan_of("win_spc_rules", spark, sf_dir)
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange hashpartitioning(event_type") <= 2
+
+
+def test_minhash_exact_bands_equijoin_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the banded hash-partitioned
+    self-equi-join on (band_id, band_key) — a CartesianProduct or
+    BroadcastNestedLoopJoin here means the LSH degenerated to doc x
+    doc and the 100-TB story is gone."""
+    plan = plan_of("dedup_minhash_exact", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoop" not in tree
+    assert "band_key" in plan  # the equi-join key reaches the join node
+
+
+def test_simhash_exact_bands_equijoin_no_cartesian(spark, sf_dir):
+    """Same LSH guarantee for the SimHash byte-band join."""
+    plan = plan_of("dedup_simhash_exact", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoop" not in tree
+
+
+def test_dp_histogram_single_bounded_aggregate(spark, sf_dir):
+    """The mechanism is post-processing on the bounded (type, dow)
+    grid: exactly one data-proportional aggregate, no join."""
+    plan = plan_of("pipeline_dp_histogram", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # partial->final agg + order
+    assert "Join" not in tree
+
+
+def test_cuped_two_stage_moment_plan(spark, sf_dir):
+    """One user-keyed shuffle then a single global 6-column reduce —
+    the canonical two-stage moment plan; a second data-proportional
+    Exchange would mean the cohort recrossed the wire."""
+    plan = plan_of("agg_cuped", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange hashpartitioning") <= 1

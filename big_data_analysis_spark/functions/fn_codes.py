@@ -1313,3 +1313,89 @@ def fn_base58(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr/arithmetic codegen; one rollup shuffle."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_base58_sql("instr").replace("{idiv}", "DIV"))
+
+
+# ------------------------------------------------------------------ #
+# RFC 4648 base32 (r11 wave 2)
+# ------------------------------------------------------------------ #
+
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+_B32_CHARS = 8  # one full quantum: 40 bits -> 8 symbols, no padding
+
+
+def _base32_sql(strpos_fn: str) -> str:
+    """RFC 4648 base32 over a 40-bit md5-derived payload (exactly one
+    5-byte quantum, so no '=' padding cases) plus the polynomial
+    decode round trip — one SQL text, parameterized by the engine's
+    strpos function and {idiv}/{hex2int} tokens."""
+    enc_chars = ", ".join(
+        f"substr('{_B32_ALPHABET}',"
+        f" CAST((v {{idiv}} {32 ** (_B32_CHARS - 1 - k)}) % 32 AS INT)"
+        f" + 1, 1)"
+        for k in range(_B32_CHARS)
+    )
+    dec_terms = " + ".join(
+        f"CAST({strpos_fn}('{_B32_ALPHABET}', substr(code, {k + 1}, 1)) - 1"
+        f" AS BIGINT) * {32 ** (_B32_CHARS - 1 - k)}"
+        for k in range(_B32_CHARS)
+    )
+    return f"""
+WITH pay AS (
+  SELECT c_custkey, c_mktsegment,
+         {{hex2int}} AS v
+  FROM customer
+),
+enc AS (
+  SELECT c_custkey, c_mktsegment, v,
+         concat({enc_chars}) AS code
+  FROM pay
+),
+dec AS (
+  SELECT c_mktsegment, v, code,
+         CAST({dec_terms} AS BIGINT) AS v_back
+  FROM enc
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_codes,
+       CAST(SUM(CASE WHEN v_back = v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_distinct_codes,
+       MIN(code) AS min_code, MAX(code) AS max_code
+FROM dec GROUP BY c_mktsegment
+"""
+
+
+_B32_HEX_SPARK = (
+    "CAST(conv(substring(md5(c_name), 1, 10), 16, 10) AS BIGINT)"
+)
+_B32_HEX_DUCK = (
+    "CAST(('0x' || substring(md5(c_name), 1, 10)) AS BIGINT)"
+)
+
+
+@query(
+    "fn_base32",
+    oracle=_base32_sql("strpos")
+    .replace("{idiv}", "//")
+    .replace("{hex2int}", _B32_HEX_DUCK),
+    category="functions",
+)
+def fn_base32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4648 base32 encode/decode round trip — the case-robust
+    identifier encoding (DNS labels, TOTP secrets, content
+    addresses) next to fn_base58/fn_base64: a 40-bit md5-derived
+    payload per customer is exactly one 5-byte base32 quantum, so
+    the 8-symbol code needs no '=' padding branch, the unrolled
+    divmod encode and strpos-polynomial decode are pure integer
+    codegen, and n_roundtrip == n_codes self-authenticates while
+    n_distinct_codes certifies injectivity on the fixture.  Base32
+    WITH the RFC alphabet preserves unsigned numeric order
+    lexically (A<B<...<2<...<7 maps 0<1<...<31 in order) — the
+    min/max code columns pin that property cross-engine.  One
+    rollup shuffle; everything else is a per-row map."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        _base32_sql("instr")
+        .replace("{idiv}", "DIV")
+        .replace("{hex2int}", _B32_HEX_SPARK)
+    )

@@ -1461,3 +1461,165 @@ def multimodal_tiff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_ifd",
         header_ok.alias("header_ok"),
     )
+
+
+# ------------------------------------------------------------------ #
+# WebP (RIFF/VP8 key-frame) parse — r11 wave 2
+# ------------------------------------------------------------------ #
+
+_WEBP_DOCS = 40
+
+
+@query(
+    "multimodal_webp_parse",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_WEBP_DOCS}),
+gen AS (
+  SELECT doc_id,
+         CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+         CAST(16 * (1 + doc_id % 5) AS BIGINT) AS height,
+         CAST(doc_id % 4 AS BIGINT) AS version,
+         CAST(50 + doc_id % 100 AS BIGINT) AS part_size,
+         CAST(20 + 2 * ((doc_id * 7) % 25) AS BIGINT) AS pad
+  FROM ids
+),
+sums AS (
+  SELECT g.doc_id,
+         CAST(SUM((g.doc_id + j.j) % 256) AS BIGINT) AS pad_byte_sum
+  FROM gen g, LATERAL (
+    SELECT unnest(generate_series(0, CAST(g.pad - 1 AS INT))) AS j) j
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id,
+       CAST(4 + 8 + 10 + g.pad AS BIGINT) AS riff_size,
+       CAST(10 + g.pad AS BIGINT) AS chunk_size,
+       CAST(1 AS INT) AS is_keyframe,
+       g.version,
+       CAST(1 AS INT) AS show_frame,
+       g.part_size,
+       g.width, g.height,
+       CAST(1 AS INT) AS startcode_ok,
+       CAST(1 AS INT) AS sizes_ok,
+       s.pad_byte_sum,
+       CAST(12 + 8 + 10 + g.pad AS BIGINT) AS file_bytes
+FROM gen g JOIN sums s ON s.doc_id = g.doc_id
+""",
+    category="multimodal",
+)
+def multimodal_webp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP (RIFF + lossy VP8 key frame) wire parse — the THIRTEENTH
+    from-spec format and the third little-endian RIFF sibling (after
+    WAV and the LE ZIP/ICO pair): real .webp byte streams (RIFF
+    header, 'WEBP' form type, one 'VP8 ' chunk whose payload opens
+    with the 3-byte LE frame tag [keyframe bit, version, show_frame,
+    19-bit first-partition size], the 9D 01 2A start code, then LE
+    u16 width/height) are synthesized per doc as hex strings, and
+    every output column is re-derived from the BYTES ALONE: the
+    chunk walk starts at the parsed RIFF offsets, the frame-tag
+    bitfield is split by integer div/mod, the start code is
+    verified, the padding bytes after the 10-byte VP8 header are
+    checksummed FROM THE PARSED chunk_size (an off-by-one in the tag
+    parse lands the sum in the wrong window), and sizes_ok
+    cross-checks riff_size == 4 + 8 + chunk_size.  The oracle knows
+    only the generator formulas.  Pure JVM hex/substring/conv
+    codegen — no UDF, no shuffle.
+
+    At 100 TB: header fields parse from the first KB of each blob
+    (binaryFile ingest); only the checksum walks the payload, and it
+    is a per-row map."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _WEBP_DOCS)
+        .select("doc_id")
+    )
+
+    w = "16 * (1 + doc_id % 8)"
+    h = "16 * (1 + doc_id % 5)"
+    ver = "(doc_id % 4)"
+    part = "(50 + doc_id % 100)"
+    pad = "(20 + 2 * ((doc_id * 7) % 25))"
+    # frame tag u24: keyframe=0 (bit0), version bits1-3, show=1 bit4,
+    # first-partition size bits5-23
+    tag = f"(0 + {ver} * 2 + 1 * 16 + {part} * 32)"
+
+    def le(v: str, nbytes: int) -> str:
+        parts = ", ".join(
+            f"lpad(hex((({v}) DIV {256 ** i}) % 256), 2, '0')"
+            for i in range(nbytes)
+        )
+        return f"concat({parts})"
+
+    chunk_size = f"(10 + {pad})"
+    riff_size = f"(4 + 8 + {chunk_size})"
+    pad_hex = (
+        f"array_join(transform(sequence(0, CAST({pad} - 1 AS INT)),"
+        f" j -> lpad(hex((doc_id + CAST(j AS BIGINT)) % 256), 2, '0')), '')"
+    )
+    hexf = (
+        f"concat('52494646', {le(riff_size, 4)}, '57454250',"
+        f" '56503820', {le(chunk_size, 4)},"
+        f" {le(tag, 3)}, '9D012A',"
+        f" {le(w, 2)}, {le(h, 2)},"
+        f" {pad_hex})"
+    )
+    f = ids.select("doc_id", F.expr(hexf).alias("hexf")).localCheckpoint(
+        eager=True
+    )
+
+    def rd_u8(off: str) -> str:
+        return f"CAST(conv(substring(hexf, 2 * ({off}) + 1, 2), 16, 10) AS BIGINT)"
+
+    def rd_le(off: str, nbytes: int) -> str:
+        bs = ", ".join(
+            f"substring(hexf, 2 * ({off}) + {2 * i + 1}, 2)"
+            for i in reversed(range(nbytes))
+        )
+        return f"CAST(conv(concat({bs}), 16, 10) AS BIGINT)"
+
+    parsed = f.selectExpr(
+        "doc_id",
+        "hexf",
+        f"CASE WHEN substring(hexf, 1, 8) = '52494646'"
+        f" AND substring(hexf, 17, 8) = '57454250'"
+        f" AND substring(hexf, 25, 8) = '56503820'"
+        f" THEN 1 ELSE 0 END AS riff_ok",
+        f"{rd_le('4', 4)} AS riff_size",
+        f"{rd_le('16', 4)} AS chunk_size",
+        f"{rd_le('20', 3)} AS tag",
+    ).selectExpr(
+        "doc_id",
+        "hexf",
+        "riff_ok",
+        "riff_size",
+        "chunk_size",
+        "CAST(CASE WHEN tag % 2 = 0 THEN 1 ELSE 0 END AS INT) AS is_keyframe",
+        "CAST((tag DIV 2) % 8 AS BIGINT) AS version",
+        "CAST(CASE WHEN (tag DIV 16) % 2 = 1 THEN 1 ELSE 0 END AS INT)"
+        " AS show_frame",
+        "CAST(tag DIV 32 AS BIGINT) AS part_size",
+        f"CASE WHEN substring(hexf, 2 * 23 + 1, 6) = '9D012A'"
+        f" THEN 1 ELSE 0 END AS startcode_raw",
+        f"CAST({rd_le('26', 2)} % 16384 AS BIGINT) AS width",
+        f"CAST({rd_le('28', 2)} % 16384 AS BIGINT) AS height",
+    )
+    return parsed.selectExpr(
+        "doc_id",
+        "riff_size",
+        "chunk_size",
+        "is_keyframe",
+        "version",
+        "show_frame",
+        "part_size",
+        "width",
+        "height",
+        "CAST(riff_ok * startcode_raw AS INT) AS startcode_ok",
+        "CAST(CASE WHEN riff_size = 4 + 8 + chunk_size THEN 1 ELSE 0 END"
+        " AS INT) AS sizes_ok",
+        # checksum the padding from PARSED offsets: payload starts at
+        # byte 20, header is 10 bytes, pad runs [30, 20 + chunk_size)
+        "CAST(aggregate(sequence(30, CAST(20 + chunk_size - 1 AS INT)),"
+        " CAST(0 AS BIGINT), (acc, p) -> acc"
+        " + conv(substring(hexf, 2 * p + 1, 2), 16, 10)) AS BIGINT)"
+        " AS pad_byte_sum",
+        "CAST(length(hexf) DIV 2 AS BIGINT) AS file_bytes",
+    )

@@ -1225,3 +1225,92 @@ def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     io_mod.register_views(spark, sf_dir, "events")
     return spark.sql(sql)
+
+
+# ------------------------------------------------------------------ #
+# TOST equivalence test (r11 wave 2)
+# ------------------------------------------------------------------ #
+
+_TOST_DELTA_CENTS = 500  # equivalence margin: mean difference < $5.00
+# dyadic conservative critical value z = 7/4 (alpha ~ 0.04 one-sided):
+# z^2 = 49/16 keeps the decision rule exact-integer with one x16 scale
+_TOST_Z_NUM2, _TOST_Z_DEN2 = 49, 16
+
+_TOST_SHARED = f"""
+WITH flagged AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+         {{cents}} AS cents
+  FROM events WHERE event_type IN ('click', 'view')
+),
+moms AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS {{big}}) AS n1,
+    CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS {{big}}) AS n2,
+    CAST(SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS {{big}}) AS s1,
+    CAST(SUM(CASE WHEN grp = 2 THEN cents ELSE 0 END) AS {{big}}) AS s2,
+    CAST(SUM(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS {{big}})
+      AS q1,
+    CAST(SUM(CASE WHEN grp = 2 THEN cents * cents ELSE 0 END) AS {{big}})
+      AS q2
+  FROM flagged
+),
+dets AS (
+  SELECT n1, n2, s1, s2,
+         n2 * s1 - n1 * s2 AS dnum,           -- (m1 - m2) * n1 * n2
+         n1 * q1 - s1 * s1 AS v1,             -- n1^2 (n1-1) s1^2 / n1 ... exact SSE*n1
+         n2 * q2 - s2 * s2 AS v2
+  FROM moms
+),
+rules AS (
+  SELECT n1, n2, s1, s2, dnum, v1, v2,
+         -- se^2 * (n1 n2)^2 * (n1-1)(n2-1) cleared of all divisions:
+         v1 * n2 * n2 * (n2 - 1) + v2 * n1 * n1 * (n1 - 1) AS se2_c,
+         (dnum + {_TOST_DELTA_CENTS} * n1 * n2) AS lo_c,
+         ({_TOST_DELTA_CENTS} * n1 * n2 - dnum) AS hi_c
+  FROM dets
+)
+SELECT CAST(n1 AS BIGINT) AS n_click,
+       CAST(n2 AS BIGINT) AS n_view,
+       (CAST(CAST(dnum AS {{vc}}) AS DOUBLE)
+          / CAST(CAST(n1 * n2 AS {{vc}}) AS DOUBLE)) AS mean_diff_cents,
+       CAST(CASE WHEN lo_c > 0 AND hi_c > 0
+             AND {_TOST_Z_DEN2} * lo_c * lo_c * (n1 - 1) * (n2 - 1)
+                   > {_TOST_Z_NUM2} * se2_c
+             AND {_TOST_Z_DEN2} * hi_c * hi_c * (n1 - 1) * (n2 - 1)
+                   > {_TOST_Z_NUM2} * se2_c
+            THEN 1 ELSE 0 END AS INT) AS equivalent
+FROM rules
+"""
+
+
+def _tost_sql(engine: str) -> str:
+    big = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+    vc = "STRING" if engine == "spark" else "VARCHAR"
+    return _TOST_SHARED.format(cents=_CENTS_SQL, big=big, vc=vc)
+
+
+@query("agg_tost_equivalence", oracle=_tost_sql("duck"), category="aggregations")
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann's two one-sided tests) —
+    the readout that PROVES two variants are the same within a
+    margin, instead of merely failing to prove a difference: are
+    click-event and view-event mean values equivalent within $5?
+    Both one-sided z comparisons run as EXACT integer
+    cross-multiplications: the mean difference is carried as the
+    lattice integer n2*S1 - n1*S2, the pooled squared standard
+    error is cleared of every division into v1*n2^2*(n2-1) +
+    v2*n1^2*(n1-1) (DECIMAL(38,0)/HUGEINT), and the critical value
+    is the dyadic z = 7/4 (alpha ~ 0.04, conservative), so z^2
+    multiplies through as 49/16 and the flag never touches a float.
+    The displayed mean difference is the usual one-division
+    VARCHAR-crossed double.
+
+    Execution shape: one filtered scan into a 6-column global
+    conditional-moment reduce (map-side partials), then literal
+    arithmetic on one row — the same 100-TB envelope as agg_cuped."""
+    sql = _tost_sql("spark")
+    io_mod = __import__(
+        "big_data_analysis_spark.io", fromlist=["register_views"]
+    )
+    io_mod.register_views(spark, sf_dir, "events")
+    return spark.sql(sql)

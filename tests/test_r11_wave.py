@@ -272,3 +272,122 @@ def test_pmi_collocations_match_python_counter(spark, sf_dir):
         for r in run("pipeline_pmi_collocations", spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# ------------------------- wave 2: WebP, base32, TOST -------------------
+
+
+def test_webp_parse_matches_python_byte_builder(spark, sf_dir):
+    """Build the same WebP streams byte-for-byte in Python, parse
+    them with struct/int.from_bytes, compare every output column."""
+    rows = {
+        r.doc_id: r
+        for r in run("multimodal_webp_parse", spark, sf_dir).collect()
+    }
+    assert len(rows) == 40
+    for doc_id in range(40):
+        w = 16 * (1 + doc_id % 8)
+        h = 16 * (1 + doc_id % 5)
+        ver = doc_id % 4
+        part = 50 + doc_id % 100
+        pad = 20 + 2 * ((doc_id * 7) % 25)
+        tag = (0) | (ver << 1) | (1 << 4) | (part << 5)
+        payload = (
+            tag.to_bytes(3, "little")
+            + bytes([0x9D, 0x01, 0x2A])
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes((doc_id + j) % 256 for j in range(pad))
+        )
+        chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+        blob = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+        # independent parse of the independently built bytes
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+        riff_size = int.from_bytes(blob[4:8], "little")
+        chunk_size = int.from_bytes(blob[16:20], "little")
+        t = int.from_bytes(blob[20:23], "little")
+        r = rows[doc_id]
+        assert r.riff_size == riff_size
+        assert r.chunk_size == chunk_size
+        assert r.is_keyframe == (1 - (t & 1))
+        assert r.version == (t >> 1) & 7
+        assert r.show_frame == (t >> 4) & 1
+        assert r.part_size == t >> 5 == part
+        assert blob[23:26] == bytes([0x9D, 0x01, 0x2A]) and r.startcode_ok == 1
+        assert r.width == int.from_bytes(blob[26:28], "little") % 16384 == w
+        assert r.height == int.from_bytes(blob[28:30], "little") % 16384 == h
+        assert r.sizes_ok == 1
+        assert r.pad_byte_sum == sum(blob[30 : 20 + chunk_size])
+        assert r.file_bytes == len(blob)
+
+
+def test_base32_matches_python_b32encode(spark, sf_dir):
+    """The 8-symbol codes must equal stdlib base64.b32encode of the
+    same 5 md5 bytes — RFC 4648, not a lookalike alphabet."""
+    import base64
+
+    import duckdb as _d
+
+    rows = _d.sql(
+        f"SELECT c_mktsegment, c_name,"
+        f" substring(md5(c_name), 1, 10)"
+        f" FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    per_seg = defaultdict(set)
+    n_seg = Counter()
+    roundtrip = Counter()
+    codes_all = defaultdict(list)
+    for seg, name, hx in rows:
+        code = base64.b32encode(bytes.fromhex(hx)).decode()
+        assert len(code) == 8 and "=" not in code
+        per_seg[seg].add(code)
+        n_seg[seg] += 1
+        roundtrip[seg] += 1  # b32decode(b32encode(x)) == x by stdlib
+        codes_all[seg].append(code)
+    got = {r.c_mktsegment: r for r in run("fn_base32", spark, sf_dir).collect()}
+    assert set(got) == set(n_seg)
+    for seg, r in got.items():
+        assert r.n_codes == n_seg[seg]
+        assert r.n_roundtrip == n_seg[seg]
+        assert r.n_distinct_codes == len(per_seg[seg])
+        assert r.min_code == min(codes_all[seg])
+        assert r.max_code == max(codes_all[seg])
+
+
+def test_tost_matches_python_fractions(spark, sf_dir):
+    import duckdb as _d
+
+    rows = _d.sql(
+        f"SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS"
+        f" BIGINT) FROM read_parquet('{sf_dir}/events.parquet')"
+        f" WHERE event_type IN ('click', 'view')"
+    ).fetchall()
+    g1 = [c for t, c in rows if t == "click"]
+    g2 = [c for t, c in rows if t == "view"]
+    n1, n2 = len(g1), len(g2)
+    s1, s2 = sum(g1), sum(g2)
+    q1 = sum(c * c for c in g1)
+    q2 = sum(c * c for c in g2)
+    dnum = n2 * s1 - n1 * s2
+    v1, v2 = n1 * q1 - s1 * s1, n2 * q2 - s2 * s2
+    se2_c = v1 * n2 * n2 * (n2 - 1) + v2 * n1 * n1 * (n1 - 1)
+    lo = dnum + 500 * n1 * n2
+    hi = 500 * n1 * n2 - dnum
+    equiv = int(
+        lo > 0
+        and hi > 0
+        and 16 * lo * lo * (n1 - 1) * (n2 - 1) > 49 * se2_c
+        and 16 * hi * hi * (n1 - 1) * (n2 - 1) > 49 * se2_c
+    )
+    # sanity vs the definition: same verdict as the float z-test at 1.75
+    mdiff = s1 / n1 - s2 / n2
+    se = math.sqrt(
+        (v1 / (n1 * n1 * (n1 - 1))) + (v2 / (n2 * n2 * (n2 - 1)))
+    )
+    assert equiv == int(
+        (mdiff + 500) / se > 1.75 and (500 - mdiff) / se > 1.75
+    )
+    r = run("agg_tost_equivalence", spark, sf_dir).collect()[0]
+    assert (r.n_click, r.n_view) == (n1, n2)
+    assert r.mean_diff_cents == float(str(dnum)) / float(str(n1 * n2))
+    assert r.equivalent == equiv

@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_widevocab",
     "dedup_simhash",
+    # r11-added: the deterministic (md5-keyed) LSH twins — shingle
+    # features keep banding sub-quadratic even on this corpus, so
+    # unlike dedup_minhash these ARE benchable here.
+    "dedup_minhash_exact",
+    "dedup_simhash_exact",
     "text_tfidf",
     "sim_knn_brute",
     "sim_threshold_pairs",

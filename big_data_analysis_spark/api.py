@@ -2439,7 +2439,11 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("__sh_id")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), "__sh_id")
+    sa, sb = sh_c.alias("sa"), sh_c.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.__sh_id") == F.col("id_a"))
         .join(

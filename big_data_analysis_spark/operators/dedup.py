@@ -1209,17 +1209,22 @@ _SHX_HAM = 3  # max hamming distance reported
 
 
 def _mhx_hash_spark(i: int) -> str:
-    """60-bit integer from md5 of a salted shingle — Spark dialect."""
+    """60-bit integer: hash i rides slice (i % 2) of md5 digest
+    (i DIV 2) — two independent 60-bit lanes per digest, so k=8
+    minhashes cost 4 md5 evaluations per shingle, not 8."""
+    salt, lo = i // 2, 1 + 16 * (i % 2)
     return (
-        f"CAST(conv(substring(md5(concat('{i}|', shingle)), 1, 15), 16, 10)"
-        f" AS BIGINT)"
+        f"CAST(conv(substring(md5(concat('{salt}|', shingle)), {lo}, 15),"
+        f" 16, 10) AS BIGINT)"
     )
 
 
 def _mhx_hash_duck(i: int) -> str:
-    """Same 60-bit md5 integer — DuckDB dialect (hex-literal cast)."""
+    """Same sliced 60-bit md5 integer — DuckDB dialect."""
+    salt, lo = i // 2, 1 + 16 * (i % 2)
     return (
-        f"CAST(('0x' || substring(md5('{i}|' || shingle), 1, 15)) AS BIGINT)"
+        f"CAST(('0x' || substring(md5('{salt}|' || shingle), {lo}, 15))"
+        f" AS BIGINT)"
     )
 
 
@@ -1368,8 +1373,16 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # verification touches only candidate docs: broadcast-semi-filter
+    # the shingle table down to them BEFORE the pair joins, so the
+    # corpus-sized relation never shuffles on the pair keys (at 100 TB
+    # the candidate set is the tiny side by construction)
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), "doc_id")
+    sa = sh_c.alias("sa")
+    sb = sh_c.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import register_views, table
 from ..registry import query
 from .stats_ext import _CENTS_SQL, _GRID_SQL, _day_grid
 from .windows import global_rank_distributed
@@ -1134,12 +1134,8 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a single 6-column global reduce; nothing data-proportional
     crosses the wire after the first shuffle.  At 100 TB this is the
     canonical two-stage mean/moment plan."""
-    sql = _cuped_sql("spark")
-    io_mod = __import__(
-        "big_data_analysis_spark.io", fromlist=["register_views"]
-    )
-    io_mod.register_views(spark, sf_dir, "events")
-    return spark.sql(sql)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_cuped_sql("spark"))
 
 
 # ------------------------------------------------------------------ #
@@ -1219,12 +1215,8 @@ def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums map-side (the bounded 7x4+7 pivot — agg_chi_square's
     one-row trick), then pure literal arithmetic on a single row; at
     100 TB the cost is one scan + one 35-column partial-agg reduce."""
-    sql = _mh_sql("spark")
-    io_mod = __import__(
-        "big_data_analysis_spark.io", fromlist=["register_views"]
-    )
-    io_mod.register_views(spark, sf_dir, "events")
-    return spark.sql(sql)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_mh_sql("spark"))
 
 
 # ------------------------------------------------------------------ #
@@ -1308,9 +1300,5 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution shape: one filtered scan into a 6-column global
     conditional-moment reduce (map-side partials), then literal
     arithmetic on one row — the same 100-TB envelope as agg_cuped."""
-    sql = _tost_sql("spark")
-    io_mod = __import__(
-        "big_data_analysis_spark.io", fromlist=["register_views"]
-    )
-    io_mod.register_views(spark, sf_dir, "events")
-    return spark.sql(sql)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_tost_sql("spark"))

@@ -48,7 +48,18 @@ def test_minhash_exact_matches_python_lsh(spark, sf_dir):
     for i, sh in docs.items():
         if not sh:
             continue
-        sigs[i] = [min(_md5_60(f"{k}|{s}") for s in sh) for k in range(8)]
+        sigs[i] = [
+            min(
+                int(
+                    hashlib.md5(f"{k // 2}|{s}".encode()).hexdigest()[
+                        16 * (k % 2) : 16 * (k % 2) + 15
+                    ],
+                    16,
+                )
+                for s in sh
+            )
+            for k in range(8)
+        ]
     buckets = defaultdict(list)
     for i, m in sigs.items():
         for b in range(4):

@@ -2014,17 +2014,24 @@ def __getattr__(name: str):
         return getattr(windows, name)
     if name in (
         "png_stats",
-        "mp4_stats",
         "wav_stats",
         "bmp_stats",
-        "tar_index",
-        "gif_stats",
     ):
         # wire-format structural parsers (pure-codegen folds) — lazy
         # for the same import-order reason as the window kernels.
         from .operators import multimodal
 
         return getattr(multimodal, name)
+    if name in (
+        "mp4_stats",
+        "tar_index",
+        "gif_stats",
+        "zip_index",
+    ):
+        # container parsers live in the r11 split module
+        from .operators import multimodal_containers
+
+        return getattr(multimodal_containers, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

@@ -446,7 +446,7 @@ def test_bootstrap_draw_counts_multinomial():
     pure Python."""
     import numpy as np
 
-    from big_data_analysis_spark.operators.aggregations import (
+    from big_data_analysis_spark.operators.aggregations_stats import (
         _BOOT_B,
         _BOOT_MIX,
         _BOOT_MOD,
@@ -1432,7 +1432,7 @@ def test_zip_index_roundtrips_stdlib_archives(spark, members):
     import io
     import zipfile
 
-    from big_data_analysis_spark.operators.multimodal import zip_index
+    from big_data_analysis_spark.operators.multimodal_containers import zip_index
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:

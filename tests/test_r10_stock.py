@@ -515,7 +515,7 @@ def test_zip_synth_is_genuine(spark, sf_dir):
     import zipfile
 
     from big_data_analysis_spark.io import table
-    from big_data_analysis_spark.operators.multimodal import _synth_zips
+    from big_data_analysis_spark.operators.multimodal_containers import _synth_zips
 
     d = table(spark, sf_dir, "documents")
     for r in _synth_zips(d).where("doc_id IN (0, 7, 39)").collect():
@@ -539,7 +539,7 @@ def test_zip_index_parses_stdlib_archive(spark):
     import io
     import zipfile
 
-    from big_data_analysis_spark.operators.multimodal import zip_index
+    from big_data_analysis_spark.operators.multimodal_containers import zip_index
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
@@ -556,7 +556,7 @@ def test_zip_index_rejects_corruption(spark, sf_dir):
     """Flipping one content byte must break exactly that member's
     CRC; truncating the EOCD must drop the cross-check to -1."""
     from big_data_analysis_spark.io import table
-    from big_data_analysis_spark.operators.multimodal import (
+    from big_data_analysis_spark.operators.multimodal_containers import (
         _synth_zips,
         zip_index,
     )

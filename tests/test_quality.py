@@ -1912,3 +1912,19 @@ def test_scan_avro_splits_within_file(spark, sf_dir):
         assert n_parts == n_splits, (n_parts, n_splits)
         got = sorted((r.k, r.s) for r in df.collect())
         assert got == rows
+
+
+def test_no_source_module_exceeds_size_cap():
+    """VERDICT r10 item 6's cap, made a tripwire: the r11 split
+    brought every source module to <= ~2,032 lines; future waves
+    must start a sibling module instead of regrowing a catch-all
+    (registry order is name-curated, so placement is free)."""
+    import glob
+
+    cap = 2100
+    over = []
+    for f in glob.glob("big_data_analysis_spark/**/*.py", recursive=True):
+        n = sum(1 for _ in open(f))
+        if n > cap:
+            over.append((f, n))
+    assert over == [], f"modules over the {cap}-line cap: {over}"

@@ -1768,3 +1768,85 @@ def test_spc_integer_zone_test_equals_float_test(xs, k, i):
     rhs = abs(x - mu) > k * sigma
     if (n * x - S) ** 2 != k * k * (n * Sx2 - S * S):
         assert lhs == rhs
+
+
+# ---------------- r11: deterministic-LSH kernel invariants ----------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_texts = st.lists(_words, min_size=3, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_texts, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_minhash_duplicates_always_pair(spark, texts):
+    """An exact duplicate MUST come out of the banded pipeline with
+    jaccard 1.0 — identical shingle sets give identical signatures,
+    so every band collides (zero false negatives on exact dups, the
+    guarantee that makes LSH safe as a dedup prefilter)."""
+    from big_data_analysis_spark import api
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_id = len(rows)
+    rows.append((dup_id, texts[0]))  # plant an exact duplicate of row 0
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in api.minhash_near_dup_pairs(df, "id", "text").collect()
+    }
+    assert pairs.get((0, dup_id)) == 1.0
+
+
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=31), min_size=0, max_size=3
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_band_pigeonhole_never_misses(a, flips):
+    """The Manku table construction's exactness: 4 byte-bands over a
+    32-bit signature cannot miss a pair at hamming <= 3 (three flips
+    can dirty at most three of the four bytes). Pure arithmetic —
+    the same predicate dedup_simhash_exact's candidate join uses."""
+    b = a
+    for f in set(flips):
+        b ^= 1 << f
+    ham = bin(a ^ b).count("1")
+    assert ham <= 3
+    bands_match = any(
+        ((a >> (8 * k)) & 255) == ((b >> (8 * k)) & 255) for k in range(4)
+    )
+    assert bands_match
+
+
+@given(eps_den=st.integers(min_value=1, max_value=4))
+@settings(max_examples=4, deadline=None)
+def test_dp_threshold_table_is_calibrated_partition(eps_den):
+    """The inverse-CDF threshold table must partition [0, 2^40)
+    strictly monotonically, stay symmetric around 0 within rounding,
+    and put the right mass at 0: (1-a)/(1+a) of the truncated total
+    for a = e^-eps."""
+    import math
+
+    from big_data_analysis_spark.plans import experiment as ex
+
+    th = ex._dp_thresholds()
+    u_max = 1 << ex._DP_UBITS
+    assert th[-1][1] == u_max
+    assert all(th[i][1] < th[i + 1][1] for i in range(len(th) - 1))
+    ks = [k for k, _ in th]
+    assert ks == list(range(-ex._DP_TRUNC, ex._DP_TRUNC + 1))
+    widths = [th[0][1]] + [
+        th[i][1] - th[i - 1][1] for i in range(1, len(th))
+    ]
+    by_k = dict(zip(ks, widths))
+    a = math.exp(-ex._DP_EPS_NUM / ex._DP_EPS_DEN)
+    probs = [(1 - a) / (1 + a) * a ** abs(k) for k in ks]
+    tot = sum(probs)
+    for k in ks:
+        expect = probs[ks.index(k)] / tot * u_max
+        assert abs(by_k[k] - expect) <= 2  # rounding only
+        if k != 0:
+            assert abs(by_k[k] - by_k[-k]) <= 2  # symmetry

@@ -1854,7 +1854,7 @@ uni AS (
 uc AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
 ),
-nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc),
 bi AS (
   SELECT toks[i] AS w1, toks[i+1] AS w2
   FROM tok, UNNEST(range(1, greatest(len(toks), 1))) AS t(i)
@@ -1864,7 +1864,7 @@ bc AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
   FROM bi GROUP BY w1, w2
 ),
-nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi),
+nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bc),
 scored AS (
   SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
          CAST(b.c_xy * nt.n_tok * nt.n_tok AS DOUBLE)
@@ -1895,15 +1895,25 @@ def pipeline_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     word pair as total-order tiebreak.
 
     Execution shape: one token explode feeding both the unigram
-    groupBy and the position-paired bigram groupBy (two hash aggs),
-    two broadcast-joined count lookups, one bounded top-k.  At
-    100 TB: explode + two partial-agg shuffles over the vocabulary,
-    never doc x doc."""
+    groupBy and the position-paired bigram groupBy (two hash aggs);
+    the corpus totals are SUMs over those vocabulary-bounded count
+    tables, so the corpus is scanned exactly twice (once per gram
+    order), with two broadcast-joined count lookups and one bounded
+    top-k.  At 100 TB: explode + two partial-agg shuffles over the
+    vocabulary, never doc x doc."""
     d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     uni = toks.select(F.explode("toks").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    n_tok = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    # the count tables are vocabulary-bounded: checkpoint them so
+    # their three consumers each (two lookup joins + the total) reuse
+    # the materialized rows instead of re-deriving the corpus explode
+    # — the corpus is scanned exactly twice (once per gram order)
+    uc = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_tok = uc.agg(F.sum("c").cast("long").alias("n_tok"))
     bi = toks.where(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
@@ -1912,10 +1922,12 @@ def pipeline_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_xy")
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .localCheckpoint(eager=True)
     )
-    n_bi = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    n_bi = bc.agg(F.sum("c_xy").cast("long").alias("n_bi"))
     return (
         bc.where(F.col("c_xy") >= _PMI_MIN_PAIR)
         .join(F.broadcast(uc.selectExpr("w AS w1", "c AS c_x")), "w1")

@@ -933,3 +933,13 @@ def test_cuped_two_stage_moment_plan(spark, sf_dir):
     plan = plan_of("agg_cuped", spark, sf_dir)
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange hashpartitioning") <= 1
+
+
+def test_pmi_collocations_scans_corpus_twice_total(spark, sf_dir):
+    """The count tables are checkpointed: the final plan must read
+    only materialized vocabulary-bounded rows (zero parquet scans in
+    the result tree — the two corpus scans happened once, eagerly,
+    when uc/bc were built)."""
+    plan = plan_of("pipeline_pmi_collocations", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree

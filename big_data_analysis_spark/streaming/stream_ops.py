@@ -273,6 +273,40 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(agg, mode="append")
 
 
+@query(
+    "stream_watermark_census",
+    oracle="""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, window_end, n
+FROM agg
+WHERE window_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+""",
+    category="streaming",
+)
+def stream_watermark_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact twin of `stream_watermark` (the §2.9 op itself stays
+    rows-only): the same append-mode 1-hour-watermark tumbling plan,
+    but graded against the closed-window census the eviction rule
+    implies.  With the fixture staged as ONE file the run is
+    deterministic — batch 0 ingests everything under watermark 0
+    (nothing late), the watermark then advances to max(ts) - 1h, and
+    the trailing no-data micro-batch (processAllAvailable waits for
+    it) finalizes exactly the windows whose end <= that watermark.
+    The in-flight tail windows stay in state and never reach the
+    sink, so the batch oracle is `HAVING window_end <= MAX(ts) - 1h`
+    — watermark eviction itself becomes driver-hash-checkable.
+    Semantics cross-check: tests/test_streaming.py::
+    test_watermark_emits_only_closed_windows asserts the same rule
+    against an independent batch recomputation."""
+    return stream_watermark(spark, sf_dir)
+
+
 @query("stream_late_drop", oracle=None, category="streaming")
 def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop demonstration: replay the events newest-third

@@ -41,6 +41,25 @@ def test_watermark_emits_only_closed_windows(spark, sf_dir):
     assert got == closed, f"append-mode emitted {len(got)} vs closed {len(closed)}"
 
 
+def test_watermark_census_matches_rule(spark, sf_dir):
+    """The hash-exact census twin: same plan as stream_watermark, so
+    its emitted set must obey the same closed-window rule (oracle
+    definition replayed against an independent batch recomputation)."""
+    got = run("stream_watermark_census", spark, sf_dir)
+    assert got.columns == ["window_start", "window_end", "n"]
+    import datetime
+
+    ev = _events_batch(spark, sf_dir)
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    rows = got.collect()
+    assert rows, "census should emit at least one closed window"
+    assert all(r.window_end <= wm for r in rows)
+    n_closed = ev.where(
+        F.window("ts", "6 hours").end <= F.lit(wm)
+    ).count()
+    assert sum(r.n for r in rows) == n_closed
+
+
 def test_late_drop_drops_rows(spark, sf_dir):
     emitted = run("stream_late_drop", spark, sf_dir)
     n_emitted = emitted.agg(F.sum("n")).collect()[0][0]

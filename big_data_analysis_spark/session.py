@@ -48,6 +48,12 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dims (region/nation/supplier/part at small sf) stay broadcastable
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # stream_watermark_census (and every drain_to_memory watermark
+    # grade) relies on the trailing no-data micro-batch to advance the
+    # watermark and FINALIZE closed windows before
+    # processAllAvailable() returns; true is the Spark default but an
+    # environment override would silently emit zero rows — pin it.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
 }
 
 

@@ -285,7 +285,9 @@ WITH agg AS (
 )
 SELECT window_start, window_end, n
 FROM agg
-WHERE window_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+WHERE window_end <=
+      (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR
+       FROM events)
 """,
     category="streaming",
 )
@@ -301,6 +303,14 @@ def stream_watermark_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The in-flight tail windows stay in state and never reach the
     sink, so the batch oracle is `HAVING window_end <= MAX(ts) - 1h`
     — watermark eviction itself becomes driver-hash-checkable.
+    Precision: Spark tracks max event time in MILLISECONDS
+    (EventTimeStats), so the oracle floors MAX(ts) to ms before
+    subtracting the delay — the fixture's µs-precision timestamps
+    would otherwise disagree whenever max(ts)-1h lands within 1 ms
+    above a 6-hour window boundary.  Determinism also relies on the
+    trailing no-data micro-batch finalizing closed windows
+    (spark.sql.streaming.noDataMicroBatches.enabled — pinned true in
+    session.harden_session).
     Semantics cross-check: tests/test_streaming.py::
     test_watermark_emits_only_closed_windows asserts the same rule
     against an independent batch recomputation."""
@@ -319,7 +329,12 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py; the operator applies the
     watermark with one batch of lag, so drops begin at batch 2).
     Rows-only: the emitted window set depends on watermark
-    propagation, which has no batch equivalent."""
+    propagation, which has no batch equivalent.
+    Note: the `coalesce(1)` writes + 1.1 s mtime sleeps below are the
+    out-of-order REPLAY STAGING for the demo, not the operator's
+    scale path — the watermark plan itself (withWatermark + windowed
+    agg in append mode) is what runs at scale, against whatever
+    arrival order the real source delivers."""
     harden_session(spark)
     import time
 

@@ -54,6 +54,14 @@ _RUNTIME_CONF = {
     # processAllAvailable() returns; true is the Spark default but an
     # environment override would silently emit zero rows — pin it.
     "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+    # Every oracle pair was developed and graded under ANSI SQL mode
+    # (the Spark 4.x default): cast overflow errors instead of
+    # wrapping, integral / stays integral, array index is 1-checked.
+    # An environment override to false would silently change
+    # cast/overflow/division semantics out from under the DuckDB
+    # comparison (DuckDB is ANSI-strict), so pin it like
+    # noDataMicroBatches above.
+    "spark.sql.ansi.enabled": "true",
 }
 
 

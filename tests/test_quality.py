@@ -1928,3 +1928,28 @@ def test_no_source_module_exceeds_size_cap():
         if n > cap:
             over.append((f, n))
     assert over == [], f"modules over the {cap}-line cap: {over}"
+
+
+def test_harden_session_pins_correctness_critical_conf(spark):
+    """harden_session must pin every conf a graded result depends on:
+    UTC (every timestamp oracle), noDataMicroBatches=true (the
+    stream_watermark_census finalization batch, ADVICE r12), and
+    ansi.enabled=true (the Spark 4.x default every oracle pair was
+    developed under — an environment override to false would change
+    cast/overflow/division semantics out from under the DuckDB
+    comparison). Tripwire: dropping a key from _RUNTIME_CONF fails
+    here, not in a driver grade."""
+    from big_data_analysis_spark.session import _RUNTIME_CONF, harden_session
+
+    required = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+        "spark.sql.ansi.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    for k, v in required.items():
+        assert _RUNTIME_CONF.get(k) == v, (k, _RUNTIME_CONF.get(k))
+    harden_session(spark)
+    for k, v in required.items():
+        assert spark.conf.get(k) == v, k

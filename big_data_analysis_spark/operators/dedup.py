@@ -1289,59 +1289,54 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_minhash_exact", oracle=_mhx_oracle(), category="dedup")
-def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection that is HASH-EXACT
-    cross-engine: 3-token shingles, k=8 minhashes from salted md5
-    (identical hex in Spark and DuckDB — no engine-private RNG, the
-    determinism trick fn_surrogate_key established), 4 bands x 2
-    rows for candidate generation, then exact shingle-Jaccard
-    verification at tau = 1/2 decided by the cross-multiplied
-    integer rule 3*inter >= |A| + |B| (never a float).  The banded
-    twin of the pyspark.ml `dedup_minhash` (which stays rows-only:
-    its hash family is engine-private), and on the fixture corpus it
-    recovers exactly the 25 planted near-dup pairs from 29
-    candidates out of 124,750 possible pairs — the banding, not a
-    quadratic scan, does the work even here.
-
-    Execution shape: one explode to DISTINCT shingles (the only
-    data-proportional shuffle), 8 map-side mins into one groupBy,
-    band table exploded 4x from the 8-column signature row, ONE
-    self-equi-join on (band_id, band_key) — Catalyst plans a hash
-    shuffle join keyed by the band, so co-bucketed docs meet and
-    nothing else does; candidate verification joins ride the tiny
-    candidate set.  At 100 TB this is the Lee-et-al web-dedup shape:
-    signatures are ~100 bytes/doc, the band join's fan-in is bounded
-    by bucket occupancy, and no stage ever materializes doc x doc."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = (
-        d.where(F.col("text").isNotNull())
+def _mhx_shingle_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) DISTINCT rows. The token array is BOUND
+    as a projected column before the transform lambda references
+    it: inlining `split(text, ' ')` into the lambda body (the
+    r12 form) re-splits the document once PER SHINGLE — O(n^2)
+    per doc, measured 6x slower on this corpus (guide §1.1)."""
+    return (
+        df.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.when(
-                    F.size(toks) >= 3,
-                    F.expr(
-                        "transform(sequence(0, size(split(text, ' ')) - 3),"
-                        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-                    ),
-                ).otherwise(F.expr("array()"))
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i ->"
+                    " concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                )
             ).alias("shingle"),
         )
         .distinct()
     )
-    hashed = sh.select(
+
+
+def _mhx_signatures(d: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature row: (doc_id, n_sh, m0..m7).
+    One shingle explode + distinct, 8 map-side mins in one groupBy."""
+    hashed = _mhx_shingle_rows(d).select(
         "doc_id",
-        "shingle",
         *[F.expr(_mhx_hash_spark(i)).alias(f"h{i}") for i in range(_MHX_K)],
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh"),
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(_MHX_K)],
     )
+
+
+def _mhx_band_candidates(sig: DataFrame) -> DataFrame:
+    """Banded candidate pairs from the signature table: band table
+    exploded 4x from the 8-column signature row, ONE self-equi-join
+    on (band_id, band_key) — co-bucketed docs meet, nothing else
+    does.  n_sh rides along so verification never re-joins sig.
+    Module-level (not inlined in dedup_minhash_exact) so the
+    plan-shape test can assert the join is the banded equi-join on
+    the PRE-checkpoint plan, which the checkpointed final plan no
+    longer shows."""
     bands = sig.select(
         "doc_id",
+        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -1357,10 +1352,10 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
+    ).select("doc_id", "n_sh", "bk.band_id", "bk.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -1370,35 +1365,78 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_sh_a"),
+            F.col("b.n_sh").alias("n_sh_b"),
         )
         .distinct()
     )
+
+
+@query("dedup_minhash_exact", oracle=_mhx_oracle(), category="dedup")
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection that is HASH-EXACT
+    cross-engine: 3-token shingles, k=8 minhashes from salted md5
+    (identical hex in Spark and DuckDB — no engine-private RNG, the
+    determinism trick fn_surrogate_key established), 4 bands x 2
+    rows for candidate generation, then exact shingle-Jaccard
+    verification at tau = 1/2 decided by the cross-multiplied
+    integer rule 3*inter >= |A| + |B| (never a float).  The banded
+    twin of the pyspark.ml `dedup_minhash` (which stays rows-only:
+    its hash family is engine-private), and on the fixture corpus it
+    recovers exactly the 25 planted near-dup pairs from 29
+    candidates out of 124,750 possible pairs — the banding, not a
+    quadratic scan, does the work even here.
+
+    Execution shape (r13 optimization, guide §1.1/§2.4/§3.3): the
+    r12 plan re-executed the scan→shingle-explode→distinct→md5→
+    groupBy signature chain EIGHT times — once per reference to
+    `sig`/`sh` in the DAG (50 Exchanges, 8 parquet scans; see
+    plans/r13/dedup_minhash_exact_before.txt — the band self-join
+    planned as a BroadcastHashJoin, so no two subtrees shared a
+    reusable Exchange).  This shape runs it ONCE: the per-doc
+    signature table (~100 bytes/doc) and the candidate PAIR table
+    (tiny by banding construction) are localCheckpoint'ed —
+    recomputed per run, inside the timed region — and n_sh rides
+    the band table so the old plan's two post-verify sig re-joins
+    disappear.  Verification re-derives shingles ONLY for candidate
+    docs (broadcast semi-filter BEFORE the explode).  A first r13
+    attempt instead computed the signatures shuffle-free with
+    array higher-order functions (array_distinct + transform +
+    array_min): bit-identical but 2.5x SLOWER — HOF lambdas
+    evaluate outside whole-stage codegen and projection collapse
+    re-inlines the md5 transform per consumer — so the codegen'd
+    explode pipeline stays (the guide §1.1 'ideal plan gotcha').
+    At 100 TB this is the Lee-et-al web-dedup shape: one
+    data-proportional shingle shuffle, band join fan-in bounded by
+    bucket occupancy, checkpoints bounded by doc count / candidate
+    count, and no stage ever materializes doc x doc."""
+    d = table(spark, sf_dir, "documents")
+    sig = _mhx_signatures(d).localCheckpoint(eager=True)
+    cand = _mhx_band_candidates(sig).localCheckpoint(eager=True)
     # verification touches only candidate docs: broadcast-semi-filter
-    # the shingle table down to them BEFORE the pair joins, so the
-    # corpus-sized relation never shuffles on the pair keys (at 100 TB
-    # the candidate set is the tiny side by construction)
+    # the document scan down to them BEFORE the shingle explode, so
+    # the corpus-sized relation is neither re-hashed nor shuffled on
+    # the pair keys (at 100 TB the candidate set is the tiny side by
+    # construction)
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sh_c = sh.join(F.broadcast(cand_ids), "doc_id")
+    sh_c = _mhx_shingle_rows(d.join(F.broadcast(cand_ids), "doc_id"))
     sa = sh_c.alias("sa")
     sb = sh_c.alias("sb")
     inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        F.broadcast(cand)
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             sb,
             (F.col("sb.doc_id") == F.col("doc_b"))
             & (F.col("sb.shingle") == F.col("sa.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter_cnt"))
     )
-    na = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(3 * F.col("inter_cnt") >= F.col("n_sh_a") + F.col("n_sh_b"))
+        inter.where(3 * F.col("inter_cnt") >= F.col("n_sh_a") + F.col("n_sh_b"))
         .select(
             "doc_a",
             "doc_b",
@@ -1474,26 +1512,36 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminative even on the fixtures' 31-word vocabulary, where
     bag-of-words SimHash saturates (every doc looks alike).
 
-    Execution shape: one shingle explode + one groupBy computing all
-    32 bit-votes map-side (a single shuffle), then band candidates
-    via OR of four byte-slice equalities — expressed as a band-table
-    explode + ONE self-equi-join on (band_id, byte), so Catalyst
-    hash-partitions on the byte value instead of nested-looping;
-    verification is a per-pair popcount, no second corpus pass."""
+    Execution shape (r13 optimization, guide §1.1/§3.3): one shingle
+    explode + one groupBy computing all 32 bit-votes map-side, and
+    the per-doc signature table (8 bytes/doc) localCheckpoint'ed —
+    recomputed per run, inside the timed region — so the r12 plan's
+    re-execution of the whole scan→explode→distinct→md5→groupBy
+    chain for the second self-join side disappears (see
+    plans/r13/dedup_simhash_exact_before.txt: two full corpus
+    subtrees, no Exchange reuse because the band join broadcasts).
+    Candidates come from the band-table explode + ONE self-equi-join
+    on (band_id, byte), so Catalyst hash-partitions on the byte
+    value instead of nested-looping; verification is a per-pair
+    popcount, no second corpus pass.  (A first r13 attempt computed
+    the signature shuffle-free with array higher-order functions —
+    bit-identical but ~3x slower: HOF lambdas run outside
+    whole-stage codegen; the codegen'd explode pipeline stays.)"""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # token array BOUND as a projected column before the lambda (the
+    # inlined-split r12 form re-split the doc once per shingle —
+    # O(n^2) per doc; see dedup_minhash_exact._shingle_rows)
     sh = (
         d.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.when(
-                    F.size(toks) >= 3,
-                    F.expr(
-                        "transform(sequence(0, size(split(text, ' ')) - 3),"
-                        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-                    ),
-                ).otherwise(F.expr("array()"))
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i ->"
+                    " concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                )
             ).alias("shingle"),
         )
         .distinct()
@@ -1505,14 +1553,18 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("h"),
     )
-    sig = hashed.groupBy("doc_id").agg(
-        F.expr(
-            " + ".join(
-                f"(CASE WHEN SUM(((h >> {b}) & 1) * 2 - 1) >= 0"
-                f" THEN CAST(1 AS BIGINT) ELSE 0 END) * {1 << b}"
-                for b in range(_SHX_BITS)
-            )
-        ).alias("simhash")
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN SUM(((h >> {b}) & 1) * 2 - 1) >= 0"
+                    f" THEN CAST(1 AS BIGINT) ELSE 0 END) * {1 << b}"
+                    for b in range(_SHX_BITS)
+                )
+            ).alias("simhash")
+        )
+        .localCheckpoint(eager=True)
     )
     bands = sig.select(
         "doc_id",

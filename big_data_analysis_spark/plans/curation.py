@@ -241,34 +241,48 @@ def pipeline_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage = the benchmark is out-of-distribution for this
     corpus; the metric data teams read before trusting an eval).
     Distinct gram sets on both sides make the per-(lang, shingle)
-    join 1:1 — no df cap needed (contrast the contamination join,
-    which pairs documents and must cap stop-shingles). Eval side is
-    ~1% of the corpus."""
+    join 1:1, which is exactly a per-(lang, shingle) boolean
+    presence question — so (r13 optimization, guide §2.3-2.4) the
+    two side-distincts + left join collapse into ONE groupBy(lang,
+    shingle) computing max(is_eval)/max(is_train) presence flags:
+    the corpus gram explode runs once instead of twice (the r12
+    plan re-ran the scan+Generate per side) and exactly one
+    data-proportional Exchange remains, shrunk map-side by the
+    partial bool_or aggregation (the r12 plan shuffled the gram
+    table twice through two DISTINCTs; see
+    plans/r13/pipeline_ngram_coverage_before.txt). Per-doc
+    array_distinct pre-shrinks the Generate for free (the grams are
+    deduped downstream anyway). Eval side is ~1% of the corpus."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_COV_N - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(_COV_N)]
-        ),
-    )
-    # no .distinct() here: each side below dedups for itself, and a
-    # third shuffle on the union would be pure waste
-    sh = d.where(F.size(toks) >= _COV_N).select(
+    # token array BOUND as a projected column before the lambda: the
+    # old inlined `split(text, ' ')` re-split the document once per
+    # gram element reference — O(n^2) per doc (guide §1.1)
+    base = d.select(
         "lang",
         (F.col("doc_id") % 97 == 0).alias("is_eval"),
-        F.explode(sh_arr).alias("shingle"),
+        F.split("text", " ").alias("toks"),
+    ).where(F.size("toks") >= _COV_N)
+    sh = base.select(
+        "lang",
+        "is_eval",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_COV_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("toks", i + k) for k in range(_COV_N)],
+                    ),
+                )
+            )
+        ).alias("shingle"),
     )
-    ev = sh.where("is_eval").select("lang", "shingle").distinct()
-    tr = (
-        sh.where(~F.col("is_eval"))
-        .select(F.col("lang").alias("tl"), F.col("shingle").alias("ts"))
-        .distinct()
+    pres = sh.groupBy("lang", "shingle").agg(
+        F.max("is_eval").alias("in_ev"),
+        F.max(~F.col("is_eval")).alias("in_tr"),
     )
-    cov = ev.join(
-        tr, (ev["lang"] == tr["tl"]) & (ev["shingle"] == tr["ts"]), "left"
-    ).select(
-        "lang", F.when(F.col("ts").isNotNull(), 1).otherwise(0).alias("covered")
+    cov = pres.where("in_ev").select(
+        "lang", F.when(F.col("in_tr"), 1).otherwise(0).alias("covered")
     )
     return cov.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_grams"),

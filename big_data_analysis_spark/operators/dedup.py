@@ -79,15 +79,6 @@ def dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.keyed_clusters(d, _tokenset_key(), "doc_id", min_size=2)
 
 
-# (session, sf_dir) -> persisted distinct-trigram table; the gram
-# table feeds FOUR consumers (doc sizes, gram df, both pair-join
-# sides), so it is materialized once per session instead of
-# re-exploding the corpus per consumer — the standard persist-the-
-# reused-intermediate pattern (at 100 TB: MEMORY_AND_DISK, or a
-# checkpointed table shared by the whole dedup stage).
-_GRAMS_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct token-trigrams per doc, built ARRAY-NATIVELY in one
     projection (element_at over the token array) — zero joins, zero
@@ -95,30 +86,42 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     token table three times. The token array is materialized as a
     column FIRST: referencing the split() expression inside the
     transform lambda would re-split the text for every element_at
-    (O(tokens^2) per doc)."""
-    key = (id(spark), sf_dir)
-    if key not in _GRAMS_CACHE:
-        d = table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens().alias("toks")
-        )
-        toks = F.col("toks")
-        n_toks = F.size(toks)
-        tri = F.transform(
-            F.sequence(F.lit(1), n_toks - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-        grams_arr = F.when(n_toks >= 3, F.array_distinct(tri)).otherwise(
-            F.array().cast("array<string>")
-        )
-        _GRAMS_CACHE[key] = (
-            d.select("doc_id", F.explode(grams_arr).alias("gram")).persist()
-        )
-    return _GRAMS_CACHE[key]
+    (O(tokens^2) per doc).
+
+    The gram table feeds FOUR consumers inside one query (doc sizes,
+    gram df, both pair-join sides), so it is persisted — but built
+    and registered PER CALL with the kernel-persist registry
+    (released between bench queries, like every other kernel
+    intermediate), not memoized at module level keyed on sf_dir:
+    a cross-query module cache would let later queries skip the
+    corpus explode entirely, which the bench protocol counts as
+    result caching, not optimization.  Runs 2-3 of the SAME query
+    still reuse run 1's blocks via CacheManager canonicalized-plan
+    matching, the documented bench policy.  (At 100 TB:
+    MEMORY_AND_DISK, or a checkpointed table shared by the whole
+    dedup stage.)"""
+    from .windows import _register_persist
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    toks = F.col("toks")
+    n_toks = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n_toks - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    grams_arr = F.when(n_toks >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return _register_persist(
+        d.select("doc_id", F.explode(grams_arr).alias("gram")).persist()
+    )
 
 
 # Jaccard-pair SQL shared by the pair query's oracle and the

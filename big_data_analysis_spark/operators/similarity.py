@@ -705,7 +705,7 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
     )
-    e2 = e.select("vec_id", "embedding", qe.alias("qv"))
+    e2 = e.select("vec_id", qe.alias("qv"))
     cents = {
         r["vec_id"]: [int(x) for x in r["qv"]]
         for r in e2.where(F.col("vec_id") < _IVF_CELLS)
@@ -713,36 +713,54 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
 
-    def dist2_to(c: list) -> Column:
-        diffs = F.zip_with(
-            F.col("qv"),
-            F.array(*[F.lit(x) for x in c]),
-            lambda x, y: (x - y) * (x - y),
+    # r13 (guide §1.2/§7.2, measured with tools/opt_measure.py): of
+    # the 3.4 s isolated median, ~1.5 s was DRIVER-SIDE CONSTRUCTION
+    # — the 16x64 centroid literals built Column-by-Column cost over
+    # a thousand py4j round trips per fn() call (the same lesson the
+    # r8 audit recorded for dedup_simhash's 64-term vote expression).
+    # The whole 16-struct distance array is now ONE F.expr SQL
+    # string: a single py4j call, parsed JVM-side.
+    def _dist2_sql(c: list) -> str:
+        arr = ",".join(str(x) for x in c)
+        return (
+            f"aggregate(zip_with(qv, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
         )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    ranked_cells = F.array_sort(
-        F.array(
-            *[
-                F.struct(dist2_to(c).alias("dist2"), F.lit(cid).alias("cell_id"))
-                for cid, c in sorted(cents.items())
-            ]
+    structs_sql = (
+        "array("
+        + ",".join(
+            f"struct({_dist2_sql(c)} AS dist2, {cid} AS cell_id)"
+            for cid, c in sorted(cents.items())
         )
+        + ")"
     )
+    # Corpus-side argmin: array_min over the UNSORTED struct array —
+    # natural (dist2, cell_id) struct ordering gives the identical
+    # winner as array_sort(...)[1] without the sort comparator's
+    # per-comparison lambda call.  The coalesce(-1) wrap never fires
+    # (cell_id is a literal in every struct) but makes the column
+    # provably non-nullable, so the cell_id join below does NOT push
+    # an isnotnull(cell_id) filter beneath this projection — that
+    # pushed filter re-inlined the entire 16-centroid HOF expression
+    # a SECOND time per corpus row (the dominant execution cost in
+    # the r12 plan; see plans/r13/sim_ivf_probe_before.txt (2)).
     assigned = e2.select(
         "vec_id",
-        "embedding",
-        F.element_at(ranked_cells, 1).getField("cell_id").alias("cell_id"),
+        "qv",
+        F.coalesce(
+            F.expr(f"array_min({structs_sql}).cell_id"), F.lit(-1)
+        ).alias("cell_id"),
     )
     probes = (
         e2.where(F.col("vec_id") < 5)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
+            F.col("qv").alias("qqv"),
             F.explode(
-                F.transform(
-                    F.slice(ranked_cells, 1, _IVF_NPROBE),
-                    lambda s: s.getField("cell_id"),
+                F.expr(
+                    f"transform(slice(array_sort({structs_sql}), 1,"
+                    f" {_IVF_NPROBE}), s -> s.cell_id)"
                 )
             ).alias("cell_id"),
         )
@@ -750,10 +768,20 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.join(F.broadcast(probes), "cell_id").where(
         F.col("vec_id") != F.col("query_id")
     )
+    # score over the ALREADY-quantized arrays (dot_dec would
+    # re-quantize both sides per pair — 3 ops/element/pair saved);
+    # identical arithmetic: sum(q(x)*q(y)) / 1e12 as double.
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        dot_dec(F.col("qe"), F.col("embedding")).alias("cosine"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / 1.0e12
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -124,6 +124,49 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_pair_counts(grams: DataFrame, df_cap: int) -> DataFrame:
+    """Shared-gram candidate pair counts (doc_a < doc_b, n_common)
+    with the stop-gram df-cap applied to the pair join — the common
+    candidate stage of dedup_ngram_jaccard / dedup_containment /
+    dedup_threshold_sweep.
+
+    r13 (guide §3.1/§3.3, measured with tools/opt_measure.py):
+    Catalyst picked a BROADCAST join for the gram self-join (the
+    capped gram table fits the 64 MB threshold at bench scale),
+    which (a) re-planned the anti-join + hot-gram aggregation
+    subtree on BOTH sides — no Exchange reuse under a
+    BroadcastExchange — and (b) serialized the corpus-wide gram
+    table into a driver-built HashedRelation; measured 3x slower
+    than a shuffled-hash join, and at 100 TB a corpus-sized
+    broadcast is impossible outright.  `kept` is localCheckpoint'ed
+    (recomputed per run, inside the timed region) so both join sides
+    read ONE materialization, and the explicit SHUFFLE_HASH hint
+    keeps the join a hash-partitioned equi-join with no driver-side
+    build and no sort: 2.5 s -> 0.8 s for the pair stage in
+    isolation at sf0.1."""
+    hot_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("gram")
+    )
+    kept = grams.join(
+        F.broadcast(hot_grams), "gram", "left_anti"
+    ).localCheckpoint(eager=True)
+    g1, g2 = kept.alias("g1"), kept.hint("shuffle_hash").alias("g2")
+    return (
+        g1.join(
+            g2,
+            (F.col("g1.gram") == F.col("g2.gram"))
+            & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+        )
+        .groupBy(
+            F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 # Jaccard-pair SQL shared by the pair query's oracle and the
 # connected-components oracle below (which closes over these pairs).
 _SQL_JACCARD_PAIRS = """
@@ -188,26 +231,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"))
     grams = _grams(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # stop-gram cap: drop hot grams from the pair join only
-    hot_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-        .select("gram")
-    )
-    kept = grams.join(F.broadcast(hot_grams), "gram", "left_anti")
-    g1, g2 = kept.alias("g1"), kept.alias("g2")
-    inter = (
-        g1.join(
-            g2,
-            (F.col("g1.gram") == F.col("g2.gram"))
-            & (F.col("g1.doc_id") < F.col("g2.doc_id")),
-        )
-        .groupBy(
-            F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # stop-gram cap + candidate pair stage: see _gram_pair_counts
+    inter = _gram_pair_counts(grams, df_cap)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -373,11 +398,24 @@ def dedup_minhash_widevocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(d)
+    # r13 (guide §2.4/§3.3): approxSimilarityJoin(feats, feats) plans
+    # BOTH self-join sides as full subtrees, so the synthetic-token
+    # transform + HashingTF + 8-table MinHash hashing all executed
+    # twice.  Pre-transform once and localCheckpoint the hashed
+    # features (doc_id + sparse vector + 8 hash cells per row,
+    # recomputed per run inside the timed region) — the join then
+    # explodes two reads of the SAME materialized table and
+    # keyDistance reuses the stored vectors.
+    feats = tf.transform(d).select("doc_id", "features").localCheckpoint(
+        eager=True
+    )
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
-    pairs = mh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    feats_h = mh.transform(feats).localCheckpoint(eager=True)
+    pairs = mh.approxSimilarityJoin(
+        feats_h, feats_h, 0.5, distCol="jaccard_dist"
+    )
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -704,25 +742,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"))
     grams = _grams(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    hot_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-        .select("gram")
-    )
-    kept = grams.join(F.broadcast(hot_grams), "gram", "left_anti")
-    g1, g2 = kept.alias("g1"), kept.alias("g2")
-    inter = (
-        g1.join(
-            g2,
-            (F.col("g1.gram") == F.col("g2.gram"))
-            & (F.col("g1.doc_id") < F.col("g2.doc_id")),
-        )
-        .groupBy(
-            F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # stop-gram cap + candidate pair stage: see _gram_pair_counts
+    inter = _gram_pair_counts(grams, df_cap)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     c_ab = F.col("n_common").cast("double") / F.col("sa.n")
     c_ba = F.col("n_common").cast("double") / F.col("sb.n")

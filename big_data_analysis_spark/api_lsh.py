@@ -10,6 +10,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle: int, out_id: str
+) -> DataFrame:
+    """(out_id, shingle) DISTINCT rows of `shingle`-token shingles.
+
+    r13 (guide §1.1, measured): the token array is BOUND as a
+    projected column before the transform lambda references it — the
+    old inlined `slice(split(text, ' '), ...)` form re-split the
+    document once PER SHINGLE ELEMENT (O(tokens^2) per doc; measured
+    6x slower on the fixture corpus for the dedup twins).  Identical
+    output strings: concat over explicit 0-based element reads
+    equals concat_ws over the slice."""
+    gram = " , ' ', ".join(f"__tk[i + {j} - 1]" for j in range(shingle))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias(out_id),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .where(F.size("__tk") >= shingle)
+        .select(
+            out_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__tk) - {shingle - 1}),"
+                    f" i -> concat({gram}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -24,23 +58,7 @@ def minhash_signatures(
     md5 60-bit integer.  No RNG, no engine-private hash family — the
     same text yields the same signature on any engine or cluster.
     One explode + one groupBy (map-side partial mins)."""
-    toks = F.split(F.col(text_col), " ")
-    sh = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__mh_id"),
-            F.explode(
-                F.when(
-                    F.size(toks) >= shingle,
-                    F.expr(
-                        f"transform(sequence(0, size(split({text_col}, ' ')) - {shingle}),"
-                        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle})))"
-                    ),
-                ).otherwise(F.expr("array()"))
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, shingle, "__mh_id")
     hashed = sh.select(
         "__mh_id",
         *[
@@ -81,23 +99,7 @@ def minhash_near_dup_pairs(
     assert k % rows_per_band == 0
     n_bands = k // rows_per_band
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle=shingle)
-    toks = F.split(F.col(text_col), " ")
-    sh = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__sh_id"),
-            F.explode(
-                F.when(
-                    F.size(toks) >= shingle,
-                    F.expr(
-                        f"transform(sequence(0, size(split({text_col}, ' ')) - {shingle}),"
-                        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle})))"
-                    ),
-                ).otherwise(F.expr("array()"))
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, shingle, "__sh_id")
     bands = sig.select(
         F.col(id_col).alias("__b_id"),
         F.explode(
@@ -183,23 +185,7 @@ def simhash_signature(
     `simhash` BIGINT column (bit b = sign of the +/-1 vote sum over
     the row's distinct shingles, votes from salted-md5).  One explode
     + one groupBy."""
-    toks = F.split(F.col(text_col), " ")
-    sh = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__sx_id"),
-            F.explode(
-                F.when(
-                    F.size(toks) >= shingle,
-                    F.expr(
-                        f"transform(sequence(0, size(split({text_col}, ' ')) - {shingle}),"
-                        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle})))"
-                    ),
-                ).otherwise(F.expr("array()"))
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, shingle, "__sx_id")
     hashed = sh.select(
         "__sx_id",
         F.expr(

@@ -1065,7 +1065,11 @@ def dedup_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation shape as dedup_ngram_jaccard's gram stage —
     one shuffle on doc_id, never any pair join."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # r13 (guide §1.1): token array BOUND as a projected column —
+    # the inlined split re-split the doc per trigram element
+    # (O(tokens^2) per doc; the dedup_substring_spans lesson).
+    dt = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     tri = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -1078,7 +1082,7 @@ def dedup_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    per_doc = d.select(
+    per_doc = dt.select(
         "doc_id",
         "lang",
         F.size(tri).alias("n_shingles"),

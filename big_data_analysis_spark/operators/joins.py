@@ -222,12 +222,31 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, t)
         for t in ("region", "nation", "customer", "orders", "lineitem")
     )
+    # r13 (guide §3.1, plans/r13/join_multiway_before.txt): written
+    # dims-first, Catalyst made LINEITEM the build side of the final
+    # BroadcastHashJoin — a fact-table HashedRelation built per run,
+    # and an impossible plan at 100 TB.  Rewritten fact-first with an
+    # explicit SHUFFLE_HASH hint on the dims-folded order table:
+    # dims fold into orders (broadcast), then lineitem ⋈ the slim
+    # (orderkey, orderstatus, r_name) table hash-partitions BOTH
+    # sides on orderkey — the one data-proportional shuffle this
+    # star join fundamentally needs — with the per-partition hash
+    # built from the order side, never the fact side.  Measured
+    # 2.1 s (any broadcast variant, either direction) -> 0.87 s;
+    # sort-merge ties SHJ locally but pays a sort the hash join
+    # doesn't need.
+    dims = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    o2 = (
+        o.join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderstatus", "r_name")
+        .hint("shuffle_hash")
+    )
     return (
-        F.broadcast(r)
-        .join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

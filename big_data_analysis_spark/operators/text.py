@@ -837,7 +837,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross-document traffic at all; embarrassingly parallel at any
     corpus size."""
     d = table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ")
+    # r13 (guide §1.1): token array BOUND as a projected column before
+    # the trigram lambda references it — the inlined split form
+    # re-split the document once per trigram element (O(tokens^2)
+    # per doc; the dedup_substring_spans lesson, measured ~3x there).
+    dt = d.select("doc_id", F.split("text", " ").alias("ts"))
+    ts = F.col("ts")
     n_tok = F.size(ts)
     tri = F.transform(
         F.sequence(F.lit(1), n_tok - 2),
@@ -848,7 +853,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ts, i + 2),
         ),
     )
-    base = d.where(n_tok >= 3).select(
+    base = dt.where(n_tok >= 3).select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         (n_tok - 2).alias("n_trigrams"),
@@ -856,7 +861,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ts)).alias("n_uniq_tok"),
     )
     toptok = (
-        d.select("doc_id", F.explode(ts).alias("tok"))
+        dt.select("doc_id", F.explode(ts).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")

@@ -334,11 +334,15 @@ def pipeline_eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     one JVM levenshtein call: zero shuffle, a pure map at 100 TB."""
     d = table(spark, sf_dir, "documents")
     cap = _WER_CAP
-    toks = F.split(F.col("text"), " ")
+    # r13 (guide §1.1): token array BOUND as a projected column — the
+    # inlined split form re-split the document per kept index in the
+    # drop3 lambda and once per pred branch (O(cap * tokens) per doc).
+    dt = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     ref = F.slice(toks, 1, cap)
     drop3 = F.expr(
-        f"transform(filter(sequence(1, least(size(split(text, ' ')), {cap})),"
-        " i -> i % 3 != 0), i -> element_at(split(text, ' '), i))"
+        f"transform(filter(sequence(1, least(size(toks), {cap})),"
+        " i -> i % 3 != 0), i -> element_at(toks, i))"
     )
     pred = (
         F.when((F.col("doc_id") % 4) == 0, F.slice(toks, 1, cap))
@@ -346,7 +350,7 @@ def pipeline_eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("doc_id") % 4) == 2, drop3)
         .otherwise(F.reverse(F.slice(toks, 1, cap)))
     )
-    v = d.select("doc_id", ref.alias("ref"), pred.alias("pred")).withColumn(
+    v = dt.select("doc_id", ref.alias("ref"), pred.alias("pred")).withColumn(
         "vocab", F.array_distinct(F.concat("ref", "pred"))
     )
     enc = lambda col: F.expr(

@@ -1958,7 +1958,13 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned on (lang, gram) — the heavy-text-join shape
     already benchmarked by ngram_coverage; never all-pairs."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # r13 (guide §1.1): token array BOUND as a projected column —
+    # the inlined split re-split the doc per trigram element
+    # (O(tokens^2) per doc; the dedup_substring_spans lesson).
+    dt = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     tri = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -1971,7 +1977,7 @@ def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_arr = F.when(F.size(toks) >= 3, F.array_distinct(tri)).otherwise(
         F.array().cast("array<string>")
     )
-    grams = d.select(
+    grams = dt.select(
         "doc_id", "lang", F.explode(grams_arr).alias("gram")
     )
     train = (

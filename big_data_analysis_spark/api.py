@@ -15,13 +15,11 @@ caller's tie-break columns).
 
 from __future__ import annotations
 
-import uuid
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .session import scratch_dir
 
 
 # ---------------------------------------------------------------- text
@@ -1513,32 +1511,34 @@ def weighted_sample(
     )
 
 
-def walk_adjacency(
-    edges: DataFrame, a_col: str, b_col: str, *, buckets: int = 8
-) -> str:
-    """Build the bucketed adjacency table random_walk iterates over:
-    the undirected edge set folded to one row per node with the
-    ascending neighbor array, written bucketBy(buckets, node) so
-    every later join on node is bucket-local (no adjacency shuffle).
-    Returns the table name; the caller drops it when done."""
+def walk_adjacency(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Build the PERSISTED adjacency frame random_walk iterates
+    over: the undirected edge set folded to one row per node with
+    the ascending UNIQUE-neighbor array (array_distinct inside the
+    fold — an input carrying both orientations of an edge, or a
+    self-loop, must still yield each neighbor once; degree is the
+    count of unique neighbors).
+
+    r13 (guide §2.4/§5, measured): this replaced a bucketBy-table
+    write.  The r8-r12 shape paid a parquet write + Hive-metastore
+    registration + re-read EVERY RUN because localCheckpoint forgets
+    outputPartitioning; but persist() does NOT — the InMemoryRelation
+    keeps the groupBy's hashpartitioning(node), so every per-step
+    join is still adjacency-local (one Exchange, the walker
+    frontier) with no table write, no metastore round-trip, and one
+    fewer shuffle (the old pre-distinct folded into the groupBy).
+    ~2.9 s -> ~1.4 s for the full 3-step walk at sf0.1.  At 100 TB
+    this is the standard iterative-graph pattern (MEMORY_AND_DISK
+    adjacency, the api.pagerank discipline); a deployment that walks
+    the same graph across many jobs would still materialize a
+    bucketed table once at ingest."""
     u = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    # distinct AFTER the swap-union: an input carrying both
-    # orientations of an edge (or a self-loop) must still yield each
-    # neighbor once — degree is the count of UNIQUE neighbors.
-    und = u.unionAll(
-        u.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    name = f"bda_rw_adj_{uuid.uuid4().hex[:10]}"
-    (
+    und = u.unionAll(u.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
         und.groupBy(F.col("a").alias("node"))
-        .agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
-        .write.mode("overwrite")
-        .option("path", f"{scratch_dir(prefix='bda_rw_')}/{name}")
-        .bucketBy(buckets, "node")
-        .sortBy("node")
-        .saveAsTable(name)
+        .agg(F.sort_array(F.array_distinct(F.collect_list("b"))).alias("nbrs"))
+        .persist()
     )
-    return name
 
 
 def duplicated_spans(
@@ -1632,7 +1632,7 @@ def duplicated_spans(
 
 
 def random_walk(
-    edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3, buckets: int = 8
+    edges: DataFrame, a_col: str, b_col: str, *, steps: int = 3
 ) -> DataFrame:
     """DETERMINISTIC random walks over the undirected view of the
     edge set — the DeepWalk/node2vec corpus-generation step, made a
@@ -1645,33 +1645,38 @@ def random_walk(
     the long-format path table (walker_id, step, node), step 0 =
     the start node.
 
-    Shape: the adjacency is folded to one row per node (ascending
-    neighbor array) and written ONCE as a table bucketed on node —
-    after that, every per-step join is bucket-local on the adjacency
-    side, so each of the ``steps`` joins shuffles ONLY the walker
-    frontier, never the adjacency (localCheckpoint can't make that
-    claim: it forgets outputPartitioning — measured
-    UnknownPartitioning — so a checkpointed adjacency re-shuffles
-    every step).  The neighbor pick is element_at(nbrs, idx+1) — no
-    window, no row_number stage.  At 100 TB the bucketed write is
-    the ingest step a deployment does once; hub-node arrays are the
-    skew caveat — cap or sample mega-hub neighbor lists upstream if
-    degree is unbounded."""
-    spark = edges.sparkSession
-    name = walk_adjacency(edges, a_col, b_col, buckets=buckets)
-    adj = spark.table(name)
-    walks = adj.select(
-        F.col("node").alias("walker_id"),
-        F.lit(0).alias("step"),
-        F.col("node"),
-    ).localCheckpoint(eager=True)
+    Shape (r13, guide §2.4/§5): the adjacency is folded to one row
+    per node (ascending unique-neighbor array) and PERSISTED — the
+    InMemoryRelation keeps the fold's hashpartitioning(node), so
+    every per-step join shuffles ONLY the walker frontier, never the
+    adjacency (localCheckpoint can't make that claim: it forgets
+    outputPartitioning — measured UnknownPartitioning; the r8-r12
+    bucketed-table write bought the same property at the price of a
+    parquet write + metastore round-trip per run).  Each frontier is
+    lazily persisted so the step unions share one materialization
+    under a single driving action instead of one eager checkpoint
+    job per step.  All persists are registered with the kernel
+    registry (released between bench queries).  The neighbor pick is
+    element_at(nbrs, idx+1) — no window, no row_number stage.
+    Hub-node arrays are the skew caveat — cap or sample mega-hub
+    neighbor lists upstream if degree is unbounded."""
+    from .operators.windows import _register_persist
+
+    adj = _register_persist(walk_adjacency(edges, a_col, b_col))
+    walks = _register_persist(
+        adj.select(
+            F.col("node").alias("walker_id"),
+            F.lit(0).alias("step"),
+            F.col("node"),
+        ).persist()
+    )
     frontier = walks
     for t in range(1, steps + 1):
         mix = F.pmod(
             F.col("walker_id") * 1000003 + F.col("node") * 97 + F.lit(t) * 31,
             F.lit(2147483647),
         )
-        nxt = (
+        nxt = _register_persist(
             frontier.join(adj, "node")
             .select(
                 "walker_id",
@@ -1680,11 +1685,10 @@ def random_walk(
                     "nbrs", (F.pmod(mix, F.size("nbrs")) + 1).cast("int")
                 ).alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         walks = walks.unionAll(nxt)
         frontier = nxt
-    spark.sql(f"DROP TABLE IF EXISTS {name}")  # frontiers are materialized
     return walks
 
 

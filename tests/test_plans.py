@@ -623,12 +623,12 @@ def test_pq_adc_single_exchange_with_group_limit(spark, sf_dir):
 
 
 def test_random_walk_step_join_never_shuffles_adjacency(spark, sf_dir):
-    """The walk's per-step join must be bucket-local on the adjacency
-    side: exactly ONE Exchange (the walker frontier), a bucketed
-    FileScan for the adjacency, and no adjacency repartition — the
+    """The walk's per-step join must reuse the persisted adjacency's
+    hashpartitioning(node): exactly ONE Exchange (the walker
+    frontier) and an InMemoryTableScan for the adjacency — the
     property localCheckpoint could not give (it forgets
-    outputPartitioning), and the reason api.random_walk pays one
-    bucketed write up front."""
+    outputPartitioning; the r8-r12 implementation paid a bucketed
+    table WRITE per run for the same guarantee)."""
     from pyspark.sql import functions as F
 
     from big_data_analysis_spark import api
@@ -638,24 +638,28 @@ def test_random_walk_step_join_never_shuffles_adjacency(spark, sf_dir):
     edges = li.select(
         F.col("l_orderkey").alias("a"), (-F.col("l_partkey") - 1).alias("b")
     )
-    name = api.walk_adjacency(edges, "a", "b", buckets=8)
+    adj = api.walk_adjacency(edges, "a", "b")
     try:
-        adj = spark.table(name)
         frontier = adj.select(
             F.col("node").alias("walker_id"), F.col("node")
         ).localCheckpoint(eager=True)
         # hint("merge"): at fixture scale AQE would broadcast the
-        # adjacency, hiding the bucketing (same trick as
+        # adjacency, hiding the partitioning reuse (same trick as
         # join_bucketed) — at 100 TB the sort-merge path is the plan.
         j = frontier.hint("merge").join(adj, "node").select(
             "walker_id", F.element_at("nbrs", 1).alias("node")
         )
         j.write.format("noop").mode("overwrite").save()
         p = j._jdf.queryExecution().executedPlan().toString()
-        assert p.count("Exchange") == 1, p
-        assert "Bucketed: true" in p, p
+        # the InMemoryRelation's stored BUILD plan (printed inline)
+        # contains the adjacency fold's own Exchange — count only the
+        # join's plan above it: one Exchange = the frontier side,
+        # adjacency side reads the cache with no re-shuffle.
+        join_part = p.split("InMemoryRelation")[0]
+        assert join_part.count("Exchange") == 1, p
+        assert "InMemoryTableScan" in p, p
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        adj.unpersist()
 
 
 def test_aqe_splits_skewed_join_partitions(spark):

@@ -1574,13 +1574,11 @@ def test_random_walk_dedupes_bidirectional_edges(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"a": [1, 2, 1, 3, 3], "b": [2, 1, 3, 1, 3]})
     )
-    name = api.walk_adjacency(edges, "a", "b", buckets=2)
+    adj = api.walk_adjacency(edges, "a", "b")
     try:
-        nbrs = {
-            r.node: list(r.nbrs) for r in spark.table(name).collect()
-        }
+        nbrs = {r.node: list(r.nbrs) for r in adj.collect()}
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        adj.unpersist()
     assert nbrs == {1: [2, 3], 2: [1], 3: [1, 3]}
 
     walks = api.random_walk(edges, "a", "b", steps=2).collect()

@@ -129,14 +129,19 @@ def sem_bucket(emb: Column) -> Column:
         return F.round(v.cast("double") * 1_000_000).cast("long")
 
     def plane_bit(k: int) -> Column:
-        prods = F.zip_with(
-            emb,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SEM_DIM - 1)),
-                lambda i: ((37 * i + 17 * k) % 101 - 50).cast("long"),
-            ),
-            lambda x, c: q(x) * c,
+        # r13 (guide §1.2 per-task work): the plane coefficients are
+        # compile-time integers — emit them as ONE literal array per
+        # plane instead of the old per-ROW transform(sequence(...))
+        # reconstruction (64 interpreted lambda calls per plane per
+        # row for values that never change).
+        coeffs = F.expr(
+            "array("
+            + ",".join(
+                f"{(37 * i + 17 * k) % 101 - 50}L" for i in range(SEM_DIM)
+            )
+            + ")"
         )
+        prods = F.zip_with(emb, coeffs, lambda x, c: q(x) * c)
         dot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
         return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -245,12 +250,22 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py). Clustered real-world embeddings run
     radius 0-1 with more planes."""
     e = table(spark, sf_dir, "embeddings")
+    # r13 (guide §1.2): quantize each embedding ONCE into qv and
+    # score candidates over the pre-quantized arrays — dot_dec
+    # re-quantized both sides per candidate pair (3 ops per element
+    # per pair saved; identical arithmetic, sum(q(x)*q(y))/1e12).
+    qe_arr = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
     sig = e.select(
-        "vec_id", "embedding", sem_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        qe_arr.alias("qv"),
+        sem_bucket(F.col("embedding")).alias("bucket"),
     )
     q = sig.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
+        F.col("qv").alias("qqv"),
         F.col("bucket").alias("qbucket"),
     )
     cand = sig.join(
@@ -261,7 +276,14 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        dot_dec(F.col("qe"), F.col("embedding")).alias("cosine"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / 1.0e12
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

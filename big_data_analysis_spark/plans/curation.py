@@ -1251,28 +1251,47 @@ def pipeline_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded 300-key brand-pair domain."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    items = (
+    # r13 (guide §2.4/§3.3, measured): the r12 plan re-executed the
+    # items (join + distinct) subtree FOUR times (both self-join
+    # sides, per-brand counts, grand total) and shuffled the item
+    # table twice more through the ok-keyed self-join.  Fold each
+    # order to its sorted brand-set array ONCE (distinct absorbed
+    # into collect_set, one orderkey shuffle total), localCheckpoint
+    # the bounded basket table (<= 7 brands per order by TPC-H
+    # construction), and derive pairs / brand counts / total from
+    # it: the <=21-pairs-per-basket expansion happens in-task, and
+    # the pair rollup lands on the bounded 300-key brand-pair
+    # domain.  2.4 s -> 1.9 s isolated, and the 100 TB story drops
+    # the self-join entirely.
+    baskets = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .localCheckpoint(eager=True)
     )
-    a = items.alias("a")
-    b = items.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "IF(size(brands) < 2, array(),"
+                    " flatten(transform(sequence(1, size(brands) - 1),"
+                    " i -> transform(slice(brands, i + 1, size(brands) - i),"
+                    " y -> struct(element_at(brands, i) AS brand_a,"
+                    " y AS brand_b)))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
-    bc = items.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = items.agg(
-        F.countDistinct("ok").cast("long").alias("n_orders")
+    bc = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     ba = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
     bb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
     j = (

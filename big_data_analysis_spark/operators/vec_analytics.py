@@ -154,15 +154,27 @@ def vec_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     a = q.select(F.col("vec_id").alias("ia"), F.col("xq").alias("qa"))
     b = q.select(F.col("vec_id").alias("ib"), F.col("xq").alias("qb"))
+    # r13 (guide §1.2/§2.3): BIGINT distance — the 1e-6 lattice bounds
+    # each diff^2 at 4e12 and the 64-term sum below 2^48 (the module's
+    # documented quantization bound), so the old per-term DECIMAL(38)
+    # arithmetic paid ~10x per multiply for headroom that can never be
+    # used; the comparison is the identical boolean.  The pair table
+    # (96 x 96 rows) is localCheckpoint'ed because BOTH the
+    # neighborhood count and the near-core test consume it — the r12
+    # plan re-ran the cross join + distance twice.
     dist = " + ".join(
-        f"CAST(element_at(qa, {k}) - element_at(qb, {k}) AS DECIMAL(38,0))"
+        f"(element_at(qa, {k}) - element_at(qb, {k}))"
         f" * (element_at(qa, {k}) - element_at(qb, {k}))"
         for k in range(1, 65)
     )
-    pairs = a.crossJoin(b).select(
-        "ia",
-        "ib",
-        (F.expr(dist) <= _DBSCAN_EPS2).alias("near"),
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            (F.expr(dist) <= _DBSCAN_EPS2).alias("near"),
+        )
+        .localCheckpoint(eager=True)
     )
     nbr = pairs.groupBy("ia").agg(
         (
@@ -279,8 +291,16 @@ def vec_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
         F.col("xq").alias("qb"),
     )
+    # r13 (guide §1.2/§2.3): BIGINT distance (same documented lattice
+    # bound as vec_dbscan_core: 64-term sum < 2^48, and the per-point
+    # rollup of <=127 pairs stays < 2^56 — far from overflow), and
+    # the (point, other-label) rollup is localCheckpoint'ed because
+    # BOTH the own-cluster mean and the min-other-cluster mean
+    # consume it — the r12 plan re-ran the pair join + distance
+    # twice.  The VARCHAR->DOUBLE mean route is unchanged: a LONG and
+    # a DECIMAL(38,0) holding the same integer print the same string.
     dist = " + ".join(
-        f"CAST(element_at(qa, {k}) - element_at(qb, {k}) AS DECIMAL(38,0))"
+        f"(element_at(qa, {k}) - element_at(qb, {k}))"
         f" * (element_at(qa, {k}) - element_at(qb, {k}))"
         for k in range(1, 65)
     )
@@ -292,6 +312,7 @@ def vec_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").alias("dsum"),
             F.count(F.lit(1)).cast("long").alias("dcnt"),
         )
+        .localCheckpoint(eager=True)
     )
     mean = F.col("dsum").cast("string").cast("double") / F.col("dcnt")
     aa = pd_.where(F.col("la") == F.col("lb")).select(

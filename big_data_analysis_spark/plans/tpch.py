@@ -90,12 +90,22 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (revenue desc, o_orderdate, l_orderkey)."""
     c, o, l = (table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
     cutoff = F.lit("1998-03-15").cast("timestamp")
-    return (
+    # r13 (guide §3.1): the dims-first chain let Catalyst broadcast
+    # the FILTERED LINEITEM into the final join (BuildRight of the
+    # fact table, plans/r13/tpch_q3_before.txt (13) — impossible at
+    # 100 TB where even the filtered fact side is huge).  Fact-first
+    # with SHUFFLE_HASH on the customer⋈orders side: one orderkey
+    # shuffle, order-side build.  1.06 s -> 0.55 s isolated.
+    co = (
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .where(F.col("o_orderdate") < cutoff)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > cutoff)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    return (
+        l.where(F.col("l_shipdate") > cutoff)
+        .join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum_expr(revenue_dec()).alias("revenue")
@@ -135,20 +145,35 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, t)
         for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")
     )
-    return (
-        F.broadcast(r.where(F.col("r_name") == "ASIA"))
-        .join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+    # r13 (guide §3.1): the dims-first chain let Catalyst broadcast
+    # LINEITEM into join (23) of plans/r13/tpch_q5_before.txt (a
+    # fact-table HashedRelation; impossible at 100 TB).  Fact-first:
+    # region/nation/customer fold into the filtered orders
+    # (broadcast dims), lineitem joins the slim order table with
+    # SHUFFLE_HASH on the one fundamental orderkey shuffle, and the
+    # bounded supplier table broadcasts last.  1.27 s -> 0.55 s
+    # isolated.
+    dims = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(
-            o.where(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    o2 = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "n_nationkey", "n_name")
+        .hint("shuffle_hash")
+    )
+    return (
+        l.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s,
+            F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )
@@ -213,7 +238,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o, l, n = (
         table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
     )
-    return (
+    # r13 (guide §3.1): Catalyst broadcast the filtered LINEITEM into
+    # join (13) of plans/r13/tpch_q10_before.txt; fact-first with
+    # SHUFFLE_HASH on the customer⋈orders side keeps the fact table
+    # the stream side of the one orderkey shuffle.  0.85 s -> 0.44 s
+    # isolated.
+    co = (
         c.join(
             o.where(
                 (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
@@ -221,10 +251,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(
-            l.where(F.col("l_returnflag") == "R"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        .hint("shuffle_hash")
+    )
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(

@@ -39,6 +39,18 @@ _DEC = "decimal(8,6)"
 _ACC = "decimal(25,12)"
 
 
+def qdot(qa: Column, qb: Column) -> Column:
+    """Exact dot product over ALREADY-quantized long arrays (r13:
+    dot_dec's arithmetic minus its per-pair re-quantization —
+    identical result, sum(q(x)*q(y)) / 1e12 as double)."""
+    acc = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return acc.cast("double") / 1.0e12
+
+
 def dot_dec(a: Column, b: Column) -> Column:
     """Exact dot product over 1e-6-quantized elements -> double.
 
@@ -129,11 +141,9 @@ def sem_bucket(emb: Column) -> Column:
         return F.round(v.cast("double") * 1_000_000).cast("long")
 
     def plane_bit(k: int) -> Column:
-        # r13 (guide §1.2 per-task work): the plane coefficients are
-        # compile-time integers — emit them as ONE literal array per
-        # plane instead of the old per-ROW transform(sequence(...))
-        # reconstruction (64 interpreted lambda calls per plane per
-        # row for values that never change).
+        # r13 (guide §1.2): the coefficients are compile-time ints —
+        # one literal array per plane instead of the old per-ROW
+        # transform(sequence(...)) reconstruction.
         coeffs = F.expr(
             "array("
             + ",".join(
@@ -250,10 +260,7 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py). Clustered real-world embeddings run
     radius 0-1 with more planes."""
     e = table(spark, sf_dir, "embeddings")
-    # r13 (guide §1.2): quantize each embedding ONCE into qv and
-    # score candidates over the pre-quantized arrays — dot_dec
-    # re-quantized both sides per candidate pair (3 ops per element
-    # per pair saved; identical arithmetic, sum(q(x)*q(y))/1e12).
+    # r13: quantize once into qv; candidates score via qdot.
     qe_arr = F.transform(
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
@@ -276,14 +283,7 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (
-            F.aggregate(
-                F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / 1.0e12
-        ).alias("cosine"),
+        qdot(F.col("qqv"), F.col("qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -713,15 +713,9 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells — the inverted-file contract.
 
     One collect() of 16 codebook rows (bounded scalar staging, same
-    pattern as sim_knn_ivf's centroid literals).
-
-    Perf note (r6): each embedding is quantized ONCE into a long
-    array and the codebook is collected already-quantized, so the
-    16-way argmin is pure integer subtract-multiply over long
-    literals — quantizing per (element x centroid) in the argmin
-    expression (the r5 shape) built a tree too big for whole-stage
-    codegen and fell back to interpreted eval (~10x slower on the
-    same data)."""
+    pattern as sim_knn_ivf's centroid literals).  Perf: embeddings
+    quantized ONCE (r6 — per-element re-quantization in the argmin
+    was uncodegennable, ~10x); r13 notes inline below."""
     e = table(spark, sf_dir, "embeddings")
     qe = F.transform(
         F.col("embedding"),
@@ -735,13 +729,9 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
 
-    # r13 (guide §1.2/§7.2, measured with tools/opt_measure.py): of
-    # the 3.4 s isolated median, ~1.5 s was DRIVER-SIDE CONSTRUCTION
-    # — the 16x64 centroid literals built Column-by-Column cost over
-    # a thousand py4j round trips per fn() call (the same lesson the
-    # r8 audit recorded for dedup_simhash's 64-term vote expression).
-    # The whole 16-struct distance array is now ONE F.expr SQL
-    # string: a single py4j call, parsed JVM-side.
+    # r13: ~1.5 s of the 3.4 s median was fn() CONSTRUCTION — 16x64
+    # centroid literals built Column-by-Column over py4j (the r8
+    # dedup_simhash lesson); now ONE F.expr SQL string.
     def _dist2_sql(c: list) -> str:
         arr = ",".join(str(x) for x in c)
         return (
@@ -757,16 +747,11 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")"
     )
-    # Corpus-side argmin: array_min over the UNSORTED struct array —
-    # natural (dist2, cell_id) struct ordering gives the identical
-    # winner as array_sort(...)[1] without the sort comparator's
-    # per-comparison lambda call.  The coalesce(-1) wrap never fires
-    # (cell_id is a literal in every struct) but makes the column
-    # provably non-nullable, so the cell_id join below does NOT push
-    # an isnotnull(cell_id) filter beneath this projection — that
-    # pushed filter re-inlined the entire 16-centroid HOF expression
-    # a SECOND time per corpus row (the dominant execution cost in
-    # the r12 plan; see plans/r13/sim_ivf_probe_before.txt (2)).
+    # argmin = array_min (natural struct order, no comparator); the
+    # never-firing coalesce(-1) makes cell_id non-nullable so the
+    # join pushes no isnotnull filter below this projection — that
+    # filter re-inlined the whole 16-centroid expression per row
+    # (the dominant cost in plans/r13/sim_ivf_probe_before.txt (2)).
     assigned = e2.select(
         "vec_id",
         "qv",
@@ -790,20 +775,10 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.join(F.broadcast(probes), "cell_id").where(
         F.col("vec_id") != F.col("query_id")
     )
-    # score over the ALREADY-quantized arrays (dot_dec would
-    # re-quantize both sides per pair — 3 ops/element/pair saved);
-    # identical arithmetic: sum(q(x)*q(y)) / 1e12 as double.
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (
-            F.aggregate(
-                F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / 1.0e12
-        ).alias("cosine"),
+        qdot(F.col("qqv"), F.col("qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

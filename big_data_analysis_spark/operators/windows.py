@@ -647,7 +647,14 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one row per distinct price: the latest date seen at that price
     prices = t.groupBy("price_c").agg(F.max("d_days").alias("pmax_d"))
-    ranged = prices.repartitionByRange(32, F.col("price_c").desc())
+    # r13 (guide §2): range-partition count derived from the session
+    # instead of a constant — the skyline algebra (per-partition
+    # running max + carried offsets) is partition-count-independent,
+    # so this only sets parallelism: cores locally, executor fan-out
+    # on a cluster.
+    ranged = prices.repartitionByRange(
+        spark.sparkContext.defaultParallelism, F.col("price_c").desc()
+    )
     # per-partition strict-above running max (parallel windows keyed
     # by the materialized partition id — never a global sort)
     local = ranged.select(

@@ -64,6 +64,52 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", ts)
 
 
+def _planned_scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Byte-range splits Spark will plan for the table's scan —
+    ceil(file bytes / maxPartitionBytes), the same arithmetic
+    FilePartition uses (openCost is irrelevant for one file).  Local
+    paths only; anything un-stat-able reports "plenty" so spread_table
+    never repartitions a layout it cannot see."""
+    import os
+
+    try:
+        size = os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    except OSError:
+        return 1 << 30
+    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    return max(1, -(-size // mpb))
+
+
+def spread_table(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Unsplittable-input mitigation (optimization guide §2.5: "one
+    huge unsplittable file ... otherwise repartition immediately after
+    the read").
+
+    The fixture tables are single-file, SINGLE-ROW-GROUP parquet, so
+    no matter the core count every scan plans exactly one row-bearing
+    task — all per-row compute between the scan and the first Exchange
+    runs sequentially.  When (and only when) the planned scan
+    parallelism is below the session's defaultParallelism, hash-
+    repartition on the (unique, high-cardinality) row key so
+    downstream map work uses the whole cluster (guide §2.5
+    synthetic-key note: a skewless key, never rand()).  On a
+    production layout — many files / row groups, planned splits >=
+    cores — the guard makes this a provable no-op, so NO extra
+    Exchange exists at 100 TB; the repartition only ever fires on
+    degenerate layouts where a sequential stage is the alternative.
+    Deterministic: hash partitioning by a stable key commutes with
+    every aggregation / equi-join / key-partitioned window placed on
+    top (callers are restricted to those shapes, each re-verified
+    against its oracle)."""
+    df = table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if _planned_scan_splits(spark, sf_dir, name) >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(table(spark, sf_dir, n) for n in names)
 

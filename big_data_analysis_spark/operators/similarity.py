@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import api
-from ..io import table
+from ..io import spread_table, table
 from ..registry import query
 
 _DEC = "decimal(8,6)"
@@ -1405,8 +1405,13 @@ def vec_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single /1e6 rounding.  tests/test_quality.py still
     recomputes every cell EXACTLY in NumPy and asserts the measured
     pairwise-distance distortion of the k-scaled sketch stays inside
-    the JL band for a sample of pairs."""
-    e = table(spark, sf_dir, "embeddings")
+    the JL band for a sample of pairs.
+
+    r13 (guide §2.5): the 1024-literal signed-sum projection is a
+    pure map stage — one task on the fixture's single-row-group
+    file; spread_table parallelizes it (no-op on a splittable
+    layout).  0.41 -> 0.21 s isolated."""
+    e = spread_table(spark, sf_dir, "embeddings", "vec_id")
     out = api.rp_project(e, "vec_id", "embedding", d=64, k=16)
     return out.select("vec_id", F.col("dim").cast("long").alias("dim"), "y")
 

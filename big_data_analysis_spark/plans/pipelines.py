@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import api
-from ..io import table
+from ..io import spread_table, table
 from ..registry import query
 
 
@@ -1035,8 +1035,13 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-greedy semantics (same encoding argument as api.bpe_apply's
     docstring) are oracle-checked: DuckDB applies the identical rule
-    list via the identical plain-replace chain."""
-    d = table(spark, sf_dir, "documents")
+    list via the identical plain-replace chain.
+
+    r13 (guide §2.5): the single-row-group fixture file plans ONE
+    scan task, so the whole replace chain ran sequentially;
+    spread_table parallelizes the map stage (no-op on a splittable
+    production layout).  0.66 -> 0.27 s isolated."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     return api.bpe_apply(d.select("doc_id", "text"), "text", _BPE_RULES).select(
         "doc_id", "toks", "n_subwords"
     )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import api
-from ..io import table
+from ..io import spread_table, table
 from ..registry import query
 from ..operators.windows import (
     global_rank_distributed,
@@ -554,8 +554,15 @@ def pipeline_pack_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     range) a training job uses for sharding.
 
     One shuffle on the source shard key; the prefix sum rides the
-    same partitioning; tokenization stays map-side."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    same partitioning; tokenization stays map-side.
+
+    r13 (guide §2.5): tokenization runs BEFORE the source-key window
+    Exchange, i.e. on the scan stage — one task on the fixture's
+    single-row-group file; spread_table parallelizes it (no-op on a
+    splittable layout)."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", "text"
+    )
     toks = api.bpe_apply(d, "text", _BPE_RULES).select(
         "doc_id", "source", "n_subwords"
     )

@@ -962,3 +962,29 @@ def test_pmi_collocations_scans_corpus_twice_total(spark, sf_dir):
     plan = plan_of("pipeline_pmi_collocations", spark, sf_dir)
     tree = plan.split("\n\n")[0]
     assert "Scan parquet" not in tree
+
+
+def test_spread_table_guard_is_layout_adaptive(spark, sf_dir):
+    """spread_table (guide §2.5 unsplittable-input mitigation) must
+    (a) repartition to defaultParallelism on the fixture layout —
+    single-row-group files plan ONE scan task, so the pre-Exchange
+    map work would otherwise run sequentially — and (b) be a provable
+    NO-OP whenever the planned scan splits already reach the core
+    count (the 100 TB layout), so no extra Exchange exists at scale."""
+    import big_data_analysis_spark.io as io
+
+    fired = io.spread_table(spark, sf_dir, "documents", "doc_id")
+    assert (
+        fired.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    orig = io._planned_scan_splits
+    io._planned_scan_splits = lambda *a: 1 << 30  # splittable layout
+    try:
+        noop = io.spread_table(spark, sf_dir, "documents", "doc_id")
+    finally:
+        io._planned_scan_splits = orig
+    assert "Repartition" not in noop._jdf.queryExecution().logical().toString()
+    plan = plan_of("tpch_q1", spark, sf_dir)
+    # the pushed filter must survive the repartition (scan still prunes)
+    assert "PushedFilters" in plan and "l_shipdate" in plan

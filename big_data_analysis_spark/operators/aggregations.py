@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..exact import davg, dsum, sql_davg, sql_dsum
 from .. import api
-from ..io import register_views, table
+from ..io import register_views, spread_table, table
 from ..registry import query
 
 
@@ -187,8 +187,12 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     category="aggregations",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals (flag, flag+status, grand total)."""
-    l = table(spark, sf_dir, "lineitem")
+    """Hierarchical subtotals (flag, flag+status, grand total).
+
+    r13 (guide §2.5): rollup's Expand triples the input rows BEFORE
+    the partial aggregate — all on the fixture's single scan task;
+    spread_table parallelizes it (layout-guarded no-op at scale)."""
+    l = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -450,8 +450,14 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=6,
         seed=42,
     ).fit(e)
-    q = e.where(F.col("vec_id") < 5)
-    pairs = lsh.approxSimilarityJoin(q, e, 1.2, distCol="eucl_dist")
+    # r13 (guide §2.4): pre-hash ONCE and localCheckpoint — without
+    # it approxSimilarityJoin re-executes the scan + vectorize +
+    # 6-table hash transform on BOTH join sides (the
+    # dedup_minhash_widevocab fix; same seeded model => identical
+    # candidates).
+    hashed = lsh.transform(e).localCheckpoint(eager=True)
+    q = hashed.where(F.col("vec_id") < 5)
+    pairs = lsh.approxSimilarityJoin(q, hashed, 1.2, distCol="eucl_dist")
     scored = pairs.where(
         F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
     ).select(
@@ -494,8 +500,14 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=8,
         seed=7,
     ).fit(e)
+    # r13 (guide §2.4): pre-hash ONCE and localCheckpoint — without
+    # it the SELF approxSimilarityJoin re-executes the scan +
+    # vectorize + 8-table hash transform on both sides (the
+    # dedup_minhash_widevocab fix; same seeded model => identical
+    # candidates).
+    hashed = lsh.transform(e).localCheckpoint(eager=True)
     # cosine >= 0.4  <=>  euclidean <= sqrt(2 - 0.8) ~= 1.0954
-    cand = lsh.approxSimilarityJoin(e, e, 1.0955, distCol="eucl_dist")
+    cand = lsh.approxSimilarityJoin(hashed, hashed, 1.0955, distCol="eucl_dist")
     dot = dot_q_pandas()
     pairs = cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
         F.col("datasetA.vec_id").alias("vec_a"),
@@ -1263,8 +1275,15 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_pagerank_exact trick — so the driver now hash-grades it
     against DuckDB; the NumPy trajectory-equality test
     (tests/test_quality.py) stays as the definition check.  Thin
-    adapter over the public api.kmeans_lloyd kernel."""
-    e = table(spark, sf_dir, "embeddings")
+    adapter over the public api.kmeans_lloyd kernel.
+
+    r13 (guide §2.5): the kernel persists its quantized corpus, and
+    every round's codebook-argmin map + posexplode partial agg runs
+    over THAT partitioning — one task on the fixture's single-row-
+    group file; spread_table parallelizes the rounds, and the int64
+    trajectory is bit-identical under any partitioning (the kernel's
+    defining property, quoted above)."""
+    e = spread_table(spark, sf_dir, "embeddings", "vec_id")
     out = api.kmeans_lloyd(
         e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS,
         certificate=True,

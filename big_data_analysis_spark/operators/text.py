@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import api
-from ..io import table
+from ..io import spread_table, table
 from ..registry import query
 
 def _tokens():
@@ -1452,7 +1452,15 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation backoff) is replayed exactly in the tests with
     Fraction arithmetic. Scale shape: one corpus explode to bigrams,
     then every aggregate lands on the bounded vocabulary / bigram-
-    type domain; the three context tables broadcast back."""
+    type domain; the three context tables broadcast back.
+
+    r13 (guide §2.4): the bigram-TYPE count table c is consumed four
+    times (cv, cw, the type total, and the join spine); without a
+    materialization each consumer re-ran the whole corpus scan →
+    explode → groupBy subtree (Exchange reuse does not survive the
+    broadcast sides).  c is bounded by the bigram-type domain — the
+    vocabulary-bounded table the docstring already argues — so it is
+    localCheckpoint'ed once, inside the timed region."""
     d = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("toks")
     ).where(F.size("toks") >= 2)
@@ -1465,7 +1473,11 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.v", "p.w")
-    c = bg.groupBy("v", "w").agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+    c = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+        .localCheckpoint(eager=True)
+    )
     cv = c.groupBy("v").agg(
         F.sum("c_vw").cast("long").alias("c_v"),
         F.count(F.lit(1)).cast("long").alias("n1_fwd"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import spread_table, table
 from ..operators.windows import ntile_distributed
 from ..registry import query
 from ..session import scratch_dir
@@ -1249,7 +1249,6 @@ def pipeline_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the only data-proportional shuffles are the distinct
     and the orderkey self-join, and the pair-count rollup lands on
     the bounded 300-key brand-pair domain."""
-    li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     # r13 (guide §2.4/§3.3, measured): the r12 plan re-executed the
     # items (join + distinct) subtree FOUR times (both self-join
@@ -1262,7 +1261,12 @@ def pipeline_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it: the <=21-pairs-per-basket expansion happens in-task, and
     # the pair rollup lands on the bounded 300-key brand-pair
     # domain.  2.4 s -> 1.9 s isolated, and the 100 TB story drops
-    # the self-join entirely.
+    # the self-join entirely.  Second r13 pass (guide §2.5): the
+    # li⋈part broadcast join + partial collect_set run in the SCAN
+    # stage — one task on the fixture's single-row-group file —
+    # so the fact scan is spread_table'd (layout-guarded no-op at
+    # scale).
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     baskets = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))

@@ -64,20 +64,55 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", ts)
 
 
+_PLENTY = 1 << 30  # "layout parallelizes fine" sentinel -> spread no-ops
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-suffixed conf string -> bytes ('128m', '1g', '134217728').
+    Mirrors JavaUtils.byteStringAsBytes for the suffixes Spark accepts;
+    raises on anything else (caller degrades to the no-op sentinel)."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("tb", 1 << 40), ("pb", 1 << 50),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
 def _planned_scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
-    """Byte-range splits Spark will plan for the table's scan —
-    ceil(file bytes / maxPartitionBytes), the same arithmetic
-    FilePartition uses (openCost is irrelevant for one file).  Local
-    paths only; anything un-stat-able reports "plenty" so spread_table
-    never repartitions a layout it cannot see."""
+    """Row-bearing scan tasks Spark will plan for the table — the
+    byte-range split count ceil(file bytes / maxPartitionBytes)
+    CAPPED at the parquet footer's row-group count: parquet is only
+    splittable at row-group boundaries, so a single-row-group file
+    larger than maxPartitionBytes still yields ONE row-bearing task
+    no matter how many byte ranges are planned (r13 ADVICE: the raw
+    byte arithmetic no-op'ed on exactly the degenerate layout §2.5
+    targets).  Local paths only; anything un-stat-able/un-parsable
+    reports "plenty" so spread_table never repartitions a layout it
+    cannot see."""
     import os
 
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
-        size = os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    except OSError:
-        return 1 << 30
-    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
-    return max(1, -(-size // mpb))
+        size = os.path.getsize(path)
+        mpb = _parse_size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+    except (OSError, ValueError, TypeError):
+        return _PLENTY
+    splits = max(1, -(-size // mpb))
+    if splits > 1:
+        try:
+            import pyarrow.parquet as pq
+
+            splits = min(splits, max(1, pq.ParquetFile(path).metadata.num_row_groups))
+        except Exception:
+            pass  # keep the byte arithmetic if the footer is unreadable
+    return splits
 
 
 def spread_table(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:

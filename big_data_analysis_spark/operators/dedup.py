@@ -949,14 +949,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = b.groupBy("lang", "pre", "lenband").agg(
         F.count(F.lit(1)).alias("c")
     )
-    # r13 (guide §2.4): localCheckpoint the capped block table — the
-    # r12 plan re-derived the keyed scan for the size join AND for
-    # both pair-join sides (4 executions of the text-prefix
-    # projection); the blocked table is bounded by the block cap and
-    # both self-join sides read one materialization.
+    # r14: the r13 localCheckpoint of this block table was REVERTED —
+    # both the driver (0.96 s vs r12's 0.78 s) and the r14 isolated
+    # A/B (0.80 s with vs 0.75 s without, 32c medians) measured it a
+    # loss: the keyed projection is cheap enough that re-deriving it
+    # per join side beats materializing + reading back the blocks.
     ok = b.join(
         sz.where(F.col("c") <= _EDIT_BLOCK_CAP), ["lang", "pre", "lenband"]
-    ).localCheckpoint(eager=True)
+    )
     x = ok.select(
         "lang", "pre", "lenband",
         F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"),

@@ -336,3 +336,133 @@ def vec_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("a_mean"), F.col("b_mean"))
         ).alias("silhouette"),
     )
+
+# --- vec_kmeans_lloyd (moved r14 from operators/similarity.py to keep
+# --- that module under the 2,100-line cap; registry name/category and
+# --- behaviour unchanged) ---
+from .. import api
+from .similarity import _SQL_EV
+
+
+_KM_K = 8
+_KM_ROUNDS = 4
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled fixed-round Lloyd iteration mirroring
+    api.kmeans_lloyd exactly: 1e-6-quantized vectors, argmin of
+    int64 squared distance with ties to the LOWest centroid index
+    (array_position's first-match semantics = MIN(cl) over the
+    minimal distance), centroid update as component-wise FLOOR
+    division (Spark does it in driver-side Python where // floors;
+    DuckDB // truncates, so the negative branch gets the explicit
+    mirrored ceiling), empty clusters keep their previous centroid
+    (LEFT JOIN + COALESCE). Multiply-read tables AS MATERIALIZED
+    (the graph_pagerank_exact lesson)."""
+    k, rounds = _KM_K, _KM_ROUNDS
+    fd = (
+        "CASE WHEN s.s >= 0 THEN s.s // s.n"
+        " ELSE -((-s.s + s.n - 1) // s.n) END"
+    )
+    parts = [
+        f"WITH ev AS MATERIALIZED ({_SQL_EV}),",
+        "xq AS MATERIALIZED (SELECT vec_id, i AS pos,"
+        " CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q FROM ev),",
+        f"seed AS MATERIALIZED (SELECT vec_id,"
+        f" ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl"
+        f" FROM (SELECT DISTINCT vec_id FROM ev ORDER BY vec_id LIMIT {k}) s),",
+        "c0 AS MATERIALIZED (SELECT seed.cl, x.pos, x.q AS val"
+        " FROM seed JOIN xq x ON x.vec_id = seed.vec_id),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT v.vec_id, c.cl,
+         SUM((v.q - c.val) * (v.q - c.val)) AS dist
+  FROM xq v JOIN c{r} c ON c.pos = v.pos GROUP BY v.vec_id, c.cl
+),
+m{r} AS (SELECT vec_id, MIN(dist) AS dmin FROM d{r} GROUP BY vec_id),
+a{r} AS MATERIALIZED (
+  SELECT d.vec_id, MIN(d.cl) AS cl
+  FROM d{r} d JOIN m{r} m ON m.vec_id = d.vec_id AND d.dist = m.dmin
+  GROUP BY d.vec_id
+),
+s{r} AS MATERIALIZED (
+  SELECT a.cl, v.pos, CAST(SUM(v.q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{r} a JOIN xq v ON v.vec_id = a.vec_id GROUP BY a.cl, v.pos
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.cl, c.pos, CAST(COALESCE({fd}, c.val) AS BIGINT) AS val
+  FROM c{r} c LEFT JOIN s{r} s ON s.cl = c.cl AND s.pos = c.pos
+),"""
+        )
+    R = rounds
+    parts.append(
+        f"""df AS MATERIALIZED (
+  SELECT v.vec_id, c.cl,
+         SUM((v.q - c.val) * (v.q - c.val)) AS dist
+  FROM xq v JOIN c{R} c ON c.pos = v.pos GROUP BY v.vec_id, c.cl
+),
+mf AS (SELECT vec_id, MIN(dist) AS dmin FROM df GROUP BY vec_id),
+af AS MATERIALIZED (
+  SELECT d.vec_id, MIN(d.cl) AS cl, MIN(m.dmin) AS dmin
+  FROM df d JOIN mf m ON m.vec_id = d.vec_id AND d.dist = m.dmin
+  GROUP BY d.vec_id
+),
+cn AS (SELECT cl, CAST(SUM(val * val) AS BIGINT) AS l2 FROM c{R} GROUP BY cl)
+SELECT CAST(af.cl AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(af.dmin) AS BIGINT) AS inertia,
+       CAST(MIN(af.vec_id) AS BIGINT) AS min_member,
+       CAST(MIN(cn.l2) AS BIGINT) AS centroid_l2q,
+       CAST((SELECT COUNT(*) FROM af x JOIN a{R - 1} y
+             ON y.vec_id = x.vec_id WHERE x.cl <> y.cl) AS BIGINT)
+         AS n_reassigned_last_round
+FROM af JOIN cn ON cn.cl = af.cl
+GROUP BY af.cl"""
+    )
+    return "\n".join(parts)
+
+
+@query("vec_kmeans_lloyd", oracle=_kmeans_oracle(), category="similarity")
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd's algorithm), the
+    clustering stage a curation pipeline runs to stratify an
+    embedding corpus before sampling: k=8, init = the first k
+    vectors by id, 4 synchronous rounds.  EVERY quantity is exact
+    int64 — vectors are 1e-6-quantized once, assignment is argmin of
+    integer squared distance (ties to the lower centroid id), and
+    the centroid update collects per-cluster integer component SUMS
+    (k*d bounded scalars, the only driver traffic) and floor-divides
+    on the driver — so the fixpoint trajectory is bit-identical
+    under any partitioning or row order, which float k-means never
+    is.  Per round: one broadcast-literal argmin map over the corpus
+    + one (cluster, dim)-keyed partial-agg shuffle of k*d keys.
+    PROMOTED r8 from ⊘ to ORACLE-EXACT: the very property that made
+    it ⊘-certifiable (a bit-exact integer trajectory) makes it
+    unrollable as fixed-round MATERIALIZED CTEs — the
+    graph_pagerank_exact trick — so the driver now hash-grades it
+    against DuckDB; the NumPy trajectory-equality test
+    (tests/test_quality.py) stays as the definition check.  Thin
+    adapter over the public api.kmeans_lloyd kernel.
+
+    r14: the unverified r13 spread_table edit here A/B-measured a
+    LOSS (4.78 s with vs 4.46 s without, isolated 32c) — the kernel
+    persists its quantized corpus, so the repartition only added a
+    shuffle — reverted."""
+    e = table(spark, sf_dir, "embeddings")
+    out = api.kmeans_lloyd(
+        e, "vec_id", "embedding", k=_KM_K, rounds=_KM_ROUNDS,
+        certificate=True,
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("inertia").cast("long").alias("inertia"),
+        F.col("min_member").cast("long").alias("min_member"),
+        F.col("centroid_l2q").cast("long").alias("centroid_l2q"),
+        F.col("n_reassigned_last_round").cast("long").alias(
+            "n_reassigned_last_round"
+        ),
+    )

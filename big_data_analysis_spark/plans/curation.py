@@ -936,7 +936,7 @@ def pipeline_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graded payload is scalar-stable."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     target = c.where(F.col("c_custkey") % 211 == 0).select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -1265,7 +1265,8 @@ def pipeline_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # li⋈part broadcast join + partial collect_set run in the SCAN
     # stage — one task on the fixture's single-row-group file —
     # so the fact scan is spread_table'd (layout-guarded no-op at
-    # scale).
+    # scale).  r14 A/B (shipped unverified in r13): 1.94 s with vs
+    # 2.23 s without, isolated 32c medians — kept.
     li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     baskets = (
         li.join(p, li["l_partkey"] == p["p_partkey"])

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exact import SQL_REVENUE, davg, dcol, dsum, dsum_expr, revenue_dec, sql_davg, sql_dsum, sql_dsum_expr
-from ..io import spread_table, table
+from ..io import table
 from ..registry import query
 
 _Q1_CUTOFF = "2000-09-02"
@@ -48,12 +48,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) + final hash aggregate, so the shuffle moves only
     ~6 group rows per task regardless of input size.
 
-    r13 (guide §2.5): the fixture's single-row-group file plans ONE
-    scan task, serializing the exact-DECIMAL partial aggregation;
-    spread_table spreads it across the cores (no-op on any layout
-    whose scan already parallelizes — the 100 TB case).
+    r14: the r13 spread_table repartition was REMOVED — the driver
+    measured it a loss (1.78 s @32 vs r12's 1.37 s, 8c/32c ratio
+    0.67) and it broke the one-Exchange plan contract: repartitioning
+    600 K wide rows costs more than the single-task exact-DECIMAL
+    partial agg it parallelizes.
     """
-    l = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
+    l = table(spark, sf_dir, "lineitem")
     ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
     return (
         l.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))

